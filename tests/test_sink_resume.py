@@ -1,0 +1,102 @@
+"""Checkpointed-resume test (FIXTURES.md §4): kill after k committed
+partitions -> rerun -> byte-identical final output, each partition committed
+exactly once."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from ocr_ray.pipelines.extract_pipeline import extract_dataset
+from ocr_ray.sources.transcripts import generate_transcripts_table
+from ocr_ray.state.sink import committed_partitions, write_partitioned
+
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def inputs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_in")
+    t = generate_transcripts_table(60, seed=7)
+    pq.write_table(t, d / "in.parquet")
+    return str(d / "in.parquet")
+
+
+def _run(inputs, out_dir):
+    ds = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
+    return write_partitioned(ds, out_dir, num_partitions=N_PARTS)
+
+
+def _file_bytes(d):
+    out = {}
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        if name.endswith(".parquet"):
+            with open(p, "rb") as f:
+                out[name] = f.read()
+    return out
+
+
+def test_clean_run_commits_all(inputs, tmp_path):
+    out = str(tmp_path / "clean")
+    manifest = _run(inputs, out)
+    committed = committed_partitions(out)
+    assert len(committed) == manifest.num_rows > 0
+    # manifest rows_out total == input turn count
+    total = sum(m["rows_out"] for m in committed.values())
+    assert total == pq.read_metadata(inputs).num_rows
+    # per-partition checksum matches the file on disk
+    import hashlib
+
+    for pid, m in committed.items():
+        with open(os.path.join(out, f"part-{pid:05d}.parquet"), "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == m["checksum"]
+
+
+def test_resume_is_byte_identical(inputs, tmp_path):
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    _run(inputs, clean)
+    _run(inputs, crashed)
+
+    # simulate a crash: drop the data+manifest of all but the first 3 partitions
+    kept = sorted(committed_partitions(crashed))[:3]
+    for name in os.listdir(crashed):
+        if name.endswith(".parquet"):
+            pid = int(name.split("-")[1].split(".")[0])
+            if pid not in kept:
+                os.remove(os.path.join(crashed, name))
+    mdir = os.path.join(crashed, "_manifest")
+    for name in os.listdir(mdir):
+        pid = int(name.split("-")[1].split(".")[0])
+        if pid not in kept:
+            os.remove(os.path.join(mdir, name))
+    assert len(committed_partitions(crashed)) == 3
+
+    manifest = _run(inputs, crashed)  # resume
+    assert sorted(committed_partitions(crashed)) == sorted(committed_partitions(clean))
+    assert _file_bytes(crashed) == _file_bytes(clean)  # byte-identical
+    # manifest table covers every partition exactly once
+    pids = manifest.column("partition_id").to_pylist()
+    assert len(pids) == len(set(pids))
+
+
+def test_torn_partition_is_replaced(inputs, tmp_path):
+    """Data file present but manifest missing (crash between rename and
+    manifest write) -> partition is rewritten, result identical."""
+    clean = str(tmp_path / "clean")
+    torn = str(tmp_path / "torn")
+    _run(inputs, clean)
+    _run(inputs, torn)
+    pids = sorted(committed_partitions(torn))
+    victim = pids[-1]
+    # corrupt the data file and remove only its manifest
+    with open(os.path.join(torn, f"part-{victim:05d}.parquet"), "wb") as f:
+        f.write(b"garbage")
+    os.remove(os.path.join(torn, "_manifest", f"part-{victim:05d}.json"))
+
+    _run(inputs, torn)
+    assert _file_bytes(torn) == _file_bytes(clean)
