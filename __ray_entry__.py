@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship per-turn extraction pipeline at sf0.001 scale.
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the large-scale training-data ops).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (column names match exactly; money is exact integer cents so value hashes
+  are reduction-order independent).
 """
 
 from __future__ import annotations
@@ -19,26 +17,65 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _transcripts_for(sf_dir: str) -> str:
+    """Deterministic synthetic transcripts input scaled to the sf dir
+    (no transcript table ships in testdata; FIXTURES.md §1)."""
+    from ocr_ray.sources.transcripts import ensure_transcripts, n_convs_for_sf
+
+    return ensure_transcripts(n_convs_for_sf(sf_dir), seed=42)
+
+
+def _extract_turns(sf_dir: str):
+    """Flagship: per-turn main-content extraction (scalar columns only;
+    the nested ``blocks`` column is exercised by extract_blocks + pytest)."""
+    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+
+    ds = extract_from_path(_transcripts_for(sf_dir))
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "role", "payload_kind", "main_text", "n_blocks", "error", "bytes_in"]
+    )
+
+
+def _extract_blocks(sf_dir: str):
+    """Exploded one-row-per-block view (sheet-sink explode analog,
+    save-to-google-sheet.ts:199-215)."""
+    from ocr_ray.pipelines.extract_pipeline import exploded_blocks, extract_from_path
+
+    return exploded_blocks(extract_from_path(_transcripts_for(sf_dir)))
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
+    return _extract_turns("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_ray.pipelines.relational import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        "extract_turns": _extract_turns,
+        "extract_blocks": _extract_blocks,
+    }
+    for name, (fn, _sql) in REGISTRY.items():
+        out[name] = fn
+    try:
+        from ocr_ray.ops import REGISTRY as OPS_REGISTRY
+
+        for name, (fn, _sql) in OPS_REGISTRY.items():
+            out[name] = fn
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_ray.pipelines.relational import REGISTRY
+
+    out = {name: sql for name, (fn, sql) in REGISTRY.items() if sql}
+    try:
+        from ocr_ray.ops import REGISTRY as OPS_REGISTRY
+
+        out.update({name: sql for name, (fn, sql) in OPS_REGISTRY.items() if sql})
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,116 @@
+"""Join strategies for Ray Data, chosen by side size (SURVEY.md §2.4).
+
+* ``broadcast_join`` — the small side (dimension table / key set) is put in
+  the object store ONCE with ``ray.put`` and read by each actor in
+  ``__init__`` (never re-shipped per batch); the join is a per-batch pandas
+  merge. No shuffle. This is the right plan whenever one side fits in a
+  worker's heap (reference analog: the sheet key-match scan M9,
+  save-to-google-sheet.ts:155-170, is a semi-join against a single key).
+* ``semi_join_filter`` / ``anti_join_filter`` — broadcast key set +
+  vectorized ``pc.is_in`` inside map_batches.
+* Large × large — use ``Dataset.join`` (hash-partitioned shuffle join,
+  available in this Ray version); pick ``num_partitions`` ≈ total rows /
+  (a few M) and co-partition on the same key across stages.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+class _BroadcastMerge:
+    """Actor-pool stage: pandas merge of each batch against a broadcast table."""
+
+    def __init__(self, ref, left_on, right_on, how):
+        small: pd.DataFrame = ray.get(ref)  # fetched once per actor
+        self.small = small
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(
+            self.small,
+            how=self.how,
+            left_on=self.left_on,
+            right_on=self.right_on,
+            suffixes=("", "_r"),
+        )
+        if self.right_on != self.left_on and self.right_on in out.columns:
+            out = out.drop(columns=[self.right_on])
+        return out
+
+
+def broadcast_join(
+    ds: Dataset,
+    small: pd.DataFrame | pa.Table,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    concurrency: tuple[int, int] | int = (1, 16),
+    batch_size: int = 65536,
+) -> Dataset:
+    """Join ``ds`` against a driver-side small table without a shuffle."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastMerge,
+        fn_constructor_args=(ref, left_on, right_on or left_on, how),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def semi_join_filter(ds: Dataset, col: str, keys) -> Dataset:
+    """Keep rows whose ``col`` is in the broadcast key set (no shuffle)."""
+    value_set = pa.array(sorted(set(keys)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(col), value_set=value_set))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join_filter(ds: Dataset, col: str, keys) -> Dataset:
+    """Drop rows whose ``col`` is in the broadcast key set (resume-manifest
+    anti-join pattern, SURVEY.md §2.4)."""
+    value_set = pa.array(sorted(set(keys)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(col), value_set=value_set))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Large × large: hash-partitioned shuffle join via ``Dataset.join``.
+
+    Both sides are repartitioned on the key; choose ``num_partitions`` so a
+    partition of the bigger side fits a worker's heap. Skewed keys should be
+    salted before calling (append a salt column to both sides).
+    """
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )

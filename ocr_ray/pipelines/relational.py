@@ -1,0 +1,391 @@
+"""Relational query suite over the testdata tables.
+
+Each query is implemented twice, side by side: an idiomatic Ray Data plan
+(the implementation) and an ANSI-SQL string (the DuckDB oracle the driver
+runs for the correctness gate). Column names match exactly between the two
+— the driver's comparison sorts columns by name before hashing values.
+
+Scale notes on every query: joins pick broadcast vs hash-shuffle by side
+size; aggregations pre-combine per batch before the shuffle; money is exact
+integer cents (see ocr_ray.functions.scalars) so results are independent of
+reduction order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ocr_ray.functions.joins import broadcast_join, hash_join
+from ocr_ray.functions.scalars import (
+    count_tokens,
+    discounted_c4,
+    epoch_hours,
+    to_cents,
+)
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _partial_groupby(batch: pa.Table, keys: list[str], sums: list[str], count_col: str | None) -> pa.Table:
+    """Per-batch partial aggregation (combiner) — shrinks the shuffle input
+    from O(rows) to O(groups) per batch."""
+    aggs = [(c, "sum") for c in sums]
+    if count_col:
+        batch = batch.append_column("__one", pa.array([1] * batch.num_rows, pa.int64()))
+        aggs.append(("__one", "sum"))
+    g = batch.group_by(keys).aggregate(aggs)
+    # arrow names results "<col>_sum"; rename back to the plain column names
+    rename = {f"{c}_sum": c for c in sums}
+    if count_col:
+        rename["__one_sum"] = count_col
+    cols = {}
+    for name in g.column_names:
+        cols[rename.get(name, name)] = g.column(name)
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (grouped aggregation with partial pre-agg)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pa.array(["1998-09-02"]).cast(pa.timestamp("us"))[0].as_py())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        out = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "sum_base_cents": to_cents(t.column("l_extendedprice")),
+                "sum_disc_c4": discounted_c4(
+                    t.column("l_extendedprice"), t.column("l_discount")
+                ),
+            }
+        )
+        return _partial_groupby(
+            out,
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_base_cents", "sum_disc_c4"],
+            "count_order",
+        )
+
+    partial = ds.map_batches(prep, batch_format="pyarrow")
+    return partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (broadcast + hash join + grouped top-k)
+# ---------------------------------------------------------------------------
+
+
+def q3_top_orders(sf_dir: str) -> Dataset:
+    # small side: BUILDING customers (driver-materialized, broadcast)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")).select(
+        ["c_custkey"]
+    )
+
+    cut = pa.array(["1998-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cut))),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    lineitem = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "revenue_c4", discounted_c4(t.column("l_extendedprice"), t.column("l_discount"))
+        )
+        .filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))
+        .select(["l_orderkey", "revenue_c4"]),
+        batch_format="pyarrow",
+    )
+    # large x large: hash-partitioned shuffle join
+    joined = hash_join(
+        lineitem,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4")
+    )
+    top = agg.sort(["revenue_c4", "l_orderkey"], descending=[True, False]).limit(10)
+    # Ray's sort path can downcast day-resolution timestamps; restore [us]
+    return top.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            t.column("o_orderdate").cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       o_orderdate,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_by_nation — two chained broadcast joins + grouped agg
+# ---------------------------------------------------------------------------
+
+
+def orders_by_nation(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    # pre-join the two small dims driver-side (both tiny), broadcast once
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]).select(
+        ["c_custkey", "n_name"]
+    )
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t.column("o_custkey"), "cents": to_cents(t.column("o_totalprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(orders, dim, left_on="o_custkey", right_on="c_custkey")
+    partial = joined.map_batches(
+        lambda t: _partial_groupby(
+            t.select(["n_name", "cents"]).rename_columns(["n_name", "sum_total_cents"]),
+            ["n_name"],
+            ["sum_total_cents"],
+            "n_orders",
+        ),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("n_name").aggregate(
+        Sum("sum_total_cents", alias_name="sum_total_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_spenders — grouped agg + global top-k
+# ---------------------------------------------------------------------------
+
+
+def top_spenders(sf_dir: str) -> Dataset:
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    partial = orders.map_batches(
+        lambda t: _partial_groupby(
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "spent_cents": to_cents(t.column("o_totalprice")),
+                }
+            ),
+            ["o_custkey"],
+            ["spent_cents"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+    agg = partial.groupby("o_custkey").aggregate(Sum("spent_cents", alias_name="spent_cents"))
+    return agg.sort(["spent_cents", "o_custkey"], descending=[True, False]).limit(20)
+
+
+TOP_SPENDERS_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spent_cents
+FROM orders
+GROUP BY o_custkey
+ORDER BY spent_cents DESC, o_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter_click_events — predicate pushdown + projection
+# ---------------------------------------------------------------------------
+
+
+def filter_click_events(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "click"),
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("value"), pa.scalar(100.0)))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_cents": to_cents(t.column("value")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FILTER_CLICK_EVENTS_SQL = """
+SELECT event_id, user_id,
+       CAST(ROUND(value*100) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type = 'click' AND value >= 100.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_segments — distinct (tiny result)
+# ---------------------------------------------------------------------------
+
+
+def distinct_segments(sf_dir: str) -> pa.Table:
+    vals = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_mktsegment"]).unique(
+        "c_mktsegment"
+    )
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ---------------------------------------------------------------------------
+# events_hourly — tumbling-window aggregate (streaming-shaped, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour_bucket": epoch_hours(t.column("ts")),
+                "sum_value_cents": to_cents(t.column("value")),
+            }
+        )
+        return _partial_groupby(
+            out, ["user_id", "hour_bucket"], ["sum_value_cents"], "n_events"
+        )
+
+    partial = ds.map_batches(prep, batch_format="pyarrow")
+    return partial.groupby(["user_id", "hour_bucket"]).aggregate(
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, hour_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_token_counts — vectorized string function over documents
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens": count_tokens(t.column("text"))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOC_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+REGISTRY: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
+    "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
+    "filter_click_events": (filter_click_events, FILTER_CLICK_EVENTS_SQL),
+    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
+}
