@@ -1,0 +1,34 @@
+"""Large-scale training-data operations (first-class components):
+
+dedup      exact, MinHash+LSH near-dup, SimHash, embedding-cosine near-dup
+ann        brute-force cosine top-k + LSH-bucketed approximate variant
+textstats  language-ID, quality scoring, token counts, winnowing fingerprints
+multimodal binary media columns: decode/feature plumbing (stubbed kernels)
+
+``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
+merged into ``__ray_entry__.queries()``.
+"""
+
+from ocr_ray.ops.ann import ANN_TOPK_SQL, ann_lsh_topk, ann_topk
+from ocr_ray.ops.dedup import (
+    DEDUP_EXACT_SQL,
+    dedup_exact_docs,
+    dedup_minhash_docs,
+    dedup_simhash_docs,
+    embedding_near_dups,
+)
+from ocr_ray.ops.multimodal import media_features
+from ocr_ray.ops.textstats import doc_fingerprints, doc_quality, lang_id_docs
+
+REGISTRY: dict[str, tuple] = {
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "dedup_minhash_docs": (dedup_minhash_docs, None),
+    "dedup_simhash_docs": (dedup_simhash_docs, None),
+    "embedding_near_dups": (embedding_near_dups, None),
+    "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "lang_id_docs": (lang_id_docs, None),
+    "doc_quality": (doc_quality, None),
+    "doc_fingerprints": (doc_fingerprints, None),
+    "media_features": (media_features, None),
+}

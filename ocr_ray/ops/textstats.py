@@ -1,0 +1,160 @@
+"""Text-analysis operators over the ``documents`` table.
+
+* language-ID: stopword-profile scoring (n-gram/stopword heuristic)
+* quality scoring: length / punctuation / stopword / token-shape ratios,
+  reported as exact integers (basis points) so results are order-stable
+* winnowing fingerprints: rolling-hash k-grams, per-window minima
+
+All are stateless-per-row but hosted in actor pools so the profile tables /
+rolling-hash setup are built once per actor (reference singleton pattern,
+genkit.ts:4-7).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as", "was", "at"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "pour", "dans", "au"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "ein", "eine", "auf"},
+    "es": {"el", "la", "los", "las", "de", "y", "en", "un", "una", "que", "es", "por", "con", "para", "del"},
+}
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.U)
+_WORD_RE = re.compile(r"[a-zA-Z']+")
+
+
+def lang_of(text: str) -> tuple[str, int]:
+    """Heuristic language id -> (lang, score_bp). Deterministic integers.
+
+    CJK codepoint share decides 'zh'; otherwise the stopword profile with
+    the highest hit count wins (ties broken by profile name)."""
+    if not text:
+        return "und", 0
+    n = len(text)
+    cjk = len(_CJK_RE.findall(text))
+    if cjk * 20 >= n:  # >=5% CJK codepoints
+        return "zh", 10_000 * cjk // n
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return "und", 0
+    best_lang, best_hits = "und", 0
+    for lang in sorted(_STOPWORDS):
+        hits = sum(1 for w in words if w in _STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang, 10_000 * best_hits // len(words)
+
+
+class LangId:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, scores = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            lang, s = lang_of(t or "")
+            langs.append(lang)
+            scores.append(s)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_score_bp": pa.array(scores, pa.int64()),
+            }
+        )
+
+
+def lang_id_docs(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=512, concurrency=(1, 16), num_cpus=1
+    )
+
+
+def quality_of(text: str) -> dict:
+    """Deterministic quality features, ratios in basis points (int)."""
+    n = len(text)
+    toks = text.split()
+    n_tok = len(toks)
+    n_punct = len(_PUNCT_RE.findall(text))
+    en_stop = _STOPWORDS["en"]
+    n_stop = sum(1 for w in toks if w.lower().strip(".,!?;:") in en_stop)
+    tok_chars = sum(len(t) for t in toks)
+    return {
+        "n_chars": n,
+        "n_tokens": n_tok,
+        "punct_bp": 10_000 * n_punct // n if n else 0,
+        "stop_bp": 10_000 * n_stop // n_tok if n_tok else 0,
+        "mean_tok_len_c": 100 * tok_chars // n_tok if n_tok else 0,
+    }
+
+
+class QualityScorer:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [quality_of(t or "") for t in batch.column(self.text_col).to_pylist()]
+        cols: dict = {"doc_id": batch.column(self.id_col)}
+        for k in ("n_chars", "n_tokens", "punct_bp", "stop_bp", "mean_tok_len_c"):
+            cols[k] = pa.array([r[k] for r in rows], pa.int64())
+        return pa.table(cols)
+
+
+def doc_quality(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        QualityScorer, batch_format="pyarrow", batch_size=512, concurrency=(1, 16), num_cpus=1
+    )
+
+
+def fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
+    """Winnowing document fingerprint: rolling crc32 over char k-grams,
+    minimum per sliding window, deduplicated, sorted."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return [zlib.crc32(s.encode("utf-8"))] if s else []
+    hashes = np.array(
+        [zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)],
+        dtype=np.int64,
+    )
+    if len(hashes) <= window:
+        return [int(hashes.min())]
+    mins = {
+        int(hashes[i : i + window].min()) for i in range(len(hashes) - window + 1)
+    }
+    return sorted(mins)
+
+
+class Fingerprinter:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t or "") for t in batch.column(self.text_col).to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_fp": pa.array([len(f) for f in fps], pa.int64()),
+                "fp_min": pa.array([f[0] if f else 0 for f in fps], pa.int64()),
+                "fp": pa.array(fps, pa.list_(pa.int64())),
+            }
+        )
+
+
+def doc_fingerprints(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", batch_size=256, concurrency=(1, 16), num_cpus=1
+    )
+    # scalar columns only for the driver check; the list column is test-only
+    return out.select_columns(["doc_id", "n_fp", "fp_min"])

@@ -1,0 +1,76 @@
+"""Text-analysis + multimodal plumbing tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_ray.ops.multimodal import MediaDecoder, decode_media, synth_media_table
+from ocr_ray.ops.textstats import fingerprint, lang_of, quality_of
+
+
+class TestLangId:
+    def test_english(self):
+        assert lang_of("the cat sat on the mat and it was happy with the sun")[0] == "en"
+
+    def test_french(self):
+        assert lang_of("le chat est dans la maison et il y a du pain pour le matin")[0] == "fr"
+
+    def test_german(self):
+        assert lang_of("der hund ist in den garten mit der katze und das haus")[0] == "de"
+
+    def test_spanish(self):
+        assert lang_of("el perro y la casa con un gato en el jardín para la niña")[0] == "es"
+
+    def test_cjk(self):
+        assert lang_of("这是一个中文句子，用于测试语言识别。")[0] == "zh"
+
+    def test_empty(self):
+        assert lang_of("") == ("und", 0)
+
+
+class TestQuality:
+    def test_integers_and_values(self):
+        q = quality_of("The quick brown fox. It jumps!")
+        assert q["n_chars"] == 30 and q["n_tokens"] == 6
+        assert all(isinstance(v, int) for v in q.values())
+
+    def test_empty(self):
+        q = quality_of("")
+        assert q == {"n_chars": 0, "n_tokens": 0, "punct_bp": 0, "stop_bp": 0, "mean_tok_len_c": 0}
+
+
+class TestFingerprint:
+    def test_near_dup_overlap(self):
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = a.replace("lazy", "sleepy")
+        c = "utterly unrelated text about astronomy telescopes and distant galaxies"
+        fa, fb, fc = set(fingerprint(a)), set(fingerprint(b)), set(fingerprint(c))
+        sim_ab = len(fa & fb) / len(fa | fb)
+        sim_ac = len(fa & fc) / len(fa | fc) if fa | fc else 0
+        assert sim_ab > 0.3 > sim_ac
+
+    def test_short_and_empty(self):
+        assert fingerprint("") == []
+        assert len(fingerprint("ab")) == 1
+
+
+class TestMultimodal:
+    def test_synth_deterministic(self):
+        a, b = synth_media_table(10), synth_media_table(10)
+        assert a.equals(b)
+
+    def test_decode_plumbing(self):
+        ds = rd.from_arrow(synth_media_table(12))
+        out = decode_media(ds, fake=True).take_all()
+        assert len(out) == 12
+        assert all(len(r["features"]) == 8 for r in out)
+        # deterministic across runs
+        out2 = decode_media(rd.from_arrow(synth_media_table(12)), fake=True).take_all()
+        f1 = {r["media_id"]: r["features"] for r in out}
+        f2 = {r["media_id"]: r["features"] for r in out2}
+        assert f1 == f2
+
+    def test_real_decoder_is_gated(self):
+        dec = MediaDecoder(fake=False)
+        with pytest.raises(NotImplementedError):
+            dec(synth_media_table(1))

@@ -1,0 +1,52 @@
+"""Mirror of the driver's correctness gate: every queries() entry with an
+oracle_sql() runs on sf0.001 and must match DuckDB on row count, schema
+(sorted column names) and sorted values."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+_SQLS = entry.oracle_sql()
+_QUERIES = entry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_SQLS))
+def test_query_matches_oracle(name, con):
+    res = _QUERIES[name](SF)
+    got = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.sql(_SQLS[name]).df()
+
+    g = got.reindex(sorted(got.columns), axis=1)
+    w = want.reindex(sorted(want.columns), axis=1)
+    assert list(g.columns) == list(w.columns), (list(g.columns), list(w.columns))
+    assert len(g) == len(w)
+    g = g.sort_values(list(g.columns)).reset_index(drop=True)
+    w = w.sort_values(list(w.columns)).reset_index(drop=True)
+    for c in g.columns:
+        assert str(g[c].dtype) == str(w[c].dtype), (c, g[c].dtype, w[c].dtype)
+        assert (g[c].values == w[c].values).all(), c
+
+
+def test_rows_only_queries_run():
+    for name, fn in _QUERIES.items():
+        if name in _SQLS or name.startswith("extract"):
+            continue
+        res = fn(SF)
+        n = res.num_rows if hasattr(res, "num_rows") else res.count()
+        assert n >= 0
