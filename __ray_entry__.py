@@ -44,6 +44,23 @@ def _extract_blocks(sf_dir: str):
     return exploded_blocks(extract_from_path(_transcripts_for(sf_dir)))
 
 
+def _extract_summaries(sf_dir: str):
+    """Per-turn digest column (summarize-pdf-data.ts analog, deterministic)."""
+    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+    from ocr_ray.stages.summarize import summarize_dataset
+
+    ds = summarize_dataset(extract_from_path(_transcripts_for(sf_dir)))
+    return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "summary"])
+
+
+def _extract_metrics(sf_dir: str):
+    """Per-payload-kind QC rollup of the extraction run (lineage sidecar)."""
+    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+    from ocr_ray.state.metrics import extraction_metrics
+
+    return extraction_metrics(extract_from_path(_transcripts_for(sf_dir)))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
@@ -55,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {
         "extract_turns": _extract_turns,
         "extract_blocks": _extract_blocks,
+        "extract_summaries": _extract_summaries,
+        "extract_metrics": _extract_metrics,
     }
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn

@@ -189,7 +189,7 @@ def generate_transcripts_table(n_convs: int, seed: int = 42) -> pa.Table:
 def n_convs_for_sf(sf_dir: str) -> int:
     """Map a testdata sf dir to a deterministic transcript scale."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    table = {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 20_000}
+    table = {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 60_000}
     if name in table:
         return table[name]
     try:
@@ -220,12 +220,15 @@ def ensure_transcripts(n_convs: int, seed: int = 42, root: str = "/tmp/ocr_ray_f
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
+    # ~300 convs/file ≈ 2 MB/file: big enough that read/map task overhead
+    # amortizes, small enough for parallelism (task count ≈ a few x CPUs)
+    n_blocks = max(4, min(n_convs // 300, 2048))
     (
-        rd.range(n_convs, override_num_blocks=max(1, min(n_convs // 25, 512)))
+        rd.range(n_convs, override_num_blocks=n_blocks)
         .map_batches(
             lambda b: conv_batch_table(b["id"], seed),
             batch_format="numpy",
-            batch_size=64,
+            batch_size=400,
         )
         .write_parquet(tmp)
     )

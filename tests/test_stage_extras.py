@@ -1,0 +1,109 @@
+"""Summarizer, coercion functions, post-hook, metrics sidecar."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from ocr_ray.functions.coerce import (
+    coalesce_default,
+    coerce_bool,
+    coerce_number,
+    try_parse_json,
+)
+from ocr_ray.pipelines.extract_pipeline import extract_dataset
+from ocr_ray.sources.transcripts import generate_transcripts_table
+from ocr_ray.stages.summarize import summarize_dataset, summarize_text
+from ocr_ray.state.metrics import extraction_metrics, write_metrics_sidecar
+
+
+class TestSummarize:
+    def test_first_sentence_and_terms(self):
+        s = summarize_text(
+            "Ray pipelines stream blocks. They also shuffle. Ray pipelines scale."
+        )
+        assert s.startswith("Ray pipelines stream blocks.")
+        assert "[" in s and "pipelines" in s
+
+    def test_empty(self):
+        assert summarize_text("") == ""
+
+    def test_deterministic_ordering_on_ties(self):
+        s = summarize_text("zebra apple. zebra apple.")
+        a = s[s.index("[") :]
+        assert a == "[apple, zebra]"  # count ties break alphabetically
+
+    def test_stage(self):
+        t = generate_transcripts_table(10, seed=3)
+        ds = extract_dataset(rd.from_arrow(t), concurrency=(1, 2))
+        out = summarize_dataset(ds, concurrency=(1, 2)).take_all()
+        assert len(out) == t.num_rows
+        assert all("summary" in r for r in out)
+
+
+class TestCoerce:
+    def test_number(self):
+        got = coerce_number(pa.array(["1.5", "x", None, "2"]))
+        assert got.to_pylist() == [1.5, None, None, 2.0]
+
+    def test_bool(self):
+        got = coerce_bool(pa.array(["true", "false", "True"]))
+        assert got.to_pylist() == [True, False, False]
+
+    def test_json(self):
+        got = try_parse_json(pa.array(['{"b":1,"a":2}', "not json"]))
+        assert got.to_pylist() == ['{"a":2,"b":1}', "not json"]
+
+    def test_coalesce(self):
+        got = coalesce_default(pa.array(["x", None]), "")
+        assert got.to_pylist() == ["x", ""]
+
+
+class TestPostHook:
+    def test_hook_applies(self):
+        t = generate_transcripts_table(8, seed=5)
+
+        def redact(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("main_text")
+            return batch.set_column(
+                i, "main_text", pc.utf8_slice_codeunits(batch.column("main_text"), 0, 5)
+            )
+
+        out = extract_dataset(rd.from_arrow(t), concurrency=(1, 2), post_hook=redact)
+        assert all(len(r["main_text"]) <= 5 for r in out.take_all())
+
+
+class TestMetrics:
+    def test_metrics_and_sidecar(self, tmp_path):
+        t = generate_transcripts_table(40, seed=11)
+        ds = extract_dataset(rd.from_arrow(t), concurrency=(1, 2))
+        m = extraction_metrics(ds)
+        assert m.column("payload_kind").to_pylist() == sorted(
+            m.column("payload_kind").to_pylist()
+        )
+        assert sum(m.column("rows").to_pylist()) == t.num_rows
+        path = write_metrics_sidecar(m, str(tmp_path))
+        import json
+
+        with open(path) as f:
+            data = json.load(f)
+        assert sum(r["rows"] for r in data["by_payload_kind"]) == t.num_rows
+
+
+class TestSchemaAssertSink:
+    def test_expected_schema_enforced(self, tmp_path):
+        from ocr_ray.stages.schemas import EXTRACTED_SCHEMA
+        from ocr_ray.state.sink import write_partitioned
+
+        t = generate_transcripts_table(12, seed=13)
+        ds = extract_dataset(rd.from_arrow(t), concurrency=(1, 2))
+        m = write_partitioned(
+            ds, str(tmp_path / "out"), num_partitions=2, resume=False,
+            expected_schema=EXTRACTED_SCHEMA,
+        )
+        import os
+
+        files = [f for f in os.listdir(tmp_path / "out") if f.endswith(".parquet")]
+        got = pq.read_table(str(tmp_path / "out" / files[0]))
+        assert got.schema.equals(EXTRACTED_SCHEMA)
