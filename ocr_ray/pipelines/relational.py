@@ -379,6 +379,237 @@ SELECT doc_id,
 FROM documents
 """
 
+# ---------------------------------------------------------------------------
+# parts_like — vectorized string predicate (LIKE)
+# ---------------------------------------------------------------------------
+
+
+def parts_like(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_name", "p_type"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.match_substring(t.column("p_name"), "widget"),
+            pc.equal(t.column("p_type"), "ECONOMY"),
+        )
+        return t.filter(keep).select(["p_partkey", "p_name"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PARTS_LIKE_SQL = """
+SELECT p_partkey, p_name
+FROM part
+WHERE p_name LIKE '%widget%' AND p_type = 'ECONOMY'
+"""
+
+
+# ---------------------------------------------------------------------------
+# users_no_purchase — anti-join via broadcast key set (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def users_no_purchase(sf_dir: str) -> pa.Table:
+    from ocr_ray.functions.joins import anti_join_filter
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+    buyers = events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(["user_id"]),
+        batch_format="pyarrow",
+    ).unique("user_id")
+    rest = anti_join_filter(events.select_columns(["user_id"]), "user_id", buyers)
+    vals = rest.unique("user_id") or []  # unique() -> None on an empty Dataset
+    return pa.table({"user_id": pa.array(sorted(vals), pa.int64())})
+
+
+USERS_NO_PURCHASE_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_orders_per_cust — per-group top-k (windowed rank analog)
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_cust(sf_dir: str) -> Dataset:
+    import pandas as pd
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    prepped = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": to_cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+
+    return prepped.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
+TOP_ORDERS_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_sessions — session windows (gap > 1h splits), streaming-shaped op:
+# partition by key, sort by ts within the group, stateful scan (ray_guide
+# streaming pattern). Ordering assumption: (ts, event_id) unique per user.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 3_600_000_000
+
+
+def events_sessions(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pandas as pd
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(us), dtype=np.int64)
+        new[1:] = (us[1:] - us[:-1] > _SESSION_GAP_US).astype(np.int64)
+        sess = np.cumsum(new)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "us": us, "sess": sess})
+        agg = out.groupby("sess").agg(
+            user_id=("user_id", "first"),
+            session_start_us=("us", "min"),
+            n_events=("us", "size"),
+            duration_us=("us", lambda x: int(x.max() - x.min())),
+        )
+        return agg.reset_index(drop=True)[
+            ["user_id", "session_start_us", "n_events", "duration_us"]
+        ]
+
+    return events.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM y
+GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_acct_stats — Min/Max/Sum/Count aggregate bundle
+# ---------------------------------------------------------------------------
+
+
+def nation_acct_stats(sf_dir: str) -> Dataset:
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    prepped = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "bal_cents": to_cents(t.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = prepped.groupby("c_nationkey").aggregate(
+        Min("bal_cents", alias_name="min_bal_cents"),
+        Max("bal_cents", alias_name="max_bal_cents"),
+        Sum("bal_cents", alias_name="sum_bal_cents"),
+        Count(alias_name="n_customers"),
+    )
+    # Ray's groupby widens the int32 key to int64; restore the input type
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("c_nationkey"),
+            "c_nationkey",
+            t.column("c_nationkey").cast(pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+NATION_ACCT_STATS_SQL = """
+SELECT c_nationkey,
+       CAST(MIN(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS min_bal_cents,
+       CAST(MAX(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS max_bal_cents,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# high_value_events — union of two filtered streams (Dataset.union)
+# ---------------------------------------------------------------------------
+
+
+def high_value_events(sf_dir: str) -> Dataset:
+    base = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def branch(kind: str) -> Dataset:
+        return base.map_batches(
+            lambda t, k=kind: t.filter(
+                pc.and_(
+                    pc.equal(t.column("event_type"), k),
+                    pc.greater_equal(t.column("value"), pa.scalar(300.0)),
+                )
+            ).select(["event_id"]),
+            batch_format="pyarrow",
+        )
+
+    return branch("click").union(branch("purchase"))
+
+
+HIGH_VALUE_EVENTS_SQL = """
+SELECT event_id FROM events
+WHERE event_type IN ('click', 'purchase') AND value >= 300.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_sample — deterministic-seed sampling (rows-only: sampling is
+# implementation-defined, so no SQL oracle; determinism tested in pytest)
+# ---------------------------------------------------------------------------
+
+
+def events_sample(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id"])
+    return ds.random_sample(0.1, seed=42)
+
+
 REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -388,4 +619,11 @@ REGISTRY: dict[str, tuple] = {
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "doc_token_counts": (doc_token_counts, DOC_TOKEN_COUNTS_SQL),
+    "parts_like": (parts_like, PARTS_LIKE_SQL),
+    "users_no_purchase": (users_no_purchase, USERS_NO_PURCHASE_SQL),
+    "top_orders_per_cust": (top_orders_per_cust, TOP_ORDERS_PER_CUST_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "nation_acct_stats": (nation_acct_stats, NATION_ACCT_STATS_SQL),
+    "high_value_events": (high_value_events, HIGH_VALUE_EVENTS_SQL),
+    "events_sample": (events_sample, None),
 }
