@@ -61,6 +61,17 @@ def _extract_metrics(sf_dir: str):
     return extraction_metrics(extract_from_path(_transcripts_for(sf_dir)))
 
 
+def _clean_corpus(sf_dir: str):
+    """Composed training-data pipeline: extract -> quality gate -> lang-ID +
+    token counts -> exact turn dedup (the end-to-end 100 TB use case)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.training_data import clean_corpus
+
+    ds = clean_corpus(rd.read_parquet(_transcripts_for(sf_dir)))
+    return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
@@ -74,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_blocks": _extract_blocks,
         "extract_summaries": _extract_summaries,
         "extract_metrics": _extract_metrics,
+        "clean_corpus": _clean_corpus,
     }
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn

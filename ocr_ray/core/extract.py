@@ -93,8 +93,14 @@ _EMPTY = ExtractResult("plain", "", (), "empty_input")
 
 
 def _norm_text(s: str) -> str:
-    """Canonical whitespace + unicode normalization (NFC, collapse runs)."""
-    return _WS_RE.sub(" ", unicodedata.normalize("NFC", s)).strip()
+    """Canonical whitespace + unicode normalization (NFC, collapse runs).
+
+    ASCII fast path: NFC is the identity on ASCII, so the (expensive)
+    normalize call is skipped for ASCII strings — bit-identical results.
+    """
+    if not s.isascii():
+        s = unicodedata.normalize("NFC", s)
+    return _WS_RE.sub(" ", s).strip()
 
 
 def decode_data_uri(text: str):
@@ -195,7 +201,8 @@ def _extract_html(text: str) -> ExtractResult:
         frag = text[pos : m.start()]
         pos = m.end()
         if frag and drop_depth == 0:
-            plain = _html.unescape(frag)
+            # entity unescape only when an entity can exist (fast path)
+            plain = _html.unescape(frag) if "&" in frag else frag
             buf.append(plain)
             n = len(plain.strip())
             total_chars += n
@@ -221,7 +228,7 @@ def _extract_html(text: str) -> ExtractResult:
             block_heading = heading_depth > 0
     tail = text[pos:]
     if tail and drop_depth == 0:
-        plain = _html.unescape(tail)
+        plain = _html.unescape(tail) if "&" in tail else tail
         buf.append(plain)
         total_chars += len(plain.strip())
         if a_depth > 0:
@@ -255,7 +262,8 @@ def _dehyphenate_join(lines: list[str]) -> str:
 
 
 def _extract_pdf(text: str) -> ExtractResult:
-    text = unicodedata.normalize("NFC", text)
+    if not text.isascii():
+        text = unicodedata.normalize("NFC", text)
     pages = text.split("\f")
 
     # repeated-line detection for running headers/footers: the first/last
@@ -317,7 +325,8 @@ _PARA_SPLIT_RE = re.compile(r"\n\s*\n")
 
 
 def _extract_plain(text: str) -> ExtractResult:
-    text = unicodedata.normalize("NFC", text)
+    if not text.isascii():
+        text = unicodedata.normalize("NFC", text)
     blocks: list[Block] = []
     for para in _PARA_SPLIT_RE.split(text):
         t = _norm_text(para)

@@ -1,0 +1,91 @@
+"""Composed training-data pipeline: the end-to-end 100 TB use case.
+
+    transcripts
+      -> per-turn main-content extraction        (stages/extract kernel)
+      -> quality gate (error-free, min length)   (vectorized filter)
+      -> language ID + token counts              (ops/textstats kernels)
+      -> exact near-dup removal on main_text     (hash groupby, min uid wins)
+      -> clean corpus (Dataset / partitioned sink)
+
+Every stage streams; the only shuffle is the dedup groupby on the content
+hash (high-cardinality key — the good case for Ray's sort-based shuffle;
+contrast the low-cardinality partition-commit key, which uses the fragment
+exchange in state/sink instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ocr_ray.functions.scalars import count_tokens
+from ocr_ray.pipelines.extract_pipeline import extract_dataset
+
+MIN_CHARS = 50
+
+
+def quality_gate(extracted: Dataset, min_chars: int = MIN_CHARS) -> Dataset:
+    """Keep error-free turns with enough extracted content (vectorized)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("error"), ""),
+            pc.greater_equal(
+                pc.utf8_length(t.column("main_text")), pa.scalar(min_chars)
+            ),
+        )
+        return t.filter(keep)
+
+    return extracted.map_batches(fn, batch_format="pyarrow")
+
+
+def annotate(clean: Dataset) -> Dataset:
+    """Add lang_pred + n_tokens over the extracted main_text."""
+    from ocr_ray.ops.textstats import lang_of
+
+    def fn(t: pa.Table) -> pa.Table:
+        langs = [lang_of(x)[0] for x in t.column("main_text").to_pylist()]
+        return t.append_column("lang_pred", pa.array(langs, pa.string())).append_column(
+            "n_tokens", count_tokens(t.column("main_text"))
+        )
+
+    return clean.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_exact_turns(ds: Dataset) -> Dataset:
+    """Drop exact-duplicate main_texts; the (conv_id, turn_idx)-smallest
+    turn survives. Hash first so the groupby shuffles digests + keys."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.sha256(x.encode("utf-8")).hexdigest()
+            for x in t.column("main_text").to_pylist()
+        ]
+        return t.append_column("text_sha", pa.array(hs, pa.string()))
+
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["conv_id", "turn_idx"]).head(1)
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return (
+        hashed.groupby("text_sha")
+        .map_groups(first_per_hash, batch_format="pandas")
+        .drop_columns(["text_sha"])
+    )
+
+
+def clean_corpus(transcripts: Dataset, *, min_chars: int = MIN_CHARS) -> Dataset:
+    """transcripts -> deduplicated, quality-gated, annotated corpus.
+
+    Project to scalar columns BEFORE the dedup groupby: (a) the nested
+    ``blocks`` column doesn't round-trip through the pandas group batches,
+    (b) never ship payload you don't need through a shuffle."""
+    annotated = annotate(quality_gate(extract_dataset(transcripts), min_chars))
+    slim = annotated.select_columns(
+        ["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens", "main_text"]
+    )
+    return dedup_exact_turns(slim)

@@ -1,0 +1,46 @@
+"""Composed clean-corpus pipeline: extract -> quality gate -> annotate ->
+exact turn dedup."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_ray.pipelines.training_data import clean_corpus
+from ocr_ray.sources.transcripts import generate_transcripts_table
+from ocr_ray.stages.schemas import TRANSCRIPT_SCHEMA
+
+
+def _with_planted(t: pa.Table) -> pa.Table:
+    body = (
+        "This duplicated assistant answer is long enough to clear the "
+        "quality gate and appears in two different conversations verbatim."
+    )
+    extra = pa.table(
+        {
+            "conv_id": ["zz-dup-a", "zz-dup-b", "zz-short"],
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": ["assistant"] * 3,
+            "text": [body, body, "tiny"],
+            "tool": [""] * 3,
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    return pa.concat_tables([t, extra])
+
+
+def test_clean_corpus():
+    t = _with_planted(generate_transcripts_table(30, seed=21))
+    out = clean_corpus(rd.from_arrow(t)).to_pandas()
+
+    # quality gate: no empty/short turns, no error rows
+    assert (out["main_text"].str.len() >= 50).all()
+    assert "zz-short" not in set(out["conv_id"])
+    # dedup: exactly one of the planted duplicate pair survives — the
+    # (conv_id, turn_idx)-smallest
+    dups = out[out["conv_id"].str.startswith("zz-dup")]
+    assert list(dups["conv_id"]) == ["zz-dup-a"]
+    # annotations present and sane
+    assert (out["n_tokens"] > 0).all()
+    assert set(out["lang_pred"]) <= {"en", "fr", "de", "es", "zh", "und"}
+    # no duplicate main_texts remain
+    assert out["main_text"].duplicated().sum() == 0
