@@ -9,7 +9,7 @@ multimodal binary media columns: decode/feature plumbing (stubbed kernels)
 merged into ``__ray_entry__.queries()``.
 """
 
-from ocr_ray.ops.ann import ANN_TOPK_SQL, ann_lsh_topk, ann_topk
+from ocr_ray.ops.ann import ANN_TOPK_SQL, ann_ivf_topk, ann_lsh_topk, ann_topk
 from ocr_ray.ops.dedup import (
     DEDUP_EXACT_SQL,
     dedup_exact_docs,
@@ -27,6 +27,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dups": (embedding_near_dups, None),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "lang_id_docs": (lang_id_docs, None),
     "doc_quality": (doc_quality, None),
     "doc_fingerprints": (doc_fingerprints, None),

@@ -118,6 +118,85 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY raw_sim DESC, vec_id) 
 """
 
 
+def _kmeans_fit(x: np.ndarray, n_centroids: int, seed: int = 5, iters: int = 5) -> np.ndarray:
+    """Tiny deterministic k-means (fixed seed + iteration count) for IVF.
+
+    Runs driver-side on a sample; at real scale this is itself a small Ray
+    job (sample -> fit -> broadcast), but the fit cost is O(sample), not
+    O(corpus), so driver-side is the honest layout here."""
+    rs = np.random.RandomState(seed)
+    cent = x[rs.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = x @ cent.T  # cosine on normalized vectors
+        assign = d.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 4):
+    """IVF-style ANN: vectors are bucketed by nearest centroid; each query
+    scores only vectors whose centroid is in the query's top-``nprobe``
+    list. Same dataflow as the hyperplane variant with a learned
+    quantizer — the scale path for clustered embeddings."""
+    import functools
+
+    import pyarrow.parquet as pq
+
+    q, qids = _load_queries(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # fit on a driver-side sample (here: first 256 vectors)
+    sample = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).column("embedding").to_pylist()[:256]
+    xs = np.asarray(sample, dtype=np.float64)
+    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    cent = _kmeans_fit(xs, n_centroids)
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    ref = ray.put((qn, qids, cent, q_probe))
+
+    class Scorer:
+        def __init__(self):
+            self.qn, self.qids, self.cent, self.q_probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            assign = (en @ self.cent.T).argmax(axis=1)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                match = np.isin(assign, self.q_probe[j])
+                if not match.any():
+                    continue
+                sims = en[match] @ self.qn[j]
+                ids = vec_ids[match]
+                kk = min(len(sims), _K)
+                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+                for i in idx:
+                    out_q.append(qid)
+                    out_v.append(int(ids[i]))
+                    out_s.append(float(sims[i]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    cand = ds.map_batches(Scorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8), num_cpus=1)
+    return cand.groupby("query_id").map_groups(
+        functools.partial(_final_topk, k=k), batch_format="pyarrow"
+    )
+
+
 def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, max_hamming: int = 3):
     """LSH-bucketed approximate top-k: score only vectors whose hyperplane
     signature is within ``max_hamming`` bits of the query's signature.

@@ -380,6 +380,53 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Q6 — global single-row aggregate (no groupby: per-batch partials -> one sum)
+# ---------------------------------------------------------------------------
+
+
+def q6_revenue_delta(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo = pa.array(["1996-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+    hi = pa.array(["1997-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(t.column("l_shipdate"), pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+                pc.and_(
+                    pc.less_equal(t.column("l_discount"), pa.scalar(0.07)),
+                    pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+                ),
+            ),
+        )
+        t = t.filter(keep)
+        rev = pc.multiply(to_cents(t.column("l_extendedprice")), to_cents(t.column("l_discount")))
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_c4": pa.array([s], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {"revenue_c4": pa.array([sum(r["revenue_c4"] for r in parts)], pa.int64())}
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
 # parts_like — vectorized string predicate (LIKE)
 # ---------------------------------------------------------------------------
 
@@ -613,6 +660,7 @@ def events_sample(sf_dir: str) -> Dataset:
 REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q6_revenue_delta": (q6_revenue_delta, Q6_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
     "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
     "filter_click_events": (filter_click_events, FILTER_CLICK_EVENTS_SQL),

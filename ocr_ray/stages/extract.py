@@ -101,6 +101,39 @@ def add_len_bucket(batch: pa.Table) -> pa.Table:
     return batch.append_column("len_bucket", bucket)
 
 
+def split_by_len(ds, threshold_bytes: int = 256 * 1024):
+    """Explicit skew split: (normal, giant) datasets by payload byte length.
+
+    The default pipeline bounds skew by block sizing (a giant turn inflates
+    one block, which target_max_block_size splits at the read). When turn
+    lengths are heavy-tailed enough that stragglers still dominate, split
+    the stream and run the giant branch with tiny batches / its own pool:
+
+        normal, giant = split_by_len(ds)
+        out = extract_dataset(normal).union(
+            extract_dataset(giant, batch_size=4))
+
+    Cost note: both branches re-scan the upstream (two reads); at scale
+    prefer writing the split once (partitioned by len_bucket) and reading
+    each side — the same fragment-exchange trick as the sink.
+    """
+
+    def keep(small: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = pc.binary_length(t.column("text").cast(pa.binary()))
+            mask = pc.less_equal(n, threshold_bytes) if small else pc.greater(
+                n, threshold_bytes
+            )
+            return t.filter(mask)
+
+        return fn
+
+    return (
+        ds.map_batches(keep(True), batch_format="pyarrow"),
+        ds.map_batches(keep(False), batch_format="pyarrow"),
+    )
+
+
 def explode_blocks(batch: pa.Table) -> pa.Table:
     """Explode ``blocks`` into one row per block, doc fields repeated.
 

@@ -52,3 +52,21 @@ def test_lsh_recall():
     hits = sum(len(got.get(q, set()) & set(v)) for q, v in brute.items())
     total = sum(len(v) for v in brute.values())
     assert hits / total >= 0.6  # approximate path: bounded recall loss
+
+
+def test_ivf_recall():
+    from ocr_ray.ops.ann import ann_ivf_topk
+
+    brute = _numpy_oracle()
+    rows = ann_ivf_topk(SF).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & set(v)) for q, v in brute.items())
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.4  # near-random embeddings: bounded recall
+
+    rows2 = ann_ivf_topk(SF).take_all()
+    assert sorted(map(tuple, (r.values() for r in rows))) == sorted(
+        map(tuple, (r.values() for r in rows2))
+    )  # deterministic

@@ -107,3 +107,24 @@ class TestSchemaAssertSink:
         files = [f for f in os.listdir(tmp_path / "out") if f.endswith(".parquet")]
         got = pq.read_table(str(tmp_path / "out" / files[0]))
         assert got.schema.equals(EXTRACTED_SCHEMA)
+
+
+class TestSkewSplit:
+    def test_split_and_union_preserves_rows(self):
+        import ray.data as rd
+
+        from ocr_ray.stages.extract import add_len_bucket, split_by_len
+
+        t = generate_transcripts_table(25, seed=9)
+        ds = rd.from_arrow(t)
+        normal, giant = split_by_len(ds, threshold_bytes=2048)
+        n_norm, n_giant = normal.count(), giant.count()
+        assert n_norm + n_giant == t.num_rows
+        assert n_giant > 0  # fixture includes >4KB payloads
+        out = extract_dataset(normal, concurrency=(1, 2)).union(
+            extract_dataset(giant, batch_size=4, concurrency=(1, 2))
+        )
+        assert out.count() == t.num_rows
+        # len_bucket metric column is vectorized and total
+        bucketed = ds.map_batches(add_len_bucket, batch_format="pyarrow").take_all()
+        assert all(r["len_bucket"] >= 0 for r in bucketed)
