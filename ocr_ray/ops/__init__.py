@@ -13,6 +13,7 @@ from ocr_ray.ops.ann import ANN_TOPK_SQL, ann_ivf_topk, ann_lsh_topk, ann_topk
 from ocr_ray.ops.dedup import (
     DEDUP_EXACT_SQL,
     dedup_exact_docs,
+    dedup_jaccard_docs,
     dedup_minhash_docs,
     dedup_simhash_docs,
     embedding_near_dups,
@@ -24,6 +25,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, None),
     "dedup_simhash_docs": (dedup_simhash_docs, None),
+    "dedup_jaccard_docs": (dedup_jaccard_docs, None),
     "embedding_near_dups": (embedding_near_dups, None),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),

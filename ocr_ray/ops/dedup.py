@@ -243,6 +243,39 @@ def dedup_minhash_docs(sf_dir: str) -> pa.Table:
     return _components_survivors(all_ids, pairs)
 
 
+def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """Near-dup survivors with EXACT word-3-gram Jaccard verification.
+
+    Same LSH candidate generation as MinHash, but candidates are verified
+    against the true shingle-set Jaccard instead of signature agreement —
+    zero false positives at the cost of re-reading candidate texts. The
+    candidate texts are fetched via a broadcast-key semi-join filter (only
+    candidate rows leave the read at scale)."""
+    import os
+
+    from ocr_ray.functions.joins import semi_join_filter
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds).materialize()
+    banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    pairs = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    uniq = sorted({(r["a"], r["b"]) for r in pairs})
+    cand_ids = sorted({i for p in uniq for i in p})
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in semi_join_filter(ds, "doc_id", cand_ids).take_all()
+    }
+    verified = [
+        (a, b) for a, b in uniq if ngram_jaccard(texts[a], texts[b]) >= threshold
+    ]
+    all_ids = [r["doc_id"] for r in sigs.select_columns(["doc_id"]).take_all()]
+    return _components_survivors(all_ids, verified)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -647,6 +647,121 @@ WHERE event_type IN ('click', 'purchase') AND value >= 300.0
 
 
 # ---------------------------------------------------------------------------
+# events_sliding — sliding window (W=1h, slide=30min): each event lands in
+# exactly W/S windows, emitted vectorized (flat fan-out, no shuffle until
+# the tiny grouped partial-agg)
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 1_800_000_000  # 30 min
+_WINDOW_SLOTS = 2  # W = slots * slide = 1 h
+
+
+def events_sliding(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def fan(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        slot = pc.divide(us, pa.scalar(_SLIDE_US, pa.int64()))
+        parts = []
+        for off in range(_WINDOW_SLOTS):
+            ws = pc.multiply(
+                pc.subtract(slot, pa.scalar(off, pa.int64())),
+                pa.scalar(_SLIDE_US, pa.int64()),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "window_start_us": ws,
+                        "sum_value_cents": to_cents(t.column("value")),
+                    }
+                )
+            )
+        fanned = pa.concat_tables(parts)
+        return _partial_groupby(
+            fanned, ["user_id", "window_start_us"], ["sum_value_cents"], "n_events"
+        )
+
+    partial = ds.map_batches(fan, batch_format="pyarrow")
+    return partial.groupby(["user_id", "window_start_us"]).aggregate(
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH w AS (
+  SELECT user_id, (epoch_us(ts) // 1800000000) * 1800000000 AS ws, value FROM events
+  UNION ALL
+  SELECT user_id, ((epoch_us(ts) // 1800000000) - 1) * 1800000000 AS ws, value FROM events
+)
+SELECT user_id, ws AS window_start_us,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM w
+GROUP BY user_id, ws
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_users — exact distinct count (SQL-gated) + mergeable HLL sketch
+# (rows-only; the scale path for count-distinct over 10^12 rows)
+# ---------------------------------------------------------------------------
+
+
+def distinct_users(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    vals = ds.unique("user_id") or []
+    return pa.table({"n_users": pa.array([len(vals)], pa.int64())})
+
+
+DISTINCT_USERS_SQL = "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events"
+
+_HLL_P = 12  # 4096 registers
+
+
+def _hll_registers(ids) -> "np.ndarray":
+    import numpy as np
+
+    regs = np.zeros(1 << _HLL_P, dtype=np.int64)
+    for v in ids:
+        h = int.from_bytes(
+            __import__("hashlib").blake2b(str(int(v)).encode(), digest_size=8).digest(),
+            "big",
+        )
+        idx = h >> (64 - _HLL_P)
+        rest = h & ((1 << (64 - _HLL_P)) - 1)
+        rho = (64 - _HLL_P) - rest.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    return regs
+
+
+def distinct_users_hll(sf_dir: str) -> pa.Table:
+    """Approximate distinct count via a mergeable HLL sketch: one 4096-
+    register sketch per batch (map side), max-merged in a tiny final step —
+    the shuffle carries sketches, never rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(t.column("user_id").to_pylist())
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << _HLL_P, dtype=np.int64)
+    for r in parts:
+        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.int64))
+    m = float(1 << _HLL_P)
+    est = 0.7213 / (1 + 1.079 / m) * m * m / np.sum(np.exp2(-merged.astype(np.float64)))
+    zeros = int((merged == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range correction
+        est = m * np.log(m / zeros)
+    return pa.table({"n_users_approx": pa.array([int(round(est))], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # events_sample — deterministic-seed sampling (rows-only: sampling is
 # implementation-defined, so no SQL oracle; determinism tested in pytest)
 # ---------------------------------------------------------------------------
@@ -674,4 +789,7 @@ REGISTRY: dict[str, tuple] = {
     "nation_acct_stats": (nation_acct_stats, NATION_ACCT_STATS_SQL),
     "high_value_events": (high_value_events, HIGH_VALUE_EVENTS_SQL),
     "events_sample": (events_sample, None),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+    "distinct_users": (distinct_users, DISTINCT_USERS_SQL),
+    "distinct_users_hll": (distinct_users_hll, None),
 }

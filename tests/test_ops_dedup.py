@@ -72,3 +72,11 @@ def test_minhash_deterministic(docs_dir):
     a = dedup_minhash_docs(docs_dir).column("doc_id").to_pylist()
     b = dedup_minhash_docs(docs_dir).column("doc_id").to_pylist()
     assert a == b
+
+
+def test_jaccard_dedup(docs_dir):
+    from ocr_ray.ops.dedup import dedup_jaccard_docs
+
+    surv = sorted(dedup_jaccard_docs(docs_dir).column("doc_id").to_pylist())
+    assert 0 in surv and 1 not in surv and 2 not in surv
+    assert 3 in surv
