@@ -42,8 +42,10 @@ from dataclasses import dataclass
 # module-level model-client singleton, src/ai/genkit.ts:4-7)
 # ---------------------------------------------------------------------------
 
-_WS_RE = re.compile(r"\s+")
-_TAG_RE = re.compile(r"<[^<>]*>")
+# tag with the name captured inline (one finditer pass; nameless tags like
+# <> or <123> leave the groups None — same skip semantics as a separate
+# name match)
+_TAG_WITH_NAME_RE = re.compile(r"<(?:\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*))?[^<>]*>")
 _TAGISH_RE = re.compile(r"</?[a-zA-Z][^<>]*>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _SCRIPTLIKE_RE = re.compile(
@@ -66,8 +68,6 @@ _BOILER_ELEMS = frozenset("nav header footer aside form select option".split())
 _HEADING_ELEMS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 # elements whose text content is never page text.
 _DROP_ELEMS = frozenset(["head", "title"])
-
-_TAG_NAME_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
 
 # minimum content-block length in characters (integer threshold — a block
 # shorter than this with any link text is boilerplate).
@@ -96,11 +96,14 @@ def _norm_text(s: str) -> str:
     """Canonical whitespace + unicode normalization (NFC, collapse runs).
 
     ASCII fast path: NFC is the identity on ASCII, so the (expensive)
-    normalize call is skipped for ASCII strings — bit-identical results.
+    normalize call is skipped for ASCII strings. Whitespace collapse uses
+    str.split()/join (the same unicode-whitespace run collapse as
+    ``\s+`` -> " " + strip, ~5x faster than the regex — profiled at 30%
+    of kernel time).
     """
     if not s.isascii():
         s = unicodedata.normalize("NFC", s)
-    return _WS_RE.sub(" ", s).strip()
+    return " ".join(s.split())
 
 
 def decode_data_uri(text: str):
@@ -197,7 +200,7 @@ def _extract_html(text: str) -> ExtractResult:
 
     pos = 0
     block_boiler = False
-    for m in _TAG_RE.finditer(text):
+    for m in _TAG_WITH_NAME_RE.finditer(text):
         frag = text[pos : m.start()]
         pos = m.end()
         if frag and drop_depth == 0:
@@ -208,10 +211,10 @@ def _extract_html(text: str) -> ExtractResult:
             total_chars += n
             if a_depth > 0:
                 link_chars += n
-        tm = _TAG_NAME_RE.match(m.group(0))
-        if not tm:
+        name = m.group(2)
+        if name is None:
             continue
-        closing, name = tm.group(1) == "/", tm.group(2).lower()
+        closing, name = m.group(1) == "/", name.lower()
         if name == "a":
             a_depth = max(0, a_depth - 1) if closing else a_depth + 1
             continue
