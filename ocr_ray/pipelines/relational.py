@@ -762,6 +762,58 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# purchase_attribution — AS-OF join (custom operator, SURVEY §2 note):
+# latest click at-or-before each purchase, per user. Partitioning
+# assumption: both sides co-located by the join key via groupby(user_id);
+# within the group a sorted pandas merge_asof does the time alignment.
+# ---------------------------------------------------------------------------
+
+
+def purchase_attribution(sf_dir: str) -> Dataset:
+    import pandas as pd
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("event_type"), value_set=pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        if purchases.empty or clicks.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "click_event_id": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(
+            purchases[["event_id", "ts"]],
+            clicks[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["click_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "click_event_id": m["click_event_id"].astype("int64"),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+SELECT p.event_id, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_sample — deterministic-seed sampling (rows-only: sampling is
 # implementation-defined, so no SQL oracle; determinism tested in pytest)
 # ---------------------------------------------------------------------------
@@ -789,6 +841,7 @@ REGISTRY: dict[str, tuple] = {
     "nation_acct_stats": (nation_acct_stats, NATION_ACCT_STATS_SQL),
     "high_value_events": (high_value_events, HIGH_VALUE_EVENTS_SQL),
     "events_sample": (events_sample, None),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "distinct_users": (distinct_users, DISTINCT_USERS_SQL),
     "distinct_users_hll": (distinct_users_hll, None),

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -37,10 +38,7 @@ def main(argv: list[str] | None = None) -> int:
             kw["num_cpus"] = args.num_cpus
         ray.init(**kw)
 
-    from ocr_ray.pipelines.extract_pipeline import (
-        exploded_blocks,
-        extract_from_path,
-    )
+    from ocr_ray.pipelines.extract_pipeline import exploded_blocks, extract_from_path
     from ocr_ray.stages.schemas import EXTRACTED_SCHEMA
     from ocr_ray.state.metrics import extraction_metrics, write_metrics_sidecar
     from ocr_ray.state.sink import write_partitioned
@@ -60,11 +58,20 @@ def main(argv: list[str] | None = None) -> int:
         "n_errors": sum(manifest.column("n_errors").to_pylist()),
     }
 
+    # derived views read the COMMITTED output back — no second extraction
+    # pass, and they see exactly what resume committed
+    import glob
+
+    committed_files = sorted(glob.glob(os.path.join(args.output, "part-*.parquet")))
     if args.explode_out:
-        exploded_blocks(extract_from_path(args.input)).write_parquet(args.explode_out)
+        import ray.data as rd
+
+        exploded_blocks(rd.read_parquet(committed_files)).write_parquet(args.explode_out)
         summary["explode_out"] = args.explode_out
     if args.metrics:
-        m = extraction_metrics(extract_from_path(args.input))
+        import ray.data as rd
+
+        m = extraction_metrics(rd.read_parquet(committed_files))
         summary["metrics_path"] = write_metrics_sidecar(m, args.output)
 
     print(json.dumps(summary))

@@ -218,6 +218,16 @@ def write_partitioned(
     import ray.data as rd
 
     done = committed_partitions(out_dir) if resume else {}
+    if done and input_tag:
+        # resuming against a different input silently mixes datasets — the
+        # manifests record what they were built from; refuse on mismatch
+        stale = {m.get("input_tag") for m in done.values()} - {input_tag, ""}
+        if stale:
+            raise ValueError(
+                f"resume mismatch: {out_dir} has partitions committed from "
+                f"{sorted(stale)}, current input is {input_tag!r}; use a new "
+                "output dir or resume=False"
+            )
     frag_root = os.path.join(out_dir, "_frag")
     shutil.rmtree(frag_root, ignore_errors=True)  # stale fragments from crashes
     os.makedirs(frag_root, exist_ok=True)

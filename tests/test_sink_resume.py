@@ -100,3 +100,14 @@ def test_torn_partition_is_replaced(inputs, tmp_path):
 
     _run(inputs, torn)
     assert _file_bytes(torn) == _file_bytes(clean)
+
+
+def test_resume_input_mismatch_refused(inputs, tmp_path):
+    out = str(tmp_path / "out")
+    ds = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
+    write_partitioned(ds, out, num_partitions=4, input_tag="input-A")
+    ds2 = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned(ds2, out, num_partitions=4, input_tag="input-B")
+    # same tag resumes fine
+    write_partitioned(ds2, out, num_partitions=4, input_tag="input-A")
