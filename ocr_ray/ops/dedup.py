@@ -409,15 +409,21 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
         .take_all()
     )
     uniq = sorted({(r["a"], r["b"]) for r in pairs})
-    # exact verify: at this scale the embedding table is small enough to pull;
-    # the scale path re-reads only candidate ids via a semi-join filter.
-    emb_rows = ds.take_all()
-    emb_map = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb_rows}
+    # exact verify: fetch ONLY candidate vectors via a broadcast semi-join
+    # filter — the verify cost is O(candidates), not O(corpus)
+    from ocr_ray.functions.joins import semi_join_filter
+
+    cand_ids = sorted({i for p in uniq for i in p})
+    emb_map = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in semi_join_filter(ds, "vec_id", cand_ids).take_all()
+    } if cand_ids else {}
     verified = []
     for a, b in uniq:
         va, vb = emb_map[a], emb_map[b]
         sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         if sim >= threshold:
             verified.append((a, b))
-    out = _components_survivors(list(emb_map), verified)
+    all_ids = ds.unique("vec_id") or []
+    out = _components_survivors(all_ids, verified)
     return out.rename_columns(["vec_id"])

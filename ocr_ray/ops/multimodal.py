@@ -101,6 +101,102 @@ def decode_media(ds: Dataset, *, fake: bool = True, batch_size: int = 16) -> Dat
     )
 
 
+class ImageResizer:
+    """Actor-pool stage: image payload -> resized payload + new dims.
+
+    The real implementation slot is PIL's ``Image.resize`` (gated here —
+    ``fake=True`` produces a deterministic size-scaled payload via byte
+    resampling so the schema/dataflow is exercised end-to-end). Non-image
+    rows pass through untouched (schema-stable)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, fake: bool = True):
+        self.tw, self.th, self.fake = target_w, target_h, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real resize requires PIL (not in container)")
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for kind, p, w, h in zip(kinds, payloads, ws, hs):
+            if kind != "image" or not w or not h:
+                out_p.append(p)
+                out_w.append(w)
+                out_h.append(h)
+                continue
+            # deterministic fake resample: stride the bytes to the target
+            # pixel-count ratio (stands in for the decode->resize->encode)
+            ratio = max(1, (w * h) // (self.tw * self.th))
+            out_p.append(p[::ratio] if ratio > 1 else p)
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        t = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload", pa.array(out_p, pa.binary())
+        )
+        t = t.set_column(t.schema.get_field_index("width"), "width", pa.array(out_w, pa.int32()))
+        return t.set_column(t.schema.get_field_index("height"), "height", pa.array(out_h, pa.int32()))
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> one row per sampled frame
+    (flat fan-out, like the block explode). ``fps_divisor`` frames per
+    clip, deterministic offsets; non-video rows emit zero frames."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames, self.fake = n_frames, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+        ids, kinds = batch.column("media_id").to_pylist(), batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        o_id, o_frame, o_ts, o_feat = [], [], [], []
+        for mid, kind, p, dur in zip(ids, kinds, payloads, durs):
+            if kind != "video" or not dur:
+                continue
+            for f in range(self.n_frames):
+                ts = dur * f // self.n_frames
+                # fake frame bytes: a deterministic slice keyed by frame idx
+                chunk = p[f::self.n_frames] or p
+                o_id.append(mid)
+                o_frame.append(f)
+                o_ts.append(ts)
+                o_feat.append(_fake_decode(chunk).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_frame, pa.int32()),
+                "ts_ms": pa.array(o_ts, pa.int32()),
+                "features": pa.array(o_feat, pa.list_(pa.float64())),
+            }
+        )
+
+
+def resize_images(ds: Dataset, *, batch_size: int = 16, **kw) -> Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def sample_frames(ds: Dataset, *, batch_size: int = 8, **kw) -> Dataset:
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # video rows are the largest: small batches
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
 def media_features(sf_dir: str) -> Dataset:
     """queries() entry: synth media -> actor-pool decode -> scalar features.
 

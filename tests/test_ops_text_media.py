@@ -74,3 +74,37 @@ class TestMultimodal:
         dec = MediaDecoder(fake=False)
         with pytest.raises(NotImplementedError):
             dec(synth_media_table(1))
+
+
+class TestMultimodalStages:
+    def test_resize_images(self):
+        from ocr_ray.ops.multimodal import resize_images
+
+        ds = rd.from_arrow(synth_media_table(12))
+        out = resize_images(ds).take_all()
+        assert len(out) == 12
+        for r in out:
+            if r["kind"] == "image" and r["width"] and r["height"]:
+                assert (r["width"], r["height"]) == (224, 224)
+            # schema stable for pass-through rows
+            assert isinstance(r["payload"], bytes)
+
+    def test_sample_frames(self):
+        from ocr_ray.ops.multimodal import sample_frames
+
+        t = synth_media_table(12)
+        n_videos = sum(1 for k in t.column("kind").to_pylist() if k == "video")
+        out = sample_frames(rd.from_arrow(t)).take_all()
+        assert len(out) == n_videos * 4
+        assert all(len(r["features"]) == 8 for r in out)
+        # deterministic
+        out2 = sample_frames(rd.from_arrow(synth_media_table(12))).take_all()
+        assert out == out2
+
+    def test_real_paths_gated(self):
+        from ocr_ray.ops.multimodal import FrameSampler, ImageResizer
+
+        with pytest.raises(NotImplementedError):
+            ImageResizer(fake=False)(synth_media_table(1))
+        with pytest.raises(NotImplementedError):
+            FrameSampler(fake=False)(synth_media_table(3))
