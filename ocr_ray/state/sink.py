@@ -246,6 +246,8 @@ def write_partitioned(
     summaries = ds.map_batches(
         functools.partial(_fanout_batch, frag_root=frag_root),
         batch_format="pyarrow",
+        batch_size=8192,  # fragment count = batches x partitions; bigger
+        # batches keep the file count (and finalize's open() storm) bounded
     ).take_all()  # consumes the pipeline; rows are tiny (part_id, rows)
 
     pending = sorted({r["part_id"] for r in summaries})
