@@ -65,9 +65,8 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+    from ocr_ray.pipelines.extract_pipeline import extract_and_commit, extract_from_path
     from ocr_ray.sources.transcripts import ensure_transcripts, n_convs_for_sf
-    from ocr_ray.state.sink import write_partitioned
 
     n_convs = n_convs_for_sf(SF_DIR)
     inp = ensure_transcripts(
@@ -89,8 +88,12 @@ def run_bench() -> dict:
     out_dir = f"/dev/shm/ocr_ray_bench/out_c{NCPU}"  # tmpfs: the bench measures compute+shuffle, not the sandbox's burst-throttled virtual disk (a real deployment writes to S3/NVMe that scales with nodes)
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
-    manifest = write_partitioned(
-        extract_from_path(inp), out_dir, num_partitions=max(8, NCPU), resume=False
+    manifest = extract_and_commit(
+        inp,
+        out_dir,
+        num_partitions=max(8, NCPU),
+        resume=False,
+        finalize_num_cpus=1,  # tmpfs output: writers scale, no disk cap needed
     )
     headline = time.monotonic() - t0
     rows = sum(manifest.column("rows_out").to_pylist())

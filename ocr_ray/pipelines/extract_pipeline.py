@@ -93,3 +93,16 @@ def extract_from_path(path: str, **kw) -> Dataset:
 def exploded_blocks(extracted: Dataset) -> Dataset:
     """extracted Dataset -> one row per block (EXPLODED_SCHEMA)."""
     return extracted.map_batches(explode_blocks, batch_format="pyarrow")
+
+
+def extract_and_commit(path: str, out_dir: str, **kw):
+    """Fused read -> extract -> partitioned commit: the extraction kernel
+    runs INSIDE the fan-out task, so its output goes straight to the
+    partition fragments and never transits the object store. Same output
+    bytes as the staged pipeline (tested); the preferred production entry.
+    """
+    from ocr_ray.state.sink import write_partitioned
+
+    return write_partitioned(
+        read_transcripts(path), out_dir, pre_fn=_extract_batch, **kw
+    )

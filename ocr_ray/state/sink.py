@@ -205,6 +205,9 @@ def write_partitioned(
     resume: bool = True,
     input_tag: str = "",
     expected_schema: pa.Schema | None = None,
+    finalize_num_cpus: int | None = None,
+    pre_fn=None,
+    fanout_batch_size: int = 8192,
 ) -> pa.Table:
     """Commit a (extracted) Dataset to a resumable partitioned layout.
 
@@ -212,6 +215,13 @@ def write_partitioned(
     ``crc32(conv_id) % num_partitions``; (2) parallel per-partition merge +
     atomic commit + manifest. Choose ``num_partitions`` ≈ total_bytes /
     256 MB at scale. Returns the manifest table (tiny).
+
+    ``pre_fn`` fuses a per-batch transform (e.g. the extraction kernel)
+    INTO the fan-out task: the transform's output goes straight to fragment
+    files and never transits the object store — one stage, no inter-stage
+    block traffic. The resume filter still runs on the RAW batch (cheap
+    conv_id hash) before the transform, so committed partitions skip the
+    heavyweight work entirely.
     """
     import shutil
 
@@ -232,34 +242,41 @@ def write_partitioned(
     shutil.rmtree(frag_root, ignore_errors=True)  # stale fragments from crashes
     os.makedirs(frag_root, exist_ok=True)
 
-    ds = ds.map_batches(
-        lambda b: _add_part_id(b, num_partitions), batch_format="pyarrow"
-    )
-    if done:
-        keys = pa.array(sorted(done), pa.int32())
-        ds = ds.map_batches(
-            lambda b: b.filter(
-                pc.invert(pc.is_in(b.column("part_id"), value_set=keys))
-            ),
-            batch_format="pyarrow",
-        )
+    committed_keys = pa.array(sorted(done), pa.int32()) if done else None
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        batch = _add_part_id(batch, num_partitions)
+        if committed_keys is not None:
+            batch = batch.filter(
+                pc.invert(pc.is_in(batch.column("part_id"), value_set=committed_keys))
+            )
+        if pre_fn is not None:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"part_id": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())}
+                )
+            batch = _add_part_id(pre_fn(batch.drop_columns(["part_id"])), num_partitions)
+        return _fanout_batch(batch, frag_root=frag_root)
+
+    # fragment count = batches x partitions; bounded batches keep the file
+    # count (and finalize's open() storm) bounded
     summaries = ds.map_batches(
-        functools.partial(_fanout_batch, frag_root=frag_root),
-        batch_format="pyarrow",
-        batch_size=8192,  # fragment count = batches x partitions; bigger
-        # batches keep the file count (and finalize's open() storm) bounded
+        fanout, batch_format="pyarrow", batch_size=fanout_batch_size
     ).take_all()  # consumes the pipeline; rows are tiny (part_id, rows)
 
     pending = sorted({r["part_id"] for r in summaries})
-    # I/O-heavy merge tasks: cap concurrent writers at ~8 on big clusters
-    # (disk thrash) without serializing small ones
-    try:
-        import ray
+    # I/O-heavy merge tasks: by default cap concurrent writers at ~8 on big
+    # clusters (burst-throttled disks thrash); pass finalize_num_cpus=1 when
+    # the output store scales with writers (tmpfs/NVMe/S3)
+    finalize_cpus = finalize_num_cpus
+    if finalize_cpus is None:
+        try:
+            import ray
 
-        total_cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        total_cpus = 8
-    finalize_cpus = max(1, total_cpus // 8)
+            total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            total_cpus = 8
+        finalize_cpus = max(1, total_cpus // 8)
     new: list[dict] = []
     if pending:
         # one block per partition — from_items alone yields ONE block and

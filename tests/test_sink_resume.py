@@ -111,3 +111,28 @@ def test_resume_input_mismatch_refused(inputs, tmp_path):
         write_partitioned(ds2, out, num_partitions=4, input_tag="input-B")
     # same tag resumes fine
     write_partitioned(ds2, out, num_partitions=4, input_tag="input-A")
+
+
+def test_fused_extract_commit_identical(inputs, tmp_path):
+    """Fused (pre_fn inside fanout) output must be byte-identical to the
+    staged extract -> write pipeline."""
+    from ocr_ray.pipelines.extract_pipeline import extract_and_commit
+
+    staged, fused = str(tmp_path / "staged"), str(tmp_path / "fused")
+    _run(inputs, staged)
+    extract_and_commit(inputs, fused, num_partitions=N_PARTS, resume=False)
+    assert _file_bytes(fused) == _file_bytes(staged)
+
+
+def test_fused_resume(inputs, tmp_path):
+    from ocr_ray.pipelines.extract_pipeline import extract_and_commit
+
+    out = str(tmp_path / "out")
+    extract_and_commit(inputs, out, num_partitions=N_PARTS)
+    before = _file_bytes(out)
+    # drop one partition; fused rerun repairs byte-identically
+    pid = sorted(committed_partitions(out))[0]
+    os.remove(os.path.join(out, f"part-{pid:05d}.parquet"))
+    os.remove(os.path.join(out, "_manifest", f"part-{pid:05d}.json"))
+    extract_and_commit(inputs, out, num_partitions=N_PARTS)
+    assert _file_bytes(out) == before
