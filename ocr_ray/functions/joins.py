@@ -92,6 +92,9 @@ def anti_join_filter(ds: Dataset, col: str, keys) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_TARGET_JOIN_PARTITION_BYTES = 256 * 1024 * 1024
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -99,18 +102,35 @@ def hash_join(
     on: str,
     right_on: str | None = None,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Large × large: hash-partitioned shuffle join via ``Dataset.join``.
 
-    Both sides are repartitioned on the key; choose ``num_partitions`` so a
-    partition of the bigger side fits a worker's heap. Skewed keys should be
-    salted before calling (append a salt column to both sides).
+    Both sides are repartitioned on the key. ``num_partitions`` defaults to
+    a size-based estimate (bigger side's in-memory bytes / 256 MB, floored
+    at the cluster CPU count) so each join partition fits a worker's heap
+    and every core has work. Skewed keys should be salted before calling
+    (append a salt column to both sides).
     """
+    if num_partitions is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        # size estimates are free when known (metadata); fall back to cpus
+        try:
+            big = max(left.size_bytes() or 0, right.size_bytes() or 0)
+        except Exception:
+            big = 0
+        num_partitions = max(
+            min(cpus, 64), (big + _TARGET_JOIN_PARTITION_BYTES - 1) // _TARGET_JOIN_PARTITION_BYTES
+        )
     return left.join(
         right,
         join_type=how,
-        num_partitions=num_partitions,
+        num_partitions=int(num_partitions),
         on=(on,),
         right_on=(right_on or on,),
     )

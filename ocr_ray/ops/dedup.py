@@ -100,31 +100,34 @@ def _band_rows(batch: pa.Table) -> pa.Table:
             doc_ids.append(did)
             band_ids.append(b)
             band_hashes.append(h)
+    id_type = batch.schema.field("doc_id").type
     return pa.table(
         {
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.int64()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_id": pa.array(doc_ids, id_type),
         }
     )
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """One LSH bucket -> candidate pairs (a < b)."""
+    """One LSH bucket -> candidate pairs (a < b). Id type is preserved
+    (int doc ids or string turn uids)."""
+    id_type = group.schema.field("doc_id").type
     ids = sorted(group.column("doc_id").to_pylist())
     a_out, b_out = [], []
     for i in range(len(ids) - 1):
         for j in range(i + 1, len(ids)):
             a_out.append(ids[i])
             b_out.append(ids[j])
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+    return pa.table({"a": pa.array(a_out, id_type), "b": pa.array(b_out, id_type)})
 
 
 class _UnionFind:
     def __init__(self):
-        self.parent: dict[int, int] = {}
+        self.parent: dict = {}
 
-    def find(self, x: int) -> int:
+    def find(self, x):
         p = self.parent.setdefault(x, x)
         while p != x:
             self.parent[x] = p = self.parent.setdefault(p, p)
@@ -132,19 +135,20 @@ class _UnionFind:
             p = self.parent[x]
         return x
 
-    def union(self, a: int, b: int) -> None:
+    def union(self, a, b) -> None:
         ra, rb = self.find(a), self.find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             self.parent[hi] = lo  # min-id wins -> deterministic reps
 
 
-def _components_survivors(all_ids: list[int], pairs: list[tuple[int, int]]) -> pa.Table:
+def _components_survivors(all_ids, pairs) -> pa.Table:
     uf = _UnionFind()
     for a, b in pairs:
         uf.union(a, b)
     reps = {uf.find(i) for i in all_ids}
-    return pa.table({"doc_id": pa.array(sorted(reps), pa.int64())})
+    arr = pa.array(sorted(reps)) if reps else pa.array([], pa.int64())
+    return pa.table({"doc_id": arr})
 
 
 def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -174,7 +178,7 @@ def minhash_candidate_pairs(sigs: Dataset) -> pa.Table:
     if not uniq:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
+        )  # typed-empty; callers only zip the columns
     sig_map = {
         r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in sigs.take_all()
     }
@@ -184,7 +188,9 @@ def minhash_candidate_pairs(sigs: Dataset) -> pa.Table:
         if agree * 10 >= _N_PERM * 7:  # est. Jaccard >= 0.7, integer math
             a_out.append(a)
             b_out.append(b)
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+    if not a_out:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})  # id type inferred
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

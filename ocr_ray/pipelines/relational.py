@@ -153,7 +153,6 @@ def q3_top_orders(sf_dir: str) -> Dataset:
         orders.select_columns(["o_orderkey", "o_orderdate"]),
         on="l_orderkey",
         right_on="o_orderkey",
-        num_partitions=8,
     )
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("revenue_c4", alias_name="revenue_c4")

@@ -78,12 +78,43 @@ def dedup_exact_turns(ds: Dataset) -> Dataset:
     )
 
 
+def dedup_near_turns(ds: Dataset) -> Dataset:
+    """MinHash-LSH near-dup pass over ``main_text`` (run after exact dedup):
+    signatures over ``uid = conv_id#turn_idx``, banded buckets, signature-
+    agreement verify, min-uid survivor per component. The banded rows
+    shuffled are tiny (band_hash, uid) pairs — text never transits the
+    exchange; survivors are selected with a broadcast semi-join filter."""
+    from ocr_ray.functions.joins import semi_join_filter
+    from ocr_ray.ops.dedup import minhash_candidate_pairs, minhash_signatures, _components_survivors
+
+    def add_uid(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()),
+            "#",
+        )
+        return t.append_column("uid", uid)
+
+    with_uid = ds.map_batches(add_uid, batch_format="pyarrow")
+    sigs = minhash_signatures(
+        with_uid.select_columns(["uid", "main_text"]), text_col="main_text", id_col="uid"
+    ).materialize()
+    pairs_t = minhash_candidate_pairs(sigs)
+    pairs = list(zip(pairs_t.column("a").to_pylist(), pairs_t.column("b").to_pylist()))
+    all_ids = [r["doc_id"] for r in sigs.select_columns(["doc_id"]).take_all()]
+    survivors = _components_survivors(all_ids, pairs).column("doc_id").to_pylist()
+    return semi_join_filter(with_uid, "uid", survivors).drop_columns(["uid"])
+
+
 def clean_corpus(transcripts: Dataset, *, min_chars: int = MIN_CHARS) -> Dataset:
     """transcripts -> deduplicated, quality-gated, annotated corpus.
 
     Project to scalar columns BEFORE the dedup groupby: (a) the nested
     ``blocks`` column doesn't round-trip through the pandas group batches,
-    (b) never ship payload you don't need through a shuffle."""
+    (b) never ship payload you don't need through a shuffle. For near-dup
+    removal on top of exact dedup, chain ``dedup_near_turns``."""
     annotated = annotate(quality_gate(extract_dataset(transcripts), min_chars))
     slim = annotated.select_columns(
         ["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens", "main_text"]

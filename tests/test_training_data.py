@@ -44,3 +44,31 @@ def test_clean_corpus():
     assert set(out["lang_pred"]) <= {"en", "fr", "de", "es", "zh", "und"}
     # no duplicate main_texts remain
     assert out["main_text"].duplicated().sum() == 0
+
+
+def test_near_dedup_turns():
+    from ocr_ray.pipelines.training_data import clean_corpus, dedup_near_turns
+
+    base = (
+        "the distributed pipeline streams arrow batches through the cluster "
+        "while the extraction engine normalizes every turn and the sink "
+        "commits partitions atomically with manifests recording the lineage "
+        "of every row that passes through the staged transforms"
+    )
+    near = base.replace("atomically", "transactionally")
+    t = pa.table(
+        {
+            "conv_id": ["na", "nb", "nc"],
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": ["assistant"] * 3,
+            "text": [base, near, "completely different short-ish but long enough content about gardens, soup, bread and rain falling quietly on rooftops all afternoon"],
+            "tool": [""] * 3,
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    corpus = clean_corpus(rd.from_arrow(t))
+    out = dedup_near_turns(corpus).to_pandas()
+    convs = set(out["conv_id"])
+    assert "na" in convs and "nb" not in convs  # near-dup collapsed, min uid kept
+    assert "nc" in convs
