@@ -144,31 +144,43 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def pair(lo_n: int, hi_n: int) -> dict:
-        lo = run(lo_n)
-        hi = run(hi_n)
-        eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    def pair(lo_n: int, hi_n: int, repeats: int = 2, cooldown_s: int = 45) -> dict:
+        # Throttle-aware protocol: the box's CPU is burst-credit throttled
+        # under sustained load (measured: -35% after minutes of all-core
+        # work), so (a) interleave hi/lo legs, (b) cool down between runs,
+        # (c) take the per-leg MINIMUM across repeats — the robust
+        # estimator under multiplicative slowdowns.
+        lo_runs, hi_runs = [], []
+        for i in range(repeats):
+            hi_runs.append(run(hi_n))
+            time.sleep(cooldown_s)
+            lo_runs.append(run(lo_n))
+            if i + 1 < repeats:
+                time.sleep(cooldown_s)
+        lo_sec = min(r["value"] for r in lo_runs)
+        hi_sec = min(r["value"] for r in hi_runs)
+        eff = (lo_sec / hi_sec) / (hi_n / lo_n)
         return {
             "num_cpus_lo": lo_n,
             "num_cpus_hi": hi_n,
-            "sec_lo": lo["value"],
-            "sec_hi": hi["value"],
-            "turns_per_sec_lo": lo["turns_per_sec"],
-            "turns_per_sec_hi": hi["turns_per_sec"],
+            "sec_lo": lo_sec,
+            "sec_hi": hi_sec,
+            "sec_lo_all": [r["value"] for r in lo_runs],
+            "sec_hi_all": [r["value"] for r in hi_runs],
+            "turns_per_sec_lo": round(lo_runs[0]["rows"] / lo_sec, 1),
+            "turns_per_sec_hi": round(hi_runs[0]["rows"] / hi_sec, 1),
             "scaling_efficiency": round(eff, 3),
-            "rows": lo["rows"],
-            "sf": lo["sf"],
+            "rows": lo_runs[0]["rows"],
+            "sf": lo_runs[0]["sf"],
         }
 
-    p416 = pair(4, 16)
     p832 = pair(8, 32)
     return {
-        "metric": "scaling efficiency N->4N (headline pipeline, fresh ray.init per level)",
-        "pair_4_16": p416,
+        "metric": "scaling efficiency N->4N (headline pipeline, fresh ray.init per level, min-of-2 interleaved legs with cooldown)",
         "pair_8_32": p832,
-        "scaling_efficiency": p416["scaling_efficiency"],
-        "sf": p416["sf"],
-        "rows": p416["rows"],
+        "scaling_efficiency": p832["scaling_efficiency"],
+        "sf": p832["sf"],
+        "rows": p832["rows"],
     }
 
 
