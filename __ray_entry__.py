@@ -72,6 +72,27 @@ def _clean_corpus(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"])
 
 
+def _conversation_stats(sf_dir: str):
+    """Per-conversation rollup (partial pre-agg + tiny groupby)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conversation_stats
+
+    return conversation_stats(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
+def _dialogue_pairs(sf_dir: str):
+    """Cross-turn context view (groupby(conv_id) co-located scan)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import dialogue_pairs
+    from ocr_ray.pipelines.extract_pipeline import extract_dataset
+
+    return dialogue_pairs(
+        extract_dataset(rd.read_parquet(_transcripts_for(sf_dir)))
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
@@ -86,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summaries": _extract_summaries,
         "extract_metrics": _extract_metrics,
         "clean_corpus": _clean_corpus,
+        "conversation_stats": _conversation_stats,
+        "dialogue_pairs": _dialogue_pairs,
     }
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn

@@ -26,13 +26,17 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 QUERY_NAMES = [
     "q1_pricing_summary",
     "q3_top_orders",
+    "q6_revenue_delta",
     "orders_by_nation",
     "top_spenders",
     "events_hourly",
+    "events_sessions",
+    "purchase_attribution",
     "doc_token_counts",
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "ann_topk",
+    "clean_corpus",
 ]
 
 
