@@ -28,6 +28,14 @@ from ocr_ray.pipelines.extract_pipeline import extract_dataset
 MIN_CHARS = 50
 
 
+def _uid_col(t: pa.Table) -> pa.Array:
+    """uid = conv_id#turn_idx with the index zero-padded to 10 digits so
+    the LEXICOGRAPHIC min equals the (conv_id, turn_idx) numeric min —
+    the survivor contract of both dedup passes."""
+    padded = pc.utf8_lpad(pc.cast(t.column("turn_idx"), pa.string()), 10, "0")
+    return pc.binary_join_element_wise(t.column("conv_id"), padded, "#")
+
+
 def quality_gate(extracted: Dataset, min_chars: int = MIN_CHARS) -> Dataset:
     """Keep error-free turns with enough extracted content (vectorized)."""
 
@@ -58,23 +66,44 @@ def annotate(clean: Dataset) -> Dataset:
 
 def dedup_exact_turns(ds: Dataset) -> Dataset:
     """Drop exact-duplicate main_texts; the (conv_id, turn_idx)-smallest
-    turn survives. Hash first so the groupby shuffles digests + keys."""
+    turn survives.
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    Shuffle-minimal plan: only tiny ``(text_sha, uid)`` pairs go through
+    the winner groupby — the text payload never transits a shuffle. The
+    winner uid set is then applied as a broadcast semi-join filter
+    (sized ~40 B/row; for corpora where even that outgrows the driver,
+    swap the filter for ``functions.joins.hash_join`` on uid — same plan
+    with a co-partitioning exchange instead of a broadcast)."""
+
+    def add_keys(t: pa.Table) -> pa.Table:
         hs = [
             hashlib.sha256(x.encode("utf-8")).hexdigest()
             for x in t.column("main_text").to_pylist()
         ]
-        return t.append_column("text_sha", pa.array(hs, pa.string()))
+        return t.append_column("text_sha", pa.array(hs, pa.string())).append_column(
+            "uid", _uid_col(t)
+        )
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["conv_id", "turn_idx"]).head(1)
+    # Materialize once: both the winner computation and the final filter
+    # consume this dataset; without pinning, Ray would re-execute the whole
+    # upstream (including extraction) for each branch. At corpus scales
+    # beyond object-store memory, checkpoint the gated corpus to storage
+    # instead and dedup over the checkpoint (same plan, disk-backed).
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow").materialize()
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return (
-        hashed.groupby("text_sha")
-        .map_groups(first_per_hash, batch_format="pandas")
-        .drop_columns(["text_sha"])
+    def min_uid(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"uid": [g["uid"].min()]})
+
+    winners = (
+        keyed.select_columns(["text_sha", "uid"])  # tiny rows through the shuffle
+        .groupby("text_sha")
+        .map_groups(min_uid, batch_format="pandas")
+    )
+    winner_uids = [r["uid"] for r in winners.take_all()]
+    from ocr_ray.functions.joins import semi_join_filter
+
+    return semi_join_filter(keyed, "uid", winner_uids).drop_columns(
+        ["text_sha", "uid"]
     )
 
 
@@ -88,14 +117,7 @@ def dedup_near_turns(ds: Dataset) -> Dataset:
     from ocr_ray.ops.dedup import minhash_candidate_pairs, minhash_signatures, _components_survivors
 
     def add_uid(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        uid = pc.binary_join_element_wise(
-            t.column("conv_id"),
-            pc.cast(t.column("turn_idx"), pa.string()),
-            "#",
-        )
-        return t.append_column("uid", uid)
+        return t.append_column("uid", _uid_col(t))
 
     with_uid = ds.map_batches(add_uid, batch_format="pyarrow")
     sigs = minhash_signatures(
