@@ -32,13 +32,19 @@ _PUNCT_RE = re.compile(r"[^\w\s]", re.U)
 _WORD_RE = re.compile(r"[a-zA-Z']+")
 
 
+_LANG_SCAN_CHARS = 2000
+
+
 def lang_of(text: str) -> tuple[str, int]:
     """Heuristic language id -> (lang, score_bp). Deterministic integers.
 
     CJK codepoint share decides 'zh'; otherwise the stopword profile with
-    the highest hit count wins (ties broken by profile name)."""
+    the highest hit count wins (ties broken by profile name). Only the
+    first 2000 chars are scanned — ample signal for language ID and keeps
+    the op O(1) per document."""
     if not text:
         return "und", 0
+    text = text[:_LANG_SCAN_CHARS]
     n = len(text)
     cjk = len(_CJK_RE.findall(text))
     if cjk * 20 >= n:  # >=5% CJK codepoints
