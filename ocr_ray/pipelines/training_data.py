@@ -91,13 +91,19 @@ def dedup_exact_turns(ds: Dataset) -> Dataset:
     # instead and dedup over the checkpoint (same plan, disk-backed).
     keyed = ds.map_batches(add_keys, batch_format="pyarrow").materialize()
 
-    def min_uid(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"uid": [g["uid"].min()]})
+    from ray.data.aggregate import Min
+
+    def batch_partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: one (sha, min uid) row per distinct sha per
+        # batch BEFORE the shuffle (and an aggregate, not map_groups —
+        # per-group Python calls cost ~0.4 ms x n_groups)
+        g = t.select(["text_sha", "uid"]).group_by(["text_sha"]).aggregate([("uid", "min")])
+        return g.rename_columns(["text_sha", "uid"])
 
     winners = (
-        keyed.select_columns(["text_sha", "uid"])  # tiny rows through the shuffle
+        keyed.map_batches(batch_partial, batch_format="pyarrow")
         .groupby("text_sha")
-        .map_groups(min_uid, batch_format="pandas")
+        .aggregate(Min("uid", alias_name="uid"))
     )
     winner_uids = [r["uid"] for r in winners.take_all()]
     from ocr_ray.functions.joins import semi_join_filter
