@@ -93,7 +93,7 @@ _EMPTY = ExtractResult("plain", "", (), "empty_input")
 
 
 def _norm_text(s: str) -> str:
-    """Canonical whitespace + unicode normalization (NFC, collapse runs).
+    r"""Canonical whitespace + unicode normalization (NFC, collapse runs).
 
     ASCII fast path: NFC is the identity on ASCII, so the (expensive)
     normalize call is skipped for ASCII strings. Whitespace collapse uses

@@ -92,6 +92,31 @@ def anti_join_filter(ds: Dataset, col: str, keys) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def semi_join_ds(
+    ds: Dataset, keys: Dataset, *, on: str, right_on: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distributed semi-join: keep ``ds`` rows whose ``on`` appears in the
+    ``keys`` dataset — a ``left_semi`` hash join, for key sets too large to
+    broadcast (the 10^12-row sibling of ``semi_join_filter``)."""
+    return hash_join(
+        ds, keys, on=on, right_on=right_on, how="left_semi",
+        num_partitions=num_partitions,
+    )
+
+
+def anti_join_ds(
+    ds: Dataset, keys: Dataset, *, on: str, right_on: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distributed anti-join: drop ``ds`` rows whose ``on`` appears in the
+    ``keys`` dataset (``left_anti`` hash join; no driver key set)."""
+    return hash_join(
+        ds, keys, on=on, right_on=right_on, how="left_anti",
+        num_partitions=num_partitions,
+    )
+
+
 _TARGET_JOIN_PARTITION_BYTES = 256 * 1024 * 1024
 
 

@@ -15,9 +15,14 @@ import pyarrow.compute as pc
 def to_cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """dollars (double, 2dp) -> exact integer cents (int64).
 
-    Matches SQL ``CAST(ROUND(x * 100) AS BIGINT)``.
+    Matches SQL ``CAST(ROUND(x * 100) AS BIGINT)``: DuckDB ROUND is
+    half-away-from-zero, while pyarrow's default is half-to-even — the
+    explicit ``round_mode`` keeps parity for exact .5-cent inputs.
     """
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+    return pc.cast(
+        pc.round(pc.multiply(col, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
 
 
 def discounted_c4(price: pa.Array, discount: pa.Array) -> pa.ChunkedArray:
@@ -38,6 +43,13 @@ def count_tokens(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
 def epoch_hours(ts: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """timestamp[us] -> hour bucket since epoch (int64, floor).
 
-    Matches SQL ``epoch_us(ts) // 3600000000``.
+    Matches SQL ``epoch_us(ts) // 3600000000`` (FLOOR division — DuckDB's
+    ``//`` floors while int64 ``pc.divide`` truncates toward zero, which
+    diverges for pre-1970 timestamps; subtract the modulo first).
     """
-    return pc.divide(pc.cast(ts, pa.int64()), pa.scalar(3_600_000_000, pa.int64()))
+    us = pc.cast(ts, pa.int64())
+    h = pa.scalar(3_600_000_000, pa.int64())
+    # floor(us / h) == (us - ((us % h) + h) % h) / h for any sign of us
+    rem = pc.subtract(us, pc.multiply(pc.divide(us, h), h))  # trunc remainder
+    rem = pc.subtract(rem, pc.multiply(pc.cast(pc.less(rem, 0), pa.int64()), pc.negate(h)))
+    return pc.divide(pc.subtract(us, rem), h)

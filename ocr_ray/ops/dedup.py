@@ -12,35 +12,93 @@ save-to-google-sheet.ts:146-184 — delete rows matching a key, keep one):
 * embedding       cosine near-dup over the embeddings table via random-
                   hyperplane LSH buckets, verified by exact cosine
 
-Scale notes: the per-doc signature work is a stateless vectorizable
-map_batches; the only shuffles are the banded groupbys, whose rows are tiny
-(band_hash, doc_id) pairs — candidate-pair generation never moves document
-text. Connected components run driver-side over candidate PAIRS only, with
-a logged pair count (at 100 TB you'd switch to a few rounds of min-label
-propagation via groupby; the pair-level dataflow is identical).
+Scale design (round 2 — no driver-side materialization anywhere):
+
+* Candidate pairs are generated WITHOUT a per-bucket ``map_groups`` over all
+  buckets (per-group Python calls cost ~0.4 ms; at 10^9 docs x 16 bands most
+  buckets are singletons and the calls alone would dominate). Instead a
+  vectorized ``groupby(bucket).aggregate(Count)`` finds COLLISION buckets
+  (2 <= n <= cap), a ``left_semi`` hash join keeps only their band rows, and
+  ``map_groups`` runs solely over those — the number of collision buckets is
+  proportional to the duplicate count, not the corpus.
+* Oversized buckets (n > cap) are SKIPPED, never silently: the dropped row
+  count is logged (no-silent-caps convention). Degenerate buckets only arise
+  from pathological inputs; empty-signature docs (the easy degenerate case)
+  are excluded from banding and handled exactly (see ``_empty_losers``).
+* Pair verification is a pair of hash joins against the signature dataset
+  (signatures never land on the driver), with a vectorized per-batch check
+  (signature agreement / exact Jaccard / hamming / cosine).
+* Connected components run as distributed min-label propagation
+  (``groupby(node).aggregate(Min(label))`` rounds until fixpoint) — the
+  classic Pregel-style CC; cluster diameter bounds the round count and
+  near-dup clusters are dense/shallow. Only per-round row COUNTS reach the
+  driver.
+* Survivor selection is a union + groupby trick (no driver sets): corpus
+  ids tagged 0 union losers tagged 1, ``groupby(id).aggregate(Max(tag))``,
+  keep tag 0 — one shuffle of tiny (id, tag) rows.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Max, Min
 
-_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+logger = logging.getLogger(__name__)
+
+_P = (1 << 31) - 1  # Mersenne prime for universal hashing (31-bit: see below)
 _N_PERM = 128
 _BANDS = 16  # 16 bands x 8 rows -> Jaccard threshold ~0.71
 _ROWS = _N_PERM // _BANDS
+# Cap on LSH bucket size for pair generation: a bucket of n emits n(n-1)/2
+# pairs; above the cap the bucket is skipped WITH A LOGGED DROP (no silent
+# truncation). 64 -> at most ~2k pairs per bucket.
+_MAX_BUCKET = 64
+# Shuffle-join partition count for the tiny pair/signature joins.
+_PAIR_JOIN_PARTS = 8
+
+
+def _coerce_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Normalize block schemas after a hash-shuffle join/aggregate.
+
+    Ray 2.49's hash-shuffle operators emit EMPTY partitions as zero-column
+    blocks; a later ``Dataset.join`` then fails at finalize with "No match
+    for FieldRef" (and ``map_batches`` is skipped on empty blocks, so a
+    plain fix-up UDF never sees them). ``repartition`` concatenates blocks
+    and so absorbs the degenerate ones; the map then stamps column order /
+    types. Only used on the tiny pair/label/stat datasets, where the extra
+    exchange is noise."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.repartition(_PAIR_JOIN_PARTS).map_batches(fix, batch_format="pyarrow")
 
 
 def _perm_params(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for the universal hash ``(a * (x mod P) + b) mod P`` over the
+    31-bit Mersenne prime P = 2^31 - 1.
+
+    Round 1 used P = 2^61 - 1 with a < 2^61: the uint64 product a*x wrapped
+    mod 2^64 and silently voided the universal-hash guarantee (ADVICE.md).
+    Merely shrinking ``a`` (a < 2^29) removes the overflow but BREAKS MinHash
+    outright: a*x + b < 4P barely wraps the modulus, the map is near-monotone
+    in x, and every "permutation" selects the same minimum shingle (measured:
+    62/128 agreement on a Jaccard-0.99 pair). With P = 2^31 - 1, a,x < P the
+    product is < 2^62 (no uint64 overflow) AND wraps the modulus ~2^31 times
+    — a genuine Carter–Wegman hash."""
     rs = np.random.RandomState(seed)
-    a = rs.randint(1, _P - 1, size=_N_PERM, dtype=np.int64).astype(np.uint64)
-    b = rs.randint(0, _P - 1, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    a = rs.randint(1, _P, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rs.randint(0, _P, size=_N_PERM, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -61,7 +119,8 @@ class MinHasher:
     """Actor-pool stage: text -> 128-perm MinHash signature (uint64 list).
 
     Permutation parameters are derived once per actor in ``__init__`` from a
-    fixed seed (deterministic across the cluster)."""
+    fixed seed (deterministic across the cluster). Docs with zero shingles
+    (empty/whitespace text) get the all-``_P`` sentinel signature."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.a, self.b = _perm_params()
@@ -73,10 +132,11 @@ class MinHasher:
         for text in batch.column(self.text_col).to_pylist():
             x = _word_shingles(text or "")
             if len(x) == 0:
+                # sentinel: real hash values are in [0, _P); _P marks "empty"
                 sigs.append(np.full(_N_PERM, _P, dtype=np.uint64))
                 continue
             # (n_perm, n_shingles) universal hash, min over shingles
-            hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % _P
+            hv = (self.a[:, None] * (x[None, :] % _P) + self.b[:, None]) % _P
             sigs.append(hv.min(axis=1))
         return pa.table(
             {
@@ -84,71 +144,6 @@ class MinHasher:
                 "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
             }
         )
-
-
-def _band_rows(batch: pa.Table) -> pa.Table:
-    """signature rows -> (band_id, band_hash, doc_id) rows (16x fanout of
-    tiny rows; the LSH 'explode')."""
-    doc_ids, band_ids, band_hashes = [], [], []
-    sig_col = batch.column("sig").to_pylist()
-    id_col = batch.column("doc_id").to_pylist()
-    for did, sig in zip(id_col, sig_col):
-        arr = np.asarray(sig, dtype=np.uint64)
-        for b in range(_BANDS):
-            chunk = arr[b * _ROWS : (b + 1) * _ROWS]
-            h = zlib.crc32(chunk.tobytes())
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_hashes.append(h)
-    id_type = batch.schema.field("doc_id").type
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "doc_id": pa.array(doc_ids, id_type),
-        }
-    )
-
-
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """One LSH bucket -> candidate pairs (a < b). Id type is preserved
-    (int doc ids or string turn uids)."""
-    id_type = group.schema.field("doc_id").type
-    ids = sorted(group.column("doc_id").to_pylist())
-    a_out, b_out = [], []
-    for i in range(len(ids) - 1):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pa.table({"a": pa.array(a_out, id_type), "b": pa.array(b_out, id_type)})
-
-
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x = p
-            p = self.parent[x]
-        return x
-
-    def union(self, a, b) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            self.parent[hi] = lo  # min-id wins -> deterministic reps
-
-
-def _components_survivors(all_ids, pairs) -> pa.Table:
-    uf = _UnionFind()
-    for a, b in pairs:
-        uf.union(a, b)
-    reps = {uf.find(i) for i in all_ids}
-    arr = pa.array(sorted(reps)) if reps else pa.array([], pa.int64())
-    return pa.table({"doc_id": arr})
 
 
 def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -162,35 +157,364 @@ def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def minhash_candidate_pairs(sigs: Dataset) -> pa.Table:
-    """signatures -> verified candidate pairs (signature agreement >= 0.7).
+def _is_empty_sig(sig_col) -> pa.Array:
+    """Vectorized empty-signature test: element 0 == _P sentinel (hash values
+    are mod ``_P`` so a real signature's min is always < ``_P``)."""
+    return pc.equal(pc.list_element(sig_col, 0), pa.scalar(_P, pa.uint64()))
 
-    Verification joins pair ids back to signatures; at this scale the
-    signature table is broadcast (it is ~1 KB/doc); the hash-join variant is
-    the drop-in for bigger corpora."""
-    banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
-    pairs = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .take_all()
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """signature rows -> (band_hash, doc_id) rows (16x fanout of tiny rows;
+    the LSH 'explode'). Empty-signature docs are EXCLUDED — they carry no
+    similarity information and would all collide into one degenerate bucket
+    per band; they are handled exactly by ``_empty_losers``. The band index
+    is folded into the hash (band_hash = crc32(band_id || chunk)) so the
+    bucket key is a single int64 column."""
+    batch = batch.filter(pc.invert(_is_empty_sig(batch.column("sig"))))
+    doc_ids, band_hashes = [], []
+    sig_col = batch.column("sig").to_pylist()
+    id_col = batch.column("doc_id").to_pylist()
+    for did, sig in zip(id_col, sig_col):
+        arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(_BANDS):
+            chunk = arr[b * _ROWS : (b + 1) * _ROWS]
+            h = zlib.crc32(chunk.tobytes(), b)
+            doc_ids.append(did)
+            band_hashes.append((b << 32) | h)
+    id_type = batch.schema.field("doc_id").type
+    return pa.table(
+        {
+            "band_hash": pa.array(band_hashes, pa.int64()),
+            "doc_id": pa.array(doc_ids, id_type),
+        }
     )
-    uniq = sorted({(r["a"], r["b"]) for r in pairs})
-    if not uniq:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )  # typed-empty; callers only zip the columns
-    sig_map = {
-        r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in sigs.take_all()
-    }
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """One COLLISION bucket (2 <= n <= cap, pre-filtered) -> candidate pairs
+    (a < b). Id type is preserved (int doc ids or string turn uids)."""
+    id_type = group.schema.field("doc_id").type
+    ids = sorted(group.column("doc_id").to_pylist())
     a_out, b_out = [], []
-    for a, b in uniq:
-        agree = int((sig_map[a] == sig_map[b]).sum())
-        if agree * 10 >= _N_PERM * 7:  # est. Jaccard >= 0.7, integer math
-            a_out.append(a)
-            b_out.append(b)
-    if not a_out:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})  # id type inferred
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({"a": pa.array(a_out, id_type), "b": pa.array(b_out, id_type)})
+
+
+def candidate_pairs(
+    banded: Dataset, *, id_type: pa.DataType = None, max_bucket: int = _MAX_BUCKET
+) -> Dataset:
+    """Banded LSH rows -> DISTINCT candidate pairs, fully distributed.
+
+    1. vectorized bucket census: ``groupby(band_hash).aggregate(Count)``
+    2. collision buckets = 2 <= n <= max_bucket; oversized buckets are
+       dropped with a logged row count (no silent caps)
+    3. ``left_semi`` join keeps only collision-bucket band rows (tiny)
+    4. ``map_groups`` pair fan-out ONLY over collision buckets
+    5. distinct via ``groupby(a, b)``
+    """
+    if id_type is None:
+        id_type = pa.int64()
+    band_schema = pa.schema([("band_hash", pa.int64()), ("doc_id", id_type)])
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    stats = banded.groupby("band_hash").aggregate(Count(alias_name="n")).materialize()
+    oversized = stats.filter(expr=f"n > {max_bucket}")
+    n_over = oversized.count()
+    if n_over:
+        dropped_rows = sum(r["n"] for r in oversized.take_all())  # tiny: stats rows
+        logger.warning(
+            "candidate_pairs: skipped %d oversized LSH buckets (> %d members, "
+            "%d band rows dropped from pairing)",
+            n_over, max_bucket, dropped_rows,
+        )
+    collide = stats.filter(expr=f"n >= 2 and n <= {max_bucket}").select_columns(["band_hash"])
+    kept = _coerce_schema(
+        banded.join(
+            collide, join_type="left_semi", num_partitions=_PAIR_JOIN_PARTS, on=("band_hash",)
+        ),
+        band_schema,
+    )
+    pairs = kept.groupby("band_hash").map_groups(_bucket_pairs, batch_format="pyarrow")
+    distinct = (
+        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    )
+    return _coerce_schema(distinct, pair_schema)
+
+
+def _pack_lists(col, dtype) -> pa.Array:
+    """list<numeric> column -> fixed-width binary (Arrow joins don't carry
+    list-typed non-key columns; packed bytes also shuffle cheaper)."""
+    rows = col.to_pylist()
+    return pa.array(
+        [np.asarray(r, dtype=dtype).tobytes() for r in rows], pa.binary()
+    )
+
+
+def _unpack_lists(col, dtype) -> np.ndarray:
+    """binary column of equal-length packed rows -> (n, k) ndarray."""
+    rows = col.to_pylist()
+    if not rows:
+        return np.zeros((0, 0), dtype=dtype)
+    return np.stack([np.frombuffer(r, dtype=dtype) for r in rows])
+
+
+def _paired_with(
+    pairs: Dataset,
+    side_ds: Dataset,
+    key: str,
+    payload: str,
+    out: str,
+    *,
+    left_schema: pa.Schema,
+    payload_type: pa.DataType,
+) -> tuple[Dataset, pa.Schema]:
+    """hash-join one pair endpoint against a (doc_id, payload) dataset,
+    renaming the payload to ``out``. Payloads stay distributed; list-typed
+    payloads must be packed to binary by the caller first (Arrow join
+    constraint). Returns (dataset, schema) so chained joins can coerce the
+    empty-partition blocks Ray's hash shuffle emits."""
+    side = side_ds.map_batches(
+        lambda t, p=payload, o=out: pa.table(
+            {"__k": t.column("doc_id"), o: t.column(p)}
+        ),
+        batch_format="pyarrow",
+    )
+    # distinct right-side key name: a same-named key would leave two columns
+    # called ``key`` in the join output (right key is dropped only when
+    # ``right_on`` differs)
+    out_schema = left_schema.append(pa.field(out, payload_type))
+    j = pairs.join(
+        side, join_type="inner", num_partitions=_PAIR_JOIN_PARTS,
+        on=(key,), right_on=("__k",),
+    )
+    return _coerce_schema(j, out_schema), out_schema
+
+
+def verified_pairs_minhash(
+    pairs: Dataset, sigs: Dataset, *, threshold_bp: int = 7000,
+    id_type: pa.DataType = None,
+) -> Dataset:
+    """Keep pairs whose signature agreement >= threshold (basis points).
+
+    Two hash joins bring both signatures onto each pair row; the agreement
+    check is a vectorized numpy compare per batch. No driver materialization.
+    """
+    if id_type is None:
+        id_type = pa.int64()
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    packed = sigs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "sig": _pack_lists(t.column("sig"), np.uint64)}
+        ),
+        batch_format="pyarrow",
+    )
+    j, s1 = _paired_with(
+        pairs, packed, "a", "sig", "sig_a",
+        left_schema=pair_schema, payload_type=pa.binary(),
+    )
+    j, _ = _paired_with(
+        j, packed, "b", "sig", "sig_b", left_schema=s1, payload_type=pa.binary()
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["a", "b"])
+        sa = _unpack_lists(t.column("sig_a"), np.uint64)
+        sb = _unpack_lists(t.column("sig_b"), np.uint64)
+        agree = (sa == sb).sum(axis=1)
+        keep = agree * 10_000 >= _N_PERM * threshold_bp
+        return t.select(["a", "b"]).filter(pa.array(keep))
+
+    return j.map_batches(check, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components: min-label propagation
+# ---------------------------------------------------------------------------
+
+
+def propagate_min_labels(
+    pairs: Dataset, *, max_iters: int = 25, id_type: pa.DataType = None
+) -> Dataset:
+    """Undirected edges (a, b) -> (node, label) with label = component min.
+
+    Pregel-style min-label propagation expressed as Dataset ops: each round
+    every edge endpoint offers its current label to the other endpoint and
+    ``groupby(node).aggregate(Min)`` takes the smallest. Rounds = component
+    diameter (shallow for LSH near-dup clusters); iteration is capped and
+    logged. Per round only a changed-row COUNT reaches the driver; labels
+    and edges stay distributed. Labels datasets are materialized per round
+    (they are O(paired nodes) — candidate rows, not corpus rows)."""
+    if id_type is None:
+        id_type = pa.int64()
+    label_schema = pa.schema([("node", id_type), ("label", id_type)])
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    edges = _coerce_schema(pairs, pair_schema).materialize()
+    if edges.count() == 0:
+        return edges.map_batches(
+            lambda t: pa.table({"node": t.column("a"), "label": t.column("a")}),
+            batch_format="pyarrow",
+        )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = (
+        _coerce_schema(
+            edges.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema,
+        )
+        .materialize()
+    )
+
+    for it in range(max_iters):
+        # messages: each endpoint's label flows to its neighbor
+        la = _relabel_join(edges, labels, key="a", other="b", label_schema=label_schema)
+        lb = _relabel_join(edges, labels, key="b", other="a", label_schema=label_schema)
+        cands = labels.union(la).union(lb)
+        new_labels = (
+            _coerce_schema(
+                cands.groupby("node").aggregate(Min("label", alias_name="label")),
+                label_schema,
+            )
+            .materialize()
+        )
+        # fixpoint check without a join: a changed node's (node, label) rows
+        # appear once each under old and new; unchanged appear twice.
+        tagged = labels.union(new_labels)
+        diff = _coerce_schema(
+            tagged.groupby(["node", "label"]).aggregate(Count(alias_name="c")),
+            label_schema.append(pa.field("c", pa.int64())),
+        ).filter(expr="c == 1")
+        n_changed = diff.count()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        logger.warning(
+            "propagate_min_labels: hit max_iters=%d before fixpoint "
+            "(pathologically deep component chain)", max_iters
+        )
+    return labels
+
+
+def _relabel_join(
+    edges: Dataset, labels: Dataset, *, key: str, other: str, label_schema: pa.Schema
+) -> Dataset:
+    """edges (a,b) x labels (node,label) on ``key`` -> (node=other, label)."""
+    id_type = label_schema.field("node").type
+    j = _coerce_schema(
+        edges.join(
+            labels, join_type="inner", num_partitions=_PAIR_JOIN_PARTS,
+            on=(key,), right_on=("node",),
+        ),
+        pa.schema([("a", id_type), ("b", id_type), ("label", id_type)]),
+    )
+    return j.map_batches(
+        lambda t, o=other: pa.table({"node": t.column(o), "label": t.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+def _losers_from_labels(labels: Dataset) -> Dataset:
+    """Nodes whose component label is not themselves (they are removed)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("node"), t.column("label")))
+        return pa.table({"loser": t.filter(keep).column("node")})
+
+    return labels.map_batches(fn, batch_format="pyarrow")
+
+
+def _empty_losers(sigs: Dataset, id_type: pa.DataType = None) -> Dataset:
+    """Empty-signature docs are mutual near-dups (Jaccard of two empties is
+    1 by convention): all but the min id lose. Exact aggregate, no pairs —
+    this replaces round 1's degenerate all-empties LSH bucket (which was the
+    easiest way to explode ``_bucket_pairs`` quadratically, ADVICE.md r1)."""
+    if id_type is None:
+        id_type = pa.int64()
+    empties = sigs.map_batches(
+        lambda t: t.filter(_is_empty_sig(t.column("sig"))).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if empties.count() <= 1:
+        return empties.map_batches(
+            lambda t: pa.table({"loser": pa.array([], id_type)}),
+            batch_format="pyarrow",
+        )
+    rep = empties.aggregate(Min("doc_id"))["min(doc_id)"]  # single scalar
+    return empties.map_batches(
+        lambda t: pa.table(
+            {"loser": t.filter(pc.not_equal(t.column("doc_id"), pa.scalar(rep))).column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def survivors_dataset(
+    ids: Dataset, losers: Dataset, id_col: str = "doc_id",
+    id_type: pa.DataType = None,
+) -> Dataset:
+    """ids minus losers, distributed: union with a tag column + groupby +
+    ``Max(tag)`` keeps ids that never appear as a loser. One shuffle of tiny
+    (id, tag) rows; no driver sets, no broadcast."""
+    if id_type is None:
+        id_type = pa.int64()
+    tagged = ids.map_batches(
+        lambda t, c=id_col: pa.table(
+            {"id": t.column(c), "tag": pa.array([0] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).union(
+        losers.map_batches(
+            lambda t: pa.table(
+                {"id": t.column("loser"), "tag": pa.array([1] * t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    kept = _coerce_schema(
+        tagged.groupby("id").aggregate(Max("tag", alias_name="t")),
+        pa.schema([("id", id_type), ("t", pa.int64())]),
+    ).filter(expr="t == 0")
+    return kept.map_batches(
+        lambda t, c=id_col: pa.table({c: t.column("id")}), batch_format="pyarrow"
+    )
+
+
+def near_dup_survivors(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_bp: int = 7000,
+    max_bucket: int = _MAX_BUCKET,
+) -> Dataset:
+    """MinHash+LSH near-dup pipeline, end-to-end distributed: signatures ->
+    banded buckets -> capped collision pairs -> join-verified agreement ->
+    min-label components -> survivor ids (min id per component)."""
+    sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col).materialize()
+    id_type = sigs.schema().base_schema.field("doc_id").type
+    banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    pairs = candidate_pairs(banded, id_type=id_type, max_bucket=max_bucket).materialize()
+    if pairs.count() == 0:
+        verified = pairs  # no candidates: skip the (empty-input) verify joins
+    else:
+        verified = verified_pairs_minhash(
+            pairs, sigs, threshold_bp=threshold_bp, id_type=id_type
+        )
+    labels = propagate_min_labels(verified, id_type=id_type)
+    losers = _losers_from_labels(labels).union(_empty_losers(sigs, id_type=id_type))
+    return survivors_dataset(
+        sigs.select_columns(["doc_id"]), losers, id_col="doc_id", id_type=id_type
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -235,51 +559,56 @@ GROUP BY text
 """
 
 
-def dedup_minhash_docs(sf_dir: str) -> pa.Table:
-    """MinHash+LSH near-dup survivors (doc_ids kept)."""
+def dedup_minhash_docs(sf_dir: str) -> Dataset:
+    """MinHash+LSH near-dup survivors (doc_ids kept), fully distributed."""
     import os
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    sigs = minhash_signatures(ds).materialize()  # reused by banding + verify
-    pairs_t = minhash_candidate_pairs(sigs)
-    all_ids = [r["doc_id"] for r in sigs.select_columns(["doc_id"]).take_all()]
-    pairs = list(
-        zip(pairs_t.column("a").to_pylist(), pairs_t.column("b").to_pylist())
-    )
-    return _components_survivors(all_ids, pairs)
+    return near_dup_survivors(ds)
 
 
-def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> Dataset:
     """Near-dup survivors with EXACT word-3-gram Jaccard verification.
 
     Same LSH candidate generation as MinHash, but candidates are verified
     against the true shingle-set Jaccard instead of signature agreement —
-    zero false positives at the cost of re-reading candidate texts. The
-    candidate texts are fetched via a broadcast-key semi-join filter (only
-    candidate rows leave the read at scale)."""
+    zero false positives at the cost of joining candidate texts back in
+    (two hash joins; only candidate rows carry text, never the corpus)."""
     import os
-
-    from ocr_ray.functions.joins import semi_join_filter
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     sigs = minhash_signatures(ds).materialize()
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
-    pairs = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .take_all()
-    )
-    uniq = sorted({(r["a"], r["b"]) for r in pairs})
-    cand_ids = sorted({i for p in uniq for i in p})
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in semi_join_filter(ds, "doc_id", cand_ids).take_all()
-    }
-    verified = [
-        (a, b) for a, b in uniq if ngram_jaccard(texts[a], texts[b]) >= threshold
-    ]
-    all_ids = [r["doc_id"] for r in sigs.select_columns(["doc_id"]).take_all()]
-    return _components_survivors(all_ids, verified)
+    pairs = candidate_pairs(banded).materialize()
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if pairs.count() == 0:
+        verified = pairs
+    else:
+        texts_kv = ds.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("text")}),
+            batch_format="pyarrow",
+        )
+        j, s1 = _paired_with(
+            pairs, texts_kv, "a", "sig", "text_a",
+            left_schema=pair_schema, payload_type=pa.string(),
+        )
+        j, _ = _paired_with(
+            j, texts_kv, "b", "sig", "text_b", left_schema=s1, payload_type=pa.string()
+        )
+
+        def check(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.select(["a", "b"])
+            keep = [
+                ngram_jaccard(x or "", y or "") >= threshold
+                for x, y in zip(t.column("text_a").to_pylist(), t.column("text_b").to_pylist())
+            ]
+            return t.select(["a", "b"]).filter(pa.array(keep))
+
+        verified = j.map_batches(check, batch_format="pyarrow")
+    labels = propagate_min_labels(verified)
+    losers = _losers_from_labels(labels).union(_empty_losers(sigs))
+    return survivors_dataset(sigs.select_columns(["doc_id"]), losers)
 
 
 # ---------------------------------------------------------------------------
@@ -322,9 +651,10 @@ class SimHasher:
         )
 
 
-def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
     """SimHash near-dup survivors. 4x16-bit bands: any pair within hamming
-    distance 3 shares at least one intact band (pigeonhole)."""
+    distance 3 shares at least one intact band (pigeonhole). Same distributed
+    pair/verify/component plan as MinHash; hamming verify is vectorized."""
     import os
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -335,38 +665,48 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         sh = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
-        out_id, out_band, out_val = [], [], []
+        out_id, out_val = [], []
         for i, did in enumerate(ids):
             v = int(sh[i])
             for b in range(4):
                 out_id.append(did)
-                out_band.append(b)
-                out_val.append((v >> (16 * b)) & 0xFFFF)
+                out_val.append((b << 32) | ((v >> (16 * b)) & 0xFFFF))
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_val, pa.int64()),
                 "doc_id": pa.array(out_id, pa.int64()),
             }
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
-    pairs = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .take_all()
-    )
-    uniq = sorted({(r["a"], r["b"]) for r in pairs})
-    sig_map = {
-        r["doc_id"]: int(r["simhash"]) & 0xFFFFFFFFFFFFFFFF for r in sigs.take_all()
-    }
-    verified = [
-        (a, b)
-        for a, b in uniq
-        if bin(sig_map[a] ^ sig_map[b]).count("1") <= max_hamming
-    ]
-    all_ids = list(sig_map)
-    return _components_survivors(all_ids, verified)
+    pairs = candidate_pairs(banded).materialize()
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if pairs.count() == 0:
+        verified = pairs
+    else:
+        sh_kv = sigs.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("simhash")}),
+            batch_format="pyarrow",
+        )
+        j, s1 = _paired_with(
+            pairs, sh_kv, "a", "sig", "h_a", left_schema=pair_schema, payload_type=pa.int64()
+        )
+        j, _ = _paired_with(
+            j, sh_kv, "b", "sig", "h_b", left_schema=s1, payload_type=pa.int64()
+        )
+
+        def check(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.select(["a", "b"])
+            ha = np.asarray(t.column("h_a").to_pylist(), dtype=np.int64).view(np.uint64)
+            hb = np.asarray(t.column("h_b").to_pylist(), dtype=np.int64).view(np.uint64)
+            ham = np.array([bin(int(x)).count("1") for x in (ha ^ hb)])
+            return t.select(["a", "b"]).filter(pa.array(ham <= max_hamming))
+
+        verified = j.map_batches(check, batch_format="pyarrow")
+    labels = propagate_min_labels(verified)
+    losers = _losers_from_labels(labels)
+    return survivors_dataset(sigs.select_columns(["doc_id"]), losers)
 
 
 # ---------------------------------------------------------------------------
@@ -374,11 +714,12 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12) -> pa.Table:
+def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12) -> Dataset:
     """Survivors after removing embedding near-duplicates (cosine >= 0.95).
 
     Random-hyperplane signatures bucket the vectors; exact cosine verifies
-    candidates within a bucket. Plane matrix is seeded + broadcast."""
+    candidates within a bucket (vectors joined onto pair rows — O(candidates)
+    traffic, not O(corpus)). Plane matrix is seeded + broadcast."""
     import os
 
     import ray
@@ -398,38 +739,47 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
             bits = (emb @ self.planes) > 0
             keys = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
             return pa.table(
-                {"bucket": pa.array(keys), "vec_id": batch.column("vec_id")}
+                {"band_hash": pa.array(keys), "doc_id": batch.column("vec_id")}
             )
 
-    buckets = ds.map_batches(
+    banded = ds.map_batches(
         Bucketer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8), num_cpus=1
     )
-    pairs = (
-        buckets.groupby("bucket")
-        .map_groups(
-            lambda g: _bucket_pairs(
-                pa.table({"doc_id": g.column("vec_id")})
+    pairs = candidate_pairs(banded).materialize()
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if pairs.count() == 0:
+        verified = pairs
+    else:
+        emb_kv = ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("vec_id"), "sig": _pack_lists(t.column("embedding"), np.float64)}
             ),
             batch_format="pyarrow",
         )
-        .take_all()
-    )
-    uniq = sorted({(r["a"], r["b"]) for r in pairs})
-    # exact verify: fetch ONLY candidate vectors via a broadcast semi-join
-    # filter — the verify cost is O(candidates), not O(corpus)
-    from ocr_ray.functions.joins import semi_join_filter
+        j, s1 = _paired_with(
+            pairs, emb_kv, "a", "sig", "v_a", left_schema=pair_schema, payload_type=pa.binary()
+        )
+        j, _ = _paired_with(
+            j, emb_kv, "b", "sig", "v_b", left_schema=s1, payload_type=pa.binary()
+        )
 
-    cand_ids = sorted({i for p in uniq for i in p})
-    emb_map = {
-        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-        for r in semi_join_filter(ds, "vec_id", cand_ids).take_all()
-    } if cand_ids else {}
-    verified = []
-    for a, b in uniq:
-        va, vb = emb_map[a], emb_map[b]
-        sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
-        if sim >= threshold:
-            verified.append((a, b))
-    all_ids = ds.unique("vec_id") or []
-    out = _components_survivors(all_ids, verified)
-    return out.rename_columns(["vec_id"])
+        def check(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.select(["a", "b"])
+            va = _unpack_lists(t.column("v_a"), np.float64)
+            vb = _unpack_lists(t.column("v_b"), np.float64)
+            sims = (va * vb).sum(axis=1) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            return t.select(["a", "b"]).filter(pa.array(sims >= threshold))
+
+        verified = j.map_batches(check, batch_format="pyarrow")
+    labels = propagate_min_labels(verified)
+    losers = _losers_from_labels(labels)
+    ids = ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("vec_id")}), batch_format="pyarrow"
+    )
+    surv = survivors_dataset(ids, losers)
+    return surv.map_batches(
+        lambda t: pa.table({"vec_id": t.column("doc_id")}), batch_format="pyarrow"
+    )

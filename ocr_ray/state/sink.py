@@ -66,7 +66,12 @@ def committed_partitions(out_dir: str) -> dict[int, dict]:
 
 
 def write_partition_group(
-    group: pa.Table, *, out_dir: str, input_tag: str = "", expected_schema: pa.Schema | None = None
+    group: pa.Table,
+    *,
+    out_dir: str,
+    input_tag: str = "",
+    expected_schema: pa.Schema | None = None,
+    num_partitions: int | None = None,
 ) -> pa.Table:
     """map_groups fn: one group = one partition -> one Parquet file.
 
@@ -118,6 +123,7 @@ def write_partition_group(
         "checksum": checksum,
         "wall_s": round(time.monotonic() - t0, 4),
         "input_tag": input_tag,
+        "num_partitions": num_partitions,
     }
     mpath = os.path.join(mdir, f"part-{pid:05d}.json")
     mtmp = mpath + f".tmp-{os.getpid()}"
@@ -178,7 +184,8 @@ def _fanout_batch(batch: pa.Table, *, frag_root: str) -> pa.Table:
 
 
 def _finalize_partition(
-    batch, *, frag_root: str, out_dir: str, input_tag: str, expected_schema=None
+    batch, *, frag_root: str, out_dir: str, input_tag: str, expected_schema=None,
+    num_partitions: int | None = None,
 ) -> pa.Table:
     """Merge one partition's fragments into its canonical single file.
 
@@ -191,7 +198,8 @@ def _finalize_partition(
         t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in frags])
         outs.append(
             write_partition_group(
-                t, out_dir=out_dir, input_tag=input_tag, expected_schema=expected_schema
+                t, out_dir=out_dir, input_tag=input_tag, expected_schema=expected_schema,
+                num_partitions=num_partitions,
             )
         )
     return pa.concat_tables(outs)
@@ -228,6 +236,18 @@ def write_partitioned(
     import ray.data as rd
 
     done = committed_partitions(out_dir) if resume else {}
+    if done:
+        # resuming with a different partition count remaps part_ids: rows
+        # whose new pid collides with an old committed pid would be silently
+        # dropped (filtered as "done" without being in the committed file),
+        # and stale files from the old mapping would linger — refuse.
+        stale_np = {m.get("num_partitions") for m in done.values()} - {num_partitions, None}
+        if stale_np:
+            raise ValueError(
+                f"resume mismatch: {out_dir} was committed with num_partitions="
+                f"{sorted(stale_np)}, current run uses {num_partitions}; use a "
+                "new output dir or resume=False"
+            )
     if done and input_tag:
         # resuming against a different input silently mixes datasets — the
         # manifests record what they were built from; refuse on mismatch
@@ -288,6 +308,7 @@ def write_partitioned(
                 out_dir=out_dir,
                 input_tag=input_tag,
                 expected_schema=expected_schema,
+                num_partitions=num_partitions,
             ),
             batch_format="numpy",
             batch_size=1,

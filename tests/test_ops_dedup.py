@@ -49,11 +49,15 @@ def test_exact_dedup(docs_dir):
     assert got == [0, 2, 3, 4]
 
 
+def _ids(ds):
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
 def test_minhash_collapses_near_dups(docs_dir):
     # oracle check first: the planted pair really is above threshold
     assert ngram_jaccard(_BASE, _NEAR) >= 0.7
     assert ngram_jaccard(_BASE, _OTHER) < 0.2
-    surv = sorted(dedup_minhash_docs(docs_dir).column("doc_id").to_pylist())
+    surv = _ids(dedup_minhash_docs(docs_dir))
     assert 0 in surv  # min id is the component representative
     assert 1 not in surv  # exact copy collapsed
     assert 2 not in surv  # near-dup collapsed
@@ -63,20 +67,133 @@ def test_minhash_collapses_near_dups(docs_dir):
 def test_simhash_collapses_near_dups(docs_dir):
     h_base, h_near = simhash64(_BASE), simhash64(_NEAR)
     assert bin(h_base ^ h_near).count("1") <= 3
-    surv = sorted(dedup_simhash_docs(docs_dir).column("doc_id").to_pylist())
+    surv = _ids(dedup_simhash_docs(docs_dir))
     assert 0 in surv and 1 not in surv
     assert 3 in surv
 
 
 def test_minhash_deterministic(docs_dir):
-    a = dedup_minhash_docs(docs_dir).column("doc_id").to_pylist()
-    b = dedup_minhash_docs(docs_dir).column("doc_id").to_pylist()
+    a = _ids(dedup_minhash_docs(docs_dir))
+    b = _ids(dedup_minhash_docs(docs_dir))
     assert a == b
 
 
 def test_jaccard_dedup(docs_dir):
     from ocr_ray.ops.dedup import dedup_jaccard_docs
 
-    surv = sorted(dedup_jaccard_docs(docs_dir).column("doc_id").to_pylist())
+    surv = _ids(dedup_jaccard_docs(docs_dir))
     assert 0 in surv and 1 not in surv and 2 not in surv
     assert 3 in surv
+
+
+def test_minhash_agreement_tracks_jaccard():
+    """The universal hash must make per-permutation agreement ~= Jaccard
+    (round 1's 2^61 variant silently overflowed; the first fix attempt made
+    the map near-monotone and broke agreement outright — this pins it)."""
+    import numpy as np
+
+    from ocr_ray.ops.dedup import _P, _perm_params
+
+    a, b = _perm_params()
+
+    def sig(x):
+        return ((a[:, None] * (x[None, :] % _P) + b[:, None]) % _P).min(axis=1)
+
+    rs = np.random.RandomState(7)
+    base = np.unique(rs.randint(0, 1 << 32, 1000).astype(np.uint64))
+    near = base[5:]  # J ~ 0.995
+    other = np.unique(rs.randint(0, 1 << 32, 1000).astype(np.uint64))
+    agree_near = int((sig(base) == sig(near)).sum())
+    agree_far = int((sig(base) == sig(other)).sum())
+    assert agree_near >= 120  # ~J * 128
+    assert agree_far <= 8
+
+
+class TestDistributedMatchesUnionFindOracle:
+    """The distributed component path (capped collision pairs -> join verify
+    -> min-label propagation -> union-trick survivors) must equal a driver-
+    side union-find over the same verified pairs."""
+
+    def _reference_survivors(self, all_ids, pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        losers = {i for i in all_ids if find(i) != i}
+        return sorted(set(all_ids) - losers)
+
+    def test_planted_clusters(self, tmp_path):
+        import random
+
+        import pyarrow.parquet as pq
+
+        rng = random.Random(5)
+        words = [f"w{i}" for i in range(400)]
+        texts, ids = [], []
+        nid = 0
+        for c in range(40):  # 40 clusters of 1-4 near-dup variants
+            base = " ".join(rng.choice(words) for _ in range(60))
+            for v in range(rng.randint(1, 4)):
+                t = base
+                if v:
+                    toks = t.split()
+                    toks[rng.randrange(len(toks))] = rng.choice(words)
+                    t = " ".join(toks)
+                texts.append(t)
+                ids.append(nid)
+                nid += 1
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(t, d / "documents.parquet")
+
+        import ray.data as rd
+
+        from ocr_ray.ops.dedup import (
+            _band_rows,
+            candidate_pairs,
+            minhash_signatures,
+            ngram_jaccard,
+        )
+
+        ds = rd.from_arrow(t)
+        sigs = minhash_signatures(ds).materialize()
+        banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
+        pairs = [
+            (r["a"], r["b"]) for r in candidate_pairs(banded).take_all()
+        ]
+        texts_by_id = dict(zip(ids, texts))
+        verified = [
+            (x, y)
+            for x, y in pairs
+            if ngram_jaccard(texts_by_id[x], texts_by_id[y]) >= 0.7
+        ]
+        expected = self._reference_survivors(ids, verified)
+
+        from ocr_ray.ops.dedup import dedup_jaccard_docs
+
+        got = _ids(dedup_jaccard_docs(str(d)))
+        assert got == expected
+
+
+def test_sf001_regression_matches_round1():
+    """Distributed rewrite must keep round 1's survivors on the shared
+    testdata (captured in fixtures_r1_dedup_survivors.json)."""
+    import json
+    import os
+
+    fx = json.load(
+        open(os.path.join(os.path.dirname(__file__), "fixtures_r1_dedup_survivors.json"))
+    )
+    got = _ids(dedup_minhash_docs("/root/testdata/sf0.01"))
+    assert got == fx["minhash"]
