@@ -93,12 +93,30 @@ def _dialogue_pairs(sf_dir: str):
     )
 
 
+def _clean_corpus_neardup(sf_dir: str):
+    """clean_corpus with the MinHash-LSH near-dup stage chained after exact
+    dedup (distributed min-label components; VERDICT r1 next-step #3)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.training_data import clean_corpus
+
+    ds = clean_corpus(rd.read_parquet(_transcripts_for(sf_dir)), near_dedup=True)
+    return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
 
 
+# sf the DRIVER runs queries/oracles at; the extract-family oracle SQL reads
+# the deterministic transcripts fixture for this sf (regenerated on demand
+# at oracle_sql() build time so the embedded path exists when DuckDB runs).
+_DRIVER_SF = "/root/testdata/sf0.01"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from ocr_ray.pipelines.extract_oracle import extract_plain_turns, extract_turn_counts
     from ocr_ray.pipelines.relational import REGISTRY
 
     out: dict[str, Callable[[str], Any]] = {
@@ -106,7 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_blocks": _extract_blocks,
         "extract_summaries": _extract_summaries,
         "extract_metrics": _extract_metrics,
+        "extract_plain_turns": extract_plain_turns,
+        "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,
+        "clean_corpus_neardup": _clean_corpus_neardup,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,
     }
@@ -123,9 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.pipelines.extract_oracle import oracle_sqls
     from ocr_ray.pipelines.relational import REGISTRY
 
     out = {name: sql for name, (fn, sql) in REGISTRY.items() if sql}
+    out.update(oracle_sqls(_DRIVER_SF))
     try:
         from ocr_ray.ops import REGISTRY as OPS_REGISTRY
 

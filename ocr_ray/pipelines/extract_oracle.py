@@ -1,0 +1,162 @@
+"""Driver-verifiable (SQL-gated) invariant queries for the FLAGSHIP
+extraction family (VERDICT r1 next-step #1).
+
+The extraction kernel itself is not SQL; but substantial slices of its
+contract ARE expressible in ANSI SQL over the raw transcripts parquet:
+
+* ``extract_plain_turns`` — on payloads that are *provably* routed to the
+  plain engine (no tags, no form feeds, no data-URIs, no indented lines, no
+  exotic whitespace — a filter BOTH sides apply verbatim), the kernel's
+  output equals NFC-normalize -> paragraph-split -> whitespace-collapse ->
+  re-join, which DuckDB computes with ``nfc_normalize`` + RE2 regexes. This
+  runs the REAL kernel (``classify_payload`` + ``_extract_plain``) against
+  an INDEPENDENT SQL reimplementation of the spec
+  (reference semantics: extract-data-from-pdf.ts:48-52,87-91,134-145 —
+  missing-data defaults + guards; whitespace canonicalization per SURVEY).
+* ``extract_turn_counts`` — totality: the kernel NEVER drops a row
+  (poison-pill guard, extract-data-from-pdf.ts:134-145); row count out ==
+  row count in, which SQL states as COUNT(*) over the raw table.
+* ``conversation_stats`` (registered in ``__ray_entry__``) — raw-table
+  rollup, fully SQL-expressible.
+
+The predicates are written once in RE2 syntax and evaluated by pyarrow
+(``match_substring_regex`` — RE2) on the Ray side and by DuckDB (also RE2)
+on the oracle side, so filter parity is by construction, not coincidence.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+
+# --- the provably-plain filter (RE2 patterns, shared verbatim) -------------
+
+# any line starting with 2+ spaces/tabs then a non-space: the pdf
+# classifier's indent heuristic could fire (core/extract.py classify_payload)
+_INDENT_RE = r"(?m)^[ \t]{2,}[^ \t\n]"
+# whitespace the kernel treats as whitespace (str.split / \s, unicode) but
+# RE2's ASCII [ \t\n] class does not, plus line separators Python's
+# splitlines honors beyond \n — excluding them keeps both sides aligned.
+_EXOTIC_WS_RE = (
+    r"[\x{000B}\x{000C}\x{000D}\x{001C}-\x{001F}\x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+
+
+def _provably_plain_mask(text: pa.ChunkedArray) -> pa.ChunkedArray:
+    """True for rows the kernel is GUARANTEED to route to the plain engine.
+
+    html needs >=3 ``<...>`` tags — impossible without ``<``; the pdf route
+    needs a form feed or indented lines; data-URIs need the ``data:`` prefix.
+    """
+    ok = pc.is_valid(text)
+    for bad in ("<",):
+        ok = pc.and_(ok, pc.invert(pc.match_substring(text, bad)))
+    ok = pc.and_(ok, pc.invert(pc.starts_with(text, "data:")))
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, _INDENT_RE)))
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, _EXOTIC_WS_RE)))
+    return ok
+
+
+def _transcripts(sf_dir: str) -> str:
+    from ocr_ray.sources.transcripts import ensure_transcripts, n_convs_for_sf
+
+    return ensure_transcripts(n_convs_for_sf(sf_dir), seed=42)
+
+
+def extract_plain_turns(sf_dir: str) -> Dataset:
+    """Run the REAL extraction kernel over the provably-plain subset.
+
+    Output (conv_id, turn_idx, payload_kind, main_text, error) is matched
+    value-for-value by ``EXTRACT_PLAIN_SQL`` — an independent DuckDB
+    reimplementation of plain-engine semantics."""
+    from ocr_ray.core.extract import extract_turn
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_plain_mask(t.column("text")))
+        res = [extract_turn(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "payload_kind": pa.array([r.payload_kind for r in res], pa.string()),
+                "main_text": pa.array([r.main_text for r in res], pa.string()),
+                "error": pa.array([r.error for r in res], pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _plain_sql(path: str) -> str:
+    # NOTE: '\f' is excluded via _EXOTIC_WS_RE (\x{000C}); '\r' likewise.
+    # After the filter the only whitespace left is space/\t/\n, so the
+    # SQL collapse class [ \t\n] is exactly the kernel's str.split() set.
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+)
+SELECT conv_id, turn_idx,
+       'plain' AS payload_kind,
+       CASE WHEN {norm_all} = '' THEN ''
+            ELSE array_to_string(
+                   list_filter(
+                     list_transform(
+                       regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
+                       x -> {collapse}),
+                     x -> x <> ''),
+                   chr(10) || chr(10))
+       END AS main_text,
+       CASE WHEN {norm_all} = '' THEN 'empty_input' ELSE '' END AS error
+FROM t
+"""
+
+
+def extract_turn_counts(sf_dir: str) -> pa.Table:
+    """Totality invariant: the kernel emits EXACTLY one output row per input
+    row (empty/undecodable payloads become error rows, never drops)."""
+    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+
+    path = _transcripts(sf_dir)
+    n = extract_from_path(path).count()
+    return pa.table({"n_turns": pa.array([n], pa.int64())})
+
+
+def _counts_sql(path: str) -> str:
+    return f"SELECT CAST(COUNT(*) AS BIGINT) AS n_turns FROM read_parquet('{path}/*.parquet')"
+
+
+CONVERSATION_STATS_SQL_TMPL = """
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+       CAST(SUM(strlen(text)) AS BIGINT) AS bytes_total,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+FROM read_parquet('{path}/*.parquet')
+GROUP BY conv_id
+"""
+
+
+def oracle_sqls(sf_dir: str) -> dict[str, str]:
+    """SQL strings for the extract-family invariants, bound to the
+    deterministic transcripts fixture for ``sf_dir`` (the fixture is
+    (re)generated here so the path exists when the oracle runs)."""
+    path = _transcripts(sf_dir)
+    return {
+        "extract_plain_turns": _plain_sql(path),
+        "extract_turn_counts": _counts_sql(path),
+        "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
+    }

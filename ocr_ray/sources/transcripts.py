@@ -215,6 +215,25 @@ def ensure_transcripts(n_convs: int, seed: int = 42, root: str = "/tmp/ocr_ray_f
         return out
     import shutil
 
+    if n_convs <= 5_000:
+        # small fixtures: generate driver-side without touching Ray (this
+        # path must be callable from contexts where starting a Ray session
+        # would be a side effect, e.g. oracle-SQL string construction)
+        import pyarrow.parquet as pq
+
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            generate_transcripts_table(n_convs, seed),
+            os.path.join(tmp, "part-0.parquet"),
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+        with open(marker, "w") as f:
+            f.write("ok")
+        return out
+
     import ray.data as rd
 
     tmp = out + ".tmp"

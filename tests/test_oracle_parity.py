@@ -24,6 +24,15 @@ _SQLS = entry.oracle_sql()
 _QUERIES = entry.queries()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _rebind_extract_oracles():
+    """entry.oracle_sql() binds the extract-family fixture paths to the
+    driver's sf (0.01); rebind them to this test's SF."""
+    from ocr_ray.pipelines.extract_oracle import oracle_sqls
+
+    _SQLS.update(oracle_sqls(SF))
+
+
 @pytest.mark.parametrize("name", sorted(_SQLS))
 def test_query_matches_oracle(name, con):
     res = _QUERIES[name](SF)
