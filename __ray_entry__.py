@@ -93,6 +93,26 @@ def _dialogue_pairs(sf_dir: str):
     )
 
 
+def _turn_context_stats(sf_dir: str):
+    """Cross-turn lag scan (prev role / gap / reply-echo), SQL-gated via a
+    lag() window oracle; co-located by conv_id through grouped_scan."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import turn_context_stats
+
+    return turn_context_stats(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
+def _extract_context_turns(sf_dir: str):
+    """Context-aware engine: reply-echo prefixes stripped before extraction
+    (pytest-gated; extraction itself is not SQL-expressible)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import extract_context_turns
+
+    return extract_context_turns(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _clean_corpus_neardup(sf_dir: str):
     """clean_corpus with the MinHash-LSH near-dup stage chained after exact
     dedup (distributed min-label components; VERDICT r1 next-step #3)."""
@@ -130,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_neardup": _clean_corpus_neardup,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,
+        "turn_context_stats": _turn_context_stats,
+        "extract_context_turns": _extract_context_turns,
     }
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn

@@ -113,6 +113,25 @@ def run_bench() -> dict:
             _consume(qfns[name](SF_DIR))
             qtimes[name] = round(time.monotonic() - t0, 3)
 
+    if not os.environ.get("BENCH_SKIP_VOLUME"):
+        # volume rows (VERDICT r1 #9): the shared documents table is 500
+        # rows even at sf0.1, so the dedup/ANN scale claims get measured on
+        # synthetic 100k/200k fixtures (cached in tmpfs, untimed generation)
+        from ocr_ray.ops.ann import ann_topk_over
+        from ocr_ray.ops.dedup import near_dup_survivors
+        from ocr_ray.sources.bigdocs import ensure_bigdocs, ensure_bigvecs
+
+        docs100k = ensure_bigdocs(100_000, seed=7)
+        t0 = time.monotonic()
+        n_surv = near_dup_survivors(
+            rd.read_parquet(docs100k, columns=["doc_id", "text"])
+        ).count()
+        qtimes["dedup_minhash_100k"] = round(time.monotonic() - t0, 3)
+        vecs200k = ensure_bigvecs(200_000, dim=64, seed=11)
+        t0 = time.monotonic()
+        _consume(ann_topk_over(rd.read_parquet(vecs200k), n_queries=64, k=10))
+        qtimes["ann_brute_200k"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "extraction pipeline wall time (transcripts -> extracted, partitioned sink)",
@@ -137,8 +156,20 @@ def run_scaling() -> dict:
     therefore the cleaner cluster-size analogy; both are reported.
     """
 
+    # Compute-dominated input for the scaling pair (VERDICT r1 #4): 200k
+    # convs (~1.4M turns, ~1.3 GB) so both legs sit far above the ~10 s
+    # fixed floor that drowned the signal at sf0.1. "sf1" maps to 200k
+    # convs in n_convs_for_sf; the fixture is generated once and cached.
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sf1")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SKIP_QUERIES="1",
+            BENCH_SKIP_VOLUME="1",
+            GRAFT_SF_DIR=scaling_sf,
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
             env=env,
@@ -178,13 +209,16 @@ def run_scaling() -> dict:
             "sf": lo_runs[0]["sf"],
         }
 
-    p832 = pair(8, 32)
+    # (4,16) is the cluster-size analogy pair: at 32 the box is fully
+    # saturated and Ray's own system processes contend (an artifact a real
+    # 4N-node cluster does not have).
+    p416 = pair(4, 16)
     return {
-        "metric": "scaling efficiency N->4N (headline pipeline, fresh ray.init per level, min-of-2 interleaved legs with cooldown)",
-        "pair_8_32": p832,
-        "scaling_efficiency": p832["scaling_efficiency"],
-        "sf": p832["sf"],
-        "rows": p832["rows"],
+        "metric": "scaling efficiency N->4N (headline pipeline, fresh ray.init per level, min-of-2 interleaved legs with cooldown, compute-dominated 1.4M-turn input)",
+        "pair_4_16": p416,
+        "scaling_efficiency": p416["scaling_efficiency"],
+        "sf": p416["sf"],
+        "rows": p416["rows"],
     }
 
 

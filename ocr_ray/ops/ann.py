@@ -103,6 +103,30 @@ def ann_topk(sf_dir: str, k: int = _K):
     )
 
 
+def ann_topk_over(ds, *, n_queries: int = 64, k: int = 10):
+    """Brute-force cosine top-k over an arbitrary (vec_id, embedding)
+    Dataset — the volume-bench entry (same plan as ``ann_topk``: broadcast
+    query matrix, per-batch GEMM + local top-k, tiny grouped re-rank).
+    Queries = the ``n_queries`` smallest vec_ids (deterministic)."""
+    import functools
+
+    head = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    ids = [r["vec_id"] for r in head]
+    q = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    ref = ray.put((q, ids))
+    cand = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+    return cand.groupby("query_id").map_groups(
+        functools.partial(_final_topk, k=k), batch_format="pyarrow"
+    )
+
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3

@@ -230,6 +230,11 @@ def candidate_pairs(
             n_over, max_bucket, dropped_rows,
         )
     collide = stats.filter(expr=f"n >= 2 and n <= {max_bucket}").select_columns(["band_hash"])
+    # an entirely-empty join side has no schema-bearing block (Ray skips the
+    # UDF on 0-row blocks AND strips their schema), which crashes the join's
+    # partition finalize — guard with a (cheap, stats-level) count.
+    if collide.count() == 0:
+        return rd.from_arrow(pair_schema.empty_table())
     kept = _coerce_schema(
         banded.join(
             collide, join_type="left_semi", num_partitions=_PAIR_JOIN_PARTS, on=("band_hash",)
@@ -353,10 +358,9 @@ def propagate_min_labels(
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
     edges = _coerce_schema(pairs, pair_schema).materialize()
     if edges.count() == 0:
-        return edges.map_batches(
-            lambda t: pa.table({"node": t.column("a"), "label": t.column("a")}),
-            batch_format="pyarrow",
-        )
+        # typed-empty labels (a map over the empty edges would come back
+        # schemaless — Ray skips UDFs on 0-row blocks)
+        return rd.from_arrow(label_schema.empty_table())
 
     def endpoints(t: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays(
@@ -445,10 +449,7 @@ def _empty_losers(sigs: Dataset, id_type: pa.DataType = None) -> Dataset:
         batch_format="pyarrow",
     ).materialize()
     if empties.count() <= 1:
-        return empties.map_batches(
-            lambda t: pa.table({"loser": pa.array([], id_type)}),
-            batch_format="pyarrow",
-        )
+        return rd.from_arrow(pa.schema([("loser", id_type)]).empty_table())
     rep = empties.aggregate(Min("doc_id"))["min(doc_id)"]  # single scalar
     return empties.map_batches(
         lambda t: pa.table(

@@ -73,6 +73,135 @@ def conversation_stats(transcripts: Dataset) -> Dataset:
     return agg.map_batches(span, batch_format="pyarrow")
 
 
+def grouped_scan(
+    ds: Dataset,
+    key: str,
+    fn,
+    *,
+    num_parts: int = 64,
+    batch_format: str = "pandas",
+) -> Dataset:
+    """Co-located per-key scan WITHOUT per-key ``map_groups`` overhead.
+
+    ``map_groups`` pays ~0.4 ms of Python-call + frame cost PER GROUP
+    (measured, BASELINE journey #8) — ruinous at 10^6+ keys. Instead the
+    keys are hashed into ``num_parts`` coarse partitions; ``map_groups``
+    runs once per PARTITION and ``fn`` receives a multi-key frame, sorted
+    and boundary-masked vectorized. Same co-location guarantee (all rows of
+    a key land in one call); Python overhead drops from O(keys) to
+    O(num_parts). A pathological hot key still lands in one partition —
+    salt the key upstream if a single key exceeds a worker's memory."""
+    import zlib
+
+    def add_part(t: pa.Table) -> pa.Table:
+        pids = pa.array(
+            [
+                zlib.crc32(str(v).encode()) % num_parts
+                for v in t.column(key).to_pylist()
+            ],
+            pa.int32(),
+        )
+        return t.append_column("__part", pids)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    out = parted.groupby("__part").map_groups(fn, batch_format=batch_format)
+    return out
+
+
+def turn_context_stats(transcripts: Dataset) -> Dataset:
+    """Per-turn cross-turn context: previous role, inter-turn gap, and
+    reply-echo detection (turn text starting with the previous turn's text).
+
+    The conversation-context pattern (SURVEY §2.4): co-locate by conv_id,
+    order by turn_idx, vectorized lag scan — here via ``grouped_scan`` so
+    Python overhead is per-partition, not per-conversation. SQL-gated
+    (lag() window oracle)."""
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        conv = g["conv_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        role = g["role"].to_numpy()
+        prev_role = np.roll(role, 1)
+        prev_role = np.where(same, prev_role, "")
+        ts_us = g["ts"].astype("int64").to_numpy()
+        gap = ts_us - np.roll(ts_us, 1)
+        gap = np.where(same, gap, 0)
+        text = g["text"].to_numpy()
+        prev_text = np.roll(text, 1)
+        is_echo = np.array(
+            [
+                bool(s) and p != "" and t.startswith(p)
+                for s, t, p in zip(same, text, prev_text)
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": g["turn_idx"].to_numpy(),
+                "prev_role": prev_role,
+                "gap_us": gap.astype("int64"),
+                "is_echo": is_echo,
+            }
+        )
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+    return grouped_scan(slim, "conv_id", scan)
+
+
+TURN_CONTEXT_STATS_SQL_TMPL = """
+SELECT conv_id, turn_idx,
+       COALESCE(lag(role) OVER w, '') AS prev_role,
+       CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS BIGINT) AS gap_us,
+       COALESCE(starts_with(text, lag(text) OVER w) AND lag(text) OVER w <> '', FALSE) AS is_echo
+FROM read_parquet('{path}/*.parquet')
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+
+def extract_context_turns(transcripts: Dataset) -> Dataset:
+    """CONTEXT-AWARE extraction engine: a turn that opens by quoting the
+    entire previous turn (reply-echo) has that echoed prefix stripped
+    BEFORE extraction, so the duplicated content doesn't pollute main_text.
+    Turn-local engines stay the default contract; this is the opt-in
+    ``groupby(conv_id)`` co-located variant (SURVEY §2.4, VERDICT r1 #8)."""
+    from ocr_ray.core.extract import extract_turn
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        conv = g["conv_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        text = g["text"].to_numpy()
+        prev_text = np.roll(text, 1)
+        out_main, out_err, stripped = [], [], []
+        for s, t, p in zip(same, text, prev_text):
+            t = t if isinstance(t, str) else t
+            if s and isinstance(p, str) and p != "" and isinstance(t, str) and t.startswith(p) and len(t) > len(p):
+                r = extract_turn(t[len(p):])
+                stripped.append(True)
+            else:
+                r = extract_turn(t)
+                stripped.append(False)
+            out_main.append(r.main_text)
+            out_err.append(r.error)
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": g["turn_idx"].to_numpy(),
+                "main_text": out_main,
+                "error": out_err,
+                "echo_stripped": stripped,
+            }
+        )
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    return grouped_scan(slim, "conv_id", scan)
+
+
 def dialogue_pairs(extracted: Dataset) -> Dataset:
     """Cross-turn context view: each turn paired with the previous turn's
     role and extracted text head — a ``groupby(conv_id)`` co-located scan
@@ -80,16 +209,20 @@ def dialogue_pairs(extracted: Dataset) -> Dataset:
     neighbors)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        prev_role = np.roll(g["role"].to_numpy(), 1)
-        prev_head = np.roll(
-            g["main_text"].str.slice(0, 80).to_numpy(), 1
+        # multi-conversation vectorized lag (coarse-key grouped_scan):
+        # conversation boundaries masked, not one Python call per conv
+        g = g.sort_values(["conv_id", "turn_idx"])
+        conv = g["conv_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = conv[1:] == conv[:-1]
+        prev_role = np.where(same, np.roll(g["role"].to_numpy(), 1), "")
+        prev_head = np.where(
+            same, np.roll(g["main_text"].str.slice(0, 80).to_numpy(), 1), ""
         )
-        prev_role[0] = ""
-        prev_head[0] = ""
         return pd.DataFrame(
             {
-                "conv_id": g["conv_id"].to_numpy(),
+                "conv_id": conv,
                 "turn_idx": g["turn_idx"].to_numpy(),
                 "role": g["role"].to_numpy(),
                 "prev_role": prev_role,
@@ -98,4 +231,4 @@ def dialogue_pairs(extracted: Dataset) -> Dataset:
         )
 
     slim = extracted.select_columns(["conv_id", "turn_idx", "role", "main_text"])
-    return slim.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+    return grouped_scan(slim, "conv_id", pairs)

@@ -154,9 +154,12 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     """SQL strings for the extract-family invariants, bound to the
     deterministic transcripts fixture for ``sf_dir`` (the fixture is
     (re)generated here so the path exists when the oracle runs)."""
+    from ocr_ray.pipelines.conversation import TURN_CONTEXT_STATS_SQL_TMPL
+
     path = _transcripts(sf_dir)
     return {
         "extract_plain_turns": _plain_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
+        "turn_context_stats": TURN_CONTEXT_STATS_SQL_TMPL.format(path=path),
     }

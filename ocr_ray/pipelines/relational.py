@@ -514,6 +514,8 @@ WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
 def top_orders_per_cust(sf_dir: str) -> Dataset:
     import pandas as pd
 
+    from ocr_ray.pipelines.conversation import grouped_scan
+
     orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
     prepped = orders.map_batches(
         lambda t: pa.table(
@@ -527,11 +529,14 @@ def top_orders_per_cust(sf_dir: str) -> Dataset:
     )
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["price_cents", "o_orderkey"], ascending=[False, True]
-        ).head(2)
+        # multi-key vectorized rank: one pandas groupby per PARTITION (the
+        # coarse-key grouped_scan pattern), not one Python call per customer
+        g = g.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                          ascending=[True, False, True])
+        out = g.groupby("o_custkey", sort=False).head(2)
+        return out[["o_custkey", "o_orderkey", "price_cents"]]
 
-    return prepped.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+    return grouped_scan(prepped, "o_custkey", top2)
 
 
 TOP_ORDERS_PER_CUST_SQL = """
@@ -558,26 +563,34 @@ def events_sessions(sf_dir: str) -> Dataset:
     import numpy as np
     import pandas as pd
 
+    from ocr_ray.pipelines.conversation import grouped_scan
+
     events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # multi-user vectorized session scan (coarse-key grouped_scan):
+        # a session break is a user change OR a gap > 1h
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
         us = g["ts"].astype("int64").to_numpy()
-        new = np.ones(len(us), dtype=np.int64)
-        new[1:] = (us[1:] - us[:-1] > _SESSION_GAP_US).astype(np.int64)
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (
+            (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > _SESSION_GAP_US)
+        ).astype(np.int64)
         sess = np.cumsum(new)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "us": us, "sess": sess})
-        agg = out.groupby("sess").agg(
+        out = pd.DataFrame({"user_id": uid, "us": us, "sess": sess})
+        agg = out.groupby("sess", sort=False).agg(
             user_id=("user_id", "first"),
             session_start_us=("us", "min"),
+            session_end_us=("us", "max"),
             n_events=("us", "size"),
-            duration_us=("us", lambda x: int(x.max() - x.min())),
         )
+        agg["duration_us"] = agg["session_end_us"] - agg["session_start_us"]
         return agg.reset_index(drop=True)[
             ["user_id", "session_start_us", "n_events", "duration_us"]
         ]
 
-    return events.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_scan(events, "user_id", sessions)
 
 
 EVENTS_SESSIONS_SQL = """
@@ -821,16 +834,21 @@ def purchase_attribution(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
 
+    from ocr_ray.pipelines.conversation import grouped_scan
+
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
-        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        # multi-user as-of in ONE vectorized merge_asof(by=user_id) per
+        # partition (coarse-key grouped_scan) — no per-user Python calls
+        purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
         if purchases.empty or clicks.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "click_event_id": pd.Series([], dtype="int64")})
         m = pd.merge_asof(
-            purchases[["event_id", "ts"]],
-            clicks[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            purchases[["user_id", "event_id", "ts"]],
+            clicks[["user_id", "event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -842,7 +860,7 @@ def purchase_attribution(sf_dir: str) -> Dataset:
             }
         )
 
-    return events.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return grouped_scan(events, "user_id", asof)
 
 
 PURCHASE_ATTRIBUTION_SQL = """

@@ -109,6 +109,9 @@ def _apply_winners(
     ``auto``: count the (tiny, uid-only) winners dataset and pick.
     """
     if winner_join == "auto":
+        # pin winners (uid-only rows) so the count and the subsequent
+        # broadcast/join don't re-execute the winner aggregation
+        winners = winners.materialize()
         n = winners.count()
         winner_join = "broadcast" if n <= _BROADCAST_MAX_KEYS else "hash"
     if winner_join == "broadcast":

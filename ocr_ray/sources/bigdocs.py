@@ -1,0 +1,146 @@
+"""Deterministic VOLUME fixtures for the dedup/ANN ops suite.
+
+The shared testdata ``documents`` table is 500 rows even at sf0.1, so the
+near-dup / ANN operators were never perf-exercised at volume (VERDICT r1
+"What's missing" #5 / next-step #9). These generators produce cached
+synthetic corpora of arbitrary size, pure functions of (seed, index):
+
+* ``ensure_bigdocs(n)`` — documents (doc_id:int64, text:string). Docs come
+  in groups of ``GROUP``: offset 0 is an original (~100 word-soup words);
+  each other offset is, deterministically per (seed, doc), either a planted
+  NEAR-DUP of its group head (exactly one word substituted -> word-3-gram
+  Jaccard ~0.94, far above the 0.7 threshold) or an independent doc. The
+  exact survivor set under min-id near-dup semantics is therefore known in
+  closed form: group heads + independents.
+* ``ensure_bigvecs(n, dim)`` — embeddings (vec_id:int64, embedding:
+  list<float64>) with 5% planted near-duplicate vectors (tiny perturbation
+  of an earlier vector, cosine > 0.999).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+
+GROUP = 10
+DUP_PROB = 0.2  # per non-head slot
+_VOCAB = [f"tok{i:04d}" for i in range(5000)]
+
+
+def _doc_of(i: int, seed: int) -> tuple[str, bool]:
+    """(text, is_planted_dup) for doc i — pure function of (seed, i)."""
+    head = (i // GROUP) * GROUP
+    rng_head = random.Random((seed << 32) ^ head)
+    base_words = [rng_head.choice(_VOCAB) for _ in range(100)]
+    if i == head:
+        return " ".join(base_words), False
+    rng = random.Random((seed << 32) ^ i)
+    if rng.random() < DUP_PROB:
+        words = list(base_words)
+        words[rng.randrange(len(words))] = rng.choice(_VOCAB)
+        return " ".join(words), True
+    return " ".join(rng.choice(_VOCAB) for _ in range(100)), False
+
+
+def expected_bigdoc_survivors(n_docs: int, seed: int) -> list[int]:
+    """Closed-form survivor set: every doc that is NOT a planted dup.
+
+    (A planted dup shares ~94% of shingles with its group head, which has a
+    smaller id, so it always loses; independents/head never reach 0.7
+    Jaccard with anything else — 100 draws from a 5000-token vocab.)"""
+    return [i for i in range(n_docs) if not _doc_of(i, seed)[1]]
+
+
+def doc_batch(indices, seed: int) -> pa.Table:
+    rows = [(int(i), _doc_of(int(i), seed)[0]) for i in indices]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def ensure_bigdocs(
+    n_docs: int, seed: int = 7, root: str = "/dev/shm/ocr_ray_fixtures"
+) -> str:
+    out = os.path.join(root, f"bigdocs_s{seed}_n{n_docs}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    import ray.data as rd
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    n_blocks = max(4, min(n_docs // 2000, 512))
+    (
+        rd.range(n_docs, override_num_blocks=n_blocks)
+        .map_batches(
+            lambda b, s=seed: doc_batch(b["id"], s),
+            batch_format="numpy",
+            batch_size=4096,
+        )
+        .write_parquet(tmp)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def vec_batch(indices, seed: int, dim: int) -> pa.Table:
+    ids = np.asarray(indices, dtype=np.int64)
+    out = np.empty((len(ids), dim), dtype=np.float64)
+    for j, i in enumerate(ids):
+        rs = np.random.RandomState((seed * 1_000_003 + int(i)) % (2**31))
+        if i % 20 == 19 and i >= 20:  # 5%: near-dup of vector i-19
+            base_rs = np.random.RandomState((seed * 1_000_003 + int(i) - 19) % (2**31))
+            v = base_rs.randn(dim)
+            v = v + 0.01 * rs.randn(dim)
+        else:
+            v = rs.randn(dim)
+        out[j] = v / np.linalg.norm(v)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(out.tolist(), pa.list_(pa.float64())),
+        }
+    )
+
+
+def ensure_bigvecs(
+    n_vecs: int, dim: int = 64, seed: int = 11, root: str = "/dev/shm/ocr_ray_fixtures"
+) -> str:
+    out = os.path.join(root, f"bigvecs_s{seed}_n{n_vecs}_d{dim}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    import ray.data as rd
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    n_blocks = max(4, min(n_vecs // 4000, 256))
+    (
+        rd.range(n_vecs, override_num_blocks=n_blocks)
+        .map_batches(
+            lambda b, s=seed, d=dim: vec_batch(b["id"], s, d),
+            batch_format="numpy",
+            batch_size=8192,
+        )
+        .write_parquet(tmp)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

@@ -44,3 +44,69 @@ def test_dialogue_pairs():
         assert turns[0]["prev_role"] == ""  # first turn has no predecessor
         for prev, cur in zip(turns, turns[1:]):
             assert cur["prev_role"] == prev["role"]
+
+
+class TestContextEngine:
+    """Conversation-context extraction (VERDICT r1 #8): reply-echo prefixes
+    stripped before the kernel runs, via groupby(conv_id) co-location."""
+
+    def _table(self):
+        import pyarrow as pa
+
+        from ocr_ray.stages.schemas import TRANSCRIPT_SCHEMA
+
+        prev = (
+            "The assistant explains the streaming executor in detail over "
+            "several sentences so the payload clears every length gate."
+        )
+        echo = prev + "\n\nAnd the user continues quoting then adds their own new question about backpressure."
+        return pa.table(
+            {
+                "conv_id": ["c1", "c1", "c1", "c2"],
+                "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+                "role": ["assistant", "user", "assistant", "user"],
+                "text": [prev, echo, "fresh reply without any quoting at all", prev],
+                "tool": [""] * 4,
+                "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            },
+            schema=TRANSCRIPT_SCHEMA,
+        )
+
+    def test_echo_stripped_equals_suffix_extraction(self):
+        import ray.data as rd
+
+        from ocr_ray.core.extract import extract_turn
+        from ocr_ray.pipelines.conversation import extract_context_turns
+
+        t = self._table()
+        out = extract_context_turns(rd.from_arrow(t)).to_pandas()
+        out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        # turn c1#1 echoes c1#0 entirely: context engine extracts the suffix
+        row = out[(out.conv_id == "c1") & (out.turn_idx == 1)].iloc[0]
+        assert row.echo_stripped
+        suffix = t.column("text")[1].as_py()[len(t.column("text")[0].as_py()):]
+        assert row.main_text == extract_turn(suffix).main_text
+        # non-echo turns match the turn-local kernel exactly
+        for _, r in out[~out.echo_stripped].iterrows():
+            raw = [
+                x for c, i, x in zip(
+                    t.column("conv_id").to_pylist(),
+                    t.column("turn_idx").to_pylist(),
+                    t.column("text").to_pylist(),
+                )
+                if c == r.conv_id and i == r.turn_idx
+            ][0]
+            assert r.main_text == extract_turn(raw).main_text
+        # cross-conversation boundary: c2#0 must NOT see c1's turns
+        assert not out[(out.conv_id == "c2")].echo_stripped.any()
+
+    def test_turn_context_stats_detects_echo(self):
+        import ray.data as rd
+
+        from ocr_ray.pipelines.conversation import turn_context_stats
+
+        out = turn_context_stats(rd.from_arrow(self._table())).to_pandas()
+        out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert list(out.is_echo) == [False, True, False, False]
+        assert list(out.prev_role) == ["", "assistant", "user", ""]
+        assert list(out.gap_us) == [0, 1, 1, 0]
