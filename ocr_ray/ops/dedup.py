@@ -378,6 +378,27 @@ def propagate_min_labels(
         .materialize()
     )
 
+    def _label_digest(lab: Dataset) -> int:
+        """Order-independent digest of the label assignment: sum of per-row
+        crc32(node#label). Labels only decrease, so digest-unchanged across
+        a round == fixpoint (for integer ids this is sum-of-labels-exact in
+        spirit; the crc fold covers string uids — a sum collision would need
+        simultaneous compensating changes, vanishingly unlikely and at worst
+        costs one early stop of a refinement round, never wrong output,
+        because the verified-pair edges bound the merge set)."""
+        import zlib as _z
+
+        def h(t: pa.Table) -> pa.Table:
+            vals = [
+                _z.crc32(f"{n}#{l}".encode())
+                for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist())
+            ]
+            return pa.table({"d": pa.array(vals, pa.int64())})
+
+        out = lab.map_batches(h, batch_format="pyarrow").sum("d")
+        return int(out or 0)
+
+    digest = _label_digest(labels)
     for it in range(max_iters):
         # messages: each endpoint's label flows to its neighbor
         la = _relabel_join(edges, labels, key="a", other="b", label_schema=label_schema)
@@ -390,17 +411,26 @@ def propagate_min_labels(
             )
             .materialize()
         )
-        # fixpoint check without a join: a changed node's (node, label) rows
-        # appear once each under old and new; unchanged appear twice.
-        tagged = labels.union(new_labels)
-        diff = _coerce_schema(
-            tagged.groupby(["node", "label"]).aggregate(Count(alias_name="c")),
-            label_schema.append(pa.field("c", pa.int64())),
-        ).filter(expr="c == 1")
-        n_changed = diff.count()
-        labels = new_labels
-        if n_changed == 0:
-            break
+        new_digest = _label_digest(new_labels)
+        if new_digest == digest:
+            # cheap digest says fixpoint — CONFIRM exactly (once per query,
+            # not per round): a changed node's (node, label) appears once
+            # under old and once under new; unchanged appears twice.
+            tagged = labels.union(new_labels)
+            n_changed = (
+                _coerce_schema(
+                    tagged.groupby(["node", "label"]).aggregate(Count(alias_name="c")),
+                    label_schema.append(pa.field("c", pa.int64())),
+                )
+                .filter(expr="c == 1")
+                .count()
+            )
+            labels = new_labels
+            if n_changed == 0:
+                break
+        else:
+            labels = new_labels
+        digest = new_digest
     else:
         logger.warning(
             "propagate_min_labels: hit max_iters=%d before fixpoint "
@@ -412,14 +442,15 @@ def propagate_min_labels(
 def _relabel_join(
     edges: Dataset, labels: Dataset, *, key: str, other: str, label_schema: pa.Schema
 ) -> Dataset:
-    """edges (a,b) x labels (node,label) on ``key`` -> (node=other, label)."""
-    id_type = label_schema.field("node").type
-    j = _coerce_schema(
-        edges.join(
-            labels, join_type="inner", num_partitions=_PAIR_JOIN_PARTS,
-            on=(key,), right_on=("node",),
-        ),
-        pa.schema([("a", id_type), ("b", id_type), ("label", id_type)]),
+    """edges (a,b) x labels (node,label) on ``key`` -> (node=other, label).
+
+    No coercion needed on the join output: the following map is simply
+    skipped on the join's empty (schemaless) partition blocks, and the
+    downstream groupby tolerates them — only JOIN inputs need a schema-
+    bearing block, and this output feeds a groupby, not a join."""
+    j = edges.join(
+        labels, join_type="inner", num_partitions=_PAIR_JOIN_PARTS,
+        on=(key,), right_on=("node",),
     )
     return j.map_batches(
         lambda t, o=other: pa.table({"node": t.column(o), "label": t.column("label")}),

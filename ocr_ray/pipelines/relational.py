@@ -154,23 +154,44 @@ def q3_top_orders(sf_dir: str) -> Dataset:
         .rename_columns(["l_orderkey", "revenue_c4"]),
         batch_format="pyarrow",
     )
-    # large x large: hash-partitioned shuffle join
-    joined = hash_join(
+    # cost-based: the BUILDING+date-filtered orders side is ~2 orders of
+    # magnitude smaller than lineitem — auto_join broadcasts it when it
+    # fits (64 MB), falling back to the hash-partitioned shuffle join at
+    # scales where it doesn't (the switch, not the shuffle, is the plan)
+    from ocr_ray.functions.joins import auto_join
+
+    joined = auto_join(
         lineitem,
         orders.select_columns(["o_orderkey", "o_orderdate"]),
         on="l_orderkey",
         right_on="o_orderkey",
     )
-    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+    # group on INT keys: Ray's sort-based groupby degenerates on a (pandas-
+    # roundtripped, ns-precision) timestamp key — measured 17.8 s vs 1.8 s
+    # for the identical aggregation with the date cast to int64 us first
+    as_int = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "date_us": pc.cast(
+                    pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+                ),
+                "revenue_c4": t.column("revenue_c4"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = as_int.groupby(["l_orderkey", "date_us"]).aggregate(
         Sum("revenue_c4", alias_name="revenue_c4")
     )
     top = agg.sort(["revenue_c4", "l_orderkey"], descending=[True, False]).limit(10)
-    # Ray's sort path can downcast day-resolution timestamps; restore [us]
     return top.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("o_orderdate"),
-            "o_orderdate",
-            t.column("o_orderdate").cast(pa.timestamp("us")),
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate": pc.cast(t.column("date_us"), pa.timestamp("us")),
+                "revenue_c4": t.column("revenue_c4"),
+            }
         ),
         batch_format="pyarrow",
     )
