@@ -173,8 +173,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(oracle_sqls(_DRIVER_SF))
     try:
         from ocr_ray.ops import REGISTRY as OPS_REGISTRY
+        from ocr_ray.ops.multimodal import media_inventory_sql
 
         out.update({name: sql for name, (fn, sql) in OPS_REGISTRY.items() if sql})
+        # per-sf SQL: reads the deterministic media fixture parquet directly
+        out["media_inventory"] = media_inventory_sql(_DRIVER_SF)
     except ImportError:
         pass
     return out

@@ -18,8 +18,14 @@ from ocr_ray.ops.dedup import (
     dedup_simhash_docs,
     embedding_near_dups,
 )
-from ocr_ray.ops.multimodal import media_features
-from ocr_ray.ops.textstats import doc_fingerprints, doc_quality, lang_id_docs
+from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
+from ocr_ray.ops.textstats import (
+    DOC_QUALITY_SQL,
+    LANG_ID_SQL,
+    doc_fingerprints,
+    doc_quality,
+    lang_id_docs,
+)
 
 REGISTRY: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
@@ -30,8 +36,9 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),
-    "lang_id_docs": (lang_id_docs, None),
-    "doc_quality": (doc_quality, None),
+    "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_fingerprints": (doc_fingerprints, None),
     "media_features": (media_features, None),
+    "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
 }

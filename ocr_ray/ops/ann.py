@@ -170,14 +170,19 @@ def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 
     quantizer — the scale path for clustered embeddings."""
     import functools
 
-    import pyarrow.parquet as pq
-
     q, qids = _load_queries(sf_dir)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    # fit on a driver-side sample (here: first 256 vectors)
-    sample = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    ).column("embedding").to_pylist()[:256]
+    # fit on a sample pulled THROUGH Ray (limit stops the read after enough
+    # blocks — the driver never holds more than the 256-row sample, however
+    # large the corpus); the k-means itself is O(sample), driver-side
+    sample = [
+        r["embedding"]
+        for r in rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        .limit(256)
+        .take_all()
+    ]
     xs = np.asarray(sample, dtype=np.float64)
     xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
     cent = _kmeans_fit(xs, n_centroids)

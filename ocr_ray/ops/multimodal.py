@@ -197,14 +197,82 @@ def sample_frames(ds: Dataset, *, batch_size: int = 8, **kw) -> Dataset:
     )
 
 
+def media_rows_for_sf(sf_dir: str) -> int:
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    return max(30, n_convs_for_sf(sf_dir) // 10)
+
+
+def ensure_media_fixture(
+    n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures"
+) -> str:
+    """Write (once, cached) the deterministic media table as parquet, so the
+    SQL oracle and the Ray query read the same bytes."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"media_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(synth_media_table(n, seed), os.path.join(tmp, "part-0.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    open(marker, "w").close()
+    return out
+
+
+def media_inventory(sf_dir: str) -> Dataset:
+    """Driver-verifiable rollup of the media fixture: per-kind row count +
+    total payload bytes. Gates the binary-column plumbing (parquet binary
+    read, vectorized octet length, partial pre-agg + tiny groupby) against
+    DuckDB over the same parquet — the feature kernel itself is blake2b-based
+    and SQL-inexpressible, so media_features stays pytest-gated."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    path = ensure_media_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path, columns=["kind", "payload"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": t.column("kind"),
+                "nbytes": pc.cast(pc.binary_length(t.column("payload")), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Count(alias_name="n_media"), Sum("nbytes", alias_name="total_bytes"))
+    )
+
+
+def media_inventory_sql(sf_dir: str) -> str:
+    path = ensure_media_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT kind,
+  CAST(COUNT(*) AS BIGINT) AS n_media,
+  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+FROM read_parquet('{path}/*.parquet')
+GROUP BY kind
+"""
+
+
 def media_features(sf_dir: str) -> Dataset:
     """queries() entry: synth media -> actor-pool decode -> scalar features.
 
-    (sf_dir scales the row count deterministically; no external data.)"""
-    from ocr_ray.sources.transcripts import n_convs_for_sf
-
-    n = max(30, n_convs_for_sf(sf_dir) // 10)
-    ds = rd.from_arrow(synth_media_table(n))
+    (sf_dir scales the row count deterministically; no external data. Reads
+    the cached parquet fixture so the binary-column parquet source path is
+    exercised, same bytes as the media_inventory oracle.)"""
+    path = ensure_media_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path)
     out = decode_media(ds, fake=True)
 
     def scalars(t: pa.Table) -> pa.Table:

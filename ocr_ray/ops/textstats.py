@@ -123,6 +123,77 @@ def doc_quality(sf_dir: str) -> Dataset:
     )
 
 
+def _sql_str_set(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+# DuckDB equivalent of quality_of(): RE2's \w is ASCII-only while Python's
+# \w is unicode, so the punct class is spelled [^\p{L}\p{N}_\s] (unicode
+# letters/digits/underscore) to match Python semantics. All ratios are
+# non-negative integer // so DuckDB's floor-div matches Python's.
+DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN n_chars = 0 THEN 0 ELSE 10000 * n_punct // n_chars END AS BIGINT) AS punct_bp,
+  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE 10000 * n_stop // n_tokens END AS BIGINT) AS stop_bp,
+  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE 100 * tok_chars // n_tokens END AS BIGINT) AS mean_tok_len_c
+FROM (
+  SELECT doc_id,
+    length(t) AS n_chars,
+    len(regexp_extract_all(t, '\\S+')) AS n_tokens,
+    len(regexp_extract_all(t, '[^\\p{{L}}\\p{{N}}_\\s]')) AS n_punct,
+    len(list_filter(regexp_extract_all(t, '\\S+'),
+        w -> trim(lower(w), '.,!?;:') IN ({_sql_str_set(_STOPWORDS["en"])}))) AS n_stop,
+    length(regexp_replace(t, '\\s', '', 'g')) AS tok_chars
+  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+)
+"""
+
+
+def _lang_id_sql() -> str:
+    """DuckDB oracle for lang_id_docs, GENERATED from the same _STOPWORDS
+    profiles the Ray kernel uses — one source of truth for the word lists.
+    Argmax ties break to the first lang in sorted order (matching the
+    strictly-greater scan in lang_of)."""
+    langs = sorted(_STOPWORDS)
+    hit_cols = ",\n    ".join(
+        f"len(list_filter(words, w -> w IN ({_sql_str_set(_STOPWORDS[lang])}))) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 'und'
+       WHEN cjk * 20 >= n THEN 'zh'
+       WHEN nw = 0 OR best = 0 THEN 'und'
+       {pick} END AS lang_pred,
+  CAST(CASE WHEN n = 0 THEN 0
+       WHEN cjk * 20 >= n THEN 10000 * cjk // n
+       WHEN nw = 0 THEN 0
+       ELSE 10000 * best // nw END AS BIGINT) AS lang_score_bp
+FROM (
+  SELECT doc_id, n, cjk, len(words) AS nw, {best} AS best,
+         hits_{', hits_'.join(langs)}
+  FROM (
+    SELECT doc_id, n, cjk, words,
+    {hit_cols}
+    FROM (
+      SELECT doc_id,
+        length(t2) AS n,
+        len(regexp_extract_all(t2, '[{_CJK_RE.pattern[1:-1]}]')) AS cjk,
+        list_transform(regexp_extract_all(t2, '[a-zA-Z'']+'), w -> lower(w)) AS words
+      FROM (SELECT doc_id, substr(coalesce(text, ''), 1, {_LANG_SCAN_CHARS}) AS t2 FROM documents)
+    )
+  )
+)
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 def fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
     """Winnowing document fingerprint: rolling crc32 over char k-grams,
     minimum per sliding window, deduplicated, sorted."""

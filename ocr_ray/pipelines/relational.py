@@ -903,6 +903,194 @@ def events_sample(sf_dir: str) -> Dataset:
     return ds.random_sample(0.1, seed=42)
 
 
+def events_hash_sample(sf_dir: str) -> Dataset:
+    """Deterministic ~10.2% hash sample: md5(event_id) first byte < 0x1a.
+
+    The sampling pattern for a 10^12-row table: no seed coordination across
+    workers, reproducible across engines and reruns (lowercase-hex prefix
+    comparison is identical in DuckDB), and composable — the same predicate
+    on any engine selects the same rows."""
+    import hashlib
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [
+                hashlib.md5(str(i).encode("ascii")).digest()[0] < 0x1A
+                for i in t.column("event_id").to_pylist()
+            ],
+            pa.bool_(),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+EVENTS_HASH_SAMPLE_SQL = """
+SELECT event_id, user_id FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
+# ---------------------------------------------------------------------------
+# purchase_followups — range join (SURVEY §2.4 family): for each purchase,
+# aggregate the same user's events in the following hour
+# ---------------------------------------------------------------------------
+
+
+def purchase_followups(sf_dir: str) -> Dataset:
+    """Range join expressed as two as-of probes over co-located, sorted
+    partitions — the scale plan for interval joins: no all-to-all pairwise
+    expansion, one coarse-key shuffle, vectorized merge_asof inside each
+    partition.
+
+    For purchase p: n_follow / follow_value_cents over events e of the same
+    user with p.ts < e.ts <= p.ts + 1h. Within a partition every row gets a
+    per-user running (count, value-cents cumsum); the range aggregate is the
+    difference of the as-of lookups at ts = p.ts and ts = p.ts + 1h. Bounds
+    land on the LAST row of a timestamp tie cluster in both probes, so
+    equal-ts events are excluded exactly like SQL's ``e.ts > p.ts``."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+                "value_cents": to_cents(t.column("value")),
+            }
+        )
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        df["ucnt"] = df.groupby("user_id").cumcount() + 1
+        df["ucum"] = df.groupby("user_id")["value_cents"].cumsum()
+        right = df[["user_id", "ts", "ucnt", "ucum"]].sort_values("ts", kind="mergesort")
+        pur = df.loc[df["event_type"] == "purchase", ["event_id", "user_id", "ts"]].copy()
+        if pur.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_follow": pd.Series([], dtype="int64"),
+                    "follow_value_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        # keep the source ts resolution — `+ Timedelta` silently upcasts to
+        # ns, and merge_asof requires exactly-matching key dtypes
+        pur["hi_ts"] = (pur["ts"] + pd.Timedelta(hours=1)).astype(pur["ts"].dtype)
+        lo = pd.merge_asof(
+            pur.sort_values("ts", kind="mergesort"), right, on="ts", by="user_id"
+        ).set_index("event_id")
+        hi = pd.merge_asof(
+            pur.sort_values("hi_ts", kind="mergesort"),
+            right.rename(columns={"ts": "hi_ts"}),
+            on="hi_ts",
+            by="user_id",
+        ).set_index("event_id")
+        out = pd.DataFrame(
+            {
+                "event_id": lo.index.to_numpy(),
+                "user_id": lo["user_id"].to_numpy(),
+                "n_follow": (hi["ucnt"].reindex(lo.index) - lo["ucnt"]).astype("int64").to_numpy(),
+                "follow_value_cents": (hi["ucum"].reindex(lo.index) - lo["ucum"])
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+        return out
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_scan(pre, "user_id", lambda df: scan(df.drop(columns=["__part"])))
+    return out
+
+
+PURCHASE_FOLLOWUPS_SQL = """
+SELECT p.event_id, p.user_id,
+  CAST(COUNT(e.event_id) AS BIGINT) AS n_follow,
+  CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) AS BIGINT) AS follow_value_cents
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_rollup — GROUP BY ROLLUP(priority, status): one data shuffle to the
+# leaf grain, super-aggregate levels derived from the tiny leaf table
+# ---------------------------------------------------------------------------
+
+
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP without re-scanning: the only O(data) work is the leaf
+    groupby (with per-batch combiner); the (priority, ALL) and (ALL, ALL)
+    levels re-aggregate the |priorities| x |statuses| leaf table — bounded
+    by key cardinality, not data size, at any scale."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "revenue_cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+        return _partial_groupby(
+            out, ["o_orderpriority", "o_orderstatus"], ["revenue_cents"], "n_orders"
+        )
+
+    leaf = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    lt = pa.Table.from_pandas(leaf.to_pandas(), preserve_index=False)  # tiny: |prio| x |status|
+
+    def _roll(t: pa.Table, keys: list[str]) -> pa.Table:
+        tmp = t if keys else t.append_column("__g", pa.array([0] * t.num_rows, pa.int8()))
+        g = tmp.group_by(keys or ["__g"]).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        n = g.num_rows
+        cols = {
+            k: (g.column(k) if k in keys else pa.array(["ALL"] * n, pa.string()))
+            for k in ("o_orderpriority", "o_orderstatus")
+        }
+        cols["revenue_cents"] = g.column("revenue_cents_sum")
+        cols["n_orders"] = g.column("n_orders_sum")
+        return pa.table(cols)
+
+    lt = lt.select(["o_orderpriority", "o_orderstatus", "revenue_cents", "n_orders"])
+    return pa.concat_tables([lt, _roll(lt, ["o_orderpriority"]), _roll(lt, [])])
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -920,6 +1108,9 @@ REGISTRY: dict[str, tuple] = {
     "nation_acct_stats": (nation_acct_stats, NATION_ACCT_STATS_SQL),
     "high_value_events": (high_value_events, HIGH_VALUE_EVENTS_SQL),
     "events_sample": (events_sample, None),
+    "events_hash_sample": (events_hash_sample, EVENTS_HASH_SAMPLE_SQL),
+    "purchase_followups": (purchase_followups, PURCHASE_FOLLOWUPS_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "distinct_users": (distinct_users, DISTINCT_USERS_SQL),
