@@ -19,6 +19,12 @@ from ocr_ray.ops.dedup import (
     embedding_near_dups,
 )
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
+from ocr_ray.ops.simjoin import (
+    DEDUP_JACCARD_EXACT_SQL,
+    dedup_cosine_exact,
+    dedup_cosine_exact_sql,
+    dedup_jaccard_exact,
+)
 from ocr_ray.ops.textstats import (
     DOC_QUALITY_SQL,
     LANG_ID_SQL,
@@ -33,6 +39,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash_docs": (dedup_simhash_docs, None),
     "dedup_jaccard_docs": (dedup_jaccard_docs, None),
     "embedding_near_dups": (embedding_near_dups, None),
+    "dedup_jaccard_exact": (dedup_jaccard_exact, DEDUP_JACCARD_EXACT_SQL),
+    "dedup_cosine_exact": (dedup_cosine_exact, None),  # SQL built per-sf: dedup_cosine_exact_sql
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),

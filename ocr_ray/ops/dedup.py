@@ -61,11 +61,21 @@ _ROWS = _N_PERM // _BANDS
 # pairs; above the cap the bucket is skipped WITH A LOGGED DROP (no silent
 # truncation). 64 -> at most ~2k pairs per bucket.
 _MAX_BUCKET = 64
-# Shuffle-join partition count for the tiny pair/signature joins.
+# Shuffle-join partition cap for the pair/signature joins; the actual count
+# is sized from the (known, already-counted) row count of the small side —
+# every hash-shuffle op spins up num_partitions aggregator actors, a fixed
+# ~per-partition cost that dominates when the candidate set is tiny.
 _PAIR_JOIN_PARTS = 8
 
 
-def _coerce_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+def _dyn_parts(n_rows: int, cap: int = 64) -> int:
+    """Partition count for a shuffle over ``n_rows`` small rows: ~100k rows
+    per partition, min 2, capped. Grows with the candidate set at scale,
+    stays minimal for the common near-empty case."""
+    return max(2, min(cap, n_rows // 100_000 + 2))
+
+
+def _coerce_schema(ds: Dataset, schema: pa.Schema, parts: int = _PAIR_JOIN_PARTS) -> Dataset:
     """Normalize block schemas after a hash-shuffle join/aggregate.
 
     Ray 2.49's hash-shuffle operators emit EMPTY partitions as zero-column
@@ -81,7 +91,7 @@ def _coerce_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
             return schema.empty_table()
         return t.select(schema.names).cast(schema)
 
-    return ds.repartition(_PAIR_JOIN_PARTS).map_batches(fix, batch_format="pyarrow")
+    return ds.repartition(parts).map_batches(fix, batch_format="pyarrow")
 
 
 def _perm_params(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
@@ -115,45 +125,46 @@ def _word_shingles(text: str, k: int = 3) -> np.ndarray:
     )
 
 
-class MinHasher:
-    """Actor-pool stage: text -> 128-perm MinHash signature (uint64 list).
+import functools
 
-    Permutation parameters are derived once per actor in ``__init__`` from a
-    fixed seed (deterministic across the cluster). Docs with zero shingles
-    (empty/whitespace text) get the all-``_P`` sentinel signature."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        self.a, self.b = _perm_params()
-        self.text_col = text_col
-        self.id_col = id_col
+@functools.lru_cache(maxsize=4)
+def _cached_perms(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    """Per-worker-process cache of the permutation parameters (derived from
+    a fixed seed, deterministic across the cluster). Computing them is ~µs,
+    so TASK-mode map_batches with this cache beats an actor pool: no pool
+    startup latency, and scheduling stays fully elastic."""
+    return _perm_params(seed)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch.column(self.text_col).to_pylist():
-            x = _word_shingles(text or "")
-            if len(x) == 0:
-                # sentinel: real hash values are in [0, _P); _P marks "empty"
-                sigs.append(np.full(_N_PERM, _P, dtype=np.uint64))
-                continue
-            # (n_perm, n_shingles) universal hash, min over shingles
-            hv = (self.a[:, None] * (x[None, :] % _P) + self.b[:, None]) % _P
-            sigs.append(hv.min(axis=1))
-        return pa.table(
-            {
-                "doc_id": batch.column(self.id_col),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
+
+def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """text -> 128-perm MinHash signature (uint64 list). Docs with zero
+    shingles (empty/whitespace text) get the all-``_P`` sentinel."""
+    a, b = _cached_perms()
+    sigs = []
+    for text in batch.column(text_col).to_pylist():
+        x = _word_shingles(text or "")
+        if len(x) == 0:
+            # sentinel: real hash values are in [0, _P); _P marks "empty"
+            sigs.append(np.full(_N_PERM, _P, dtype=np.uint64))
+            continue
+        # (n_perm, n_shingles) universal hash, min over shingles
+        hv = (a[:, None] * (x[None, :] % _P) + b[:, None]) % _P
+        sigs.append(hv.min(axis=1))
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+        }
+    )
 
 
 def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, id_col),
+        _minhash_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 16),
-        num_cpus=1,
     )
 
 
@@ -195,6 +206,12 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     (a < b). Id type is preserved (int doc ids or string turn uids)."""
     id_type = group.schema.field("doc_id").type
     ids = sorted(group.column("doc_id").to_pylist())
+    if len(ids) > 1000:
+        # uncapped (exact-recall) callers land here on a hot bucket
+        logger.warning(
+            "_bucket_pairs: hot bucket with %d members (%d pairs)",
+            len(ids), len(ids) * (len(ids) - 1) // 2,
+        )
     a_out, b_out = [], []
     for i in range(len(ids) - 1):
         for j in range(i + 1, len(ids)):
@@ -204,48 +221,64 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 
 
 def candidate_pairs(
-    banded: Dataset, *, id_type: pa.DataType = None, max_bucket: int = _MAX_BUCKET
+    banded: Dataset, *, id_type: pa.DataType = None, max_bucket: int | None = _MAX_BUCKET
 ) -> Dataset:
     """Banded LSH rows -> DISTINCT candidate pairs, fully distributed.
 
     1. vectorized bucket census: ``groupby(band_hash).aggregate(Count)``
     2. collision buckets = 2 <= n <= max_bucket; oversized buckets are
-       dropped with a logged row count (no silent caps)
+       dropped with a logged row count (no silent caps).
+       ``max_bucket=None`` = NO cap (exact-recall callers, e.g. the prefix-
+       filter similarity join, where dropping a bucket would drop true
+       pairs); big buckets are still logged by ``_bucket_pairs``.
     3. ``left_semi`` join keeps only collision-bucket band rows (tiny)
     4. ``map_groups`` pair fan-out ONLY over collision buckets
     5. distinct via ``groupby(a, b)``
     """
+    from ray.data.aggregate import Sum as _Sum
+
     if id_type is None:
         id_type = pa.int64()
     band_schema = pa.schema([("band_hash", pa.int64()), ("doc_id", id_type)])
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
     stats = banded.groupby("band_hash").aggregate(Count(alias_name="n")).materialize()
-    oversized = stats.filter(expr=f"n > {max_bucket}")
-    n_over = oversized.count()
-    if n_over:
-        dropped_rows = sum(r["n"] for r in oversized.take_all())  # tiny: stats rows
-        logger.warning(
-            "candidate_pairs: skipped %d oversized LSH buckets (> %d members, "
-            "%d band rows dropped from pairing)",
-            n_over, max_bucket, dropped_rows,
-        )
-    collide = stats.filter(expr=f"n >= 2 and n <= {max_bucket}").select_columns(["band_hash"])
+    if max_bucket is not None:
+        oversized = stats.filter(expr=f"n > {max_bucket}")
+        n_over = oversized.count()
+        if n_over:
+            dropped_rows = sum(r["n"] for r in oversized.take_all())  # tiny: stats rows
+            logger.warning(
+                "candidate_pairs: skipped %d oversized LSH buckets (> %d members, "
+                "%d band rows dropped from pairing)",
+                n_over, max_bucket, dropped_rows,
+            )
+        collide_expr = f"n >= 2 and n <= {max_bucket}"
+    else:
+        collide_expr = "n >= 2"
+    collide_stats = stats.filter(expr=collide_expr).materialize()
     # an entirely-empty join side has no schema-bearing block (Ray skips the
     # UDF on 0-row blocks AND strips their schema), which crashes the join's
     # partition finalize — guard with a (cheap, stats-level) count.
-    if collide.count() == 0:
+    n_collide = collide_stats.count()
+    if n_collide == 0:
         return rd.from_arrow(pair_schema.empty_table())
+    collide = collide_stats.select_columns(["band_hash"])
+    # size the semi join (and the downstream pair shuffles) from the exact
+    # collision band-row total, not a fixed constant
+    n_band_rows = int(collide_stats.aggregate(_Sum("n"))["sum(n)"] or 0)
+    parts = _dyn_parts(n_band_rows)
     kept = _coerce_schema(
         banded.join(
-            collide, join_type="left_semi", num_partitions=_PAIR_JOIN_PARTS, on=("band_hash",)
+            collide, join_type="left_semi", num_partitions=parts, on=("band_hash",)
         ),
         band_schema,
+        parts,
     )
     pairs = kept.groupby("band_hash").map_groups(_bucket_pairs, batch_format="pyarrow")
     distinct = (
         pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     )
-    return _coerce_schema(distinct, pair_schema)
+    return _coerce_schema(distinct, pair_schema, parts)
 
 
 def _pack_lists(col, dtype) -> pa.Array:
@@ -274,6 +307,7 @@ def _paired_with(
     *,
     left_schema: pa.Schema,
     payload_type: pa.DataType,
+    parts: int = _PAIR_JOIN_PARTS,
 ) -> tuple[Dataset, pa.Schema]:
     """hash-join one pair endpoint against a (doc_id, payload) dataset,
     renaming the payload to ``out``. Payloads stay distributed; list-typed
@@ -291,15 +325,15 @@ def _paired_with(
     # ``right_on`` differs)
     out_schema = left_schema.append(pa.field(out, payload_type))
     j = pairs.join(
-        side, join_type="inner", num_partitions=_PAIR_JOIN_PARTS,
+        side, join_type="inner", num_partitions=parts,
         on=(key,), right_on=("__k",),
     )
-    return _coerce_schema(j, out_schema), out_schema
+    return _coerce_schema(j, out_schema, parts), out_schema
 
 
 def verified_pairs_minhash(
     pairs: Dataset, sigs: Dataset, *, threshold_bp: int = 7000,
-    id_type: pa.DataType = None,
+    id_type: pa.DataType = None, parts: int = _PAIR_JOIN_PARTS,
 ) -> Dataset:
     """Keep pairs whose signature agreement >= threshold (basis points).
 
@@ -317,10 +351,11 @@ def verified_pairs_minhash(
     )
     j, s1 = _paired_with(
         pairs, packed, "a", "sig", "sig_a",
-        left_schema=pair_schema, payload_type=pa.binary(),
+        left_schema=pair_schema, payload_type=pa.binary(), parts=parts,
     )
     j, _ = _paired_with(
-        j, packed, "b", "sig", "sig_b", left_schema=s1, payload_type=pa.binary()
+        j, packed, "b", "sig", "sig_b", left_schema=s1, payload_type=pa.binary(),
+        parts=parts,
     )
 
     def check(t: pa.Table) -> pa.Table:
@@ -357,23 +392,39 @@ def propagate_min_labels(
     label_schema = pa.schema([("node", id_type), ("label", id_type)])
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
     edges = _coerce_schema(pairs, pair_schema).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # typed-empty labels (a map over the empty edges would come back
         # schemaless — Ray skips UDFs on 0-row blocks)
         return rd.from_arrow(label_schema.empty_table())
+    parts = _dyn_parts(2 * n_edges)
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        nodes = pa.concat_arrays(
-            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+    # Symmetric edge list, built ONCE: (a,b) and (b,a) as (src, dst). Each
+    # propagation round is then a single join on src (labels flow src->dst)
+    # instead of two separate a-side/b-side joins — halves the per-round
+    # shuffle count, same messages.
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
         )
-        return pa.table({"node": nodes, "label": nodes})
+
+    edges_sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
 
     labels = (
         _coerce_schema(
-            edges.map_batches(endpoints, batch_format="pyarrow")
+            edges_sym.map_batches(
+                lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+                batch_format="pyarrow",
+            )
             .groupby("node")
             .aggregate(Min("label", alias_name="label")),
             label_schema,
+            parts,
         )
         .materialize()
     )
@@ -400,14 +451,15 @@ def propagate_min_labels(
 
     digest = _label_digest(labels)
     for it in range(max_iters):
-        # messages: each endpoint's label flows to its neighbor
-        la = _relabel_join(edges, labels, key="a", other="b", label_schema=label_schema)
-        lb = _relabel_join(edges, labels, key="b", other="a", label_schema=label_schema)
-        cands = labels.union(la).union(lb)
+        # messages: each node's label flows along every out-edge of the
+        # symmetric edge list (one join per round)
+        msgs = _relabel_join(edges_sym, labels, label_schema=label_schema, parts=parts)
+        cands = labels.union(msgs)
         new_labels = (
             _coerce_schema(
                 cands.groupby("node").aggregate(Min("label", alias_name="label")),
                 label_schema,
+                parts,
             )
             .materialize()
         )
@@ -421,6 +473,7 @@ def propagate_min_labels(
                 _coerce_schema(
                     tagged.groupby(["node", "label"]).aggregate(Count(alias_name="c")),
                     label_schema.append(pa.field("c", pa.int64())),
+                    parts,
                 )
                 .filter(expr="c == 1")
                 .count()
@@ -440,20 +493,22 @@ def propagate_min_labels(
 
 
 def _relabel_join(
-    edges: Dataset, labels: Dataset, *, key: str, other: str, label_schema: pa.Schema
+    edges_sym: Dataset, labels: Dataset, *, label_schema: pa.Schema,
+    parts: int = _PAIR_JOIN_PARTS,
 ) -> Dataset:
-    """edges (a,b) x labels (node,label) on ``key`` -> (node=other, label).
+    """symmetric edges (src,dst) x labels (node,label) on src ->
+    (node=dst, label) — the per-round message set.
 
     No coercion needed on the join output: the following map is simply
     skipped on the join's empty (schemaless) partition blocks, and the
     downstream groupby tolerates them — only JOIN inputs need a schema-
     bearing block, and this output feeds a groupby, not a join."""
-    j = edges.join(
-        labels, join_type="inner", num_partitions=_PAIR_JOIN_PARTS,
-        on=(key,), right_on=("node",),
+    j = edges_sym.join(
+        labels, join_type="inner", num_partitions=parts,
+        on=("src",), right_on=("node",),
     )
     return j.map_batches(
-        lambda t, o=other: pa.table({"node": t.column(o), "label": t.column("label")}),
+        lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
         batch_format="pyarrow",
     )
 
@@ -536,11 +591,13 @@ def near_dup_survivors(
     id_type = sigs.schema().base_schema.field("doc_id").type
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(banded, id_type=id_type, max_bucket=max_bucket).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         verified = pairs  # no candidates: skip the (empty-input) verify joins
     else:
         verified = verified_pairs_minhash(
-            pairs, sigs, threshold_bp=threshold_bp, id_type=id_type
+            pairs, sigs, threshold_bp=threshold_bp, id_type=id_type,
+            parts=_dyn_parts(n_pairs),
         )
     labels = propagate_min_labels(verified, id_type=id_type)
     losers = _losers_from_labels(labels).union(_empty_losers(sigs, id_type=id_type))
@@ -616,16 +673,18 @@ def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> Dataset:
     if pairs.count() == 0:
         verified = pairs
     else:
+        parts = _dyn_parts(pairs.count())
         texts_kv = ds.map_batches(
             lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("text")}),
             batch_format="pyarrow",
         )
         j, s1 = _paired_with(
             pairs, texts_kv, "a", "sig", "text_a",
-            left_schema=pair_schema, payload_type=pa.string(),
+            left_schema=pair_schema, payload_type=pa.string(), parts=parts,
         )
         j, _ = _paired_with(
-            j, texts_kv, "b", "sig", "text_b", left_schema=s1, payload_type=pa.string()
+            j, texts_kv, "b", "sig", "text_b", left_schema=s1,
+            payload_type=pa.string(), parts=parts,
         )
 
         def check(t: pa.Table) -> pa.Table:
@@ -668,19 +727,14 @@ def simhash64(text: str) -> int:
     return out
 
 
-class SimHasher:
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t or "") for t in batch.column(self.text_col).to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch.column(self.id_col),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
-            }
-        )
+def _simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    sigs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+        }
+    )
 
 
 def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
@@ -691,7 +745,7 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     sigs = ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=256, concurrency=(1, 16), num_cpus=1
+        _simhash_batch, batch_format="pyarrow", batch_size=256
     ).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -716,15 +770,18 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
     if pairs.count() == 0:
         verified = pairs
     else:
+        parts = _dyn_parts(pairs.count())
         sh_kv = sigs.map_batches(
             lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("simhash")}),
             batch_format="pyarrow",
         )
         j, s1 = _paired_with(
-            pairs, sh_kv, "a", "sig", "h_a", left_schema=pair_schema, payload_type=pa.int64()
+            pairs, sh_kv, "a", "sig", "h_a", left_schema=pair_schema,
+            payload_type=pa.int64(), parts=parts,
         )
         j, _ = _paired_with(
-            j, sh_kv, "b", "sig", "h_b", left_schema=s1, payload_type=pa.int64()
+            j, sh_kv, "b", "sig", "h_b", left_schema=s1, payload_type=pa.int64(),
+            parts=parts,
         )
 
         def check(t: pa.Table) -> pa.Table:
@@ -754,34 +811,28 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
     traffic, not O(corpus)). Plane matrix is seeded + broadcast."""
     import os
 
-    import ray
-
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     first = ds.take(1)
     dim = len(first[0]["embedding"])
+    # plane matrix is dim x n_planes floats — small enough to ship in the
+    # task closure (a model-sized state would be ray.put + actor pool)
     planes = np.random.RandomState(99).randn(dim, n_planes)
-    ref = ray.put(planes)
 
-    class Bucketer:
-        def __init__(self):
-            self.planes = ray.get(ref)
+    def bucket(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bits = (emb @ planes) > 0
+        keys = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {"band_hash": pa.array(keys), "doc_id": batch.column("vec_id")}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            bits = (emb @ self.planes) > 0
-            keys = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-            return pa.table(
-                {"band_hash": pa.array(keys), "doc_id": batch.column("vec_id")}
-            )
-
-    banded = ds.map_batches(
-        Bucketer, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8), num_cpus=1
-    )
+    banded = ds.map_batches(bucket, batch_format="pyarrow", batch_size=1024)
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     if pairs.count() == 0:
         verified = pairs
     else:
+        parts = _dyn_parts(pairs.count())
         emb_kv = ds.map_batches(
             lambda t: pa.table(
                 {"doc_id": t.column("vec_id"), "sig": _pack_lists(t.column("embedding"), np.float64)}
@@ -789,10 +840,12 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
             batch_format="pyarrow",
         )
         j, s1 = _paired_with(
-            pairs, emb_kv, "a", "sig", "v_a", left_schema=pair_schema, payload_type=pa.binary()
+            pairs, emb_kv, "a", "sig", "v_a", left_schema=pair_schema,
+            payload_type=pa.binary(), parts=parts,
         )
         j, _ = _paired_with(
-            j, emb_kv, "b", "sig", "v_b", left_schema=s1, payload_type=pa.binary()
+            j, emb_kv, "b", "sig", "v_b", left_schema=s1, payload_type=pa.binary(),
+            parts=parts,
         )
 
         def check(t: pa.Table) -> pa.Table:

@@ -29,10 +29,12 @@ def _rebind_extract_oracles():
     """entry.oracle_sql() binds the extract-family fixture paths to the
     driver's sf (0.01); rebind them to this test's SF."""
     from ocr_ray.ops.multimodal import media_inventory_sql
+    from ocr_ray.ops.simjoin import dedup_cosine_exact_sql
     from ocr_ray.pipelines.extract_oracle import oracle_sqls
 
     _SQLS.update(oracle_sqls(SF))
     _SQLS["media_inventory"] = media_inventory_sql(SF)
+    _SQLS["dedup_cosine_exact"] = dedup_cosine_exact_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
