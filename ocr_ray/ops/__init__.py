@@ -1,8 +1,11 @@
 """Large-scale training-data operations (first-class components):
 
 dedup      exact, MinHash+LSH near-dup, SimHash, embedding-cosine near-dup
+simjoin    exact prefix-filter Jaccard + exact cosine similarity self-joins
 ann        brute-force cosine top-k + LSH-bucketed approximate variant
 textstats  language-ID, quality scoring, token counts, winnowing fingerprints
+corpus     decontamination, vocabulary, tf/df terms, sequence packing,
+           mixture sampling, distributed exact quantiles
 multimodal binary media columns: decode/feature plumbing (stubbed kernels)
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
@@ -17,6 +20,20 @@ from ocr_ray.ops.dedup import (
     dedup_minhash_docs,
     dedup_simhash_docs,
     embedding_near_dups,
+)
+from ocr_ray.ops.corpus import (
+    DECONTAMINATE_SQL,
+    DOC_TOP_TERMS_SQL,
+    MIXTURE_SAMPLE_SQL,
+    ORDER_QUANTILES_SQL,
+    PACK_SEQUENCES_SQL,
+    VOCAB_TOPK_SQL,
+    decontaminate_docs,
+    doc_top_terms,
+    mixture_sample,
+    order_quantiles,
+    pack_sequences,
+    vocab_topk,
 )
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.simjoin import (
@@ -49,4 +66,10 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprints": (doc_fingerprints, None),
     "media_features": (media_features, None),
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
+    "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
+    "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
 }

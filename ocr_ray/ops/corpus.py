@@ -1,0 +1,509 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+The ops a 100 TB text corpus needs between "cleaned documents" and "training
+shards", each expressed as a streaming Dataset plan and SQL-gated against
+DuckDB (exact integer scoring everywhere — no float reduction-order hazards):
+
+* ``decontaminate_docs`` — drop training docs that share any word-5-gram
+  with the held-out eval slice (benchmark-contamination removal). The eval
+  side of a real pipeline is tiny (benchmarks, ~MBs) against a 100 TB train
+  side, so the eval gram set is broadcast via ``ray.put`` once and probed
+  per batch — no shuffle touches the train corpus.
+* ``vocab_topk`` — global token vocabulary, top 100 by (count desc, token):
+  fully vectorized per-batch Arrow value_counts partials, then a tiny
+  groupby-sum over (token, partial_count) rows. Token rows through the
+  shuffle are pre-aggregated per batch, so exchange volume is bounded by
+  distinct-tokens-per-batch, not corpus tokens.
+* ``doc_top_terms`` — per-doc top-3 terms by an integer tf/df relevance
+  score (``tf * 1e6 // df`` — the deterministic cousin of TF-IDF): exploded
+  (doc, term, tf) rows via Arrow list flattening + local group_by, document
+  frequency via a distributed groupby, per-doc top-k via a co-located
+  grouped scan.
+* ``pack_sequences`` — assign docs to fixed token-budget training packs by
+  exclusive running token count in doc_id order: the classic two-level
+  distributed prefix scan (per-bucket partial sums -> tiny driver offset
+  table -> per-bucket co-located cumsum). The driver holds one row per
+  bucket (n_docs / 128), never the data; at 10^12 docs the bucket table
+  itself would be hierarchically scanned the same way.
+* ``mixture_sample`` — deterministic per-language sampling rates (the
+  data-mixing step of corpus assembly): md5-prefix predicate, so any
+  engine, any rerun, any worker selects the same rows (no seed state).
+* ``order_quantiles`` — exact discrete quantiles of a 10^12-row numeric
+  column without a global sort: bucket-histogram pass (tiny driver table of
+  bucket counts), locate the target bucket per quantile, then a second pass
+  that sorts ONLY the target buckets.
+
+Reference scope: the reference app has no corpus ops (its pipeline ends at
+sheet upsert, save-to-google-sheet.ts); these generalize the round brief's
+training-data mandate. Token/gram conventions are shared with
+``ops/simjoin.word_grams`` and ``functions/scalars.count_tokens`` so every
+SQL oracle mirrors byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ocr_ray.ops.simjoin import word_grams
+
+_EVAL_MOD = 17  # doc_id % 17 == 0 -> held-out eval slice
+_GRAM_K = 5
+_VOCAB_K = 100
+_PACK_BUDGET = 2048  # tokens per training pack
+_PACK_BUCKET = 128  # docs per scan bucket (driver holds n_docs/128 rows)
+_QUANTILES_BP = (2500, 5000, 7500, 9000, 9900)
+_Q_BUCKET_CENTS = 10_000_00  # $10k-wide histogram buckets
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_docs(sf_dir: str, k: int = _GRAM_K) -> Dataset:
+    """Training docs (doc_id % 17 != 0) that share NO word-5-gram with any
+    eval doc (doc_id % 17 == 0). Output: (doc_id, source, lang) survivors.
+
+    Eval grams are collected once (the eval slice is benchmark-sized by
+    construction — in production, fixed benchmark suites) and broadcast via
+    ``ray.put``; each train batch probes the shared set vectorized-per-doc.
+    The 100 TB side streams: no shuffle, no train-gram materialization."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text", "source", "lang"])
+
+    def _mod_filter(want_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(
+                pc.subtract(
+                    t.column("doc_id"),
+                    pc.multiply(
+                        pc.divide(t.column("doc_id"), pa.scalar(_EVAL_MOD)),
+                        pa.scalar(_EVAL_MOD),
+                    ),
+                ),
+                pa.scalar(0),
+            )
+            return t.filter(m if want_eval else pc.invert(m))
+
+        return fn
+
+    ev = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        out = set()
+        for text in t.column("text").to_pylist():
+            out.update(word_grams(text, k=k))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    # distinct via groupby so the collected set is deduplicated across blocks
+    gram_rows = (
+        ev.map_batches(eval_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Count(alias_name="_c"))
+        .take_all()
+    )
+    eval_set = frozenset(r["gram"] for r in gram_rows)
+    ref = ray.put(eval_set)
+
+    class Probe:
+        def __init__(self):
+            self.grams = ray.get(ref)  # zero-copy-ish shared set, once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = [
+                not any(g in self.grams for g in word_grams(text, k=k))
+                for text in t.column("text").to_pylist()
+            ]
+            return t.filter(pa.array(keep)).select(["doc_id", "source", "lang"])
+
+    return docs.map_batches(_mod_filter(False), batch_format="pyarrow").map_batches(
+        Probe, batch_format="pyarrow", batch_size=512, concurrency=(1, 8), num_cpus=1
+    )
+
+
+# word_grams semantics: lower + ASCII \S+ tokens; <k tokens -> the single
+# joined gram; empty -> no grams (an empty train doc can never collide)
+_GRAMS_CTE = f"""
+  SELECT doc_id, source, lang,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) < {_GRAM_K} THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - {_GRAM_K - 2}),
+              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))
+    END AS grams
+  FROM (SELECT doc_id, source, lang,
+               regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+        FROM documents)
+"""
+
+DECONTAMINATE_SQL = f"""
+WITH g AS ({_GRAMS_CTE}),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {_EVAL_MOD} = 0
+)
+SELECT doc_id, source, lang FROM g
+WHERE doc_id % {_EVAL_MOD} != 0
+  AND NOT EXISTS (
+    SELECT 1 FROM ev JOIN unnest(g.grams) AS u(gram) ON u.gram = ev.gram
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary
+# ---------------------------------------------------------------------------
+
+
+def _token_lists(t: pa.Table, text_col: str = "text") -> pa.Array:
+    """Vectorized lowercase whitespace tokenization (Arrow kernels only)."""
+    lowered = pc.utf8_lower(pc.coalesce(t.column(text_col), pa.scalar("")))
+    return pc.ascii_split_whitespace(lowered)
+
+
+def vocab_topk(sf_dir: str, top_k: int = _VOCAB_K) -> Dataset:
+    """Global top-100 tokens by (count desc, token asc) over documents.
+
+    Per-batch partial: Arrow split + flatten + value_counts (no Python per
+    token). Shuffle carries (token, partial_count) — bounded by distinct
+    tokens per batch. Final top-k is a sort+limit over distinct tokens."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t).combine_chunks()
+        flat = toks.flatten()
+        # split_whitespace emits "" tokens for empty/blank docs; \S+ doesn't
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(top_k)
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {_VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-doc top terms (integer tf/df relevance — deterministic TF-IDF cousin)
+# ---------------------------------------------------------------------------
+
+
+def doc_top_terms(sf_dir: str, top_n: int = 3) -> Dataset:
+    """Per-doc top-3 terms by ``score = tf * 1_000_000 // df`` (ties: term
+    asc). Exploded term rows are built with Arrow list flattening +
+    ``list_parent_indices`` (vectorized), tf via a LOCAL Arrow group_by per
+    batch (pre-aggregation before the exchange), df via a distributed
+    groupby over distinct (doc, term) rows."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t).combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        terms = toks.flatten()
+        flat = pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks().take(parents),
+                "term": terms,
+            }
+        ).filter(pc.not_equal(terms, pa.scalar("")))
+        # local combine: one row per (doc, term) with its in-batch tf
+        return flat.group_by(["doc_id", "term"]).aggregate([([], "count_all")]).rename_columns(
+            ["doc_id", "term", "tf"]
+        )
+
+    dt = docs.map_batches(term_rows, batch_format="pyarrow").materialize()
+    id_type = pa.int64()
+    # docs never straddle batches, so per-batch tf is exact per (doc, term);
+    # df = number of docs containing the term. Distinct right-side key name
+    # + schema coercion per the repo's hash-join conventions (groupby can
+    # emit zero-column empty blocks that crash a downstream join).
+    from ocr_ray.ops.dedup import _coerce_schema
+
+    df = _coerce_schema(
+        dt.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda t: pa.table({"__t": t.column("term"), "df": t.column("df")}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("__t", pa.string()), ("df", pa.int64())]),
+    )
+    joined = _coerce_schema(
+        dt.join(df, join_type="inner", num_partitions=8, on=("term",), right_on=("__t",)),
+        pa.schema(
+            [("doc_id", id_type), ("term", pa.string()), ("tf", pa.int64()), ("df", pa.int64())]
+        ),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        s = pc.divide(
+            pc.multiply(pc.cast(t.column("tf"), pa.int64()), pa.scalar(1_000_000)),
+            t.column("df"),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "term": t.column("term"), "score": s}
+        )
+
+    def topn(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("score", "descending"), ("term", "ascending")]
+        )
+        return g.take(order[:top_n])
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(topn, batch_format="pyarrow")
+    )
+
+
+DOC_TOP_TERMS_SQL = """
+WITH tr AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tr GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tr GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * 1000000 // df.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * 1000000 // df.df DESC, tf.term ASC) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, score FROM scored WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (two-level distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = _PACK_BUDGET, bucket: int = _PACK_BUCKET
+) -> Dataset:
+    """(doc_id, n_tokens, pack_id): pack = exclusive running token count in
+    doc_id order, integer-divided by the token budget.
+
+    Two-level scan: (1) per-bucket token sums via a distributed groupby —
+    the driver collects ONE ROW PER BUCKET (n_docs/128) and turns them into
+    exclusive bucket offsets; (2) each bucket computes its internal cumsum
+    co-located (``map_groups`` sorted by doc_id) and adds its offset. Data
+    rows never visit the driver; a 10^12-doc corpus would scan the bucket
+    table itself the same way (offsets compose associatively)."""
+    from ocr_ray.functions.scalars import count_tokens
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        n = count_tokens(pc.coalesce(t.column("text"), pa.scalar("")))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": n,
+                "bucket": pc.divide(t.column("doc_id"), pa.scalar(bucket)),
+            }
+        )
+
+    toks = docs.map_batches(with_tokens, batch_format="pyarrow").materialize()
+
+    # level 1: bucket partials -> exclusive offsets (driver table is tiny)
+    parts = toks.groupby("bucket").aggregate(Sum("n_tokens", alias_name="s")).take_all()
+    parts.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in parts:
+        offsets[r["bucket"]] = acc
+        acc += r["s"]
+    ref = ray.put(offsets)
+
+    # level 2: co-located within-bucket exclusive cumsum + offset
+    def scan(g: pa.Table) -> pa.Table:
+        offs = ray.get(ref)
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(order)
+        n = g.column("n_tokens").to_numpy()
+        excl = np.concatenate(([0], np.cumsum(n[:-1]))) + offs[g.column("bucket")[0].as_py()]
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_tokens": g.column("n_tokens"),
+                "pack_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    return toks.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_extract_all(coalesce(text, ''), '\\S+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (deterministic per-language rates)
+# ---------------------------------------------------------------------------
+
+# keep rate by language, as an md5-first-byte threshold (0x100 = keep all):
+# the md5-prefix predicate needs no seed state, so any worker, rerun, or
+# engine selects identical rows (same pattern as events_hash_sample)
+_MIX_RATES = {"en": 0x100, "fr": 0x80, "de": 0x80, "es": 0x80, "zh": 0x40}
+
+
+def mixture_sample(sf_dir: str) -> Dataset:
+    """Data-mixing step: per-language deterministic downsampling of the
+    documents table (en 100%, fr/de/es 50%, zh 25%, unknown dropped)."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = []
+        for did, lang in zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()):
+            thr = _MIX_RATES.get(lang, 0)
+            keep.append(
+                thr >= 0x100
+                or hashlib.md5(str(did).encode("ascii")).digest()[0] < thr
+            )
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CASE lang
+        WHEN 'en' THEN TRUE
+        WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        WHEN 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        ELSE FALSE
+      END
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed exact quantiles (bucket histogram, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def order_quantiles(sf_dir: str) -> Dataset:
+    """Exact discrete quantiles (p25/50/75/90/99) of order totals in cents.
+
+    Rank convention (mirrored in SQL): value at 1-based sorted position
+    ``ceil(q * n)`` computed in integers. Pass 1 builds a bucket histogram
+    ($10k buckets — the driver holds one count per bucket, bounded by the
+    value RANGE, not the row count). Pass 2 sorts ONLY the buckets that
+    contain a target rank. A 10^12-row table never gets globally sorted."""
+    from ocr_ray.functions.scalars import to_cents
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = to_cents(t.column("o_totalprice"))
+        return pa.table({"cents": c, "bucket": pc.divide(c, pa.scalar(_Q_BUCKET_CENTS))})
+
+    vals = orders.map_batches(cents, batch_format="pyarrow").materialize()
+    hist = vals.groupby("bucket").aggregate(Count(alias_name="c")).take_all()
+    hist.sort(key=lambda r: r["bucket"])
+    n = sum(r["c"] for r in hist)
+
+    # target (1-based) ranks, integer ceil; map each to its bucket + local rank
+    targets = {}  # bucket -> list of (q_bp, rank_within_bucket)
+    for q_bp in _QUANTILES_BP:
+        k = max(1, (q_bp * n + 9_999) // 10_000)
+        cum = 0
+        for r in hist:
+            if cum + r["c"] >= k:
+                targets.setdefault(r["bucket"], []).append((q_bp, k - cum))
+                break
+            cum += r["c"]
+    ref = ray.put(targets)
+
+    def pick(g: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        wanted = t.get(g.column("bucket")[0].as_py(), [])
+        if not wanted:
+            return pa.table(
+                {"q_bp": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+            )
+        srt = np.sort(g.column("cents").to_numpy())
+        return pa.table(
+            {
+                "q_bp": pa.array([q for q, _ in wanted], pa.int64()),
+                "cents": pa.array([int(srt[rk - 1]) for _, rk in wanted], pa.int64()),
+            }
+        )
+
+    target_buckets = pa.array(sorted(targets), pa.int64())
+
+    def only_targets(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("bucket"), value_set=target_buckets))
+
+    return (
+        vals.map_batches(only_targets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+ORDER_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn, count(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(q_bp AS BIGINT) AS q_bp, cents
+FROM (VALUES {", ".join(f"({q})" for q in _QUANTILES_BP)}) AS qs(q_bp)
+JOIN r ON r.rn = greatest(1, (CAST(q_bp AS BIGINT) * r.n + 9999) // 10000)
+"""

@@ -1,0 +1,99 @@
+"""Corpus-prep operators: planted-case semantics beyond the SQL parity gate
+(which covers testdata exactly but not edge shapes)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_ray.ops.corpus import (
+    _PACK_BUDGET,
+    decontaminate_docs,
+    mixture_sample,
+    order_quantiles,
+    pack_sequences,
+    vocab_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    """Mini table dir shaped like testdata: documents + orders."""
+    d = tmp_path_factory.mktemp("corpus_sf")
+    # doc 0 (eval: 0 % 17 == 0) plants a 5-gram that doc 18 copies; doc 19
+    # is clean; doc 20 has <5 tokens; doc 34 is eval again (34 % 17 == 0)
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta",
+        18: "noise words then alpha beta gamma delta epsilon more tail",
+        19: "completely disjoint content nothing shared at all here",
+        20: "tiny doc",
+        34: "another eval document with its own unique phrasing entirely",
+        35: "tiny doc",  # <5 tokens, equals doc 20's whole-text gram (non-eval twin)
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[k] for k in sorted(texts)],
+                "lang": ["en", "zh", "fr", "en", "de", "es"],
+                "source": ["s"] * 6,
+            }
+        ),
+        d / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_totalprice": pa.array([float(x) for x in range(1, 101)])}),
+        d / "orders.parquet",
+    )
+    return str(d)
+
+
+def test_decontaminate_planted(ray_session, sf_dir):
+    surv = sorted(r["doc_id"] for r in decontaminate_docs(sf_dir).take_all())
+    # 18 shares the planted 5-gram with eval doc 0 -> contaminated.
+    # 19, 20, 35 share nothing with eval docs 0/34 -> survive.
+    assert surv == [19, 20, 35]
+
+
+def test_vocab_counts(ray_session, sf_dir):
+    rows = {r["token"]: r["n"] for r in vocab_topk(sf_dir).take_all()}
+    assert rows["alpha"] == 2 and rows["tiny"] == 2 and rows["noise"] == 1
+
+
+def test_pack_boundaries(ray_session, sf_dir):
+    rows = sorted(pack_sequences(sf_dir).take_all(), key=lambda r: r["doc_id"])
+    # exclusive running sum in doc_id order // budget
+    cum = 0
+    for r in rows:
+        assert r["pack_id"] == cum // _PACK_BUDGET
+        cum += r["n_tokens"]
+
+
+def test_pack_budget_split(ray_session, tmp_path):
+    # 3 docs of 1500 tokens: packs 0,0,1 (exclusive sums 0,1500,3000)
+    text = " ".join(["tok"] * 1500)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [text] * 3,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = sorted(pack_sequences(str(tmp_path)).take_all(), key=lambda r: r["doc_id"])
+    assert [r["pack_id"] for r in rows] == [0, 0, 1]
+
+
+def test_mixture_rates(ray_session, sf_dir):
+    kept = {r["doc_id"] for r in mixture_sample(sf_dir).take_all()}
+    # 'en' docs always survive; others depend on md5 but are deterministic
+    assert {0, 20} <= kept
+    again = {r["doc_id"] for r in mixture_sample(sf_dir).take_all()}
+    assert kept == again
+
+
+def test_quantile_rank_convention(ray_session, sf_dir):
+    # orders are 1..100 dollars -> cents 100..10000; rank ceil(q*n):
+    # p25 -> 25th value = 2500 cents, p99 -> 99th = 9900
+    rows = {r["q_bp"]: r["cents"] for r in order_quantiles(sf_dir).take_all()}
+    assert rows == {2500: 2500, 5000: 5000, 7500: 7500, 9000: 9000, 9900: 9900}
