@@ -91,11 +91,22 @@ def run_bench() -> dict:
 
     out_dir = f"/dev/shm/ocr_ray_bench/out_c{NCPU}"  # tmpfs: the bench measures compute+shuffle, not the sandbox's burst-throttled virtual disk (a real deployment writes to S3/NVMe that scales with nodes)
     shutil.rmtree(out_dir, ignore_errors=True)
+    # partition count follows DATA SIZE, not cluster size: output files stay
+    # ~20k-turn/~100MB-uncompressed sized at every sf, and the scaling pair
+    # runs the IDENTICAL job at both parallelism levels (with cpu-derived
+    # partitioning the two legs would do different work)
+    import pyarrow.parquet as pq_mod
+
+    n_rows_in = sum(
+        pq_mod.ParquetFile(f).metadata.num_rows
+        for f in sorted(_glob.glob(os.path.join(inp, "*.parquet")))
+    )
+    num_partitions = max(8, min(256, n_rows_in // 20_000))
     t0 = time.monotonic()
     manifest = extract_and_commit(
         inp,
         out_dir,
-        num_partitions=max(8, NCPU),
+        num_partitions=num_partitions,
         resume=False,
         finalize_num_cpus=1,  # tmpfs output: writers scale, no disk cap needed
     )
@@ -131,6 +142,27 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         _consume(ann_topk_over(rd.read_parquet(vecs200k), n_queries=64, k=10))
         qtimes["ann_brute_200k"] = round(time.monotonic() - t0, 3)
+
+        # exact-recall similarity join at volume (prefix-filter plan)
+        from ocr_ray.ops.simjoin import jaccard_dup_pairs
+
+        docs20k = ensure_bigdocs(20_000, seed=7)
+        t0 = time.monotonic()
+        n_jpairs = jaccard_dup_pairs(
+            rd.read_parquet(docs20k, columns=["doc_id", "text"]).materialize()
+        ).count()
+        qtimes["jaccard_exact_20k"] = round(time.monotonic() - t0, 3)
+
+        # corpus-prep ops at volume (vocab partial-agg + two-level scan)
+        from ocr_ray.ops.corpus import pack_sequences_over, vocab_topk_over
+
+        big = rd.read_parquet(docs100k, columns=["doc_id", "text"])
+        t0 = time.monotonic()
+        _consume(vocab_topk_over(big))
+        qtimes["vocab_topk_100k"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        _consume(pack_sequences_over(big))
+        qtimes["pack_sequences_100k"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
     return {
@@ -179,7 +211,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def pair(lo_n: int, hi_n: int, repeats: int = 2, cooldown_s: int = 45) -> dict:
+    def pair(
+        lo_n: int,
+        hi_n: int,
+        repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "2")),
+        cooldown_s: int = 45,
+    ) -> dict:
         # Throttle-aware protocol: the box's CPU is burst-credit throttled
         # under sustained load (measured: -35% after minutes of all-core
         # work), so (a) interleave hi/lo legs, (b) cool down between runs,

@@ -172,12 +172,16 @@ def _token_lists(t: pa.Table, text_col: str = "text") -> pa.Array:
 
 
 def vocab_topk(sf_dir: str, top_k: int = _VOCAB_K) -> Dataset:
-    """Global top-100 tokens by (count desc, token asc) over documents.
+    """Global top-100 tokens by (count desc, token asc) over documents."""
+    return vocab_topk_over(
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"]), top_k=top_k
+    )
 
-    Per-batch partial: Arrow split + flatten + value_counts (no Python per
+
+def vocab_topk_over(docs: Dataset, top_k: int = _VOCAB_K) -> Dataset:
+    """Per-batch partial: Arrow split + flatten + value_counts (no Python per
     token). Shuffle carries (token, partial_count) — bounded by distinct
     tokens per batch. Final top-k is a sort+limit over distinct tokens."""
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         toks = _token_lists(t).combine_chunks()
@@ -321,6 +325,16 @@ SELECT doc_id, term, score FROM scored WHERE rn <= 3
 def pack_sequences(
     sf_dir: str, budget: int = _PACK_BUDGET, bucket: int = _PACK_BUCKET
 ) -> Dataset:
+    return pack_sequences_over(
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"]),
+        budget=budget,
+        bucket=bucket,
+    )
+
+
+def pack_sequences_over(
+    docs: Dataset, budget: int = _PACK_BUDGET, bucket: int = _PACK_BUCKET
+) -> Dataset:
     """(doc_id, n_tokens, pack_id): pack = exclusive running token count in
     doc_id order, integer-divided by the token budget.
 
@@ -331,8 +345,6 @@ def pack_sequences(
     rows never visit the driver; a 10^12-doc corpus would scan the bucket
     table itself the same way (offsets compose associatively)."""
     from ocr_ray.functions.scalars import count_tokens
-
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def with_tokens(t: pa.Table) -> pa.Table:
         n = count_tokens(pc.coalesce(t.column("text"), pa.scalar("")))

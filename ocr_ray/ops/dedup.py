@@ -139,22 +139,27 @@ def _cached_perms(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
 
 def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """text -> 128-perm MinHash signature (uint64 list). Docs with zero
-    shingles (empty/whitespace text) get the all-``_P`` sentinel."""
+    shingles (empty/whitespace text) get the all-``_P`` sentinel.
+
+    The universal hash runs ONCE over the batch's concatenated shingle
+    array ((n_perm, total_shingles) — one big elementwise pass instead of
+    one small matmul per doc), then per-doc minima fall out of a single
+    ``np.minimum.reduceat`` at the doc offsets."""
     a, b = _cached_perms()
-    sigs = []
-    for text in batch.column(text_col).to_pylist():
-        x = _word_shingles(text or "")
-        if len(x) == 0:
-            # sentinel: real hash values are in [0, _P); _P marks "empty"
-            sigs.append(np.full(_N_PERM, _P, dtype=np.uint64))
-            continue
-        # (n_perm, n_shingles) universal hash, min over shingles
-        hv = (a[:, None] * (x[None, :] % _P) + b[:, None]) % _P
-        sigs.append(hv.min(axis=1))
+    texts = batch.column(text_col).to_pylist()
+    shingles = [_word_shingles(t or "") for t in texts]
+    lens = np.array([len(s) for s in shingles], dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    sig_mat = np.full((len(texts), _N_PERM), _P, dtype=np.uint64)  # sentinel rows
+    if len(nonempty):
+        x_all = np.concatenate([shingles[i] for i in nonempty])
+        hv = (a[:, None] * (x_all[None, :] % _P) + b[:, None]) % _P
+        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        sig_mat[nonempty] = np.minimum.reduceat(hv, offsets, axis=1).T
     return pa.table(
         {
             "doc_id": batch.column(id_col),
-            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            "sig": pa.array(list(sig_mat), pa.list_(pa.uint64())),
         }
     )
 

@@ -88,6 +88,7 @@ def write_partition_group(
     t = group.drop_columns(["part_id"]).sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
+    _t_sort = time.monotonic()
     if expected_schema is not None:
         # schema-assert before commit (reference double-validation analog,
         # zod at the flow boundary + safeParse at the sink, route.ts:106-114)
@@ -98,15 +99,25 @@ def write_partition_group(
 
     data_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
     tmp_path = data_path + f".tmp-{os.getpid()}"
-    pq.write_table(t, tmp_path, **_PARQUET_OPTS)
-    with open(tmp_path, "rb") as f:
-        payload = f.read()
-    checksum = hashlib.sha256(payload).hexdigest()
-    fd = os.open(tmp_path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    # encode to an in-memory buffer first: the checksum hashes the buffer
+    # directly instead of reading the written file back (one full extra read
+    # per partition saved), and the bytes hit disk exactly once
+    sink_buf = pa.BufferOutputStream()
+    pq.write_table(t, sink_buf, **_PARQUET_OPTS)
+    payload = sink_buf.getvalue()
+    checksum = hashlib.sha256(memoryview(payload)).hexdigest()
+    if os.environ.get("OCR_RAY_SINK_TIMING"):
+        import sys
+
+        print(
+            f"[sink-timing] pid={pid} rows={t.num_rows} sort={_t_sort - t0:.2f}s "
+            f"write={time.monotonic() - _t_sort:.2f}s",
+            file=sys.stderr, flush=True,
+        )
+    with open(tmp_path, "wb") as f:
+        f.write(memoryview(payload))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp_path, data_path)
 
     n_errors = int(
@@ -118,7 +129,7 @@ def write_partition_group(
         "rows_out": t.num_rows,
         "n_convs": len(pc.unique(t.column("conv_id"))),
         "bytes_in": bytes_in,
-        "bytes_out": len(payload),
+        "bytes_out": payload.size,
         "n_errors": n_errors,
         "checksum": checksum,
         "wall_s": round(time.monotonic() - t0, 4),
@@ -175,7 +186,10 @@ def _fanout_batch(batch: pa.Table, *, frag_root: str) -> pa.Table:
         d = os.path.join(frag_root, f"part-{pid:05d}")
         os.makedirs(d, exist_ok=True)
         name = f"frag-{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
-        pq.write_table(sub, os.path.join(d, name), compression="zstd")
+        # fragments are shuffle spill, not the durable output: lz4 trades a
+        # little size for much cheaper encode (fan-out) + decode (finalize);
+        # the canonical part files stay zstd (_PARQUET_OPTS)
+        pq.write_table(sub, os.path.join(d, name), compression="lz4")
         out_pids.append(pid)
         out_rows.append(sub.num_rows)
     return pa.table(
