@@ -29,6 +29,18 @@ _K = 5
 _N_QUERIES = 3  # queries = embeddings with vec_id < 3 (deterministic)
 
 
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """``list<float>`` column -> (n, dim) float64 matrix straight from the
+    Arrow values buffer (no per-row Python objects; ``flatten`` respects
+    slice offsets). Embedding lists are uniform-length and non-null."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(n, -1)
+
+
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
 
@@ -49,8 +61,8 @@ class _BruteScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = _emb_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         sims = en @ self.qn.T  # (batch, n_queries)
         out_q, out_v, out_s = [], [], []
@@ -194,8 +206,8 @@ def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 
             self.qn, self.qids, self.cent, self.q_probe = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = _emb_matrix(batch.column("embedding"))
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             assign = (en @ self.cent.T).argmax(axis=1)
             out_q, out_v, out_s = [], [], []
@@ -252,8 +264,8 @@ def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, max_hamming: int =
             self.max_hamming = max_hamming
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = _emb_matrix(batch.column("embedding"))
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             bits = (emb @ self.planes) > 0  # (batch, planes)
             en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             out_q, out_v, out_s = [], [], []

@@ -755,7 +755,7 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        sh = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         out_id, out_val = [], []
         for i, did in enumerate(ids):
             v = int(sh[i])
@@ -792,8 +792,8 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
         def check(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t.select(["a", "b"])
-            ha = np.asarray(t.column("h_a").to_pylist(), dtype=np.int64).view(np.uint64)
-            hb = np.asarray(t.column("h_b").to_pylist(), dtype=np.int64).view(np.uint64)
+            ha = t.column("h_a").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            hb = t.column("h_b").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
             ham = np.array([bin(int(x)).count("1") for x in (ha ^ hb)])
             return t.select(["a", "b"]).filter(pa.array(ham <= max_hamming))
 
@@ -824,7 +824,9 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
     planes = np.random.RandomState(99).randn(dim, n_planes)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from ocr_ray.ops.ann import _emb_matrix
+
+        emb = _emb_matrix(batch.column("embedding"))
         bits = (emb @ planes) > 0
         keys = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         return pa.table(

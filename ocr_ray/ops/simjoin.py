@@ -337,7 +337,9 @@ def cosine_dup_pairs(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            bm = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            from ocr_ray.ops.ann import _emb_matrix
+
+            bm = _emb_matrix(batch.column(vec_col))
             bn = np.linalg.norm(bm, axis=1, keepdims=True)
             bn[bn == 0] = 1.0
             sims = np.round((bm / bn) @ self.m.T, 9)
