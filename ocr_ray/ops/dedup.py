@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import zlib
 
 import numpy as np
@@ -380,18 +381,72 @@ def verified_pairs_minhash(
 # ---------------------------------------------------------------------------
 
 
+# Edge-count gate for solving components locally: below this, one worker
+# solves the candidate-pair graph in a single union-find pass (the driver
+# holds O(min(edges, gate)) PAIR rows — bounded by the gate, never
+# corpus-sized — vs ~10 sequential Dataset ops per propagation round, each
+# with fixed scheduling cost). Above the gate the distributed min-label
+# rounds run; both paths produce identical labels (equality pytest-gated).
+_LOCAL_CC_MAX_EDGES = int(os.environ.get("OCR_RAY_CC_LOCAL_MAX_EDGES", "2000000"))
+
+
+def _local_components(edges: Dataset, label_schema: pa.Schema) -> Dataset:
+    """Single-pass union-find over a SMALL materialized edge list.
+
+    Path-halving union by min-id; output matches propagate_min_labels
+    exactly: one row per distinct endpoint, label = component minimum."""
+    import ray as _ray
+
+    # blocks may carry extra columns (e.g. a verify-stage similarity score)
+    # or per-block schema drift; pull only the two endpoint columns
+    a: list = []
+    b: list = []
+    for ref in edges.to_arrow_refs():
+        t = _ray.get(ref)
+        if t.num_rows:
+            a += t.column("a").to_pylist()
+            b += t.column("b").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min: the smaller id becomes the root, so the final
+            # root IS the component minimum
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    nodes = list(parent)
+    labels = [find(n) for n in nodes]
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, label_schema.field("node").type),
+                  "label": pa.array(labels, label_schema.field("label").type)})
+    )
+
+
 def propagate_min_labels(
     pairs: Dataset, *, max_iters: int = 25, id_type: pa.DataType = None
 ) -> Dataset:
     """Undirected edges (a, b) -> (node, label) with label = component min.
 
-    Pregel-style min-label propagation expressed as Dataset ops: each round
-    every edge endpoint offers its current label to the other endpoint and
-    ``groupby(node).aggregate(Min)`` takes the smallest. Rounds = component
-    diameter (shallow for LSH near-dup clusters); iteration is capped and
-    logged. Per round only a changed-row COUNT reaches the driver; labels
-    and edges stay distributed. Labels datasets are materialized per round
-    (they are O(paired nodes) — candidate rows, not corpus rows)."""
+    Size-gated hybrid: candidate-pair graphs are O(near-dup pairs), far
+    smaller than the corpus, so below ``_LOCAL_CC_MAX_EDGES`` a single
+    union-find pass solves them (driver cost bounded by the gate). Above
+    the gate: Pregel-style min-label propagation expressed as Dataset ops —
+    each round every edge endpoint offers its current label to the other
+    endpoint and ``groupby(node).aggregate(Min)`` takes the smallest.
+    Rounds = component diameter (shallow for LSH near-dup clusters);
+    iteration is capped and logged. Per round only a changed-row COUNT
+    reaches the driver; labels and edges stay distributed. Labels datasets
+    are materialized per round (they are O(paired nodes) — candidate rows,
+    not corpus rows)."""
     if id_type is None:
         id_type = pa.int64()
     label_schema = pa.schema([("node", id_type), ("label", id_type)])
@@ -402,6 +457,12 @@ def propagate_min_labels(
         # typed-empty labels (a map over the empty edges would come back
         # schemaless — Ray skips UDFs on 0-row blocks)
         return rd.from_arrow(label_schema.empty_table())
+    if n_edges <= _LOCAL_CC_MAX_EDGES:
+        logger.info(
+            "propagate_min_labels: %d edges <= %d, local union-find path",
+            n_edges, _LOCAL_CC_MAX_EDGES,
+        )
+        return _local_components(edges, label_schema)
     parts = _dyn_parts(2 * n_edges)
 
     # Symmetric edge list, built ONCE: (a,b) and (b,a) as (src, dst). Each

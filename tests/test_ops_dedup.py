@@ -212,3 +212,47 @@ def test_volume_planted_dups_20k():
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     got = sorted(r["doc_id"] for r in near_dup_survivors(ds).take_all())
     assert got == expected_bigdoc_survivors(n, seed=7)
+
+
+def test_cc_local_and_distributed_paths_agree(monkeypatch):
+    """propagate_min_labels is size-gated: below the edge gate a local
+    union-find runs, above it the distributed min-label rounds. Both must
+    produce identical (node, label) assignments — including on deep chains
+    (worst case for round-based propagation)."""
+    import random
+
+    import ray.data as rd
+
+    import ocr_ray.ops.dedup as dd
+
+    rng = random.Random(11)
+    edges, nid = [], 0
+    for c in range(30):
+        size = rng.randint(2, 9)
+        nodes = list(range(nid, nid + size))
+        nid += size
+        if c % 3 == 0:  # chain: diameter = size-1
+            edges += list(zip(nodes, nodes[1:]))
+        else:  # random spanning tree + an extra cycle edge
+            for i in range(1, size):
+                edges.append((nodes[rng.randrange(i)], nodes[i]))
+            edges.append((nodes[-1], nodes[0]))
+    rng.shuffle(edges)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.int64()),
+                "b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    local = {(r["node"], r["label"]) for r in dd.propagate_min_labels(pairs).take_all()}
+    monkeypatch.setattr(dd, "_LOCAL_CC_MAX_EDGES", -1)
+    dist = {(r["node"], r["label"]) for r in dd.propagate_min_labels(pairs).take_all()}
+    assert local == dist
+    # every component's label is the minimum node id in that component
+    by_label: dict[int, list[int]] = {}
+    for n, lab in local:
+        by_label.setdefault(lab, []).append(n)
+    for lab, members in by_label.items():
+        assert lab == min(members)
