@@ -43,6 +43,7 @@ from ocr_ray.ops.simjoin import (
     dedup_jaccard_exact,
 )
 from ocr_ray.ops.textstats import (
+    DOC_FINGERPRINTS_SQL,
     DOC_QUALITY_SQL,
     LANG_ID_SQL,
     doc_fingerprints,
@@ -63,7 +64,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, None),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
-    "doc_fingerprints": (doc_fingerprints, None),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "media_features": (media_features, None),
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),

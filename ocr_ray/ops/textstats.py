@@ -194,21 +194,48 @@ FROM (
 LANG_ID_SQL = _lang_id_sql()
 
 
-def fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
-    """Winnowing document fingerprint: rolling crc32 over char k-grams,
-    minimum per sliding window, deduplicated, sorted."""
-    s = " ".join(text.lower().split())
+# Winnowing (Schleimer/Wilkerson/Aiken MOSS scheme): hash every char k-gram,
+# keep the minimum of each sliding window of `window` consecutive hashes.
+# The gram hash is the first 16 hex chars of md5 — portable across engines
+# (identical in Python hashlib and DuckDB md5()), so the WHOLE operator is
+# driver-verifiable against an independent SQL reimplementation
+# (DOC_FINGERPRINTS_SQL below). Lexicographic min over fixed-width lowercase
+# hex equals numeric min over the underlying 64-bit value, in both engines.
+_FP_K = 8
+_FP_WINDOW = 16
+# explicit ASCII whitespace class, written identically for Python `re` and
+# DuckDB RE2 — parity by construction (same convention as extract_oracle)
+_FP_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_FP_WS_SQL = r"[ \t\n\r\f\v]+"
+
+
+def fingerprint(text: str, k: int = _FP_K, window: int = _FP_WINDOW) -> list[str]:
+    """Winnowing document fingerprint: md5-prefix hashes of char k-grams,
+    minimum per sliding window (monotonic-deque, O(n)), dedup, sorted."""
+    import hashlib
+    from collections import deque
+
+    s = _FP_WS_RE.sub(" ", text.lower()).strip(" ")
+    if not s:
+        return []
     if len(s) < k:
-        return [zlib.crc32(s.encode("utf-8"))] if s else []
-    hashes = np.array(
-        [zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)],
-        dtype=np.int64,
-    )
-    if len(hashes) <= window:
-        return [int(hashes.min())]
-    mins = {
-        int(hashes[i : i + window].min()) for i in range(len(hashes) - window + 1)
-    }
+        return [hashlib.md5(s.encode("utf-8")).hexdigest()[:16]]
+    hs = [
+        hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:16]
+        for i in range(len(s) - k + 1)
+    ]
+    if len(hs) <= window:
+        return [min(hs)]
+    mins: set[str] = set()
+    dq: deque[int] = deque()
+    for i, h in enumerate(hs):
+        while dq and hs[dq[-1]] >= h:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - window:
+            dq.popleft()
+        if i >= window - 1:
+            mins.add(hs[dq[0]])
     return sorted(mins)
 
 
@@ -217,21 +244,68 @@ class Fingerprinter:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         fps = [fingerprint(t or "") for t in batch.column(self.text_col).to_pylist()]
         return pa.table(
             {
                 "doc_id": batch.column(self.id_col),
                 "n_fp": pa.array([len(f) for f in fps], pa.int64()),
-                "fp_min": pa.array([f[0] if f else 0 for f in fps], pa.int64()),
-                "fp": pa.array(fps, pa.list_(pa.int64())),
+                "fp_min": pa.array([f[0] if f else "" for f in fps], pa.string()),
+                # content checksum of the full sorted fingerprint set — the
+                # driver hash-gates every fingerprint, not just min/count
+                "fp_digest": pa.array(
+                    [hashlib.md5(",".join(f).encode("ascii")).hexdigest() for f in fps],
+                    pa.string(),
+                ),
             }
         )
 
 
 def doc_fingerprints(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    out = ds.map_batches(
+    return ds.map_batches(
         Fingerprinter, batch_format="pyarrow", batch_size=256, concurrency=(1, 16), num_cpus=1
     )
-    # scalar columns only for the driver check; the list column is test-only
-    return out.select_columns(["doc_id", "n_fp", "fp_min"])
+
+
+# Independent DuckDB reimplementation: lateral gram expansion + window min.
+# Long regime (>= window grams): valid windows are i in 1..ng-window+1;
+# short regimes collapse to a single min / single whole-string hash —
+# exactly fingerprint()'s branches.
+DOC_FINGERPRINTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '{_FP_WS_SQL}', ' ', 'g'), ' ') AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ng, i, substr(md5(substr(s, CAST(i AS INT), {_FP_K})), 1, 16) AS h
+  FROM (
+    SELECT doc_id, length(s) - {_FP_K} + 1 AS ng, s,
+           unnest(range(1, length(s) - {_FP_K} + 2)) AS i
+    FROM d WHERE length(s) >= {_FP_K}
+  )
+),
+wm AS (
+  SELECT doc_id, ng, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_FP_WINDOW - 1} FOLLOWING) AS m
+  FROM grams
+),
+fp AS (
+  SELECT DISTINCT doc_id, m FROM wm WHERE i <= greatest(1, ng - {_FP_WINDOW - 1})
+  UNION ALL
+  SELECT doc_id, substr(md5(s), 1, 16) AS m FROM d WHERE length(s) BETWEEN 1 AND {_FP_K - 1}
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_fp, min(m) AS fp_min,
+         md5(string_agg(m, ',' ORDER BY m)) AS fp_digest
+  FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_fp, 0) AS n_fp,
+       coalesce(agg.fp_min, '') AS fp_min,
+       coalesce(agg.fp_digest, md5('')) AS fp_digest
+FROM d LEFT JOIN agg USING (doc_id)
+"""
