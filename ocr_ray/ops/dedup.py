@@ -207,84 +207,108 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """One COLLISION bucket (2 <= n <= cap, pre-filtered) -> candidate pairs
-    (a < b). Id type is preserved (int doc ids or string turn uids)."""
-    id_type = group.schema.field("doc_id").type
-    ids = sorted(group.column("doc_id").to_pylist())
-    if len(ids) > 1000:
-        # uncapped (exact-recall) callers land here on a hot bucket
+_PAIR_TPL_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pair_template(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (i, j) index pairs with i < j < n, cached (n is <= the bucket cap
+    for capped callers; uncapped hot buckets get a one-off template)."""
+    tpl = _PAIR_TPL_CACHE.get(n)
+    if tpl is None:
+        tpl = np.triu_indices(n, 1)
+        if n <= 4096:
+            _PAIR_TPL_CACHE[n] = tpl
+    return tpl
+
+
+def _partition_pairs(t: pa.Table, max_bucket: int | None) -> pa.Table:
+    """All candidate pairs of ONE coarse partition, fully vectorized.
+
+    Rows arrive with every member of a bucket co-located (partition key is a
+    function of band_hash). Sort by (band_hash, doc_id), find bucket runs
+    with a numpy boundary diff, drop runs outside [2, max_bucket] (dropped
+    row counts are LOGGED — no silent caps), then emit each run's pairs via
+    cached triu index templates batched by run length: zero Python work per
+    bucket, a < b by the sort order, any Arrow id type."""
+    id_type = t.schema.field("doc_id").type
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    if t.num_rows == 0:
+        return pair_schema.empty_table()
+    t = t.sort_by([("band_hash", "ascending"), ("doc_id", "ascending")])
+    bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+    n = len(bh)
+    starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    ok = lens >= 2
+    if max_bucket is not None:
+        over = lens > max_bucket
+        if over.any():
+            logger.warning(
+                "candidate_pairs: skipped %d oversized LSH buckets (> %d members, "
+                "%d band rows dropped from pairing)",
+                int(over.sum()), max_bucket, int(lens[over].sum()),
+            )
+        ok &= ~over
+    elif (lens > 1000).any():
+        # uncapped (exact-recall) callers: hot buckets are kept but logged
+        hot = lens[lens > 1000]
         logger.warning(
-            "_bucket_pairs: hot bucket with %d members (%d pairs)",
-            len(ids), len(ids) * (len(ids) - 1) // 2,
+            "candidate_pairs: %d hot buckets (max %d members) in uncapped pairing",
+            len(hot), int(hot.max()),
         )
-    a_out, b_out = [], []
-    for i in range(len(ids) - 1):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pa.table({"a": pa.array(a_out, id_type), "b": pa.array(b_out, id_type)})
+    starts, lens = starts[ok], lens[ok]
+    if len(starts) == 0:
+        return pair_schema.empty_table()
+    ia_parts, ib_parts = [], []
+    for m in np.unique(lens):
+        runs = starts[lens == m]
+        ti, tj = _pair_template(int(m))
+        ia_parts.append((runs[:, None] + ti[None, :]).ravel())
+        ib_parts.append((runs[:, None] + tj[None, :]).ravel())
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    ids = t.column("doc_id").combine_chunks()
+    return pa.table({"a": ids.take(pa.array(ia)), "b": ids.take(pa.array(ib))})
 
 
 def candidate_pairs(
     banded: Dataset, *, id_type: pa.DataType = None, max_bucket: int | None = _MAX_BUCKET
 ) -> Dataset:
-    """Banded LSH rows -> DISTINCT candidate pairs, fully distributed.
+    """Banded LSH rows -> DISTINCT candidate pairs, fully distributed, with
+    ONE data shuffle.
 
-    1. vectorized bucket census: ``groupby(band_hash).aggregate(Count)``
-    2. collision buckets = 2 <= n <= max_bucket; oversized buckets are
-       dropped with a logged row count (no silent caps).
-       ``max_bucket=None`` = NO cap (exact-recall callers, e.g. the prefix-
-       filter similarity join, where dropping a bucket would drop true
-       pairs); big buckets are still logged by ``_bucket_pairs``.
-    3. ``left_semi`` join keeps only collision-bucket band rows (tiny)
-    4. ``map_groups`` pair fan-out ONLY over collision buckets
-    5. distinct via ``groupby(a, b)``
-    """
-    from ray.data.aggregate import Sum as _Sum
+    1. coarse partition key ``__part = band_hash & (P-1)`` (vectorized) —
+       every bucket lands whole in one partition
+    2. ``groupby(__part).map_groups``: ONE Python call per partition;
+       inside, buckets are found and paired vectorized
+       (``_partition_pairs``): run detection via numpy boundary diff, pair
+       fan-out via cached ``triu_indices`` templates batched by run length
+    3. oversized buckets (> max_bucket) are dropped with a logged row count
+       (no silent caps); ``max_bucket=None`` = NO cap (exact-recall callers,
+       e.g. the prefix-filter similarity join) — hot buckets still logged
+    4. distinct via ``groupby(a, b)`` (same pair can fire in several bands)
 
+    Replaces the round-1/2 census + semi-join plan (3 shuffles of the full
+    band table) — same output, one shuffle."""
     if id_type is None:
         id_type = pa.int64()
-    band_schema = pa.schema([("band_hash", pa.int64()), ("doc_id", id_type)])
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
-    stats = banded.groupby("band_hash").aggregate(Count(alias_name="n")).materialize()
-    if max_bucket is not None:
-        oversized = stats.filter(expr=f"n > {max_bucket}")
-        n_over = oversized.count()
-        if n_over:
-            dropped_rows = sum(r["n"] for r in oversized.take_all())  # tiny: stats rows
-            logger.warning(
-                "candidate_pairs: skipped %d oversized LSH buckets (> %d members, "
-                "%d band rows dropped from pairing)",
-                n_over, max_bucket, dropped_rows,
-            )
-        collide_expr = f"n >= 2 and n <= {max_bucket}"
-    else:
-        collide_expr = "n >= 2"
-    collide_stats = stats.filter(expr=collide_expr).materialize()
-    # an entirely-empty join side has no schema-bearing block (Ray skips the
-    # UDF on 0-row blocks AND strips their schema), which crashes the join's
-    # partition finalize — guard with a (cheap, stats-level) count.
-    n_collide = collide_stats.count()
-    if n_collide == 0:
-        return rd.from_arrow(pair_schema.empty_table())
-    collide = collide_stats.select_columns(["band_hash"])
-    # size the semi join (and the downstream pair shuffles) from the exact
-    # collision band-row total, not a fixed constant
-    n_band_rows = int(collide_stats.aggregate(_Sum("n"))["sum(n)"] or 0)
-    parts = _dyn_parts(n_band_rows)
-    kept = _coerce_schema(
-        banded.join(
-            collide, join_type="left_semi", num_partitions=parts, on=("band_hash",)
-        ),
-        band_schema,
-        parts,
+    num_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part",
+            pc.cast(pc.bit_wise_and(t.column("band_hash"), num_parts - 1), pa.int32()),
+        )
+
+    parted = banded.map_batches(add_part, batch_format="pyarrow")
+    pairs = parted.groupby("__part").map_groups(
+        lambda g: _partition_pairs(g, max_bucket), batch_format="pyarrow"
     )
-    pairs = kept.groupby("band_hash").map_groups(_bucket_pairs, batch_format="pyarrow")
     distinct = (
         pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     )
-    return _coerce_schema(distinct, pair_schema, parts)
+    return _coerce_schema(distinct, pair_schema)
 
 
 def _pack_lists(col, dtype) -> pa.Array:
