@@ -138,29 +138,85 @@ def _cached_perms(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     return _perm_params(seed)
 
 
+# Elementwise-compute chunk (shingles per pass) and per-worker scratch for
+# the universal-hash intermediates. The hash math allocates (n_perm, chunk)
+# uint64 temporaries; letting numpy malloc them FRESH per batch means every
+# batch pays first-touch page faults on ~100 MB of mmap'd pages — measured
+# at up to ~130 us per 4 KiB page on a memory-ballooned host, turning a
+# 10 ms kernel into seconds. Warm per-process buffers + ``out=`` keep the
+# pages mapped for the worker's lifetime (same math, bit-identical output).
+_HV_CHUNK = 1 << 15
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _hv_scratch() -> tuple[np.ndarray, np.ndarray]:
+    hv = _SCRATCH.get("hv")
+    if hv is None:
+        hv = np.empty((_N_PERM, _HV_CHUNK), np.uint64)
+        _SCRATCH["hv"] = hv
+        _SCRATCH["xm"] = np.empty(_HV_CHUNK, np.uint64)
+    return hv, _SCRATCH["xm"]
+
+
+def _hash_chunk(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * (x mod P) + b) mod P for one shingle chunk (len <= _HV_CHUNK),
+    computed entirely in warm scratch; returns a VIEW into the scratch
+    buffer (consume before the next call)."""
+    hv_buf, xm_buf = _hv_scratch()
+    n = len(x)
+    xv = xm_buf[:n]
+    np.mod(x, np.uint64(_P), out=xv)
+    h = hv_buf[:, :n]
+    np.multiply(a[:, None], xv[None, :], out=h)
+    np.add(h, b[:, None], out=h)
+    np.mod(h, np.uint64(_P), out=h)
+    return h
+
+
 def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """text -> 128-perm MinHash signature (uint64 list). Docs with zero
     shingles (empty/whitespace text) get the all-``_P`` sentinel.
 
-    The universal hash runs ONCE over the batch's concatenated shingle
-    array ((n_perm, total_shingles) — one big elementwise pass instead of
-    one small matmul per doc), then per-doc minima fall out of a single
-    ``np.minimum.reduceat`` at the doc offsets."""
+    The universal hash runs over segments of WHOLE docs packed up to
+    ``_HV_CHUNK`` shingles (one elementwise pass per segment through the
+    warm scratch, see above), then per-doc minima fall out of one
+    ``np.minimum.reduceat`` at the doc offsets. A single doc larger than
+    the chunk is sub-chunked with running minima."""
     a, b = _cached_perms()
     texts = batch.column(text_col).to_pylist()
     shingles = [_word_shingles(t or "") for t in texts]
     lens = np.array([len(s) for s in shingles], dtype=np.int64)
-    nonempty = np.flatnonzero(lens)
-    sig_mat = np.full((len(texts), _N_PERM), _P, dtype=np.uint64)  # sentinel rows
-    if len(nonempty):
-        x_all = np.concatenate([shingles[i] for i in nonempty])
-        hv = (a[:, None] * (x_all[None, :] % _P) + b[:, None]) % _P
-        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-        sig_mat[nonempty] = np.minimum.reduceat(hv, offsets, axis=1).T
+    n_docs = len(texts)
+    sig_mat = np.full((n_docs, _N_PERM), _P, dtype=np.uint64)  # sentinel rows
+    i = 0
+    while i < n_docs:
+        j, tot = i, 0
+        while j < n_docs and (tot == 0 or tot + lens[j] <= _HV_CHUNK):
+            tot += lens[j]
+            j += 1
+        seg_idx = np.arange(i, j)[lens[i:j] > 0]
+        i = j
+        if len(seg_idx) == 0:
+            continue
+        if tot <= _HV_CHUNK:
+            x_all = np.concatenate([shingles[k] for k in seg_idx])
+            h = _hash_chunk(x_all, a, b)
+            seglens = lens[seg_idx]
+            offsets = np.concatenate(([0], np.cumsum(seglens)[:-1]))
+            sig_mat[seg_idx] = np.minimum.reduceat(h, offsets, axis=1).T
+        else:
+            # one oversized doc: sub-chunk its shingles, combine minima
+            (k,) = seg_idx
+            x = shingles[k]
+            for s in range(0, len(x), _HV_CHUNK):
+                h = _hash_chunk(x[s : s + _HV_CHUNK], a, b)
+                np.minimum(sig_mat[k], h.min(axis=1), out=sig_mat[k])
+    flat = pa.array(sig_mat.ravel(), pa.uint64())
+    offs = pa.array(np.arange(0, (n_docs + 1) * _N_PERM, _N_PERM, dtype=np.int32))
     return pa.table(
         {
             "doc_id": batch.column(id_col),
-            "sig": pa.array(list(sig_mat), pa.list_(pa.uint64())),
+            "sig": pa.ListArray.from_arrays(offs, flat),
         }
     )
 
