@@ -136,3 +136,106 @@ def test_fused_resume(inputs, tmp_path):
     os.remove(os.path.join(out, "_manifest", f"part-{pid:05d}.json"))
     extract_and_commit(inputs, out, num_partitions=N_PARTS)
     assert _file_bytes(out) == before
+
+
+# ---------------------------------------------------------------------------
+# segment-committed sink (write_segmented)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seg_inputs(tmp_path_factory):
+    """Six single-conv-range input files (2 files per segment at
+    segment_files=2 -> 3 segments)."""
+    d = tmp_path_factory.mktemp("seg_in")
+    paths = []
+    for i in range(6):
+        t = generate_transcripts_table(15, seed=100 + i)
+        # disjoint conv ids across files so segments overlap partitions
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = t.set_column(
+            t.schema.get_field_index("conv_id"),
+            "conv_id",
+            pc.binary_join_element_wise(pa.scalar(f"f{i}-"), t.column("conv_id"), ""),
+        )
+        p = str(d / f"in-{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def _run_segmented(paths, out_dir, **kw):
+    from ocr_ray.state.sink import write_segmented
+    from ocr_ray.pipelines.extract_pipeline import _extract_batch
+
+    return write_segmented(
+        paths, out_dir, segment_files=2, num_partitions=4,
+        pre_fn=_extract_batch, read_columns=["conv_id", "turn_idx", "role", "text"],
+        **kw,
+    )
+
+
+def _all_bytes(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                p = os.path.join(dirpath, name)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = f.read()
+    return out
+
+
+def test_segmented_clean_run(seg_inputs, tmp_path):
+    out = str(tmp_path / "seg_clean")
+    manifest = _run_segmented(seg_inputs, out)
+    assert sorted(set(manifest.column("segment_id").to_pylist())) == [0, 1, 2]
+    # read_parquet over the root sees every committed row
+    back = rd.read_parquet(out)
+    assert back.count() == sum(manifest.column("rows_out").to_pylist()) > 0
+    # every input row extracted exactly once
+    n_in = sum(pq.read_metadata(p).num_rows for p in seg_inputs)
+    assert back.count() == n_in
+
+
+def test_segmented_resume_skips_committed_segments(seg_inputs, tmp_path):
+    from ocr_ray.state.sink import SEGMENTS_DIR, committed_segments
+
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    _run_segmented(seg_inputs, clean)
+    _run_segmented(seg_inputs, crashed)
+    # simulate a crash after segment 0: drop segment 1 and 2 entirely
+    for sid in (1, 2):
+        shutil.rmtree(os.path.join(crashed, f"seg-{sid:04d}"))
+        os.remove(os.path.join(crashed, SEGMENTS_DIR, f"seg-{sid:04d}.json"))
+    before = committed_segments(crashed)
+    assert list(before) == [0]
+    mtime0 = os.path.getmtime(os.path.join(crashed, "seg-0000", "part-00000.parquet"))
+    manifest = _run_segmented(seg_inputs, crashed)
+    # segment 0 untouched (pruned before the read), 1 and 2 rebuilt
+    assert os.path.getmtime(
+        os.path.join(crashed, "seg-0000", "part-00000.parquet")
+    ) == mtime0
+    assert sorted(committed_segments(crashed)) == [0, 1, 2]
+    # byte-identical to a clean run
+    assert _all_bytes(crashed) == _all_bytes(clean)
+    assert manifest.num_rows > 0
+
+
+def test_segmented_input_drift_refused(seg_inputs, tmp_path):
+    out = str(tmp_path / "drift")
+    _run_segmented(seg_inputs, out)
+    # same segment ids, different file list -> refuse
+    shuffled = list(seg_inputs[2:]) + list(seg_inputs[:2])
+    with pytest.raises(ValueError, match="drift|mismatch"):
+        from ocr_ray.state.sink import write_segmented
+        from ocr_ray.pipelines.extract_pipeline import _extract_batch
+
+        write_segmented(
+            shuffled[:4], out, segment_files=2, num_partitions=4,
+            pre_fn=_extract_batch,
+            read_columns=["conv_id", "turn_idx", "role", "text"],
+        )
