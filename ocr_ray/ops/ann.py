@@ -155,11 +155,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY raw_sim DESC, vec_id) 
 
 
 def _kmeans_fit(x: np.ndarray, n_centroids: int, seed: int = 5, iters: int = 5) -> np.ndarray:
-    """Tiny deterministic k-means (fixed seed + iteration count) for IVF.
-
-    Runs driver-side on a sample; at real scale this is itself a small Ray
-    job (sample -> fit -> broadcast), but the fit cost is O(sample), not
-    O(corpus), so driver-side is the honest layout here."""
+    """Tiny deterministic k-means (fixed seed + iteration count) for IVF —
+    the local reference implementation ``kmeans_fit_ray`` is tested against."""
     rs = np.random.RandomState(seed)
     cent = x[rs.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -175,6 +172,80 @@ def _kmeans_fit(x: np.ndarray, n_centroids: int, seed: int = 5, iters: int = 5) 
     return cent
 
 
+def _kmeans_partials(batch: pa.Table, cent: np.ndarray) -> pa.Table:
+    """One assignment pass over a batch -> per-centroid partial (sum, count).
+
+    Output is O(n_centroids x dim) per batch regardless of batch size — the
+    combiner shape that lets the fit scale to any sample size."""
+    en = _emb_matrix(batch.column("embedding"))
+    en = en / np.linalg.norm(en, axis=1, keepdims=True)
+    assign = (en @ cent.T).argmax(axis=1)
+    k, dim = cent.shape
+    sums = np.zeros((k, dim), dtype=np.float64)
+    np.add.at(sums, assign, en)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    present = np.flatnonzero(counts)
+    flat = pa.array(sums[present].ravel(), pa.float64())
+    offs = pa.array(np.arange(0, (len(present) + 1) * dim, dim, dtype=np.int32))
+    return pa.table(
+        {
+            "cid": pa.array(present, pa.int32()),
+            "vsum": pa.ListArray.from_arrays(offs, flat),
+            "n": pa.array(counts[present], pa.int64()),
+        }
+    )
+
+
+def kmeans_fit_ray(
+    sample: "rd.Dataset", n_centroids: int, *, iters: int = 5, seed: int = 5
+) -> np.ndarray:
+    """Distributed k-means fit (cosine, on normalized vectors) over a SAMPLE
+    Dataset with an ``embedding`` column.
+
+    Per iteration: one ``map_batches`` pass emits per-batch per-centroid
+    partial (sum, count) rows — O(n_centroids x dim) per batch — and the
+    driver folds the partials (sorted for a fixed reduction order) into the
+    new centroids. The driver never holds more than the (n_centroids, dim)
+    matrix plus one round of tiny partials; the sample itself stays in the
+    object store. Init matches ``_kmeans_fit`` (seeded choice over the
+    materialized sample head) so both paths agree on the same input up to
+    float-summation association."""
+    import functools
+
+    sample = sample.materialize()
+    # deterministic init: seeded index choice over the sample, fetched via a
+    # tiny limit() pull of just the chosen prefix size
+    n_rows = sample.count()
+    rs = np.random.RandomState(seed)
+    k = min(n_centroids, n_rows)
+    init_idx = rs.choice(n_rows, size=k, replace=False)  # order = _kmeans_fit's
+    head = _emb_matrix(
+        pa.concat_tables(
+            [pa.Table.from_pylist(sample.limit(int(init_idx.max()) + 1).take_all())]
+        ).column("embedding")
+    )
+    cent = head[init_idx]
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(iters):
+        partials = sample.map_batches(
+            functools.partial(_kmeans_partials, cent=cent), batch_format="pyarrow"
+        ).take_all()  # tiny: batches x n_centroids rows
+        dim = cent.shape[1]
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        partials.sort(key=lambda r: (int(r["cid"]), int(r["n"])))  # fixed fold order
+        for r in partials:
+            sums[int(r["cid"])] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[int(r["cid"])] += int(r["n"])
+        nz = counts > 0
+        means = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(means, axis=1)
+        ok = norms > 0
+        rows = np.flatnonzero(nz)[ok]
+        cent[rows] = means[ok] / norms[ok, None]
+    return cent
+
+
 def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 4):
     """IVF-style ANN: vectors are bucketed by nearest centroid; each query
     scores only vectors whose centroid is in the query's top-``nprobe``
@@ -184,20 +255,14 @@ def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 
 
     q, qids = _load_queries(sf_dir)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    # fit on a sample pulled THROUGH Ray (limit stops the read after enough
-    # blocks — the driver never holds more than the 256-row sample, however
-    # large the corpus); the k-means itself is O(sample), driver-side
-    sample = [
-        r["embedding"]
-        for r in rd.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-        )
-        .limit(256)
-        .take_all()
-    ]
-    xs = np.asarray(sample, dtype=np.float64)
-    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
-    cent = _kmeans_fit(xs, n_centroids)
+    # fit via the distributed combiner path (sample stays in the object
+    # store; the driver holds only the (n_centroids, dim) matrix + one
+    # round of per-batch partials). 256-row sample here; at real scale the
+    # same call takes a 10^6-row hash sample unchanged.
+    sample = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).limit(256)
+    cent = kmeans_fit_ray(sample, n_centroids)
     q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     ref = ray.put((qn, qids, cent, q_probe))
 

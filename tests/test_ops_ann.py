@@ -70,3 +70,29 @@ def test_ivf_recall():
     assert sorted(map(tuple, (r.values() for r in rows))) == sorted(
         map(tuple, (r.values() for r in rows2))
     )  # deterministic
+
+
+def test_kmeans_fit_ray_matches_local():
+    """The distributed combiner fit must agree with the local reference
+    k-means on the same sample (same seeded init; means differ only by
+    float-summation association, so allclose, not equality)."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.ops.ann import _emb_matrix, _kmeans_fit, kmeans_fit_ray
+
+    sample = rd.read_parquet(
+        os.path.join(SF, "embeddings.parquet"), columns=["embedding"]
+    ).limit(256)
+    import pyarrow as pa
+
+    xs = _emb_matrix(
+        pa.Table.from_pylist(sample.take_all()).column("embedding")
+    )
+    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    local = _kmeans_fit(xs, 16)
+    dist = kmeans_fit_ray(sample, 16)
+    assert dist.shape == local.shape
+    assert np.allclose(dist, local, atol=1e-9)
