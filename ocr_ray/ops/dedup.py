@@ -583,13 +583,33 @@ def propagate_min_labels(
         simultaneous compensating changes, vanishingly unlikely and at worst
         costs one early stop of a refinement round, never wrong output,
         because the verified-pair edges bound the merge set)."""
-        import zlib as _z
 
         def h(t: pa.Table) -> pa.Table:
-            vals = [
-                _z.crc32(f"{n}#{l}".encode())
-                for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist())
-            ]
+            # vectorized row fold: crc-equivalent mixing via Arrow hash64 of
+            # "node#label" (string ids) or a numpy splitmix on int ids
+            node, label = t.column("node"), t.column("label")
+            if pa.types.is_integer(node.type):
+                n = node.to_numpy(zero_copy_only=False).astype(np.uint64)
+                l = label.to_numpy(zero_copy_only=False).astype(np.uint64)
+                z = n * np.uint64(0x9E3779B97F4A7C15) ^ l
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(0xBF58476D1CE4E5B9)
+                z ^= z >> np.uint64(27)
+                # top 32 bits only: row values < 2^32 keep the int64 SUM
+                # overflow-free up to 2^31 label rows (crc32 gave the same
+                # bound on the string path)
+                vals = (z >> np.uint64(32)).astype(np.int64)
+            else:
+                import zlib as _z
+
+                vals = np.fromiter(
+                    (
+                        _z.crc32(f"{x}#{y}".encode())
+                        for x, y in zip(node.to_pylist(), label.to_pylist())
+                    ),
+                    dtype=np.int64,
+                    count=t.num_rows,
+                )
             return pa.table({"d": pa.array(vals, pa.int64())})
 
         out = lab.map_batches(h, batch_format="pyarrow").sum("d")
