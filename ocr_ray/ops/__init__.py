@@ -7,6 +7,7 @@ textstats  language-ID, quality scoring, token counts, winnowing fingerprints
 corpus     decontamination, vocabulary, tf/df terms, sequence packing,
            mixture sampling, distributed exact quantiles
 multimodal binary media columns: decode/feature plumbing (stubbed kernels)
+olap       cube/grouping sets, pivot, per-group exact quantiles, intersect
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
 merged into ``__ray_entry__.queries()``.
@@ -74,3 +75,7 @@ REGISTRY: dict[str, tuple] = {
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
 }
+
+from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY
+
+REGISTRY.update(_OLAP_REGISTRY)

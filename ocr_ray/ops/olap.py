@@ -1,0 +1,362 @@
+"""OLAP-shaped operators: cube / grouping sets, pivot, per-group exact
+quantiles, and set intersection — the reporting layer a training-data
+warehouse runs over its lineage and event tables.
+
+Scale plans (the theme: ONE corpus-sized shuffle, everything coarser is
+derived from the finest aggregate, which is O(distinct groups)):
+
+* cube          partial per-batch pre-agg -> finest (status, priority)
+                groupby -> single-block expansion of the 4 grouping sets
+                from the finest result (counts/sums re-aggregate exactly)
+* pivot         same finest groupby -> single-block column pivot
+* per-group     the bucket-histogram exact-quantile plan of
+  quantiles     ``corpus.order_quantiles`` generalized to a group key:
+                histogram over (group, bucket), target ranks per group,
+                second pass sorts only rank-bearing buckets
+* intersect     tag + union + groupby(key) Min/Max — present in both
+                streams iff min tag = 0 and max tag = 1; per-batch dedup
+                shrinks the shuffle to distinct (key, tag) rows
+
+All four are SQL-gated (CUBE / CASE-pivot / window-rank quantiles /
+INTERSECT in DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ocr_ray.functions.scalars import to_cents
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def _cube_expand(t: pa.Table) -> pa.Table:
+    """Finest-level aggregate (one small block) -> all four grouping sets of
+    CUBE(o_orderstatus, o_orderpriority). Counts and sums re-aggregate
+    exactly; rolled-up dimensions become NULL (DuckDB CUBE convention)."""
+    levels = []
+    for keys in (
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_orderstatus"],
+        ["o_orderpriority"],
+        [],
+    ):
+        if keys:
+            g = t.group_by(keys).aggregate(
+                [("n_orders", "sum"), ("sum_price_cents", "sum")]
+            )
+            cols = {k: g.column(k) for k in keys}
+            n = g.num_rows
+            for k in ("o_orderstatus", "o_orderpriority"):
+                if k not in keys:
+                    cols[k] = pa.nulls(n, pa.string())
+            cols["n_orders"] = g.column("n_orders_sum")
+            cols["sum_price_cents"] = g.column("sum_price_cents_sum")
+        else:
+            cols = {
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "n_orders": pa.array([pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()),
+                "sum_price_cents": pa.array(
+                    [pc.sum(t.column("sum_price_cents")).as_py() or 0], pa.int64()
+                ),
+            }
+        levels.append(
+            pa.table(
+                {
+                    "o_orderstatus": cols["o_orderstatus"],
+                    "o_orderpriority": cols["o_orderpriority"],
+                    "n_orders": pc.cast(cols["n_orders"], pa.int64()),
+                    "sum_price_cents": pc.cast(cols["sum_price_cents"], pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(levels)
+
+
+def orders_cube(sf_dir: str) -> Dataset:
+    """CUBE(o_orderstatus, o_orderpriority): order count + exact cents total
+    at every grouping set. One corpus shuffle (the finest groupby, fed by
+    per-batch partials); the cube expansion runs on the finest result,
+    which is O(statuses x priorities)."""
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "sum_price_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+                "n_orders": pc.cast(g.column("cents_count"), pa.int64()),
+            }
+        )
+
+    finest = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+    )
+    # the finest aggregate is tiny: collapse to one block and expand
+    return finest.repartition(1).map_batches(
+        _cube_expand, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (crosstab)
+# ---------------------------------------------------------------------------
+
+_STATUSES = ("F", "O", "P")
+
+
+def orders_pivot(sf_dir: str) -> Dataset:
+    """Crosstab: one row per o_orderpriority, one count column per order
+    status. Finest (priority, status) groupby (partial pre-agg), then a
+    single-block pivot of the tiny result."""
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("o_orderstatus", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "o_orderstatus": g.column("o_orderstatus"),
+                "n": pc.cast(g.column("o_orderstatus_count"), pa.int64()),
+            }
+        )
+
+    finest = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pivot(t: pa.Table) -> pa.Table:
+        prios = pc.unique(t.column("o_orderpriority")).sort()
+        cols: dict[str, pa.Array] = {"o_orderpriority": prios}
+        status = t.column("o_orderstatus")
+        for s in _STATUSES:
+            sub = t.filter(pc.equal(status, s))
+            m = dict(
+                zip(sub.column("o_orderpriority").to_pylist(), sub.column("n").to_pylist())
+            )
+            cols[f"n_{s.lower()}"] = pa.array(
+                [int(m.get(p, 0)) for p in prios.to_pylist()], pa.int64()
+            )
+        return pa.table(cols)
+
+    return finest.repartition(1).map_batches(pivot, batch_format="pyarrow", batch_size=None)
+
+
+ORDERS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles (bucket histogram per group, no global sort)
+# ---------------------------------------------------------------------------
+
+_EVQ_BP = (2500, 5000, 7500, 9000)
+_EVQ_BUCKET_CENTS = 500
+
+
+def event_value_quantiles(sf_dir: str) -> Dataset:
+    """Exact discrete quantiles of ``events.value`` (in cents) PER
+    event_type. Same two-pass plan as ``corpus.order_quantiles`` with a
+    group key: (1) histogram over (event_type, bucket) — driver holds one
+    count per (group, bucket), bounded by group count x value range; (2)
+    per-group target ranks land in specific buckets, and only those
+    (group, bucket) groups are sorted (each is a tiny fraction of the
+    corpus). Rank convention: value at 1-based position ceil(q*n) within
+    the group, integers end to end."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = to_cents(t.column("value"))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": c,
+                "bucket": pc.divide(c, pa.scalar(_EVQ_BUCKET_CENTS)),
+            }
+        )
+
+    vals = events.map_batches(cents, batch_format="pyarrow").materialize()
+    hist = (
+        vals.groupby(["event_type", "bucket"]).aggregate(Count(alias_name="c")).take_all()
+    )
+    hist.sort(key=lambda r: (r["event_type"], r["bucket"]))
+    n_by_g: dict[str, int] = {}
+    for r in hist:
+        n_by_g[r["event_type"]] = n_by_g.get(r["event_type"], 0) + r["c"]
+
+    # (group, bucket) -> [(q_bp, rank_within_bucket)]
+    targets: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for g, n in n_by_g.items():
+        for q_bp in _EVQ_BP:
+            k = max(1, (q_bp * n + 9_999) // 10_000)
+            cum = 0
+            for r in hist:
+                if r["event_type"] != g:
+                    continue
+                if cum + r["c"] >= k:
+                    targets.setdefault((g, r["bucket"]), []).append((q_bp, k - cum))
+                    break
+                cum += r["c"]
+    ref = ray.put(targets)
+
+    def pick(g: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        key = (g.column("event_type")[0].as_py(), g.column("bucket")[0].as_py())
+        wanted = t.get(key, [])
+        if not wanted:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "q_bp": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        srt = np.sort(g.column("cents").to_numpy())
+        return pa.table(
+            {
+                "event_type": pa.array([key[0]] * len(wanted), pa.string()),
+                "q_bp": pa.array([q for q, _ in wanted], pa.int64()),
+                "cents": pa.array([int(srt[rk - 1]) for _, rk in wanted], pa.int64()),
+            }
+        )
+
+    tkeys = set(targets)
+
+    def only_targets(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [
+                (g, b) in tkeys
+                for g, b in zip(
+                    t.column("event_type").to_pylist(), t.column("bucket").to_pylist()
+                )
+            ],
+            pa.bool_(),
+        )
+        return t.filter(keep)
+
+    return (
+        vals.map_batches(only_targets, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+EVENT_VALUE_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, CAST(q_bp AS BIGINT) AS q_bp, cents
+FROM (VALUES {", ".join(f"({q})" for q in _EVQ_BP)}) AS qs(q_bp)
+JOIN r ON r.rn = greatest(1, (CAST(q_bp AS BIGINT) * r.n + 9999) // 10000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# set intersection
+# ---------------------------------------------------------------------------
+
+
+def click_and_purchase_users(sf_dir: str) -> Dataset:
+    """User ids present in BOTH click and purchase streams (INTERSECT).
+
+    Tag clicks 0 / purchases 1, dedup (user, tag) per batch (the shuffle
+    moves distinct pairs, not events), union, then one groupby(user_id)
+    keeping rows with Min(tag)=0 and Max(tag)=1 — both streams present.
+    No driver sets at any cardinality."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = t.filter(keep)
+        tags = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64())
+        pairs = pa.table({"user_id": t.column("user_id"), "tag": tags})
+        g = pairs.group_by(["user_id", "tag"]).aggregate([])  # per-batch dedup
+        return g
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    both = (
+        tagged.groupby("user_id")
+        .aggregate(Min("tag", alias_name="lo"), Max("tag", alias_name="hi"))
+        .filter(expr="lo == 0 and hi == 1")
+    )
+    return both.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id")}), batch_format="pyarrow"
+    )
+
+
+CLICK_AND_PURCHASE_USERS_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "orders_pivot": (orders_pivot, ORDERS_PIVOT_SQL),
+    "event_value_quantiles": (event_value_quantiles, EVENT_VALUE_QUANTILES_SQL),
+    "click_and_purchase_users": (click_and_purchase_users, CLICK_AND_PURCHASE_USERS_SQL),
+}
