@@ -742,6 +742,102 @@ def survivors_dataset(
     )
 
 
+# ---------------------------------------------------------------------------
+# size-gated local fast path (small corpora)
+# ---------------------------------------------------------------------------
+
+# Row gate for solving a whole near-dup query on ONE worker: below this the
+# signature table (bounded: gate x ~1 KB) is pulled once and banding /
+# pairing / verify / union-find run as plain numpy + pyarrow — replacing the
+# ~8 Dataset exchanges (pair shuffle, two verify joins, label and survivor
+# groupbys) whose fixed scheduling cost dominates tiny inputs. Above the
+# gate the fully distributed plan runs; both paths share the banding and
+# pairing KERNELS and produce identical survivors (equality pytest-gated,
+# see tests/test_ops_dedup.py::test_local_gate_parity).
+_LOCAL_NEARDUP_MAX_ROWS = int(os.environ.get("OCR_RAY_NEARDUP_LOCAL_MAX_ROWS", "10000"))
+
+
+def _collect_table(ds: Dataset) -> pa.Table | None:
+    """Small Dataset -> one arrow table (caller enforces the size gate, so
+    this is bounded by the gate, never corpus-sized). None when empty."""
+    import ray as _ray
+
+    tbls = [t for t in (_ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+def _local_losers(verified: pa.Table) -> set:
+    """Union-find (path-halving, union by min id) over a small verified-pair
+    table -> the ids removed (everything but each component's minimum)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for x, y in zip(verified.column("a").to_pylist(), verified.column("b").to_pylist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    return {n for n in parent if find(n) != n}
+
+
+def _pair_rows(pairs: pa.Table, sig_tbl: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pair endpoints -> row indices into the signature table."""
+    idx = {i: n for n, i in enumerate(sig_tbl.column(id_col).to_pylist())}
+    ia = np.fromiter(
+        (idx[x] for x in pairs.column("a").to_pylist()), dtype=np.int64, count=pairs.num_rows
+    )
+    ib = np.fromiter(
+        (idx[x] for x in pairs.column("b").to_pylist()), dtype=np.int64, count=pairs.num_rows
+    )
+    return ia, ib
+
+
+def _local_near_dup(
+    sig_tbl: pa.Table,
+    *,
+    band_fn,
+    verify_fn,
+    max_bucket: int | None,
+    id_col: str = "doc_id",
+    empty_mask: pa.Array | None = None,
+) -> pa.Table:
+    """One-worker near-dup solve over a gate-bounded signature table.
+
+    The banding and pairing kernels are LITERALLY the distributed ones
+    (``band_fn`` is the same map_batches UDF; ``_partition_pairs`` treats the
+    whole table as one coarse partition), so the two paths cannot drift.
+    ``empty_mask`` marks empty-signature rows, which are mutual dups by
+    convention (all but the min id lose) — mirrors ``_empty_losers``."""
+    banded = band_fn(sig_tbl)
+    pairs = _partition_pairs(banded, max_bucket)
+    if pairs.num_rows:
+        pairs = pairs.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+        pairs = verify_fn(pairs, sig_tbl)
+    losers = _local_losers(pairs)
+    ids = sig_tbl.column(id_col).to_pylist()
+    if empty_mask is not None:
+        empties = sorted(i for i, m in zip(ids, empty_mask.to_pylist()) if m)
+        losers |= set(empties[1:])
+    keep = [i for i in ids if i not in losers]
+    return pa.table({id_col: pa.array(keep, sig_tbl.schema.field(id_col).type)})
+
+
+def _sig_matrix(sig_tbl: pa.Table) -> np.ndarray:
+    """(n, _N_PERM) uint64 matrix from the list<uint64> ``sig`` column via
+    the Arrow values buffer (``flatten`` respects list offsets)."""
+    col = sig_tbl.column("sig").combine_chunks()
+    return np.asarray(col.flatten()).reshape(len(col), _N_PERM)
+
+
 def near_dup_survivors(
     ds: Dataset,
     *,
@@ -752,9 +848,29 @@ def near_dup_survivors(
 ) -> Dataset:
     """MinHash+LSH near-dup pipeline, end-to-end distributed: signatures ->
     banded buckets -> capped collision pairs -> join-verified agreement ->
-    min-label components -> survivor ids (min id per component)."""
+    min-label components -> survivor ids (min id per component).
+
+    Size-gated: corpora at or under ``_LOCAL_NEARDUP_MAX_ROWS`` are solved
+    on one worker from the collected signature table (identical output)."""
     sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col).materialize()
     id_type = sigs.schema().base_schema.field("doc_id").type
+    if sigs.count() <= _LOCAL_NEARDUP_MAX_ROWS:
+        tbl = _collect_table(sigs)
+        if tbl is None:
+            return rd.from_arrow(pa.schema([("doc_id", id_type)]).empty_table())
+
+        def vfy(pairs: pa.Table, t: pa.Table) -> pa.Table:
+            mat = _sig_matrix(t)
+            ia, ib = _pair_rows(pairs, t, "doc_id")
+            agree = (mat[ia] == mat[ib]).sum(axis=1)
+            return pairs.filter(pa.array(agree * 10_000 >= _N_PERM * threshold_bp))
+
+        return rd.from_arrow(
+            _local_near_dup(
+                tbl, band_fn=_band_rows, verify_fn=vfy, max_bucket=max_bucket,
+                empty_mask=_is_empty_sig(tbl.column("sig")),
+            )
+        )
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(banded, id_type=id_type, max_bucket=max_bucket).materialize()
     n_pairs = pairs.count()
@@ -833,6 +949,26 @@ def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> Dataset:
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     sigs = minhash_signatures(ds).materialize()
+    if sigs.count() <= _LOCAL_NEARDUP_MAX_ROWS:
+        tbl = _collect_table(sigs)
+        if tbl is None:
+            return rd.from_arrow(pa.schema([("doc_id", pa.int64())]).empty_table())
+        txt = _collect_table(ds)
+        tmap = dict(zip(txt.column("doc_id").to_pylist(), txt.column("text").to_pylist()))
+
+        def vfy(pairs: pa.Table, t: pa.Table) -> pa.Table:
+            keep = [
+                ngram_jaccard(tmap[x] or "", tmap[y] or "") >= threshold
+                for x, y in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())
+            ]
+            return pairs.filter(pa.array(keep))
+
+        return rd.from_arrow(
+            _local_near_dup(
+                tbl, band_fn=_band_rows, verify_fn=vfy, max_bucket=_MAX_BUCKET,
+                empty_mask=_is_empty_sig(tbl.column("sig")),
+            )
+        )
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -930,6 +1066,22 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
             }
         )
 
+    def _ham_keep(pairs: pa.Table, t: pa.Table) -> pa.Table:
+        sh_all = (
+            t.column("simhash").combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        ia, ib = _pair_rows(pairs, t, "doc_id")
+        ham = np.array([bin(int(x)).count("1") for x in (sh_all[ia] ^ sh_all[ib])])
+        return pairs.filter(pa.array(ham <= max_hamming))
+
+    if sigs.count() <= _LOCAL_NEARDUP_MAX_ROWS:
+        tbl = _collect_table(sigs)
+        if tbl is None:
+            return rd.from_arrow(pa.schema([("doc_id", pa.int64())]).empty_table())
+        return rd.from_arrow(
+            _local_near_dup(tbl, band_fn=band_rows, verify_fn=_ham_keep, max_bucket=_MAX_BUCKET)
+        )
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -994,7 +1146,27 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
             {"band_hash": pa.array(keys), "doc_id": batch.column("vec_id")}
         )
 
-    banded = ds.map_batches(bucket, batch_format="pyarrow", batch_size=1024)
+    vecs = ds.materialize()
+    if vecs.count() <= _LOCAL_NEARDUP_MAX_ROWS:
+        tbl = _collect_table(vecs)
+        if tbl is None:
+            return rd.from_arrow(pa.schema([("vec_id", pa.int64())]).empty_table())
+
+        def vfy(pairs: pa.Table, t: pa.Table) -> pa.Table:
+            from ocr_ray.ops.ann import _emb_matrix
+
+            emb = _emb_matrix(t.column("embedding").combine_chunks())
+            ia, ib = _pair_rows(pairs, t, "vec_id")
+            va, vb = emb[ia], emb[ib]
+            sims = (va * vb).sum(axis=1) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            return pairs.filter(pa.array(sims >= threshold))
+
+        return rd.from_arrow(
+            _local_near_dup(tbl, band_fn=bucket, verify_fn=vfy, max_bucket=_MAX_BUCKET, id_col="vec_id")
+        )
+    banded = vecs.map_batches(bucket, batch_format="pyarrow", batch_size=1024)
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     if pairs.count() == 0:

@@ -256,3 +256,32 @@ def test_cc_local_and_distributed_paths_agree(monkeypatch):
         by_label.setdefault(lab, []).append(n)
     for lab, members in by_label.items():
         assert lab == min(members)
+
+
+def test_local_gate_parity(docs_dir, monkeypatch):
+    """The size-gated local fast path must produce EXACTLY the distributed
+    plan's survivors, for every near-dup variant (the gate decision is
+    driver-side, so forcing the gate to 0 exercises the distributed path
+    on the same tiny corpus)."""
+    import ocr_ray.ops.dedup as D
+    from ocr_ray.ops.dedup import (
+        dedup_jaccard_docs,
+        embedding_near_dups,
+    )
+
+    variants = {
+        "minhash": dedup_minhash_docs,
+        "simhash": dedup_simhash_docs,
+        "jaccard": dedup_jaccard_docs,
+    }
+    local, dist = {}, {}
+    assert D._LOCAL_NEARDUP_MAX_ROWS > 5  # docs_dir corpus takes the local path
+    for name, fn in variants.items():
+        local[name] = _ids(fn(docs_dir))
+    emb_local = sorted(r["vec_id"] for r in embedding_near_dups("/root/testdata/sf0.01").take_all())
+    monkeypatch.setattr(D, "_LOCAL_NEARDUP_MAX_ROWS", 0)
+    for name, fn in variants.items():
+        dist[name] = _ids(fn(docs_dir))
+    emb_dist = sorted(r["vec_id"] for r in embedding_near_dups("/root/testdata/sf0.01").take_all())
+    assert local == dist
+    assert emb_local == emb_dist
