@@ -42,6 +42,14 @@ MIN_CHARS = 50
 # than shipping the set to every task)
 _BROADCAST_MAX_KEYS = 1_000_000
 
+# below this many CORPUS rows the winner aggregation skips the keyed shuffle:
+# per-batch combiner partials (one (sha, min-uid) row per distinct sha per
+# batch, ~100 B each) are coalesced into ONE block and reduced by a single
+# pyarrow group_by task — a tree reduce, not a driver materialization. At the
+# gate that block is ~200 MB worst case; above it the hash-partitioned
+# groupby runs (the 10^12-row path). Both paths give identical winners.
+_SINGLE_REDUCE_MAX_ROWS = int(os.environ.get("OCR_RAY_DEDUP_SINGLE_REDUCE_MAX_ROWS", "2000000"))
+
 
 def _uid_col(t: pa.Table) -> pa.Array:
     """uid = conv_id#turn_idx with the index zero-padded to 10 digits so
@@ -162,12 +170,21 @@ def dedup_exact_turns(
         g = t.select(["text_sha", "uid"]).group_by(["text_sha"]).aggregate([("uid", "min")])
         return g.rename_columns(["text_sha", "uid"])
 
-    winners = (
-        keyed.map_batches(batch_partial, batch_format="pyarrow")
-        .groupby("text_sha")
-        .aggregate(Min("uid", alias_name="uid"))
-        .select_columns(["uid"])
-    )
+    partials = keyed.map_batches(batch_partial, batch_format="pyarrow")
+    if keyed.count() <= _SINGLE_REDUCE_MAX_ROWS:
+        # tree reduce: combiner partials -> one block -> one final group_by
+        # task (no shuffle actors; the single exchange moves only partials)
+        winners = (
+            partials.repartition(1)
+            .map_batches(batch_partial, batch_format="pyarrow")
+            .select_columns(["uid"])
+        )
+    else:
+        winners = (
+            partials.groupby("text_sha", num_partitions=max(8, keyed.count() // 2_000_000))
+            .aggregate(Min("uid", alias_name="uid"))
+            .select_columns(["uid"])
+        )
     return _apply_winners(keyed, winners, winner_join=winner_join).drop_columns(
         ["text_sha", "uid"]
     )

@@ -72,3 +72,23 @@ def test_near_dedup_turns():
     convs = set(out["conv_id"])
     assert "na" in convs and "nb" not in convs  # near-dup collapsed, min uid kept
     assert "nc" in convs
+
+
+def test_winner_reduce_paths_agree(monkeypatch):
+    """The size-gated single-block winner reduce must equal the hash-
+    partitioned groupby path row for row (gate decision is driver-side)."""
+    import ocr_ray.pipelines.training_data as TD
+    from ocr_ray.pipelines.training_data import clean_corpus
+
+    from ocr_ray.sources.transcripts import ensure_transcripts
+
+    inp = ensure_transcripts(200, seed=13, root="/tmp/ocr_ray_fixtures")
+    ds = rd.read_parquet(inp)
+
+    def key(df):
+        return sorted(zip(df["conv_id"], df["turn_idx"]))
+
+    small_gate = key(clean_corpus(ds).to_pandas())
+    monkeypatch.setattr(TD, "_SINGLE_REDUCE_MAX_ROWS", 0)
+    big_path = key(clean_corpus(ds).to_pandas())
+    assert small_gate == big_path and len(small_gate) > 0
