@@ -38,6 +38,7 @@ min-label propagation from ``ops/dedup``.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
 import re
@@ -101,6 +102,61 @@ def _prefix_len(n: int, t_bp: int) -> int:
     return n + (-(t_bp * n) // 10_000) + 1
 
 
+# Row gates (both env-overridable). The recall guarantee of prefix filtering
+# holds under ANY fixed global shingle order, so the fast paths below change
+# only candidate-set SIZE, never correctness: exact verification rejects any
+# extra candidates, and no true pair can be lost.
+#
+# _CENSUS_TREE_MAX_ROWS: below this many PARTIAL census rows (one (shingle-
+# hash, count) row per distinct shingle per batch) the df census skips the
+# hash shuffle — partials are coalesced into one block and summed by a single
+# pyarrow group_by task (measured 13x cheaper than the shuffle at 2M rows on
+# the dev box).
+# _DF_BROADCAST_MAX_ROWS: below this many df>=2 rows the census is shipped to
+# every prefix task as a plain dict via ray.put (df=1 implied for misses) and
+# prefixes are emitted straight off the docs table — no gram/census join and
+# no per-doc map_groups. Above it, the join plan runs (the 10^12-row path).
+_CENSUS_TREE_MAX_ROWS = int(os.environ.get("OCR_RAY_SIMJOIN_CENSUS_TREE_MAX_ROWS", "5000000"))
+_DF_BROADCAST_MAX_ROWS = int(os.environ.get("OCR_RAY_SIMJOIN_DF_BROADCAST_MAX_ROWS", "2000000"))
+
+
+def _gram_key(s: str) -> int:
+    """Stable 63-bit shingle key (blake2b prefix). A collision merges two
+    shingles' df counts and can only grow a prefix/candidate set — recall
+    is unaffected and verification is on the true string sets."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
+
+
+def _df2_census(grams: Dataset) -> Dataset:
+    """(shingle-key, df) for shingles with document frequency >= 2.
+
+    df=1 shingles (the vast majority) are implied by absence — every
+    consumer defaults missing keys to df 1, which preserves the exact
+    global (df, shingle) order. Per-batch combiner partials feed either a
+    single-block tree reduce (small) or a hash-partitioned groupby sum."""
+    from ray.data.aggregate import Sum
+
+    def key_partials(t: pa.Table) -> pa.Table:
+        keys = [_gram_key(s) for s in t.column("shingle").to_pylist()]
+        tb = pa.table({"k": pa.array(keys, pa.int64())})
+        return tb.group_by(["k"]).aggregate([("k", "count")]).rename_columns(["k", "c"])
+
+    partials = grams.map_batches(key_partials, batch_format="pyarrow").materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by(["k"]).aggregate([("c", "sum")]).rename_columns(["k", "df"])
+        return g.filter(pc.greater_equal(g.column("df"), 2))
+
+    if partials.count() <= _CENSUS_TREE_MAX_ROWS:
+        return partials.repartition(1).map_batches(finalize, batch_format="pyarrow")
+    summed = (
+        partials.groupby("k", num_partitions=max(8, partials.count() // 2_000_000))
+        .aggregate(Sum("c", alias_name="df"))
+        .filter(expr="df >= 2")
+    )
+    return _coerce_schema(summed, pa.schema([("k", pa.int64()), ("df", pa.int64())]))
+
+
 def jaccard_dup_pairs(
     ds: Dataset,
     *,
@@ -110,72 +166,111 @@ def jaccard_dup_pairs(
 ) -> Dataset:
     """All pairs (a < b) with word-3-gram Jaccard >= threshold — EXACT.
 
-    grams -> document-frequency census -> rare-first per-doc prefix ->
-    shingle-grouped candidates -> integer-exact verify on string sets.
-    Every stage is a Dataset op; only pair rows carry text (onto O(candidate)
-    verify rows via two hash joins)."""
+    grams -> document-frequency census (df>=2 only; df=1 implied) ->
+    rare-first per-doc prefix -> shingle-grouped candidates ->
+    integer-exact verify on string sets. Every stage is a Dataset op; only
+    pair rows carry text (onto O(candidate) verify rows via two hash
+    joins). The census is broadcast when small (prefixes come straight off
+    the docs table); above the gate it is hash-joined onto gram rows."""
+    import ray as _ray
+
     id_type = ds.schema().base_schema.field(id_col).type
     grams = ds.map_batches(
         lambda t: _gram_rows(t, text_col, id_col), batch_format="pyarrow"
     ).materialize()
-
-    # document frequency per shingle; (df, shingle) is the global total order
     n_grams = grams.count()
     parts = _dyn_parts(n_grams)
-    # distinct right-side key name (same-named keys survive as duplicate
-    # columns in Ray's join output) + schema coercion (groupby outputs can
-    # carry zero-column empty blocks, which crash a downstream join)
-    freq = _coerce_schema(
-        grams.groupby("shingle")
-        .aggregate(Count(alias_name="df"))
-        .map_batches(
-            lambda t: pa.table({"__s": t.column("shingle"), "df": t.column("df")}),
+    freq = _df2_census(grams).materialize()
+
+    if freq.count() <= _DF_BROADCAST_MAX_ROWS:
+        # broadcast path: df map in the object store once; each task reads
+        # it zero-setup and emits (shingle, doc_id) prefix rows per doc
+        import ray as _ray2
+
+        tbls = [t for t in (_ray.get(r) for r in freq.to_arrow_refs()) if t.num_rows]
+        df_map = {}
+        for t in tbls:
+            df_map.update(
+                zip(t.column("k").to_pylist(), t.column("df").to_pylist())
+            )
+        df_ref = _ray.put(df_map)
+
+        class PrefixRows:
+            def __init__(self):
+                self.df = _ray2.get(df_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids, out = [], []
+                for did, text in zip(
+                    batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+                ):
+                    gs = word_grams(text)
+                    if not gs:
+                        continue
+                    ordered = sorted(gs, key=lambda g: (self.df.get(_gram_key(g), 1), g))
+                    for g in ordered[: _prefix_len(len(gs), threshold_bp)]:
+                        ids.append(did)
+                        out.append(g)
+                return pa.table(
+                    {
+                        "shingle": pa.array(out, pa.string()),
+                        "doc_id": pa.array(ids, batch.schema.field(id_col).type),
+                    }
+                )
+
+        prefixes = ds.map_batches(
+            PrefixRows, batch_format="pyarrow", concurrency=(1, 16), num_cpus=1
+        )
+    else:
+        # join path: df>=2 rows onto gram rows (left outer; miss = df 1),
+        # then per-doc rare-first prefix under grouped co-location
+        def add_key(t: pa.Table) -> pa.Table:
+            keys = [_gram_key(s) for s in t.column("shingle").to_pylist()]
+            return t.append_column("k", pa.array(keys, pa.int64()))
+
+        keyed = grams.map_batches(add_key, batch_format="pyarrow")
+        g_schema = pa.schema(
+            [("doc_id", id_type), ("shingle", pa.string()), ("k", pa.int64()), ("df", pa.int64())]
+        )
+        joined = keyed.join(
+            freq.map_batches(
+                lambda t: pa.table({"__k": t.column("k"), "df": t.column("df")}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer",
+            num_partitions=parts,
+            on=("k",),
+            right_on=("__k",),
+        )
+        with_df = _coerce_schema(joined, g_schema, parts).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("df"),
+                "df",
+                pc.fill_null(t.column("df"), 1),
+            ),
             batch_format="pyarrow",
-        ),
-        pa.schema([("__s", pa.string()), ("df", pa.int64())]),
-        parts,
-    )
-    g_schema = pa.schema(
-        [("doc_id", id_type), ("shingle", pa.string()), ("df", pa.int64())]
-    )
-    with_df = _coerce_schema(
-        grams.join(
-            freq, join_type="inner", num_partitions=parts,
-            on=("shingle",), right_on=("__s",),
-        ),
-        g_schema,
-        parts,
-    )
-
-    def per_doc_prefix(t: pa.Table) -> pa.Table:
-        # one group = one doc's shingles; rare-first order, keep the prefix
-        order = pc.sort_indices(
-            t, sort_keys=[("df", "ascending"), ("shingle", "ascending")]
-        )
-        p = _prefix_len(t.num_rows, threshold_bp)
-        kept = t.take(order[:p])
-        return pa.table(
-            {"shingle": kept.column("shingle"), "doc_id": kept.column("doc_id")}
         )
 
-    prefixes = with_df.groupby("doc_id").map_groups(
-        per_doc_prefix, batch_format="pyarrow"
-    )
+        def per_doc_prefix(t: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                t, sort_keys=[("df", "ascending"), ("shingle", "ascending")]
+            )
+            p = _prefix_len(t.num_rows, threshold_bp)
+            kept = t.take(order[:p])
+            return pa.table(
+                {"shingle": kept.column("shingle"), "doc_id": kept.column("doc_id")}
+            )
+
+        prefixes = with_df.groupby("doc_id").map_groups(
+            per_doc_prefix, batch_format="pyarrow"
+        )
 
     # Hash prefix shingles to int64 bucket keys and reuse the UNCAPPED
-    # collision-census pair generator from ops/dedup (census finds buckets
-    # with >= 2 members; pair fan-out runs only over those — most prefix
-    # shingles are singletons, and a per-shingle map_groups over all of them
-    # would pay the per-group Python call for every singleton). A 64-bit
-    # hash collision can only ADD a candidate pair, which exact verification
+    # collision-census pair generator from ops/dedup. A 64-bit hash
+    # collision can only ADD a candidate pair, which exact verification
     # then rejects — recall is unaffected.
-    import hashlib as _hl
-
     def hash_rows(t: pa.Table) -> pa.Table:
-        keys = [
-            int.from_bytes(_hl.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
-            for s in t.column("shingle").to_pylist()
-        ]
+        keys = [_gram_key(s) for s in t.column("shingle").to_pylist()]
         return pa.table(
             {
                 "band_hash": pa.array(keys, pa.int64()),
