@@ -131,16 +131,17 @@ def run_bench() -> dict:
         from ocr_ray.ops.ann import ann_topk_over
         from ocr_ray.ops.dedup import near_dup_survivors
         from ocr_ray.sources.bigdocs import ensure_bigdocs, ensure_bigvecs
+        from ocr_ray.sources.readers import scaled_read_parquet
 
         docs100k = ensure_bigdocs(100_000, seed=7)
         t0 = time.monotonic()
         n_surv = near_dup_survivors(
-            rd.read_parquet(docs100k, columns=["doc_id", "text"])
+            scaled_read_parquet(docs100k, columns=["doc_id", "text"])
         ).count()
         qtimes["dedup_minhash_100k"] = round(time.monotonic() - t0, 3)
         vecs200k = ensure_bigvecs(200_000, dim=64, seed=11)
         t0 = time.monotonic()
-        _consume(ann_topk_over(rd.read_parquet(vecs200k), n_queries=64, k=10))
+        _consume(ann_topk_over(scaled_read_parquet(vecs200k), n_queries=64, k=10))
         qtimes["ann_brute_200k"] = round(time.monotonic() - t0, 3)
 
         # exact-recall similarity join at volume (prefix-filter plan)
@@ -149,14 +150,14 @@ def run_bench() -> dict:
         docs20k = ensure_bigdocs(20_000, seed=7)
         t0 = time.monotonic()
         n_jpairs = jaccard_dup_pairs(
-            rd.read_parquet(docs20k, columns=["doc_id", "text"]).materialize()
+            scaled_read_parquet(docs20k, columns=["doc_id", "text"]).materialize()
         ).count()
         qtimes["jaccard_exact_20k"] = round(time.monotonic() - t0, 3)
 
         # corpus-prep ops at volume (vocab partial-agg + two-level scan)
         from ocr_ray.ops.corpus import pack_sequences_over, vocab_topk_over
 
-        big = rd.read_parquet(docs100k, columns=["doc_id", "text"])
+        big = scaled_read_parquet(docs100k, columns=["doc_id", "text"])
         t0 = time.monotonic()
         _consume(vocab_topk_over(big))
         qtimes["vocab_topk_100k"] = round(time.monotonic() - t0, 3)

@@ -369,18 +369,51 @@ def candidate_pairs(
 
 def _pack_lists(col, dtype) -> pa.Array:
     """list<numeric> column -> fixed-width binary (Arrow joins don't carry
-    list-typed non-key columns; packed bytes also shuffle cheaper)."""
-    rows = col.to_pylist()
+    list-typed non-key columns; packed bytes also shuffle cheaper).
+
+    Vectorized: the list values buffer becomes the binary data buffer in one
+    ``tobytes`` — no per-row Python. Requires equal-length rows (MinHash
+    sigs are fixed ``_N_PERM``); ragged input falls back to the row loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.binary())
+    lens = pc.list_value_length(arr)
+    width_elems = lens[0].as_py()
+    if arr.null_count == 0 and pc.min(lens).as_py() == pc.max(lens).as_py():
+        flat = np.asarray(arr.flatten()).astype(dtype, copy=False)
+        width = width_elems * flat.itemsize
+        offs = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, offs.buffers()[1], pa.py_buffer(flat.tobytes())]
+        )
+    rows = arr.to_pylist()
     return pa.array(
         [np.asarray(r, dtype=dtype).tobytes() for r in rows], pa.binary()
     )
 
 
 def _unpack_lists(col, dtype) -> np.ndarray:
-    """binary column of equal-length packed rows -> (n, k) ndarray."""
-    rows = col.to_pylist()
-    if not rows:
+    """binary column of equal-length packed rows -> (n, k) ndarray.
+
+    Vectorized via the binary values buffer when rows are contiguous and
+    equal-width (the only shape ``_pack_lists`` produces); falls back to the
+    per-row path otherwise (e.g. join output that re-chunked arbitrarily —
+    combine_chunks restores contiguity, so the fast path is the norm)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
         return np.zeros((0, 0), dtype=dtype)
+    if arr.null_count == 0:
+        offsets = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + n + 1
+        ]
+        widths = np.diff(offsets)
+        if widths.size and (widths == widths[0]).all():
+            data = np.frombuffer(arr.buffers()[2], np.uint8)
+            flat = data[offsets[0] : offsets[0] + n * widths[0]]
+            return flat.view(dtype).reshape(n, -1)
+    rows = arr.to_pylist()
     return np.stack([np.frombuffer(r, dtype=dtype) for r in rows])
 
 
@@ -429,12 +462,14 @@ def verified_pairs_minhash(
     if id_type is None:
         id_type = pa.int64()
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    # materialized: both endpoint joins consume it — lazy would re-run the
+    # packing map once per join
     packed = sigs.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id"), "sig": _pack_lists(t.column("sig"), np.uint64)}
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     j, s1 = _paired_with(
         pairs, packed, "a", "sig", "sig_a",
         left_schema=pair_schema, payload_type=pa.binary(), parts=parts,
