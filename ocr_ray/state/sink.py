@@ -22,7 +22,6 @@ and a kill+resume run produce byte-identical output (FIXTURES.md §4).
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import json
 import os
@@ -197,26 +196,53 @@ def _fanout_batch(batch: pa.Table, *, frag_root: str) -> pa.Table:
     )
 
 
-def _finalize_partition(
-    batch, *, frag_root: str, out_dir: str, input_tag: str, expected_schema=None,
+def _finalize_one(
+    pid: int, *, frag_root: str, out_dir: str, input_tag: str, expected_schema=None,
     num_partitions: int | None = None,
-) -> pa.Table:
+) -> dict:
     """Merge one partition's fragments into its canonical single file.
 
     Deterministic regardless of fragment arrival order: rows are sorted by
-    the unique key (conv_id, turn_idx) before the write."""
-    outs = []
-    for pid in batch["item"].tolist():
-        d = os.path.join(frag_root, f"part-{int(pid):05d}")
-        frags = sorted(os.listdir(d))
-        t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in frags])
-        outs.append(
-            write_partition_group(
-                t, out_dir=out_dir, input_tag=input_tag, expected_schema=expected_schema,
-                num_partitions=num_partitions,
-            )
-        )
-    return pa.concat_tables(outs)
+    the unique key (conv_id, turn_idx) before the write. Plain function run
+    as a Ray task (one per partition) so callers can hold the futures and
+    overlap finalize I/O with the next job's compute."""
+    d = os.path.join(frag_root, f"part-{int(pid):05d}")
+    frags = sorted(os.listdir(d))
+    t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in frags])
+    row = write_partition_group(
+        t, out_dir=out_dir, input_tag=input_tag, expected_schema=expected_schema,
+        num_partitions=num_partitions,
+    )
+    return {k: row.column(k)[0].as_py() for k in row.column_names}
+
+
+class _SinkHandle:
+    """Deferred finalize of one ``write_partitioned`` run: holds the
+    per-partition finalize task futures. ``collect()`` blocks, cleans the
+    fragment spill, and returns the manifest table."""
+
+    def __init__(self, *, refs: list, frag_root: str, done: dict):
+        self.refs = refs
+        self.frag_root = frag_root
+        self.done = done
+
+    def collect(self) -> pa.Table:
+        import shutil
+
+        import ray
+
+        new = ray.get(self.refs) if self.refs else []
+        shutil.rmtree(self.frag_root, ignore_errors=True)
+        prev = [
+            {k: m.get(k) for k in ("partition_id", "rows_out", "bytes_in", "bytes_out",
+                                    "n_errors", "checksum", "wall_s")}
+            for m in self.done.values()
+        ]
+        rows = prev + new
+        rows.sort(key=lambda r: r["partition_id"])
+        if not rows:
+            return pa.table({"partition_id": pa.array([], pa.int32())})
+        return pa.table({k: [r.get(k) for r in rows] for k in rows[0]})
 
 
 def write_partitioned(
@@ -230,6 +256,7 @@ def write_partitioned(
     finalize_num_cpus: int | None = None,
     pre_fn=None,
     fanout_batch_size: int = 8192,
+    _defer_finalize: bool = False,
 ) -> pa.Table:
     """Commit a (extracted) Dataset to a resumable partitioned layout.
 
@@ -244,6 +271,10 @@ def write_partitioned(
     block traffic. The resume filter still runs on the RAW batch (cheap
     conv_id hash) before the transform, so committed partitions skip the
     heavyweight work entirely.
+
+    ``_defer_finalize=True`` returns a ``_SinkHandle`` after the fan-out
+    instead of blocking on the finalize tasks — ``write_segmented`` uses it
+    to overlap a segment's finalize I/O with the next segment's fan-out.
     """
     import shutil
 
@@ -311,35 +342,29 @@ def write_partitioned(
         except Exception:
             total_cpus = 8
         finalize_cpus = max(1, total_cpus // 8)
-    new: list[dict] = []
+    refs = []
     if pending:
-        # one block per partition — from_items alone yields ONE block and
-        # would serialize every finalize into a single task
-        manifests = rd.from_items(pending).repartition(len(pending)).map_batches(
-            functools.partial(
-                _finalize_partition,
+        import ray
+
+        # raw tasks (one per partition) instead of a Dataset stage: the
+        # futures can outlive this call, letting write_segmented overlap a
+        # segment's finalize I/O with the NEXT segment's fan-out compute
+        fin = ray.remote(_finalize_one).options(num_cpus=finalize_cpus)
+        refs = [
+            fin.remote(
+                pid,
                 frag_root=frag_root,
                 out_dir=out_dir,
                 input_tag=input_tag,
                 expected_schema=expected_schema,
                 num_partitions=num_partitions,
-            ),
-            batch_format="numpy",
-            batch_size=1,
-            num_cpus=finalize_cpus,
-        )
-        new = manifests.take_all()  # tiny: one row per partition
-    shutil.rmtree(frag_root, ignore_errors=True)
-    prev = [
-        {k: m.get(k) for k in ("partition_id", "rows_out", "bytes_in", "bytes_out",
-                                "n_errors", "checksum", "wall_s")}
-        for m in done.values()
-    ]
-    rows = prev + new
-    rows.sort(key=lambda r: r["partition_id"])
-    if not rows:
-        return pa.table({"partition_id": pa.array([], pa.int32())})
-    return pa.table({k: [r.get(k) for r in rows] for k in rows[0]})
+            )
+            for pid in pending
+        ]
+    handle = _SinkHandle(refs=refs, frag_root=frag_root, done=done)
+    if _defer_finalize:
+        return handle
+    return handle.collect()
 
 
 SEGMENTS_DIR = "_segments"
@@ -357,6 +382,47 @@ def committed_segments(out_dir: str) -> dict[int, dict]:
                 m = json.load(f)
             out[int(m["segment_id"])] = m
     return out
+
+
+def _commit_segment(
+    out_dir: str, num_partitions: int, sid: int, seg_paths: list[str],
+    seg_tag: str, handle: "_SinkHandle",
+) -> pa.Table:
+    """Block on one deferred segment's finalize tasks, then write its
+    segment manifest (atomic rename, strictly after the data commit)."""
+    manifest = handle.collect()
+    seg_manifest = {
+        "segment_id": sid,
+        "files": seg_paths,
+        "input_tag": seg_tag,
+        "num_partitions": num_partitions,
+        "partitions": [
+            {
+                "partition_id": int(r["partition_id"]),
+                "rows_out": int(r.get("rows_out") or 0),
+            }
+            for r in manifest.to_pylist()
+        ],
+    }
+    spath = os.path.join(out_dir, SEGMENTS_DIR, f"seg-{sid:04d}.json")
+    stmp = spath + f".tmp-{os.getpid()}"
+    with open(stmp, "w") as f:
+        json.dump(seg_manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(stmp, spath)
+    mrows = manifest.to_pylist()  # empty-segment manifest lacks rows_out
+    return pa.table(
+        {
+            "segment_id": pa.array([sid] * len(mrows), pa.int32()),
+            "partition_id": pa.array(
+                [int(r["partition_id"]) for r in mrows], pa.int32()
+            ),
+            "rows_out": pa.array(
+                [int(r.get("rows_out") or 0) for r in mrows], pa.int64()
+            ),
+        }
+    )
 
 
 def write_segmented(
@@ -391,6 +457,11 @@ def write_segmented(
         ``write_partitioned``'s own per-partition manifests;
       * fragment spill is bounded by one segment's output, not the job's.
 
+    Pipelining: each segment's finalize (disk-bound per-partition merges)
+    runs as deferred Ray tasks that overlap the NEXT segment's fan-out
+    (CPU-bound); at most one segment's finalize is in flight, and segment
+    manifests are still written strictly in segment order.
+
     Output stays plain partitioned Parquet: ``read_parquet(out_dir)`` sees
     every committed row (one directory per input segment — the resumable
     layout the scale brief prescribes). Determinism: file list is sorted,
@@ -403,11 +474,18 @@ def write_segmented(
     done = committed_segments(out_dir) if resume else {}
     os.makedirs(os.path.join(out_dir, SEGMENTS_DIR), exist_ok=True)
     out_rows: list[pa.Table] = []
+    inflight: list[tuple] = []  # at most one deferred (sid, paths, tag, handle)
+
+    def _drain() -> None:
+        while inflight:
+            out_rows.append(_commit_segment(out_dir, num_partitions, *inflight.pop(0)))
+
     for sid, seg_paths in enumerate(segments):
         seg_tag = f"seg-{sid:04d}:" + hashlib.sha256(
             "\n".join(seg_paths).encode()
         ).hexdigest()[:16]
         if sid in done:
+            _drain()  # keep returned rows + manifest writes in segment order
             if done[sid]["files"] != seg_paths:
                 raise ValueError(
                     f"resume mismatch: segment {sid} of {out_dir} was committed "
@@ -431,7 +509,12 @@ def write_segmented(
             continue
         seg_dir = os.path.join(out_dir, f"seg-{sid:04d}")
         ds = rd.read_parquet(seg_paths, columns=read_columns)
-        manifest = write_partitioned(
+        # deferred finalize: this segment's per-partition merge I/O runs
+        # while the NEXT segment's fan-out computes (finalize is disk-bound,
+        # fan-out is CPU-bound — the overlap hides one of them). Segment
+        # manifests are still written in order, strictly after the
+        # segment's data commit, so crash-resume semantics are unchanged.
+        handle = write_partitioned(
             ds,
             seg_dir,
             num_partitions=num_partitions,
@@ -440,41 +523,14 @@ def write_segmented(
             expected_schema=expected_schema,
             pre_fn=pre_fn,
             fanout_batch_size=fanout_batch_size,
+            _defer_finalize=True,
         )
-        seg_manifest = {
-            "segment_id": sid,
-            "files": seg_paths,
-            "input_tag": seg_tag,
-            "num_partitions": num_partitions,
-            "partitions": [
-                {
-                    "partition_id": int(r["partition_id"]),
-                    "rows_out": int(r.get("rows_out") or 0),
-                }
-                for r in manifest.to_pylist()
-            ],
-        }
-        spath = os.path.join(out_dir, SEGMENTS_DIR, f"seg-{sid:04d}.json")
-        stmp = spath + f".tmp-{os.getpid()}"
-        with open(stmp, "w") as f:
-            json.dump(seg_manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(stmp, spath)
-        mrows = manifest.to_pylist()  # empty-segment manifest lacks rows_out
-        out_rows.append(
-            pa.table(
-                {
-                    "segment_id": pa.array([sid] * len(mrows), pa.int32()),
-                    "partition_id": pa.array(
-                        [int(r["partition_id"]) for r in mrows], pa.int32()
-                    ),
-                    "rows_out": pa.array(
-                        [int(r.get("rows_out") or 0) for r in mrows], pa.int64()
-                    ),
-                }
-            )
-        )
+        # the PREVIOUS segment's finalize ran while this fan-out computed;
+        # now that this segment's compute is done, commit it (keeps segment
+        # manifests and returned rows in segment order)
+        _drain()
+        inflight.append((sid, seg_paths, seg_tag, handle))
+    _drain()
     if not out_rows:
         return pa.table(
             {
