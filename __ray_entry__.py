@@ -136,7 +136,12 @@ _DRIVER_SF = "/root/testdata/sf0.01"
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ocr_ray.pipelines.extract_oracle import extract_plain_turns, extract_turn_counts
+    from ocr_ray.pipelines.extract_oracle import (
+        engine_dispatch_counts,
+        extract_plain_blocks,
+        extract_plain_turns,
+        extract_turn_counts,
+    )
     from ocr_ray.pipelines.relational import REGISTRY
 
     out: dict[str, Callable[[str], Any]] = {
@@ -145,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summaries": _extract_summaries,
         "extract_metrics": _extract_metrics,
         "extract_plain_turns": extract_plain_turns,
+        "extract_plain_blocks": extract_plain_blocks,
+        "engine_dispatch_counts": engine_dispatch_counts,
         "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,

@@ -125,6 +125,155 @@ FROM t
 """
 
 
+def extract_plain_blocks(sf_dir: str) -> Dataset:
+    """Exploded per-BLOCK view of the provably-plain subset (the sheet-sink
+    explode semantics, save-to-google-sheet.ts:199-215, driver-gated).
+
+    The real kernel runs and its ``blocks`` tuple is exploded to one row per
+    block; the oracle reproduces (block_idx, kind, text) with the same
+    paragraph pipeline as ``EXTRACT_PLAIN_SQL`` plus a zipped unnest."""
+    from ocr_ray.core.extract import extract_turn
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_plain_mask(t.column("text")))
+        cids, tidx, bidx, kinds, texts = [], [], [], [], []
+        for cid, ti, x in zip(
+            t.column("conv_id").to_pylist(),
+            t.column("turn_idx").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            for b in extract_turn(x).blocks:
+                cids.append(cid)
+                tidx.append(ti)
+                bidx.append(b.block_idx)
+                kinds.append(b.kind)
+                texts.append(b.text)
+        return pa.table(
+            {
+                "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+                "turn_idx": pa.array(tidx, t.schema.field("turn_idx").type),
+                "block_idx": pa.array(bidx, pa.int32()),
+                "kind": pa.array(kinds, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _plain_blocks_sql(path: str) -> str:
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+p AS (
+  SELECT conv_id, turn_idx,
+         list_filter(
+           list_transform(
+             regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
+             x -> {collapse}),
+           x -> x <> '') AS paras
+  FROM t
+)
+SELECT conv_id, turn_idx, CAST(block_idx AS INTEGER) AS block_idx, kind, text
+FROM (
+  SELECT conv_id, turn_idx,
+         unnest(range(len(paras))) AS block_idx,
+         'para' AS kind,
+         unnest(paras) AS text
+  FROM p
+)
+"""
+
+
+def engine_dispatch_counts(sf_dir: str) -> Dataset:
+    """M1 engine dispatch, driver-gated: per-payload_kind row counts from
+    the REAL ``classify_payload`` vs an independent SQL reimplementation of
+    the classifier spec (extract-data-from-pdf.ts:22-24,:96-154 dispatch).
+
+    Scope filter (applied verbatim on both sides): data-URI payloads are
+    excluded (classification runs on the DECODED body, and base64 decode
+    totality is not SQL-expressible) and so are exotic-whitespace payloads
+    (Python ``splitlines``/``\\s`` vs RE2 ``\\n`` divergence — same filter
+    as the plain gate). Everything else — html tag threshold, pdf indent
+    heuristic with its 200-line cap and 30% ratio — is mirrored exactly."""
+    from ocr_ray.core.extract import classify_payload
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        keep = pc.and_(pc.is_valid(txt), pc.invert(pc.starts_with(txt, "data:")))
+        keep = pc.and_(keep, pc.invert(pc.match_substring_regex(txt, _EXOTIC_WS_RE)))
+        kinds: dict[str, int] = {}
+        for x in t.filter(keep).column("text").to_pylist():
+            k = classify_payload(x)
+            kinds[k] = kinds.get(k, 0) + 1
+        return pa.table(
+            {
+                "payload_kind": pa.array(list(kinds), pa.string()),
+                "n": pa.array(list(kinds.values()), pa.int64()),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by(["payload_kind"]).aggregate([("n", "sum")])
+        return g.rename_columns(["payload_kind", "n"])
+
+    # partial counts per batch (<= 3 rows each) -> one-block exact sum
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def _dispatch_sql(path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT text FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+m AS (
+  SELECT text,
+         len(regexp_extract_all(text, '</?[a-zA-Z][^<>]*>')) AS n_tags,
+         list_slice(regexp_split_to_array(text, chr(10)), 1, 200) AS l200
+  FROM t
+),
+c AS (
+  SELECT n_tags,
+         len(list_filter(l200, x -> trim(x, ' ' || chr(9)) <> '')) AS nonempty,
+         len(list_filter(l200, x -> regexp_matches(x, '^[ \t]{{2,}}[^ \t]'))) AS indented,
+         trim(text, ' ' || chr(9) || chr(10)) = '' AS is_blank
+  FROM m
+),
+k AS (
+  SELECT CASE
+           WHEN is_blank THEN 'plain'
+           WHEN n_tags >= 3 THEN 'html'
+           WHEN nonempty >= 4 AND indented * 10 >= nonempty * 3 THEN 'pdf'
+           ELSE 'plain'
+         END AS payload_kind
+  FROM c
+)
+SELECT payload_kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM k GROUP BY payload_kind
+"""
+
+
 def extract_turn_counts(sf_dir: str) -> pa.Table:
     """Totality invariant: the kernel emits EXACTLY one output row per input
     row (empty/undecodable payloads become error rows, never drops)."""
@@ -159,6 +308,8 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     path = _transcripts(sf_dir)
     return {
         "extract_plain_turns": _plain_sql(path),
+        "extract_plain_blocks": _plain_blocks_sql(path),
+        "engine_dispatch_counts": _dispatch_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "turn_context_stats": TURN_CONTEXT_STATS_SQL_TMPL.format(path=path),
