@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.extract_oracle import (
         engine_dispatch_counts,
         extract_plain_blocks,
+        extract_plain_summaries,
         extract_plain_turns,
         extract_turn_counts,
     )
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metrics": _extract_metrics,
         "extract_plain_turns": extract_plain_turns,
         "extract_plain_blocks": extract_plain_blocks,
+        "extract_plain_summaries": extract_plain_summaries,
         "engine_dispatch_counts": engine_dispatch_counts,
         "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,

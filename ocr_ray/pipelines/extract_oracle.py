@@ -196,6 +196,110 @@ FROM (
 """
 
 
+def extract_plain_summaries(sf_dir: str) -> Dataset:
+    """Driver-gated summarizer (A5): the REAL kernel + REAL ``summarize_text``
+    run over the provably-plain subset; the oracle reproduces first-sentence
+    split (RE2 lazy-prefix mirror of the Python lookbehind), the 160-char
+    ellipsis truncation, and the (count desc, term asc) top-5 term ranking
+    entirely in DuckDB SQL (reference semantics: summarize-pdf-data.ts:28-45)."""
+    from ocr_ray.core.extract import extract_turn
+    from ocr_ray.stages.summarize import summarize_text
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_plain_mask(t.column("text")))
+        sums = [
+            summarize_text(extract_turn(x).main_text)
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "summary": pa.array(sums, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _plain_summaries_sql(path: str) -> str:
+    from ocr_ray.stages.summarize import _STOP
+
+    # Python's lookbehind split `(?<=[.!?])\s+` = RE2 lazy prefix ending at
+    # the first [.!?] followed by whitespace ((?s) lets it cross the \n\n
+    # paragraph joins). Trim/rtrim charsets are exactly space/\t/\n — the
+    # only whitespace that survives the plain main_text pipeline.
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(_STOP))
+    ws = "' ' || chr(9) || chr(10)"
+    first_re = r"regexp_extract(main_text, '(?s)^(.*?[.!?])[ \t\n]', 1)"
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+s AS (
+  SELECT conv_id, turn_idx,
+       CASE WHEN {norm_all} = '' THEN ''
+            ELSE array_to_string(
+                   list_filter(
+                     list_transform(
+                       regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
+                       x -> {collapse}),
+                     x -> x <> ''),
+                   chr(10) || chr(10))
+       END AS main_text
+  FROM t
+),
+f AS (
+  SELECT conv_id, turn_idx, main_text,
+         trim(CASE WHEN {first_re} = '' THEN main_text ELSE {first_re} END,
+              {ws}) AS first1
+  FROM s
+),
+fs AS (
+  SELECT conv_id, turn_idx, main_text,
+         CASE WHEN length(first1) > 160
+              THEN rtrim(substring(first1, 1, 159), {ws}) || chr(8230)
+              ELSE first1 END AS first
+  FROM f
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(lower(main_text), '\\pL{{3,}}')) AS wd
+  FROM fs
+),
+wc AS (
+  SELECT conv_id, turn_idx, wd, COUNT(*) AS c
+  FROM w WHERE wd NOT IN ({stop_sql})
+  GROUP BY conv_id, turn_idx, wd
+),
+rk AS (
+  SELECT conv_id, turn_idx, wd, c,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY c DESC, wd ASC) AS r
+  FROM wc
+),
+tm AS (
+  SELECT conv_id, turn_idx, string_agg(wd, ', ' ORDER BY c DESC, wd ASC) AS terms
+  FROM rk WHERE r <= 5 GROUP BY conv_id, turn_idx
+)
+SELECT fs.conv_id, fs.turn_idx,
+       CASE WHEN tm.terms IS NULL OR tm.terms = '' THEN fs.first
+            ELSE fs.first || ' [' || tm.terms || ']' END AS summary
+FROM fs LEFT JOIN tm ON fs.conv_id = tm.conv_id AND fs.turn_idx = tm.turn_idx
+"""
+
+
 def engine_dispatch_counts(sf_dir: str) -> Dataset:
     """M1 engine dispatch, driver-gated: per-payload_kind row counts from
     the REAL ``classify_payload`` vs an independent SQL reimplementation of
@@ -309,6 +413,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     return {
         "extract_plain_turns": _plain_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),
+        "extract_plain_summaries": _plain_summaries_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
