@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_plain_summaries,
         extract_plain_turns,
         extract_turn_counts,
+        plain_dialogue_pairs,
     )
     from ocr_ray.pipelines.relational import REGISTRY
 
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_neardup": _clean_corpus_neardup,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,
+        "plain_dialogue_pairs": plain_dialogue_pairs,
         "turn_context_stats": _turn_context_stats,
         "extract_context_turns": _extract_context_turns,
     }

@@ -196,6 +196,59 @@ FROM (
 """
 
 
+def plain_dialogue_pairs(sf_dir: str) -> Dataset:
+    """Driver-gated cross-turn context view: the REAL kernel + the REAL
+    ``dialogue_pairs`` grouped-scan (conv_id co-location, vectorized lag)
+    run over the provably-plain subset; the oracle is an independent SQL
+    ``lag()`` window over the plain main_text pipeline. This gates the
+    conversation-context machinery ON KERNEL OUTPUT (turn_context_stats
+    gates the lag scan over raw text only)."""
+    from ocr_ray.pipelines.conversation import dialogue_pairs
+    from ocr_ray.pipelines.extract_pipeline import extract_dataset
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_provably_plain_mask(t.column("text"))),
+        batch_format="pyarrow",
+    )
+    return dialogue_pairs(extract_dataset(ds))
+
+
+def _plain_dialogue_pairs_sql(path: str) -> str:
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+    win = "PARTITION BY conv_id ORDER BY turn_idx"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+s AS (
+  SELECT conv_id, turn_idx, role,
+       CASE WHEN {norm_all} = '' THEN ''
+            ELSE array_to_string(
+                   list_filter(
+                     list_transform(
+                       regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
+                       x -> {collapse}),
+                     x -> x <> ''),
+                   chr(10) || chr(10))
+       END AS main_text
+  FROM t
+)
+SELECT conv_id, turn_idx, role,
+       coalesce(lag(role) OVER ({win}), '') AS prev_role,
+       coalesce(substring(lag(main_text) OVER ({win}), 1, 80), '') AS prev_text_head
+FROM s
+"""
+
+
 def extract_plain_summaries(sf_dir: str) -> Dataset:
     """Driver-gated summarizer (A5): the REAL kernel + REAL ``summarize_text``
     run over the provably-plain subset; the oracle reproduces first-sentence
@@ -414,6 +467,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_plain_turns": _plain_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),
         "extract_plain_summaries": _plain_summaries_sql(path),
+        "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
