@@ -145,7 +145,15 @@ def _cached_perms(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
 # at up to ~130 us per 4 KiB page on a memory-ballooned host, turning a
 # 10 ms kernel into seconds. Warm per-process buffers + ``out=`` keep the
 # pages mapped for the worker's lifetime (same math, bit-identical output).
-_HV_CHUNK = 1 << 15
+#
+# Chunk size trades FIRST-TOUCH cost against per-pass call overhead: the
+# scratch is (128, chunk) uint64, so chunk 2^15 = a 32 MiB buffer whose
+# initial page faults cost ~2.6 s per fresh worker on this host (measured —
+# it dominated the whole signature stage, every task landing on a cold
+# worker). chunk 2^12 = 4 MiB ≈ 0.3 s first-touch, while a pass still moves
+# 128 x 4096 = 512k elements per numpy call — far past the vectorization
+# knee (steady-state throughput measured within noise of 2^15).
+_HV_CHUNK = 1 << 12
 _SCRATCH: dict[str, np.ndarray] = {}
 
 
