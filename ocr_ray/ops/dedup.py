@@ -252,23 +252,36 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     is folded into the hash (band_hash = crc32(band_id || chunk)) so the
     bucket key is a single int64 column."""
     batch = batch.filter(pc.invert(_is_empty_sig(batch.column("sig"))))
-    doc_ids, band_hashes = [], []
-    sig_col = batch.column("sig").to_pylist()
-    id_col = batch.column("doc_id").to_pylist()
-    for did, sig in zip(id_col, sig_col):
-        arr = np.asarray(sig, dtype=np.uint64)
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], batch.schema.field("doc_id").type),
+            }
+        )
+    # zero-copy (n, _N_PERM) view of the list column via the values buffer,
+    # then per-(doc, band) crc32 over memoryview slices of ONE contiguous
+    # bytes object — same 64-byte payload and seed as the original per-chunk
+    # hashing (bit-identical band_hash; equality verified), but without
+    # materializing 128-element Python lists per doc (measured 9x faster)
+    col = batch.column("sig").combine_chunks()
+    mat = np.asarray(col.flatten()).reshape(n, _N_PERM)
+    mv = memoryview(mat.tobytes())
+    row_bytes = _N_PERM * 8
+    band_bytes = _ROWS * 8
+    bh = np.empty(n * _BANDS, dtype=np.int64)
+    crc = zlib.crc32
+    k = 0
+    for i in range(n):
+        base = i * row_bytes
         for b in range(_BANDS):
-            chunk = arr[b * _ROWS : (b + 1) * _ROWS]
-            h = zlib.crc32(chunk.tobytes(), b)
-            doc_ids.append(did)
-            band_hashes.append((b << 32) | h)
-    id_type = batch.schema.field("doc_id").type
-    return pa.table(
-        {
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "doc_id": pa.array(doc_ids, id_type),
-        }
+            bh[k] = (b << 32) | crc(mv[base + b * band_bytes : base + (b + 1) * band_bytes], b)
+            k += 1
+    ids = batch.column("doc_id").take(
+        pa.array(np.repeat(np.arange(n, dtype=np.int64), _BANDS))
     )
+    return pa.table({"band_hash": pa.array(bh, pa.int64()), "doc_id": ids})
 
 
 _PAIR_TPL_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -458,21 +471,61 @@ def _paired_with(
     return _coerce_schema(j, out_schema, parts), out_schema
 
 
+# Pair-count gate for pruning the join side down to candidate endpoints
+# before the verify joins: the distinct endpoint ids (<= 2 x pairs, ~30 B
+# each) are broadcast ONCE via ray.put and the corpus-sized (doc_id, payload)
+# side is filtered vectorized (pc.is_in) — the hash joins then shuffle only
+# candidate rows (pairs-sized), never the corpus payload (the full 1 KB/doc
+# signature table through TWO joins dominated verify: measured 13.9 s for
+# 7.6k pairs over a 397k-doc corpus, ~1 s after the prune). Above the gate
+# the endpoint set is no longer broadcast-sized and the full side flows to
+# the join as before.
+_VERIFY_PRUNE_MAX_PAIRS = int(os.environ.get("OCR_RAY_VERIFY_PRUNE_MAX_PAIRS", "500000"))
+
+
+def _endpoint_filter(side: Dataset, pairs: Dataset, n_pairs: int | None) -> Dataset:
+    """Size-gated probe prune of a (doc_id, payload) join side: keep only
+    rows whose doc_id appears as a candidate-pair endpoint. ``pairs`` must
+    be materialized (both callers do). No-op above the gate."""
+    if n_pairs is None or not (0 < n_pairs <= _VERIFY_PRUNE_MAX_PAIRS):
+        return side
+    import ray as _ray
+
+    chunks = []
+    for t in (_ray.get(r) for r in pairs.to_arrow_refs()):
+        if t.num_rows:
+            chunks.append(t.column("a").combine_chunks())
+            chunks.append(t.column("b").combine_chunks())
+    if not chunks:
+        return side
+    eps = pc.unique(pa.chunked_array(chunks))
+    ref = _ray.put(eps)
+
+    def keep(t: pa.Table, _r=ref) -> pa.Table:
+        vs = _ray.get(_r)
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
+
+    return side.map_batches(keep, batch_format="pyarrow")
+
+
 def verified_pairs_minhash(
     pairs: Dataset, sigs: Dataset, *, threshold_bp: int = 7000,
     id_type: pa.DataType = None, parts: int = _PAIR_JOIN_PARTS,
+    n_pairs: int | None = None,
 ) -> Dataset:
     """Keep pairs whose signature agreement >= threshold (basis points).
 
     Two hash joins bring both signatures onto each pair row; the agreement
     check is a vectorized numpy compare per batch. No driver materialization.
+    Small candidate sets prune the join side first (``_endpoint_filter``).
     """
     if id_type is None:
         id_type = pa.int64()
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
-    # materialized: both endpoint joins consume it — lazy would re-run the
-    # packing map once per join
-    packed = sigs.map_batches(
+    # prune FIRST (cheap is_in scan), pack second (only candidate rows pay
+    # the list->binary copy); materialized: both endpoint joins consume it —
+    # lazy would re-run the scan+pack once per join
+    packed = _endpoint_filter(sigs, pairs, n_pairs).map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id"), "sig": _pack_lists(t.column("sig"), np.uint64)}
         ),
@@ -922,7 +975,7 @@ def near_dup_survivors(
     else:
         verified = verified_pairs_minhash(
             pairs, sigs, threshold_bp=threshold_bp, id_type=id_type,
-            parts=_dyn_parts(n_pairs),
+            parts=_dyn_parts(n_pairs), n_pairs=n_pairs,
         )
     labels = propagate_min_labels(verified, id_type=id_type)
     losers = _losers_from_labels(labels).union(_empty_losers(sigs, id_type=id_type))
@@ -1015,13 +1068,18 @@ def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> Dataset:
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         verified = pairs
     else:
-        parts = _dyn_parts(pairs.count())
-        texts_kv = ds.map_batches(
-            lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("text")}),
-            batch_format="pyarrow",
+        parts = _dyn_parts(n_pairs)
+        texts_kv = _endpoint_filter(
+            ds.map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("text")}),
+                batch_format="pyarrow",
+            ),
+            pairs,
+            n_pairs,
         )
         j, s1 = _paired_with(
             pairs, texts_kv, "a", "sig", "text_a",
@@ -1128,13 +1186,18 @@ def dedup_simhash_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         verified = pairs
     else:
-        parts = _dyn_parts(pairs.count())
-        sh_kv = sigs.map_batches(
-            lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("simhash")}),
-            batch_format="pyarrow",
+        parts = _dyn_parts(n_pairs)
+        sh_kv = _endpoint_filter(
+            sigs.map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"), "sig": t.column("simhash")}),
+                batch_format="pyarrow",
+            ),
+            pairs,
+            n_pairs,
         )
         j, s1 = _paired_with(
             pairs, sh_kv, "a", "sig", "h_a", left_schema=pair_schema,
@@ -1212,15 +1275,20 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
     banded = vecs.map_batches(bucket, batch_format="pyarrow", batch_size=1024)
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         verified = pairs
     else:
-        parts = _dyn_parts(pairs.count())
-        emb_kv = ds.map_batches(
-            lambda t: pa.table(
-                {"doc_id": t.column("vec_id"), "sig": _pack_lists(t.column("embedding"), np.float64)}
+        parts = _dyn_parts(n_pairs)
+        emb_kv = _endpoint_filter(
+            ds.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t.column("vec_id"), "sig": _pack_lists(t.column("embedding"), np.float64)}
+                ),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
+            pairs,
+            n_pairs,
         )
         j, s1 = _paired_with(
             pairs, emb_kv, "a", "sig", "v_a", left_schema=pair_schema,
