@@ -290,11 +290,20 @@ def jaccard_dup_pairs(
     if n_cand == 0:
         return cand
     vparts = _dyn_parts(n_cand)
-    texts_kv = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t.column(id_col), "sig": t.column(text_col)}
+    from ocr_ray.ops.dedup import _endpoint_filter
+
+    # size-gated probe prune (ops/dedup): small candidate sets broadcast
+    # their endpoint ids and filter the corpus text side BEFORE the verify
+    # joins — join traffic scales with candidates, not corpus
+    texts_kv = _endpoint_filter(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column(id_col), "sig": t.column(text_col)}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        cand,
+        n_cand,
     )
     j, s1 = _paired_with(
         cand, texts_kv, "a", "sig", "text_a",
