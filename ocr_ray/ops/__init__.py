@@ -47,9 +47,11 @@ from ocr_ray.ops.textstats import (
     DOC_FINGERPRINTS_SQL,
     DOC_QUALITY_SQL,
     LANG_ID_SQL,
+    REPETITION_STATS_SQL,
     doc_fingerprints,
     doc_quality,
     lang_id_docs,
+    repetition_stats,
 )
 
 REGISTRY: dict[str, tuple] = {
@@ -66,6 +68,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "media_features": (media_features, None),
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),

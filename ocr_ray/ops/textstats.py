@@ -309,3 +309,85 @@ SELECT d.doc_id,
        coalesce(agg.fp_digest, md5('')) AS fp_digest
 FROM d LEFT JOIN agg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style repetition quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_of(text: str) -> tuple[int, int, int, int]:
+    """Word-level repetition signals, exact integers (basis points):
+    (n_words, distinct_frac_bp, top_word_frac_bp, top_bigram_frac_bp) —
+    the repetition filters a large-scale training-data pipeline gates on
+    (fraction of the doc covered by the most frequent word / 2-gram,
+    type-token ratio), per the published Gopher/MassiveText rules."""
+    from collections import Counter
+
+    toks = (text or "").split()
+    nw = len(toks)
+    if nw == 0:
+        return (0, 0, 0, 0)
+    wc = Counter(toks)
+    distinct_bp = 10_000 * len(wc) // nw
+    top_word_bp = 10_000 * max(wc.values()) // nw
+    if nw < 2:
+        top_bigram_bp = 0
+    else:
+        bc = Counter(zip(toks, toks[1:]))
+        top_bigram_bp = 10_000 * max(bc.values()) // (nw - 1)
+    return (nw, distinct_bp, top_word_bp, top_bigram_bp)
+
+
+class RepetitionScorer:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [repetition_of(t) for t in batch.column(self.text_col).to_pylist()]
+        names = ("n_words", "distinct_frac_bp", "top_word_frac_bp", "top_bigram_frac_bp")
+        cols: dict = {"doc_id": batch.column(self.id_col)}
+        for i, k in enumerate(names):
+            cols[k] = pa.array([r[i] for r in rows], pa.int64())
+        return pa.table(cols)
+
+
+def repetition_stats(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        RepetitionScorer, batch_format="pyarrow", batch_size=512, concurrency=(1, 16), num_cpus=1
+    )
+
+
+# Independent DuckDB reimplementation: tokenization mirrors Python
+# str.split() on the whitespace present in the fixture (space/\t/\n);
+# bigram keys are the space-joined token pairs (tokens cannot contain
+# spaces post-split, so the join is collision-free like Counter's tuples).
+REPETITION_STATS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+base AS (SELECT doc_id, w, len(w) AS nw FROM d),
+words AS (SELECT doc_id, unnest(w) AS tok FROM base WHERE nw > 0),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok),
+wagg AS (SELECT doc_id, COUNT(*) AS nd, MAX(c) AS maxw FROM wc GROUP BY doc_id),
+bigr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))) AS bg
+  FROM base WHERE nw >= 2
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigr GROUP BY doc_id, bg),
+bagg AS (SELECT doc_id, MAX(c) AS maxb FROM bc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.nw AS BIGINT) AS n_words,
+       CAST(coalesce((10000 * wagg.nd) // b.nw, 0) AS BIGINT) AS distinct_frac_bp,
+       CAST(coalesce((10000 * wagg.maxw) // b.nw, 0) AS BIGINT) AS top_word_frac_bp,
+       CAST(coalesce((10000 * bagg.maxb) // (b.nw - 1), 0) AS BIGINT) AS top_bigram_frac_bp
+FROM base b
+LEFT JOIN wagg USING (doc_id)
+LEFT JOIN bagg USING (doc_id)
+"""

@@ -108,3 +108,27 @@ class TestMultimodalStages:
             ImageResizer(fake=False)(synth_media_table(1))
         with pytest.raises(NotImplementedError):
             FrameSampler(fake=False)(synth_media_table(3))
+
+
+class TestRepetition:
+    def test_edge_cases(self):
+        from ocr_ray.ops.textstats import repetition_of
+
+        assert repetition_of("") == (0, 0, 0, 0)
+        assert repetition_of("   ") == (0, 0, 0, 0)
+        # single word: 1 distinct / 1 word, no bigrams
+        assert repetition_of("hello") == (1, 10_000, 10_000, 0)
+        # all-same: top word covers everything, top bigram too
+        assert repetition_of("a a a a") == (4, 2_500, 10_000, 10_000)
+        # alternating: "a b a b a" -> top word 3/5, bigrams {ab x2, ba x2}/4
+        assert repetition_of("a b a b a") == (5, 4_000, 6_000, 5_000)
+
+    def test_dataset_shape(self):
+        from ocr_ray.ops.textstats import repetition_stats
+
+        out = repetition_stats("/root/testdata/sf0.001").take_all()
+        assert len(out) == 500
+        for r in out[:20]:
+            assert 0 <= r["distinct_frac_bp"] <= 10_000
+            assert 0 <= r["top_word_frac_bp"] <= 10_000
+            assert 0 <= r["top_bigram_frac_bp"] <= 10_000
