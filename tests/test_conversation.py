@@ -110,3 +110,45 @@ class TestContextEngine:
         assert list(out.is_echo) == [False, True, False, False]
         assert list(out.prev_role) == ["", "assistant", "user", ""]
         assert list(out.gap_us) == [0, 1, 1, 0]
+
+
+class TestSkewedKey:
+    """VERDICT r1 #7: a pathological hot key (one conv holding most rows)
+    must stay CORRECT through grouped_scan — co-location puts it in one
+    partition (salt upstream if one key exceeds worker memory; the scan
+    itself is vectorized so the cost is one big frame, not 10^5 calls)."""
+
+    def test_hot_key_lag_scan(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.pipelines.conversation import grouped_scan
+
+        n_hot, n_small = 100_000, 50
+        conv = ["hot"] * n_hot + [f"c{i}" for i in range(n_small) for _ in (0, 1)]
+        idx = list(range(n_hot)) + [j for _ in range(n_small) for j in (0, 1)]
+        val = list(range(n_hot)) + [10 * j for _ in range(n_small) for j in (0, 1)]
+        t = pa.table({"conv_id": pa.array(conv), "turn_idx": pa.array(idx, pa.int64()),
+                      "v": pa.array(val, pa.int64())})
+
+        def lag(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["conv_id", "turn_idx"])
+            c = g["conv_id"].to_numpy()
+            same = np.empty(len(g), dtype=bool)
+            same[0] = False
+            same[1:] = c[1:] == c[:-1]
+            prev = np.where(same, np.roll(g["v"].to_numpy(), 1), -1)
+            return pd.DataFrame({"conv_id": c, "turn_idx": g["turn_idx"].to_numpy(),
+                                 "prev_v": prev})
+
+        out = grouped_scan(rd.from_arrow(t).repartition(16), "conv_id", lag).to_pandas()
+        assert len(out) == n_hot + 2 * n_small
+        hot = out[out.conv_id == "hot"].sort_values("turn_idx")
+        # lag within the hot key is exact across all 100k rows
+        assert hot.prev_v.iloc[0] == -1
+        assert (hot.prev_v.iloc[1:].to_numpy() == np.arange(n_hot - 1)).all()
+        # small keys unaffected
+        small = out[out.conv_id == "c0"].sort_values("turn_idx")
+        assert list(small.prev_v) == [-1, 0]
