@@ -115,6 +115,7 @@ def run_bench() -> dict:
     bytes_in = sum(manifest.column("bytes_in").to_pylist())
 
     qtimes = {}
+    recalls: dict = {}
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         import __ray_entry__ as entry
 
@@ -140,9 +141,23 @@ def run_bench() -> dict:
         ).count()
         qtimes["dedup_minhash_100k"] = round(time.monotonic() - t0, 3)
         vecs200k = ensure_bigvecs(200_000, dim=64, seed=11)
+        vec_ds = scaled_read_parquet(vecs200k)
         t0 = time.monotonic()
-        _consume(ann_topk_over(scaled_read_parquet(vecs200k), n_queries=64, k=10))
+        brute_rows = ann_topk_over(vec_ds, n_queries=64, k=10).take_all()
         qtimes["ann_brute_200k"] = round(time.monotonic() - t0, 3)
+
+        # approx siblings at volume + recall@10 vs the brute result (the
+        # quantified evidence for the approximate family each round)
+        from ocr_ray.ops.ann import ann_ivf_over, ann_lsh_over, recall_at_k
+
+        t0 = time.monotonic()
+        lsh_rows = ann_lsh_over(vec_ds, n_queries=64, k=10).take_all()
+        qtimes["ann_lsh_200k"] = round(time.monotonic() - t0, 3)
+        recalls["ann_lsh_recall_200k"] = round(recall_at_k(lsh_rows, brute_rows), 4)
+        t0 = time.monotonic()
+        ivf_rows = ann_ivf_over(vec_ds, n_queries=64, k=10).take_all()
+        qtimes["ann_ivf_200k"] = round(time.monotonic() - t0, 3)
+        recalls["ann_ivf_recall_200k"] = round(recall_at_k(ivf_rows, brute_rows), 4)
 
         # exact-recall similarity join at volume (prefix-filter plan)
         from ocr_ray.ops.simjoin import jaccard_dup_pairs
@@ -176,6 +191,7 @@ def run_bench() -> dict:
         "rows": rows,
         "turns_per_sec": round(rows / headline, 1),
         "mb_in_per_sec": round(bytes_in / headline / 1e6, 1),
+        **recalls,
     }
 
 

@@ -246,58 +246,134 @@ def kmeans_fit_ray(
     return cent
 
 
+class _IvfScorer:
+    """Actor: score only vectors whose centroid is in the query's probe list."""
+
+    def __init__(self, ref, k: int):
+        self.qn, self.qids, self.cent, self.q_probe = ray.get(ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        assign = (en @ self.cent.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            match = np.isin(assign, self.q_probe[j])
+            if not match.any():
+                continue
+            sims = en[match] @ self.qn[j]
+            ids = vec_ids[match]
+            kk = min(len(sims), self.k)
+            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            for i in idx:
+                out_q.append(qid)
+                out_v.append(int(ids[i]))
+                out_s.append(float(sims[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _ivf_pipeline(ds, sample, q, qids, *, k, n_centroids, nprobe):
+    """Shared IVF plan: distributed k-means fit over ``sample``, probe-list
+    bucketing, per-batch pruned GEMM, tiny grouped re-rank."""
+    import functools
+
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cent = kmeans_fit_ray(sample, n_centroids)
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    ref = ray.put((qn, qids, cent, q_probe))
+    cand = ds.map_batches(
+        _IvfScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    return cand.groupby("query_id").map_groups(
+        functools.partial(_final_topk, k=k), batch_format="pyarrow"
+    )
+
+
 def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 4):
     """IVF-style ANN: vectors are bucketed by nearest centroid; each query
     scores only vectors whose centroid is in the query's top-``nprobe``
     list. Same dataflow as the hyperplane variant with a learned
     quantizer — the scale path for clustered embeddings."""
-    import functools
-
-    q, qids = _load_queries(sf_dir)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     # fit via the distributed combiner path (sample stays in the object
     # store; the driver holds only the (n_centroids, dim) matrix + one
     # round of per-batch partials). 256-row sample here; at real scale the
     # same call takes a 10^6-row hash sample unchanged.
+    q, qids = _load_queries(sf_dir)
     sample = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     ).limit(256)
-    cent = kmeans_fit_ray(sample, n_centroids)
-    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
-    ref = ray.put((qn, qids, cent, q_probe))
-
-    class Scorer:
-        def __init__(self):
-            self.qn, self.qids, self.cent, self.q_probe = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _emb_matrix(batch.column("embedding"))
-            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            assign = (en @ self.cent.T).argmax(axis=1)
-            out_q, out_v, out_s = [], [], []
-            for j, qid in enumerate(self.qids):
-                match = np.isin(assign, self.q_probe[j])
-                if not match.any():
-                    continue
-                sims = en[match] @ self.qn[j]
-                ids = vec_ids[match]
-                kk = min(len(sims), _K)
-                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
-                for i in idx:
-                    out_q.append(qid)
-                    out_v.append(int(ids[i]))
-                    out_s.append(float(sims[i]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
-
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    cand = ds.map_batches(Scorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8), num_cpus=1)
+    return _ivf_pipeline(ds, sample, q, qids, k=k, n_centroids=n_centroids, nprobe=nprobe)
+
+
+class _LshScorer:
+    """Actor: score only vectors whose hyperplane signature is within
+    ``max_hamming`` bits of the query's signature."""
+
+    def __init__(self, ref, k: int, max_hamming: int):
+        q, qids, planes, qbits = ray.get(ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.qids = qids
+        self.planes = planes
+        self.qbits = qbits
+        self.k = k
+        self.max_hamming = max_hamming
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (emb @ self.planes) > 0  # (batch, planes)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            match = (bits == self.qbits[j]).sum(axis=1) >= bits.shape[1] - self.max_hamming
+            if not match.any():
+                continue
+            sims = en[match] @ self.qn[j]
+            ids = vec_ids[match]
+            kk = min(len(sims), self.k)
+            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            for i in idx:
+                out_q.append(qid)
+                out_v.append(int(ids[i]))
+                out_s.append(float(sims[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _lsh_pipeline(ds, q, qids, *, k, n_planes, max_hamming):
+    import functools
+
+    dim = q.shape[1]
+    planes = np.random.RandomState(7).randn(dim, n_planes)
+    qbits = (q @ planes) > 0
+    ref = ray.put((q, qids, planes, qbits))
+    cand = ds.map_batches(
+        _LshScorer,
+        fn_constructor_args=(ref, k, max_hamming),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
     return cand.groupby("query_id").map_groups(
         functools.partial(_final_topk, k=k), batch_format="pyarrow"
     )
@@ -311,53 +387,49 @@ def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, max_hamming: int =
     hamming<=3/8 gives ~0.87 recall at ~3x candidate pruning; on real
     clustered embeddings the same setting prunes far harder. Tighten
     ``max_hamming`` / raise ``n_planes`` as cluster structure allows."""
-    import functools
-
     q, qids = _load_queries(sf_dir)
-    dim = q.shape[1]
-    planes = np.random.RandomState(7).randn(dim, n_planes)
-    qbits = (q @ planes) > 0
-    ref = ray.put((q, qids, planes, qbits))
-
-    class Scorer:
-        def __init__(self):
-            q, qids, planes, qbits = ray.get(ref)
-            self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            self.qids = qids
-            self.planes = planes
-            self.qbits = qbits
-            self.max_hamming = max_hamming
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _emb_matrix(batch.column("embedding"))
-            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            bits = (emb @ self.planes) > 0  # (batch, planes)
-            en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            out_q, out_v, out_s = [], [], []
-            for j, qid in enumerate(self.qids):
-                match = (bits == self.qbits[j]).sum(axis=1) >= bits.shape[1] - self.max_hamming
-                if not match.any():
-                    continue
-                sims = en[match] @ self.qn[j]
-                ids = vec_ids[match]
-                kk = min(len(sims), _K)
-                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
-                for i in idx:
-                    out_q.append(qid)
-                    out_v.append(int(ids[i]))
-                    out_s.append(float(sims[i]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
-
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    cand = ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8), num_cpus=1
-    )
-    return cand.groupby("query_id").map_groups(
-        functools.partial(_final_topk, k=k), batch_format="pyarrow"
-    )
+    return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# volume variants + recall measurement (bench evidence for the approx family)
+# ---------------------------------------------------------------------------
+
+
+def _queries_over(ds, n_queries: int) -> tuple[np.ndarray, list[int]]:
+    head = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    ids = [r["vec_id"] for r in head]
+    q = np.asarray([r["embedding"] for r in head], dtype=np.float64)
+    return q, ids
+
+
+def ann_lsh_over(ds, *, n_queries: int = 64, k: int = 10, n_planes: int = 8, max_hamming: int = 3):
+    """LSH top-k over an arbitrary (vec_id, embedding) Dataset — the
+    volume-bench sibling of ``ann_topk_over``; recall vs the brute result
+    is reported per bench run (``recall_at_k``)."""
+    q, qids = _queries_over(ds, n_queries)
+    return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, max_hamming=max_hamming)
+
+
+def ann_ivf_over(ds, *, n_queries: int = 64, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
+    """IVF top-k over an arbitrary (vec_id, embedding) Dataset (distributed
+    k-means fit over a 4096-row sample of the same Dataset)."""
+    q, qids = _queries_over(ds, n_queries)
+    sample = ds.select_columns(["embedding"]).limit(4096)
+    return _ivf_pipeline(ds, sample, q, qids, k=k, n_centroids=n_centroids, nprobe=nprobe)
+
+
+def recall_at_k(approx_rows: list[dict], exact_rows: list[dict]) -> float:
+    """Mean per-query |approx ∩ exact| / |exact| over (query_id, vec_id)
+    row dicts (both O(k x n_queries) — driver-tiny)."""
+    from collections import defaultdict
+
+    a, e = defaultdict(set), defaultdict(set)
+    for r in approx_rows:
+        a[r["query_id"]].add(r["vec_id"])
+    for r in exact_rows:
+        e[r["query_id"]].add(r["vec_id"])
+    if not e:
+        return 1.0
+    return sum(len(a[q] & s) / len(s) for q, s in e.items()) / len(e)
