@@ -137,6 +137,7 @@ _DRIVER_SF = "/root/testdata/sf0.01"
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.extract_oracle import (
+        clean_corpus_plain,
         engine_dispatch_counts,
         extract_plain_blocks,
         extract_plain_summaries,
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,
+        "clean_corpus_plain": clean_corpus_plain,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,
         "plain_dialogue_pairs": plain_dialogue_pairs,

@@ -151,11 +151,15 @@ FROM (
 """
 
 
-def _lang_id_sql() -> str:
-    """DuckDB oracle for lang_id_docs, GENERATED from the same _STOPWORDS
-    profiles the Ray kernel uses — one source of truth for the word lists.
-    Argmax ties break to the first lang in sorted order (matching the
-    strictly-greater scan in lang_of)."""
+def _lang_id_sql(
+    source: str = "documents", id_cols: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB oracle for the ``lang_of`` scoring, GENERATED from the same
+    _STOPWORDS profiles the Ray kernel uses — one source of truth for the
+    word lists. Argmax ties break to the first lang in sorted order
+    (matching the strictly-greater scan in lang_of). Parameterized over the
+    source relation / id columns / text column so composed pipelines
+    (clean_corpus_plain) can score any relation, not just ``documents``."""
     langs = sorted(_STOPWORDS)
     hit_cols = ",\n    ".join(
         f"len(list_filter(words, w -> w IN ({_sql_str_set(_STOPWORDS[lang])}))) AS hits_{lang}"
@@ -164,7 +168,7 @@ def _lang_id_sql() -> str:
     best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
     pick = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in langs)
     return f"""
-SELECT doc_id,
+SELECT {id_cols},
   CASE WHEN n = 0 THEN 'und'
        WHEN cjk * 20 >= n THEN 'zh'
        WHEN nw = 0 OR best = 0 THEN 'und'
@@ -174,17 +178,17 @@ SELECT doc_id,
        WHEN nw = 0 THEN 0
        ELSE 10000 * best // nw END AS BIGINT) AS lang_score_bp
 FROM (
-  SELECT doc_id, n, cjk, len(words) AS nw, {best} AS best,
+  SELECT {id_cols}, n, cjk, len(words) AS nw, {best} AS best,
          hits_{', hits_'.join(langs)}
   FROM (
-    SELECT doc_id, n, cjk, words,
+    SELECT {id_cols}, n, cjk, words,
     {hit_cols}
     FROM (
-      SELECT doc_id,
+      SELECT {id_cols},
         length(t2) AS n,
         len(regexp_extract_all(t2, '[{_CJK_RE.pattern[1:-1]}]')) AS cjk,
         list_transform(regexp_extract_all(t2, '[a-zA-Z'']+'), w -> lower(w)) AS words
-      FROM (SELECT doc_id, substr(coalesce(text, ''), 1, {_LANG_SCAN_CHARS}) AS t2 FROM documents)
+      FROM (SELECT {id_cols}, substr(coalesce({text_col}, ''), 1, {_LANG_SCAN_CHARS}) AS t2 FROM {source})
     )
   )
 )

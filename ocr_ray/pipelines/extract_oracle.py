@@ -353,6 +353,75 @@ FROM fs LEFT JOIN tm ON fs.conv_id = tm.conv_id AND fs.turn_idx = tm.turn_idx
 """
 
 
+def clean_corpus_plain(sf_dir: str) -> Dataset:
+    """Driver-gated COMPOSED pipeline: the REAL ``clean_corpus`` (extract ->
+    quality gate -> lang-ID + token counts -> exact min-uid dedup) runs over
+    the provably-plain subset; the oracle reproduces every stage in one SQL
+    query (plain main_text pipeline + length>=50 gate + the generated
+    stopword-profile lang scorer + regex token count + a window-function
+    dedup). This extends the flagship oracle from the kernel to the whole
+    100 TB training-data pipeline."""
+    from ocr_ray.pipelines.training_data import clean_corpus
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_provably_plain_mask(t.column("text"))),
+        batch_format="pyarrow",
+    )
+    return clean_corpus(ds).select_columns(
+        ["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"]
+    )
+
+
+def _clean_corpus_plain_sql(path: str) -> str:
+    from ocr_ray.pipelines.training_data import MIN_CHARS
+    from ocr_ray.ops.textstats import _lang_id_sql
+
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+    lang_sql = _lang_id_sql(source="g", id_cols="conv_id, turn_idx", text_col="main_text")
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+s AS (
+  SELECT conv_id, turn_idx,
+       CASE WHEN {norm_all} = '' THEN ''
+            ELSE array_to_string(
+                   list_filter(
+                     list_transform(
+                       regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
+                       x -> {collapse}),
+                     x -> x <> ''),
+                   chr(10) || chr(10))
+       END AS main_text
+  FROM t
+),
+g AS (
+  SELECT conv_id, turn_idx, main_text FROM s
+  WHERE length(main_text) >= {MIN_CHARS}
+),
+l AS ({lang_sql}),
+d AS (
+  SELECT conv_id, turn_idx, main_text FROM g
+  QUALIFY row_number() OVER (PARTITION BY main_text
+                             ORDER BY conv_id, turn_idx) = 1
+)
+SELECT d.conv_id, d.turn_idx,
+       'plain' AS payload_kind,
+       l.lang_pred,
+       CAST(len(regexp_extract_all(d.main_text, '\\S+')) AS BIGINT) AS n_tokens
+FROM d JOIN l ON d.conv_id = l.conv_id AND d.turn_idx = l.turn_idx
+"""
+
+
 def engine_dispatch_counts(sf_dir: str) -> Dataset:
     """M1 engine dispatch, driver-gated: per-payload_kind row counts from
     the REAL ``classify_payload`` vs an independent SQL reimplementation of
@@ -468,6 +537,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_plain_blocks": _plain_blocks_sql(path),
         "extract_plain_summaries": _plain_summaries_sql(path),
         "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
+        "clean_corpus_plain": _clean_corpus_plain_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
