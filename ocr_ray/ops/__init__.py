@@ -37,6 +37,7 @@ from ocr_ray.ops.corpus import (
     vocab_topk,
 )
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
+from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
 from ocr_ray.ops.simjoin import (
     DEDUP_JACCARD_EXACT_SQL,
     dedup_cosine_exact,
@@ -71,6 +72,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "media_features": (media_features, None),
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
+    "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),

@@ -1,0 +1,146 @@
+"""PII scrub / redaction over text corpora.
+
+A large-scale training-data pipeline redacts contact-like substrings
+(emails, IPv4 addresses, phone numbers) before anything else sees the text.
+The kernel is fully vectorized — one `pc.count_substring_regex` +
+`pc.replace_substring_regex` pass per pattern, zero Python per-row work —
+and both Arrow and DuckDB run RE2 with identical leftmost-non-overlapping
+global-replace semantics, so the op is driver-verifiable end to end
+(counts, and the scrubbed text itself, hash-gated).
+
+The shared ``documents`` table is digit-free word salad, so the gate runs
+over a deterministic contact-rich fixture (same pattern as the media
+fixture: generated once per sf, the oracle SQL reads the same parquet).
+
+Reference analog: the credential normalizer's regex rewrite
+(extract-data-from-pdf.ts:103-112) is the reference's only
+regex-replace-over-payload op; this generalizes it to a data-plane stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+
+# RE2-safe patterns (no lookaround/backrefs), written identically for Arrow
+# and DuckDB — parity by construction. Applied IN ORDER; each pattern's
+# count is taken on the text state it sees (after the previous replaces).
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("n_phones", r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def scrub_batch(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Vectorized scrub of one Arrow batch: sequential count+replace per
+    rule. Stateless — regexes are RE2-compiled once per process by Arrow's
+    kernel cache, so no actor pool is needed."""
+    t = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
+    cols: dict = {id_col: batch.column(id_col)}
+    counts: dict[str, pa.Array] = {}
+    for name, pat, repl in SCRUB_RULES:
+        counts[name] = pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        t = pc.replace_substring_regex(t, pat, repl)
+    cols["clean_text"] = t
+    cols.update(counts)
+    return pa.table(cols)
+
+
+def scrub_dataset(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    import functools
+
+    return ds.map_batches(
+        functools.partial(scrub_batch, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic contact-rich fixture (no external data; scaled per sf)
+# ---------------------------------------------------------------------------
+
+_FILLER = (
+    "meeting notes follow up with the team about the quarterly report and "
+    "the deployment schedule please reach out if anything is unclear"
+).split()
+
+
+def synth_contacts_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic rows mixing filler words with planted emails / IPv4s /
+    phone numbers (counts per row derived from the row index, so the
+    expected totals are closed-form checkable in tests)."""
+    ids, texts = [], []
+    for i in range(n):
+        x = (seed << 16) ^ i
+        words = [_FILLER[(x + j) % len(_FILLER)] for j in range(8 + i % 9)]
+        if i % 2 == 0:
+            words.insert(1, f"user{i}@example{i % 7}.com")
+        if i % 3 == 0:
+            words.insert(3, f"10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256}")
+        if i % 5 == 0:
+            words.append(f"+{1 + i % 99}-{100 + i % 900:03d}-{200 + i % 800:03d}-{1000 + i % 9000:04d}")
+        ids.append(i)
+        texts.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+def contacts_rows_for_sf(sf_dir: str) -> int:
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    return max(50, n_convs_for_sf(sf_dir) // 5)
+
+
+def ensure_contacts_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures") -> str:
+    """Write (once, cached) the contact fixture as parquet so the SQL oracle
+    and the Ray query read the same bytes."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"contacts_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(synth_contacts_table(n, seed), os.path.join(tmp, "part-0.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    open(marker, "w").close()
+    return out
+
+
+def scrub_docs(sf_dir: str) -> Dataset:
+    """queries() entry: contact fixture -> vectorized scrub. The scrubbed
+    text is an output column, so the driver's value hash gates every byte of
+    every redaction, not just the counts."""
+    path = ensure_contacts_fixture(contacts_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return scrub_dataset(ds)
+
+
+def scrub_docs_sql(sf_dir: str) -> str:
+    """Independent DuckDB mirror: same RE2 patterns, same sequential
+    count-then-replace order, over the same fixture parquet."""
+    path = ensure_contacts_fixture(contacts_rows_for_sf(sf_dir))
+    sql = f"SELECT doc_id, coalesce(text, '') AS t FROM read_parquet('{path}/*.parquet')"
+    carried: list[str] = []
+    for name, pat, repl in SCRUB_RULES:
+        pat_sql = pat.replace("'", "''")
+        keep = (", " + ", ".join(carried)) if carried else ""
+        sql = (
+            f"SELECT doc_id{keep}, "
+            f"CAST(len(regexp_extract_all(t, '{pat_sql}')) AS BIGINT) AS {name}, "
+            f"regexp_replace(t, '{pat_sql}', '{repl}', 'g') AS t FROM ({sql})"
+        )
+        carried.append(name)
+    return (
+        f"SELECT doc_id, t AS clean_text, {', '.join(carried)} FROM ({sql})"
+    )

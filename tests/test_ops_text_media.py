@@ -132,3 +132,55 @@ class TestRepetition:
             assert 0 <= r["distinct_frac_bp"] <= 10_000
             assert 0 <= r["top_word_frac_bp"] <= 10_000
             assert 0 <= r["top_bigram_frac_bp"] <= 10_000
+
+
+class TestScrub:
+    def test_planted_redactions(self):
+        from ocr_ray.ops.scrub import scrub_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a.b+x@foo.co.uk then ip 10.0.255.1 done",
+                        "call +33-123-456-7890 or +1-800-555-0199 now",
+                        None,
+                    ]
+                ),
+            }
+        )
+        out = scrub_batch(t)
+        assert out.column("clean_text").to_pylist() == [
+            "mail <EMAIL> then ip <IP> done",
+            "call <PHONE> or <PHONE> now",
+            "",
+        ]
+        assert out.column("n_emails").to_pylist() == [1, 0, 0]
+        assert out.column("n_ipv4").to_pylist() == [1, 0, 0]
+        assert out.column("n_phones").to_pylist() == [0, 2, 0]
+
+    def test_fixture_counts_closed_form(self):
+        """Planted counts are i%2/i%3/i%5 derived -> closed-form totals."""
+        from ocr_ray.ops.scrub import scrub_dataset, synth_contacts_table
+
+        n = 90
+        ds = rd.from_arrow(synth_contacts_table(n))
+        out = scrub_dataset(ds).take_all()
+        assert len(out) == n
+        assert sum(r["n_emails"] for r in out) == sum(1 for i in range(n) if i % 2 == 0)
+        assert sum(r["n_ipv4"] for r in out) == sum(1 for i in range(n) if i % 3 == 0)
+        assert sum(r["n_phones"] for r in out) == sum(1 for i in range(n) if i % 5 == 0)
+        for r in out:
+            assert "@" not in r["clean_text"]
+
+    def test_idempotent(self):
+        from ocr_ray.ops.scrub import scrub_batch, synth_contacts_table
+
+        t = synth_contacts_table(40)
+        once = scrub_batch(t)
+        again = scrub_batch(
+            pa.table({"doc_id": once.column("doc_id"), "text": once.column("clean_text")})
+        )
+        assert again.column("clean_text").to_pylist() == once.column("clean_text").to_pylist()
+        assert sum(again.column("n_emails").to_pylist()) == 0
