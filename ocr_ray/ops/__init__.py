@@ -23,12 +23,14 @@ from ocr_ray.ops.dedup import (
     embedding_near_dups,
 )
 from ocr_ray.ops.corpus import (
+    CHUNK_DOCS_SQL,
     DECONTAMINATE_SQL,
     DOC_TOP_TERMS_SQL,
     MIXTURE_SAMPLE_SQL,
     ORDER_QUANTILES_SQL,
     PACK_SEQUENCES_SQL,
     VOCAB_TOPK_SQL,
+    chunk_docs,
     decontaminate_docs,
     doc_top_terms,
     mixture_sample,
@@ -74,6 +76,7 @@ REGISTRY: dict[str, tuple] = {
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),

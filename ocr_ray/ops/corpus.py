@@ -519,3 +519,84 @@ SELECT CAST(q_bp AS BIGINT) AS q_bp, cents
 FROM (VALUES {", ".join(f"({q})" for q in _QUANTILES_BP)}) AS qs(q_bp)
 JOIN r ON r.rn = greatest(1, (CAST(q_bp AS BIGINT) * r.n + 9999) // 10000)
 """
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed-size overlapping windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 120  # window size (characters)
+_CHUNK_STRIDE = 90  # window stride (30-char overlap between neighbors)
+
+
+def chunk_batch(
+    batch: pa.Table,
+    *,
+    size: int = _CHUNK_CHARS,
+    stride: int = _CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Explode each document into overlapping character windows.
+
+    n_chunks = 1 if len <= size else 1 + ceil((len - size) / stride); the
+    last chunk may be short. Vectorized per CHUNK INDEX, not per row: for
+    window k, one boolean filter + one `utf8_slice_codeunits` over every row
+    that has a k-th chunk — total work O(output chars), zero Python per-row.
+    Empty/null text still emits one empty chunk (row-totality convention,
+    extract-data-from-pdf.ts:87-91 analog)."""
+    t = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
+    n = pc.cast(pc.utf8_length(t), pa.int64())
+    over = pc.max_element_wise(pc.subtract(n, size), pa.scalar(0, pa.int64()))
+    n_chunks = pc.add(
+        pc.divide(pc.add(over, stride - 1), stride), 1  # 1 + ceil(over/stride)
+    )
+    max_chunks = pc.max(n_chunks).as_py() or 1
+    parts = []
+    for k in range(max_chunks):
+        mask = pc.greater(n_chunks, k)
+        ids = pc.filter(batch.column(id_col), mask)
+        if len(ids) == 0:
+            break
+        sub = pc.utf8_slice_codeunits(
+            pc.filter(t, mask), start=k * stride, stop=k * stride + size
+        )
+        parts.append(
+            pa.table(
+                {
+                    id_col: ids,
+                    "chunk_idx": pa.array([k] * len(ids), pa.int64()),
+                    "chunk_text": sub,
+                    "chunk_chars": pc.cast(pc.utf8_length(sub), pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def chunk_docs(sf_dir: str, *, size: int = _CHUNK_CHARS, stride: int = _CHUNK_STRIDE) -> Dataset:
+    """queries() entry: documents -> overlapping training chunks. Streaming
+    map-only plan (no shuffle); output rows carry the chunk text, so the
+    driver hash-gates every chunk byte."""
+    import functools
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(chunk_batch, size=size, stride=stride),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substr(t, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substr(t, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_CHARS})) AS BIGINT) AS chunk_chars
+FROM (
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN length(t) <= {_CHUNK_CHARS} THEN 1
+                  ELSE 1 + (length(t) - {_CHUNK_CHARS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} END)) AS i
+  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+)
+"""

@@ -97,3 +97,48 @@ def test_quantile_rank_convention(ray_session, sf_dir):
     # p25 -> 25th value = 2500 cents, p99 -> 99th = 9900
     rows = {r["q_bp"]: r["cents"] for r in order_quantiles(sf_dir).take_all()}
     assert rows == {2500: 2500, 5000: 5000, 7500: 7500, 9000: 9000, 9900: 9900}
+
+
+class TestChunkDocs:
+    def test_window_math(self):
+        import pyarrow as pa
+
+        from ocr_ray.ops.corpus import chunk_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a" * 5, "b" * 120, "c" * 121, None]),
+            }
+        )
+        out = chunk_batch(t, size=120, stride=90)
+        by_doc: dict = {}
+        for r in out.to_pylist():
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk_chars"] == 5
+        assert len(by_doc[1]) == 1  # exactly one full window
+        assert len(by_doc[2]) == 2  # one char over -> second (short) window
+        assert by_doc[2][1]["chunk_idx"] == 1 and by_doc[2][1]["chunk_chars"] == 31
+        assert by_doc[3] == [
+            {"doc_id": 3, "chunk_idx": 0, "chunk_text": "", "chunk_chars": 0}
+        ]
+
+    def test_overlap_reconstructs(self):
+        """stride < size -> consecutive chunks overlap by size - stride and
+        concatenating each chunk's first `stride` chars + the tail restores
+        the document."""
+        import pyarrow as pa
+
+        from ocr_ray.ops.corpus import chunk_batch
+
+        text = "".join(chr(97 + i % 26) for i in range(500))
+        out = chunk_batch(
+            pa.table({"doc_id": pa.array([7], pa.int64()), "text": pa.array([text])}),
+            size=120,
+            stride=90,
+        ).to_pylist()
+        out.sort(key=lambda r: r["chunk_idx"])
+        rebuilt = "".join(r["chunk_text"][:90] for r in out[:-1]) + out[-1]["chunk_text"]
+        assert rebuilt == text
+        for a, b in zip(out, out[1:]):
+            assert a["chunk_text"][90:] == b["chunk_text"][: len(a["chunk_text"]) - 90]
