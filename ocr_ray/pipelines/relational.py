@@ -1091,6 +1091,78 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def latest_event_per_user(sf_dir: str) -> Dataset:
+    """Last-write-wins compaction keyed by user (the "upsert state table"
+    every streaming-shaped pipeline needs: keep only each key's newest row,
+    ties broken by event_id — deterministic because event_id is unique).
+
+    Scale plan: per-BATCH vectorized argmax first (one sort + run-boundary
+    mask per batch), so the shuffle moves at most distinct-users-per-batch
+    rows, never the event log; the final per-key pick runs in a coarse-key
+    ``grouped_scan`` (Python overhead per partition, not per key)."""
+    import numpy as np
+
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        last = np.empty(len(u), dtype=bool)
+        if len(u):
+            last[:-1] = u[:-1] != u[1:]
+            last[-1] = True
+        return t.filter(pa.array(last))
+
+    pre = events.map_batches(partial, batch_format="pyarrow")
+
+    def pick(df):
+        df = df.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
+            "user_id", keep="last"
+        )
+        return df.drop(columns=["__part"])
+
+    out = grouped_scan(pre, "user_id", pick)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "last_event_id": t.column("event_id"),
+                "last_ts": t.column("ts"),
+                "last_type": t.column("event_type"),
+                "last_value_cents": to_cents(t.column("value")),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -1115,4 +1187,5 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "distinct_users": (distinct_users, DISTINCT_USERS_SQL),
     "distinct_users_hll": (distinct_users_hll, None),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
 }

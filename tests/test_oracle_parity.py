@@ -35,6 +35,9 @@ def _rebind_extract_oracles():
     _SQLS.update(oracle_sqls(SF))
     _SQLS["media_inventory"] = media_inventory_sql(SF)
     _SQLS["dedup_cosine_exact"] = dedup_cosine_exact_sql(SF)
+    from ocr_ray.ops.scrub import scrub_docs_sql
+
+    _SQLS["scrub_docs"] = scrub_docs_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
