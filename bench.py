@@ -40,6 +40,21 @@ QUERY_NAMES = [
 ]
 
 
+def _cpu_probe_mops(seconds: float = 1.0) -> float:
+    """Single-core integer-spin rate (Mops/s). The sandbox's CPU is
+    burst-credit throttled under sustained load (measured 12.4 Mops/s fresh
+    vs 6-8 drained), so every recorded wall time carries this calibration —
+    it makes bench rows comparable across rounds run at different credit
+    levels."""
+    t0 = time.monotonic()
+    x = n = 0
+    while time.monotonic() - t0 < seconds:
+        for _ in range(100_000):
+            x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        n += 100_000
+    return round(n / (time.monotonic() - t0) / 1e6, 2)
+
+
 def _consume(res) -> int:
     if hasattr(res, "iter_batches"):  # Dataset: stream it through
         return sum(b.num_rows for b in res.iter_batches(batch_format="pyarrow", batch_size=65536))
@@ -55,6 +70,7 @@ def _sf_of(path: str) -> float:
 
 
 def run_bench() -> dict:
+    probe_before = _cpu_probe_mops()
     import ray
 
     ray.init(
@@ -191,6 +207,8 @@ def run_bench() -> dict:
         "rows": rows,
         "turns_per_sec": round(rows / headline, 1),
         "mb_in_per_sec": round(bytes_in / headline / 1e6, 1),
+        "cpu_probe_mops_before": probe_before,
+        "cpu_probe_mops_after": _cpu_probe_mops(),
         **recalls,
     }
 

@@ -37,6 +37,7 @@ from ocr_ray.ops.corpus import (
     order_quantiles,
     pack_sequences,
     vocab_topk,
+    vocab_topk_cms,
 )
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
@@ -78,6 +79,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
+    "vocab_topk_cms": (vocab_topk_cms, None),  # approximate; exact sibling gated
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),

@@ -600,3 +600,78 @@ FROM (
   FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters via Count-Min sketch (mergeable scale sibling of vocab_topk)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 8192
+_CMS_CAND = 256  # per-batch candidate tokens carried alongside the sketch
+
+
+def _cms_hash(token: str, row: int, width: int = _CMS_WIDTH) -> int:
+    import zlib
+
+    return zlib.crc32(token.encode("utf-8"), row + 1) % width
+
+
+def vocab_topk_cms(sf_dir: str, top_k: int = _VOCAB_K) -> pa.Table:
+    """Approximate global top-k tokens via a mergeable Count-Min sketch.
+
+    ``vocab_topk`` (the gated exact sibling) shuffles one row per distinct
+    token per batch — fine until the vocabulary itself is huge (web-scale
+    corpora: 10^9+ distinct tokens, most singletons). This sibling bounds
+    exchange volume by a CONSTANT per batch: a depth x width counter matrix
+    (256 KB) plus the batch's local top candidates. Matrices merge by
+    addition (like the HLL registers), candidates by union; estimates are
+    biased up only (count-min), so a true top-k token can only be displaced
+    by overestimated collisions — with width >> candidates, top sets match
+    the exact sibling (pytest-probed; no SQL oracle, approximate by design).
+    """
+    return vocab_topk_cms_over(
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"]), top_k=top_k
+    )
+
+
+def vocab_topk_cms_over(docs: Dataset, top_k: int = _VOCAB_K) -> pa.Table:
+    import numpy as np
+
+    def sketch(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t).combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = flat.value_counts()
+        tokens = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        for tok, c in zip(tokens, counts):
+            for j in range(_CMS_DEPTH):
+                regs[j, _cms_hash(tok, j)] += int(c)
+        order = np.lexsort((np.array(tokens, dtype=object), -counts))[:_CMS_CAND]
+        return pa.table(
+            {
+                "regs": pa.array([regs.ravel().tolist()], pa.list_(pa.int64())),
+                "cand": pa.array([[tokens[i] for i in order]], pa.list_(pa.string())),
+            }
+        )
+
+    parts = docs.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged = np.zeros(_CMS_DEPTH * _CMS_WIDTH, dtype=np.int64)
+    cands: set[str] = set()
+    for r in parts:
+        merged += np.asarray(r["regs"], dtype=np.int64)
+        cands.update(r["cand"])
+    regs = merged.reshape(_CMS_DEPTH, _CMS_WIDTH)
+    est = {
+        tok: int(min(regs[j, _cms_hash(tok, j)] for j in range(_CMS_DEPTH)))
+        for tok in cands
+    }
+    top = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in top], pa.string()),
+            "n": pa.array([n for _, n in top], pa.int64()),
+        }
+    )

@@ -142,3 +142,38 @@ class TestChunkDocs:
         assert rebuilt == text
         for a, b in zip(out, out[1:]):
             assert a["chunk_text"][90:] == b["chunk_text"][: len(a["chunk_text"]) - 90]
+
+
+class TestVocabCms:
+    def test_matches_exact_sibling(self):
+        """Tiny fixture vocab << sketch width -> no collisions, so the CMS
+        top-k equals the exact vocab_topk exactly (set AND counts)."""
+        from ocr_ray.ops.corpus import vocab_topk, vocab_topk_cms
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["token"]: r["n"] for r in vocab_topk(sf).take_all()}
+        approx = {r["token"]: r["n"] for r in vocab_topk_cms(sf).to_pylist()}
+        assert approx == exact
+
+    def test_planted_skew_never_underestimates(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from ocr_ray.ops.corpus import vocab_topk_cms_over
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "text": pa.array(
+                        ["hot " * 50 + f"rare{i} cold{i % 7}" for i in range(400)]
+                    )
+                }
+            )
+        )
+        out = vocab_topk_cms_over(docs, top_k=5).to_pylist()
+        assert out[0]["token"] == "hot" and out[0]["n"] >= 400 * 50
+        truth = {"hot": 400 * 50, **{f"cold{j}": len(range(j, 400, 7)) for j in range(7)}}
+        for r in out:
+            if r["token"] in truth:
+                assert r["n"] >= truth[r["token"]]  # count-min: biased up only
