@@ -247,35 +247,62 @@ def kmeans_fit_ray(
 
 
 class _IvfScorer:
-    """Actor: score only vectors whose centroid is in the query's probe list."""
+    """Actor: score only vectors whose centroid is in the query's probe list.
+
+    Centroid-major, GEMM-shaped: vectors are bucket-sorted by assigned
+    centroid once per batch, then each centroid's sub-matrix is scored
+    against ALL queries probing it in one matrix-matrix product (the
+    query-major formulation was 64 masked GEMVs per batch — fewer FLOPs
+    than brute force but slower wall-clock, because BLAS-3 beats BLAS-2)."""
 
     def __init__(self, ref, k: int):
-        self.qn, self.qids, self.cent, self.q_probe = ray.get(ref)
+        self.qn, qids, self.cent, self.q_probe = ray.get(ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
         self.k = k
+        n_cent = self.cent.shape[0]
+        # queries probing each centroid, precomputed once per actor
+        self.q_by_cent = [
+            np.where((self.q_probe == c).any(axis=1))[0] for c in range(n_cent)
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _emb_matrix(batch.column("embedding"))
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         assign = (en @ self.cent.T).argmax(axis=1)
+        order = np.argsort(assign, kind="stable")
+        en_s, ids_s, assign_s = en[order], vec_ids[order], assign[order]
+        bounds = np.searchsorted(assign_s, np.arange(self.cent.shape[0] + 1))
         out_q, out_v, out_s = [], [], []
-        for j, qid in enumerate(self.qids):
-            match = np.isin(assign, self.q_probe[j])
-            if not match.any():
+        for c, qsel in enumerate(self.q_by_cent):
+            lo, hi = bounds[c], bounds[c + 1]
+            if lo == hi or len(qsel) == 0:
                 continue
-            sims = en[match] @ self.qn[j]
-            ids = vec_ids[match]
-            kk = min(len(sims), self.k)
-            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
-            for i in idx:
-                out_q.append(qid)
-                out_v.append(int(ids[i]))
-                out_s.append(float(sims[i]))
+            sims = en_s[lo:hi] @ self.qn[qsel].T  # (m, n_q_c) GEMM
+            kk = min(self.k, hi - lo)
+            if kk < hi - lo:
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q_c)
+            else:
+                top = np.broadcast_to(
+                    np.arange(hi - lo)[:, None], (hi - lo, len(qsel))
+                )
+            cols = np.broadcast_to(np.arange(len(qsel)), top.shape)
+            out_q.append(self.qids[qsel][cols.ravel()])
+            out_v.append(ids_s[lo:hi][top.ravel()])
+            out_s.append(sims[top.ravel(), cols.ravel()])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s).astype(np.float64), pa.float64()),
             }
         )
 
@@ -412,9 +439,12 @@ def ann_lsh_over(ds, *, n_queries: int = 64, k: int = 10, n_planes: int = 8, max
     return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, max_hamming=max_hamming)
 
 
-def ann_ivf_over(ds, *, n_queries: int = 64, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
+def ann_ivf_over(ds, *, n_queries: int = 64, k: int = 10, n_centroids: int = 32, nprobe: int = 12):
     """IVF top-k over an arbitrary (vec_id, embedding) Dataset (distributed
-    k-means fit over a 4096-row sample of the same Dataset)."""
+    k-means fit over a 4096-row sample of the same Dataset). Defaults swept
+    at the 200k-vec volume fixture: (32, 12) gives recall@10 ≈ 0.83 at
+    ~37% of brute-force FLOPs (the GEMM-shaped scorer keeps wall-clock
+    below brute at every swept config)."""
     q, qids = _queries_over(ds, n_queries)
     sample = ds.select_columns(["embedding"]).limit(4096)
     return _ivf_pipeline(ds, sample, q, qids, k=k, n_centroids=n_centroids, nprobe=nprobe)
