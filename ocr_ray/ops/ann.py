@@ -287,24 +287,10 @@ class _IvfScorer:
                     np.arange(hi - lo)[:, None], (hi - lo, len(qsel))
                 )
             cols = np.broadcast_to(np.arange(len(qsel)), top.shape)
-            out_q.append(self.qids[qsel][cols.ravel()])
+            out_q.append(qsel[cols.ravel()])
             out_v.append(ids_s[lo:hi][top.ravel()])
             out_s.append(sims[top.ravel(), cols.ravel()])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "sim": pa.array(np.concatenate(out_s).astype(np.float64), pa.float64()),
-            }
-        )
+        return _per_query_topk_table(self.qids, out_q, out_v, out_s, self.k)
 
 
 def _ivf_pipeline(ds, sample, q, qids, *, k, n_centroids, nprobe):
@@ -346,44 +332,92 @@ def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 
     return _ivf_pipeline(ds, sample, q, qids, k=k, n_centroids=n_centroids, nprobe=nprobe)
 
 
+def _per_query_topk_table(
+    qids: np.ndarray, out_q: list, out_v: list, out_s: list, k: int
+) -> pa.Table:
+    """Reduce per-bucket candidate lists to per-QUERY top-k within the batch
+    (vectorized lexsort + run-rank mask), so each batch emits at most
+    k rows per query — the bucket-major scorers would otherwise ship up to
+    (probed buckets) x k candidates per query through the exchange."""
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    qix = np.concatenate(out_q)
+    ids = np.concatenate(out_v)
+    sims = np.concatenate(out_s).astype(np.float64)
+    order = np.lexsort((ids, -sims, qix))  # by query, sim desc, id asc
+    qs = qix[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    run_len = np.diff(np.r_[starts, len(qs)])
+    ranks = np.arange(len(qs)) - np.repeat(starts, run_len)
+    keep = ranks < k
+    sel = order[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(qids[qix[sel]], pa.int64()),
+            "vec_id": pa.array(ids[sel], pa.int64()),
+            "sim": pa.array(sims[sel], pa.float64()),
+        }
+    )
+
+
 class _LshScorer:
     """Actor: score only vectors whose hyperplane signature is within
-    ``max_hamming`` bits of the query's signature."""
+    ``max_hamming`` bits of the query's signature.
+
+    Bucket-major, GEMM-shaped (same restructure as ``_IvfScorer``): each
+    batch is bucket-sorted by its packed signature; every signature bucket's
+    sub-matrix is scored against all queries whose signature is within the
+    Hamming radius, in one matrix-matrix product per bucket. The query-by-
+    bucket probe table (2^n_planes x queries) is built once per actor."""
 
     def __init__(self, ref, k: int, max_hamming: int):
         q, qids, planes, qbits = ray.get(ref)
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-        self.qids = qids
+        self.qids = np.asarray(qids, dtype=np.int64)
         self.planes = planes
-        self.qbits = qbits
         self.k = k
-        self.max_hamming = max_hamming
+        n_planes = planes.shape[1]
+        self._pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = np.arange(1 << n_planes, dtype=np.int64)
+        bucket_bits = (buckets[:, None] >> np.arange(n_planes)) & 1  # (2^p, p)
+        qb = qbits.astype(np.int64)  # (n_q, p)
+        hamm = (bucket_bits[:, None, :] != qb[None, :, :]).sum(axis=2)  # (2^p, n_q)
+        self.q_by_bucket = [np.where(hamm[b] <= max_hamming)[0] for b in buckets]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _emb_matrix(batch.column("embedding"))
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        bits = (emb @ self.planes) > 0  # (batch, planes)
         en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sig = (((emb @ self.planes) > 0).astype(np.int64) @ self._pow2)
+        order = np.argsort(sig, kind="stable")
+        en_s, ids_s, sig_s = en[order], vec_ids[order], sig[order]
+        present = np.unique(sig_s)
+        bounds = np.searchsorted(sig_s, np.append(present, np.iinfo(np.int64).max))
         out_q, out_v, out_s = [], [], []
-        for j, qid in enumerate(self.qids):
-            match = (bits == self.qbits[j]).sum(axis=1) >= bits.shape[1] - self.max_hamming
-            if not match.any():
+        for i, b in enumerate(present):
+            qsel = self.q_by_bucket[int(b)]
+            lo, hi = bounds[i], bounds[i + 1]
+            if len(qsel) == 0:
                 continue
-            sims = en[match] @ self.qn[j]
-            ids = vec_ids[match]
-            kk = min(len(sims), self.k)
-            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
-            for i in idx:
-                out_q.append(qid)
-                out_v.append(int(ids[i]))
-                out_s.append(float(sims[i]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+            sims = en_s[lo:hi] @ self.qn[qsel].T  # (m, n_q_b) GEMM
+            kk = min(self.k, hi - lo)
+            if kk < hi - lo:
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            else:
+                top = np.broadcast_to(
+                    np.arange(hi - lo)[:, None], (hi - lo, len(qsel))
+                )
+            cols = np.broadcast_to(np.arange(len(qsel)), top.shape)
+            out_q.append(qsel[cols.ravel()])
+            out_v.append(ids_s[lo:hi][top.ravel()])
+            out_s.append(sims[top.ravel(), cols.ravel()])
+        return _per_query_topk_table(self.qids, out_q, out_v, out_s, self.k)
 
 
 def _lsh_pipeline(ds, q, qids, *, k, n_planes, max_hamming):
