@@ -36,6 +36,8 @@ from ocr_ray.ops.corpus import (
     mixture_sample,
     order_quantiles,
     pack_sequences,
+    strip_common_lines,
+    strip_common_lines_sql,
     vocab_topk,
     vocab_topk_cms,
 )
@@ -80,6 +82,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "vocab_topk_cms": (vocab_topk_cms, None),  # approximate; exact sibling gated
+    "strip_common_lines": (strip_common_lines, None),  # SQL built per-sf
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),

@@ -675,3 +675,119 @@ def vocab_topk_cms_over(docs: Dataset, top_k: int = _VOCAB_K) -> pa.Table:
             "n": pa.array([n for _, n in top], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# common-line boilerplate removal (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+_COMMON_LINE_K = 50  # a line occurring >= K times corpus-wide is boilerplate
+
+
+def strip_common_lines(sf_dir: str, *, min_count: int = _COMMON_LINE_K) -> Dataset:
+    """Remove corpus-common lines (page numbers, blank runs, repeated
+    headers/footers) from every turn — the paragraph-level dedup step of the
+    published CCNet recipe, over the transcripts corpus.
+
+    Two streaming passes, both map-side pre-aggregated:
+      1. line census: per-batch split + value_counts partials, tiny
+         ``groupby(line).sum`` — the shuffle carries (line, count) rows
+         bounded by distinct-lines-per-batch;
+      2. filter: the common set (count >= min_count, at most
+         corpus_lines / min_count entries by construction — heavy hitters
+         only; at larger corpora scale min_count with corpus size) is
+         broadcast once via ``ray.put``; each batch drops matching lines
+         with one ``is_in`` and rebuilds texts via offset arithmetic +
+         ``binary_join`` (no per-row Python).
+    Row-total: every turn stays, possibly with empty clean_text."""
+    from ocr_ray.sources.transcripts import ensure_transcripts, n_convs_for_sf
+
+    path = ensure_transcripts(n_convs_for_sf(sf_dir), seed=42)
+    return strip_common_lines_over(
+        rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"]),
+        min_count=min_count,
+    )
+
+
+def strip_common_lines_over(ds: Dataset, *, min_count: int = _COMMON_LINE_K) -> Dataset:
+    import logging
+
+    def census(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            pc.coalesce(t.column("text"), pa.scalar("")), pattern="\n"
+        ).combine_chunks()
+        vc = parts.flatten().value_counts()
+        return pa.table(
+            {"line": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        ds.select_columns(["text"])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    common_rows = counts.filter(expr=f"n >= {int(min_count)}").select_columns(["line"]).take_all()
+    if len(common_rows) > 1_000_000:  # no silent caps: the broadcast set is
+        # bounded by corpus_lines/min_count; log if a miscalibrated K blows it up
+        logging.getLogger(__name__).warning(
+            "strip_common_lines: %d common lines broadcast (raise min_count)",
+            len(common_rows),
+        )
+    common = pa.array([r["line"] for r in common_rows], pa.string())
+    common_ref = ray.put(common)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        cm = ray.get(common_ref)
+        parts = pc.split_pattern(
+            pc.coalesce(batch.column("text"), pa.scalar("")), pattern="\n"
+        ).combine_chunks()
+        flat = parts.flatten()
+        keep = pc.invert(pc.is_in(flat, value_set=cm))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        offs = parts.offsets.to_numpy()
+        cum = np.concatenate([[0], np.cumsum(keep_np)])
+        kept_per_row = cum[offs[1:]] - cum[offs[:-1]]
+        new_offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), flat.filter(keep)
+        )
+        total_per_row = offs[1:] - offs[:-1]
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "clean_text": pc.binary_join(new_list, "\n"),
+                "n_removed": pa.array((total_per_row - kept_per_row).astype("int64")),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=2048)
+
+
+def strip_common_lines_sql(sf_dir: str, *, min_count: int = _COMMON_LINE_K) -> str:
+    """Independent DuckDB mirror over the same transcripts fixture:
+    string_split == Arrow split_pattern (plain, non-regex), string_agg
+    ordered by line index == offset-preserving rebuild."""
+    from ocr_ray.sources.transcripts import ensure_transcripts, n_convs_for_sf
+
+    path = ensure_transcripts(n_convs_for_sf(sf_dir), seed=42)
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, string_split(coalesce(text, ''), chr(10)) AS parts
+  FROM read_parquet('{path}/*.parquet')
+),
+lines AS (
+  SELECT conv_id, turn_idx, i, parts[i] AS l
+  FROM (SELECT conv_id, turn_idx, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
+),
+common AS (SELECT l FROM lines GROUP BY l HAVING count(*) >= {int(min_count)}),
+kept AS (
+  SELECT conv_id, turn_idx,
+         coalesce(string_agg(l, chr(10) ORDER BY i)
+                  FILTER (WHERE l NOT IN (SELECT l FROM common)), '') AS clean_text,
+         CAST(count(*) FILTER (WHERE l IN (SELECT l FROM common)) AS BIGINT) AS n_removed
+  FROM lines GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, clean_text, n_removed FROM kept
+"""

@@ -177,3 +177,49 @@ class TestVocabCms:
         for r in out:
             if r["token"] in truth:
                 assert r["n"] >= truth[r["token"]]  # count-min: biased up only
+
+
+class TestStripCommonLines:
+    def test_planted_boilerplate(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.ops.corpus import strip_common_lines_over
+
+        footer = "Page 1 / 1"
+        texts = [f"unique body {i}\n{footer}\nmore {i}" for i in range(30)]
+        texts.append("")  # empty doc: one '' line, below threshold -> kept
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([f"c{i}" for i in range(31)]),
+                    "turn_idx": pa.array(list(range(31)), pa.int32()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        out = {r["conv_id"]: r for r in strip_common_lines_over(ds, min_count=10).take_all()}
+        assert len(out) == 31  # row-total
+        for i in range(30):
+            r = out[f"c{i}"]
+            assert r["clean_text"] == f"unique body {i}\nmore {i}"
+            assert r["n_removed"] == 1
+        assert out["c30"]["clean_text"] == "" and out["c30"]["n_removed"] == 0
+
+    def test_all_lines_removed(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.ops.corpus import strip_common_lines_over
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([f"c{i}" for i in range(12)]),
+                    "turn_idx": pa.array(list(range(12)), pa.int32()),
+                    "text": pa.array(["spam\nspam"] * 12),
+                }
+            )
+        )
+        out = strip_common_lines_over(ds, min_count=5).take_all()
+        assert all(r["clean_text"] == "" and r["n_removed"] == 2 for r in out)

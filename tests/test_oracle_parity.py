@@ -38,6 +38,9 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.scrub import scrub_docs_sql
 
     _SQLS["scrub_docs"] = scrub_docs_sql(SF)
+    from ocr_ray.ops.corpus import strip_common_lines_sql
+
+    _SQLS["strip_common_lines"] = strip_common_lines_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
