@@ -23,6 +23,7 @@ from ocr_ray.ops.dedup import (
     embedding_near_dups,
 )
 from ocr_ray.ops.corpus import (
+    CAP_PER_SOURCE_SQL,
     CHUNK_DOCS_SQL,
     DECONTAMINATE_SQL,
     DOC_TOP_TERMS_SQL,
@@ -30,6 +31,7 @@ from ocr_ray.ops.corpus import (
     ORDER_QUANTILES_SQL,
     PACK_SEQUENCES_SQL,
     VOCAB_TOPK_SQL,
+    cap_per_source,
     chunk_docs,
     decontaminate_docs,
     doc_top_terms,
@@ -80,6 +82,7 @@ REGISTRY: dict[str, tuple] = {
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
+    "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "vocab_topk_cms": (vocab_topk_cms, None),  # approximate; exact sibling gated
     "strip_common_lines": (strip_common_lines, None),  # SQL built per-sf

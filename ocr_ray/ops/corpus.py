@@ -791,3 +791,41 @@ kept AS (
 )
 SELECT conv_id, turn_idx, clean_text, n_removed FROM kept
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source domain capping (corpus-mixing quota, C4/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 15  # max docs kept per source (sources hold 25 docs at every sf, so the cap bites)
+
+
+def cap_per_source(sf_dir: str, *, cap: int = _SOURCE_CAP) -> Dataset:
+    """Keep at most ``cap`` documents per source (smallest doc_id first) —
+    the per-domain quota step of corpus mixing, so one crawl domain cannot
+    dominate the training mix.
+
+    Plan: coarse-key grouped scan (Python overhead per partition, not per
+    source); within each partition a single vectorized sort + per-key rank
+    mask. The shuffle moves only (doc_id, source) — the text is re-attached
+    by the caller if needed (keys-only capping keeps exchange volume
+    independent of payload size)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def pick(df):
+        df = df.sort_values(["source", "doc_id"])
+        rank = df.groupby("source").cumcount()
+        return df[rank < cap].drop(columns=["__part"])
+
+    return grouped_scan(ds, "source", pick)
+
+
+CAP_PER_SOURCE_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_SOURCE_CAP}
+"""

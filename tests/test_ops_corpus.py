@@ -223,3 +223,26 @@ class TestStripCommonLines:
         )
         out = strip_common_lines_over(ds, min_count=5).take_all()
         assert all(r["clean_text"] == "" and r["n_removed"] == 2 for r in out)
+
+
+class TestCapPerSource:
+    def test_cap_bites_and_keeps_smallest_ids(self):
+        from ocr_ray.ops.corpus import _SOURCE_CAP, cap_per_source
+
+        out = cap_per_source("/root/testdata/sf0.001").take_all()
+        by_src: dict = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert all(len(v) == _SOURCE_CAP for v in by_src.values())
+        # smallest-doc_id-first: the kept set per source is its min-15 ids
+        import duckdb
+
+        for src, ids in list(by_src.items())[:3]:
+            want = [
+                r[0]
+                for r in duckdb.sql(
+                    "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+                    f"WHERE source = '{src}' ORDER BY doc_id LIMIT {_SOURCE_CAP}"
+                ).fetchall()
+            ]
+            assert sorted(ids) == want
