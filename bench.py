@@ -37,6 +37,10 @@ QUERY_NAMES = [
     "dedup_minhash_docs",
     "ann_topk",
     "clean_corpus",
+    "scrub_docs",
+    "chunk_docs",
+    "strip_common_lines",
+    "latest_event_per_user",
 ]
 
 
