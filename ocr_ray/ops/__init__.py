@@ -37,7 +37,9 @@ from ocr_ray.ops.corpus import (
     doc_top_terms,
     mixture_sample,
     order_quantiles,
+    _quality_gated_sql,
     pack_sequences,
+    quality_gated_docs,
     strip_common_lines,
     strip_common_lines_sql,
     vocab_topk,
@@ -86,6 +88,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "vocab_topk_cms": (vocab_topk_cms, None),  # approximate; exact sibling gated
     "strip_common_lines": (strip_common_lines, None),  # SQL built per-sf
+    "quality_gated_docs": (quality_gated_docs, _quality_gated_sql()),
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),

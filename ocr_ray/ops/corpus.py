@@ -829,3 +829,68 @@ SELECT doc_id, source FROM (
   FROM documents
 ) WHERE rn <= {_SOURCE_CAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# median-gated quality filter (composition: score -> exact quantile -> gate)
+# ---------------------------------------------------------------------------
+
+
+def quality_gated_docs(sf_dir: str) -> Dataset:
+    """Keep documents whose stopword ratio is at or above the corpus median
+    — the "drop the low-quality half" gate of a training-data pipeline,
+    composed from the quality scorer and the exact-quantile machinery.
+
+    The scored projection (doc_id, stop_bp — 16 bytes/doc, ~1000x smaller
+    than the text) is materialized once so the score pass runs once; the
+    median uses the same integer ceil-rank convention as order_quantiles
+    (value at 1-based sorted position ceil(n/2)), found from a tiny
+    (stop_bp, count) histogram — stop_bp has at most 10001 distinct values,
+    so the driver holds a bounded table regardless of corpus size."""
+    from ocr_ray.ops.textstats import QualityScorer
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        q = QualityScorer()(t)
+        return q.select(["doc_id", "stop_bp"])
+
+    scored = docs.map_batches(
+        project, batch_format="pyarrow", batch_size=512
+    ).materialize()
+    hist = scored.groupby("stop_bp").aggregate(Count(alias_name="c")).take_all()
+    hist.sort(key=lambda r: r["stop_bp"])
+    n = sum(r["c"] for r in hist)
+    k = max(1, (5000 * n + 9_999) // 10_000)
+    cum = 0
+    med = hist[-1]["stop_bp"] if hist else 0
+    for r in hist:
+        cum += r["c"]
+        if cum >= k:
+            med = r["stop_bp"]
+            break
+    return scored.filter(expr=f"stop_bp >= {int(med)}")
+
+
+QUALITY_GATED_DOCS_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE 10000 * n_stop // n_tokens END AS BIGINT) AS stop_bp
+  FROM (
+    SELECT doc_id,
+      len(regexp_extract_all(t, '\\S+')) AS n_tokens,
+      len(list_filter(regexp_extract_all(t, '\\S+'),
+          w -> trim(lower(w), '.,!?;:') IN ({{stopwords}}))) AS n_stop
+    FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+  )
+),
+r AS (SELECT stop_bp, row_number() OVER (ORDER BY stop_bp) AS rn, count(*) OVER () AS n FROM q),
+m AS (SELECT stop_bp AS med FROM r WHERE rn = greatest(1, (5000 * n + 9999) // 10000))
+SELECT q.doc_id, q.stop_bp FROM q, m WHERE q.stop_bp >= m.med
+"""
+
+
+def _quality_gated_sql() -> str:
+    from ocr_ray.ops.textstats import _STOPWORDS, _sql_str_set
+
+    return QUALITY_GATED_DOCS_SQL.format(stopwords=_sql_str_set(_STOPWORDS["en"]))

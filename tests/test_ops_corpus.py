@@ -246,3 +246,14 @@ class TestCapPerSource:
                 ).fetchall()
             ]
             assert sorted(ids) == want
+
+
+class TestQualityGate:
+    def test_median_gate_keeps_upper_half(self):
+        from ocr_ray.ops.corpus import quality_gated_docs
+
+        out = quality_gated_docs("/root/testdata/sf0.001").take_all()
+        assert 0 < len(out) < 500  # the gate bites but keeps rows
+        assert len(out) >= 250  # ties at the median are kept -> at least half
+        med = min(r["stop_bp"] for r in out)
+        assert all(r["stop_bp"] >= med for r in out)
