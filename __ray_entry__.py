@@ -103,6 +103,16 @@ def _turn_context_stats(sf_dir: str):
     return turn_context_stats(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _tool_usage_stats(sf_dir: str):
+    """Per-tool invocation rollup (exact distinct-conversation counts via
+    groupby dedup — no driver sets); exercises the ``tool`` input column."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import tool_usage_stats
+
+    return tool_usage_stats(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _extract_context_turns(sf_dir: str):
     """Context-aware engine: reply-echo prefixes stripped before extraction
     (pytest-gated; extraction itself is not SQL-expressible)."""
@@ -164,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dialogue_pairs": _dialogue_pairs,
         "plain_dialogue_pairs": plain_dialogue_pairs,
         "turn_context_stats": _turn_context_stats,
+        "tool_usage_stats": _tool_usage_stats,
         "extract_context_turns": _extract_context_turns,
     }
     for name, (fn, _sql) in REGISTRY.items():

@@ -232,3 +232,37 @@ def dialogue_pairs(extracted: Dataset) -> Dataset:
 
     slim = extracted.select_columns(["conv_id", "turn_idx", "role", "main_text"])
     return grouped_scan(slim, "conv_id", pairs)
+
+
+def tool_usage_stats(transcripts: Dataset) -> Dataset:
+    """Per-tool rollup over tool turns (the ``tool`` input column):
+    invocation count + distinct conversations using the tool.
+
+    The distinct count never touches the driver: (tool, conv_id) pairs are
+    pre-deduped per batch, deduped globally by one groupby, then counted
+    per tool — the exact-distinct pattern (a driver ``unique()`` set would
+    OOM at 10^12 conversations)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("role"), "tool"))
+        out = pa.table(
+            {
+                "tool": t.column("tool"),
+                "conv_id": t.column("conv_id"),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+        g = out.group_by(["tool", "conv_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tool", "conv_id", "n"])
+
+    per_conv = (
+        transcripts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tool", "conv_id"])
+        .aggregate(Sum("n", alias_name="n_calls"))
+    )
+    return per_conv.groupby("tool").aggregate(
+        Sum("n_calls", alias_name="n_calls"), Count(alias_name="n_convs")
+    )

@@ -541,5 +541,16 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
+        "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),
         "turn_context_stats": TURN_CONTEXT_STATS_SQL_TMPL.format(path=path),
     }
+
+
+TOOL_USAGE_SQL_TMPL = """
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM read_parquet('{path}/*.parquet')
+WHERE role = 'tool'
+GROUP BY tool
+"""
