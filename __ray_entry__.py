@@ -211,6 +211,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.corpus import strip_common_lines_sql
 
         out["strip_common_lines"] = strip_common_lines_sql(_DRIVER_SF)
+        from ocr_ray.ops.markdown import extract_markdown_sql
+
+        out["extract_markdown"] = extract_markdown_sql(_DRIVER_SF)
     except ImportError:
         pass
     return out

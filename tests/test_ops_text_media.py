@@ -184,3 +184,42 @@ class TestScrub:
         )
         assert again.column("clean_text").to_pylist() == once.column("clean_text").to_pylist()
         assert sum(again.column("n_emails").to_pylist()) == 0
+
+
+class TestMarkdown:
+    def test_strip_semantics(self):
+        from ocr_ray.ops.markdown import extract_markdown_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "md": pa.array(
+                    [
+                        "# T\n**b** *i* [x](u) ![a](p)\n- li\n> q\n`c` end",
+                        None,
+                    ]
+                ),
+            }
+        )
+        out = extract_markdown_batch(t)
+        assert out.column("main_text").to_pylist() == ["T\nb i x a\nli\nq\nc end", ""]
+        assert out.column("n_images").to_pylist() == [1, 0]
+        assert out.column("n_links").to_pylist() == [1, 0]
+        assert out.column("n_headers").to_pylist() == [1, 0]
+
+    def test_image_counted_before_link(self):
+        """image syntax embeds link syntax; order makes counts disjoint."""
+        from ocr_ray.ops.markdown import extract_markdown_batch
+
+        t = pa.table({"doc_id": pa.array([0], pa.int64()), "md": pa.array(["![a](p) [x](u)"])})
+        out = extract_markdown_batch(t)
+        assert out.column("n_images").to_pylist() == [1]
+        assert out.column("n_links").to_pylist() == [1]
+        assert out.column("main_text").to_pylist() == ["a x"]
+
+    def test_bullet_is_not_italic(self):
+        from ocr_ray.ops.markdown import extract_markdown_batch
+
+        t = pa.table({"doc_id": pa.array([0], pa.int64()), "md": pa.array(["* item one\n* item two"])})
+        out = extract_markdown_batch(t)
+        assert out.column("main_text").to_pylist() == ["item one\nitem two"]

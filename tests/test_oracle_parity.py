@@ -41,6 +41,9 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.corpus import strip_common_lines_sql
 
     _SQLS["strip_common_lines"] = strip_common_lines_sql(SF)
+    from ocr_ray.ops.markdown import extract_markdown_sql
+
+    _SQLS["extract_markdown"] = extract_markdown_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
