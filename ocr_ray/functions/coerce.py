@@ -56,3 +56,19 @@ def coalesce_default(col: pa.ChunkedArray | pa.Array, default) -> pa.ChunkedArra
     """The ``?? default`` pattern applied on every sheet field
     (save-to-google-sheet.ts:190-206)."""
     return pc.coalesce(col, pa.scalar(default))
+
+
+def json_int_field(col: pa.ChunkedArray | pa.Array, field: str) -> pa.Array:
+    """Extract an integer field from a JSON-string column; null where the
+    JSON is malformed or the field is missing/non-integer (total output —
+    the M5 parse-failure path keeps the row, never drops it)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for v in col.to_pylist():
+        try:
+            x = json.loads(v)[field]
+            out.append(int(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else None)
+        except (TypeError, ValueError, KeyError):
+            out.append(None)
+    return pa.array(out, pa.int64())

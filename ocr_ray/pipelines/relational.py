@@ -1189,3 +1189,58 @@ REGISTRY: dict[str, tuple] = {
     "distinct_users_hll": (distinct_users_hll, None),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
 }
+
+
+def event_props_stats(sf_dir: str) -> Dataset:
+    """Per-event-type rollup of the ``props`` JSON payload field ``k`` —
+    the reference's JSON-string IR parse (M5, page.tsx:179-227) as a
+    data-plane op: parse with per-row fallback (malformed JSON -> null,
+    rows never dropped), then partial pre-agg + tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.coerce import json_int_field
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = json_int_field(t.column("props"), "k")
+        out = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_with_k": pc.cast(pc.is_valid(k), pa.int64()),
+                "sum_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
+                "max_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
+            }
+        )
+        g = out.group_by(["event_type"]).aggregate(
+            [("n_with_k", "sum"), ("sum_k", "sum"), ("max_k", "max")]
+        )
+        return g.rename_columns(["event_type", "n_with_k", "sum_k", "max_k"])
+
+    from ray.data.aggregate import Max
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_with_k", alias_name="n_with_k"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+EVENT_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(coalesce(SUM(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(MAX(k), 0) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+REGISTRY["event_props_stats"] = (event_props_stats, EVENT_PROPS_STATS_SQL)

@@ -128,3 +128,16 @@ class TestSkewSplit:
         # len_bucket metric column is vectorized and total
         bucketed = ds.map_batches(add_len_bucket, batch_format="pyarrow").take_all()
         assert all(r["len_bucket"] >= 0 for r in bucketed)
+
+
+class TestJsonIntField:
+    def test_total_with_fallbacks(self):
+        import pyarrow as pa
+
+        from ocr_ray.functions.coerce import json_int_field
+
+        col = pa.array(
+            ['{"k": 7}', '{"k": 2.0}', '{"j": 1}', "not json", None, '{"k": true}']
+        )
+        out = json_int_field(col, "k").to_pylist()
+        assert out == [7, 2, None, None, None, None]
