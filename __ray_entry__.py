@@ -103,6 +103,20 @@ def _turn_context_stats(sf_dir: str):
     return turn_context_stats(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _jsonl_events_rollup(sf_dir: str):
+    """JSONL source path (format interchange, S1 generalization)."""
+    from ocr_ray.sources.readers import jsonl_events_rollup
+
+    return jsonl_events_rollup(sf_dir)
+
+
+def _csv_events_rollup(sf_dir: str):
+    """CSV source path (format interchange, S1 generalization)."""
+    from ocr_ray.sources.readers import csv_events_rollup
+
+    return csv_events_rollup(sf_dir)
+
+
 def _tool_usage_stats(sf_dir: str):
     """Per-tool invocation rollup (exact distinct-conversation counts via
     groupby dedup — no driver sets); exercises the ``tool`` input column."""
@@ -175,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "plain_dialogue_pairs": plain_dialogue_pairs,
         "turn_context_stats": _turn_context_stats,
         "tool_usage_stats": _tool_usage_stats,
+        "jsonl_events_rollup": _jsonl_events_rollup,
+        "csv_events_rollup": _csv_events_rollup,
         "extract_context_turns": _extract_context_turns,
     }
     for name, (fn, _sql) in REGISTRY.items():
@@ -214,6 +230,10 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.markdown import extract_markdown_sql
 
         out["extract_markdown"] = extract_markdown_sql(_DRIVER_SF)
+        from ocr_ray.sources.readers import csv_events_rollup_sql, jsonl_events_rollup_sql
+
+        out["jsonl_events_rollup"] = jsonl_events_rollup_sql(_DRIVER_SF)
+        out["csv_events_rollup"] = csv_events_rollup_sql(_DRIVER_SF)
     except ImportError:
         pass
     return out

@@ -69,3 +69,120 @@ def scaled_read_parquet(
     want = max(2 * _cluster_cpus(), total // target_block_bytes + 1)
     blocks = int(min(max_blocks, want))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+# ---------------------------------------------------------------------------
+# text-format sources (JSONL / CSV)
+# ---------------------------------------------------------------------------
+#
+# A production corpus ingests line-delimited JSON and CSV alongside Parquet
+# (the reference's "source" axis, S1/S2 generalization). These wrappers keep
+# the same contract as the parquet path: streaming Dataset out, column
+# pruning applied immediately after the scan (Ray's JSON/CSV readers cannot
+# push projections into the file format, so the prune happens in the first
+# map stage — at 100 TB, prefer Parquet; these exist for interchange).
+
+
+def read_jsonl(path: str | list[str], *, columns: list[str] | None = None) -> Dataset:
+    ds = rd.read_json(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_csv(path: str | list[str], *, columns: list[str] | None = None) -> Dataset:
+    ds = rd.read_csv(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def ensure_interchange_fixture(
+    sf_dir: str, root: str = "/tmp/ocr_ray_fixtures"
+) -> tuple[str, str]:
+    """Deterministic JSONL + CSV exports of the events table head (same
+    rows, two wire formats), cached once — so the format-source queries and
+    their DuckDB oracles read identical bytes."""
+    import json as _json
+    import os as _os
+
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = _os.path.join(root, f"interchange_{tag}")
+    marker = _os.path.join(out, "_SUCCESS")
+    if _os.path.exists(marker):
+        return _os.path.join(out, "events.jsonl"), _os.path.join(out, "events.csv")
+    _os.makedirs(out, exist_ok=True)
+    rows = duckdb.sql(
+        "SELECT event_id, user_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS value_cents "
+        f"FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 5000"
+    ).fetchall()
+    jpath, cpath = _os.path.join(out, "events.jsonl"), _os.path.join(out, "events.csv")
+    with open(jpath + ".tmp", "w") as f:
+        for eid, uid, et, vc in rows:
+            f.write(
+                _json.dumps(
+                    {"event_id": eid, "user_id": uid, "event_type": et, "value_cents": vc}
+                )
+                + "\n"
+            )
+    with open(cpath + ".tmp", "w") as f:
+        f.write("event_id,user_id,event_type,value_cents\n")
+        for eid, uid, et, vc in rows:
+            f.write(f"{eid},{uid},{et},{vc}\n")
+    _os.replace(jpath + ".tmp", jpath)
+    _os.replace(cpath + ".tmp", cpath)
+    open(marker, "w").close()
+    return jpath, cpath
+
+
+def _format_rollup(ds: Dataset) -> Dataset:
+    """Shared rollup over either wire format: per event_type count + cents
+    total (partial pre-agg, tiny groupby)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "cents": pc.cast(t.column("value_cents"), pa.int64()),
+            }
+        )
+        g = out.group_by(["event_type"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n", "cents"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("cents", alias_name="cents")
+    )
+
+
+def jsonl_events_rollup(sf_dir: str) -> Dataset:
+    jpath, _ = ensure_interchange_fixture(sf_dir)
+    return _format_rollup(read_jsonl(jpath, columns=["event_type", "value_cents"]))
+
+
+def csv_events_rollup(sf_dir: str) -> Dataset:
+    _, cpath = ensure_interchange_fixture(sf_dir)
+    return _format_rollup(read_csv(cpath, columns=["event_type", "value_cents"]))
+
+
+def jsonl_events_rollup_sql(sf_dir: str) -> str:
+    jpath, _ = ensure_interchange_fixture(sf_dir)
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value_cents) AS BIGINT) AS cents
+FROM read_json_auto('{jpath}', format='newline_delimited')
+GROUP BY event_type
+"""
+
+
+def csv_events_rollup_sql(sf_dir: str) -> str:
+    _, cpath = ensure_interchange_fixture(sf_dir)
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value_cents) AS BIGINT) AS cents
+FROM read_csv_auto('{cpath}')
+GROUP BY event_type
+"""

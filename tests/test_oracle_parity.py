@@ -44,6 +44,10 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.markdown import extract_markdown_sql
 
     _SQLS["extract_markdown"] = extract_markdown_sql(SF)
+    from ocr_ray.sources.readers import csv_events_rollup_sql, jsonl_events_rollup_sql
+
+    _SQLS["jsonl_events_rollup"] = jsonl_events_rollup_sql(SF)
+    _SQLS["csv_events_rollup"] = csv_events_rollup_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
