@@ -117,6 +117,26 @@ def _csv_events_rollup(sf_dir: str):
     return csv_events_rollup(sf_dir)
 
 
+def _conv_texts(sf_dir: str):
+    """Conversation flattening: ordered per-conversation text concat (the
+    training-document assembly step), SQL-gated via string_agg ORDER BY."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_texts
+
+    return conv_texts(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
+def _extract_links(sf_dir: str):
+    """Per-target href census (link-graph building), vectorized Arrow
+    split-on-literal; oracle applies identical split semantics."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import extract_links
+
+    return extract_links(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _tool_usage_stats(sf_dir: str):
     """Per-tool invocation rollup (exact distinct-conversation counts via
     groupby dedup — no driver sets); exercises the ``tool`` input column."""
@@ -189,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "plain_dialogue_pairs": plain_dialogue_pairs,
         "turn_context_stats": _turn_context_stats,
         "tool_usage_stats": _tool_usage_stats,
+        "conv_texts": _conv_texts,
+        "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,
         "extract_context_turns": _extract_context_turns,

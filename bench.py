@@ -41,6 +41,10 @@ QUERY_NAMES = [
     "chunk_docs",
     "strip_common_lines",
     "latest_event_per_user",
+    "events_value_banded",
+    "user_rolling_spend",
+    "conv_texts",
+    "extract_links",
 ]
 
 

@@ -266,3 +266,85 @@ def tool_usage_stats(transcripts: Dataset) -> Dataset:
     return per_conv.groupby("tool").aggregate(
         Sum("n_calls", alias_name="n_calls"), Count(alias_name="n_convs")
     )
+
+
+def conv_texts(transcripts: Dataset) -> Dataset:
+    """Conversation flattening: per-conversation concatenation of turn texts
+    in turn order — the training-document assembly step (each conversation
+    becomes ONE document for tokenize/pack downstream; pairs with
+    ops.corpus.pack_sequences).
+
+    Ordered group-concat is not a built-in Ray Data aggregate; the plan is
+    the conversation-context pattern: ``grouped_scan`` co-locates each
+    conv_id, one pandas sort + per-group join per coarse partition. Output
+    is one row per conversation, bounded by conversation length — the
+    corpus itself never transits the shuffle wider than its own bytes."""
+
+    def flatten(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        agg = g.groupby("conv_id", sort=False)["text"].agg(["size", "\n".join])
+        agg.columns = ["n_turns", "conv_text"]
+        agg = agg.reset_index()
+        agg["n_turns"] = agg["n_turns"].astype("int64")
+        return agg[["conv_id", "conv_text", "n_turns"]]
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    return grouped_scan(slim, "conv_id", flatten)
+
+
+CONV_TEXTS_SQL_TMPL = """
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM read_parquet('{path}/*.parquet')
+GROUP BY conv_id
+"""
+
+
+def extract_links(transcripts: Dataset) -> Dataset:
+    """Per-target link census over every turn: all ``href="..."`` values,
+    counted per target — the anchor/link-graph building step of a web-scale
+    corpus pipeline.
+
+    Fully vectorized in Arrow (no per-row Python): split each text on the
+    literal ``href="`` attribute prefix, drop the pre-match head, cut each
+    tail at its closing quote. The DuckDB oracle applies the SAME
+    split-on-literal semantics (string_split + strpos), so parity is by
+    construction, not regex-dialect coincidence. Per-batch partial pre-agg
+    means the shuffle carries (href, count) pairs, never text."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("text"), pattern='href="')
+        tails = pc.list_flatten(pc.list_slice(parts, start=1))
+        cut = pc.split_pattern(tails, pattern='"', max_splits=1)
+        closed = cut.filter(pc.equal(pc.list_value_length(cut), 2))
+        href = pc.list_element(closed, 0)
+        tb = pa.table(
+            {"href": href, "n": pa.array([1] * len(href), pa.int64())}
+        )
+        g = tb.group_by(["href"]).aggregate([("n", "sum")])
+        return g.rename_columns(["href", "n"])
+
+    slim = transcripts.select_columns(["text"])
+    return (
+        slim.map_batches(partial, batch_format="pyarrow")
+        .groupby("href")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+EXTRACT_LINKS_SQL_TMPL = """
+SELECT href, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT substr(tail, 1, strpos(tail, '"') - 1) AS href
+  FROM (
+    SELECT unnest(string_split(text, 'href="')[2:]) AS tail
+    FROM read_parquet('{path}/*.parquet')
+  )
+  WHERE strpos(tail, '"') > 0
+)
+GROUP BY href
+"""

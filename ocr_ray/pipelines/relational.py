@@ -1244,3 +1244,130 @@ GROUP BY event_type
 """
 
 REGISTRY["event_props_stats"] = (event_props_stats, EVENT_PROPS_STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# range join — band each event's value against a small interval table
+# ---------------------------------------------------------------------------
+
+# Half-open [lo, hi) bands in cents (a fixed "rate card"). Small-side-by-
+# construction: range joins against a bounded band/rate table are the common
+# shape (pricing tiers, SLA buckets, time-zone tables).
+VALUE_BANDS: list[tuple[str, int, int]] = [
+    ("micro", 0, 1_000),
+    ("small", 1_000, 2_500),
+    ("mid", 2_500, 5_000),
+    ("large", 5_000, 10_000),
+    ("xl", 10_000, 1 << 62),
+]
+
+
+def events_value_banded(sf_dir: str) -> Dataset:
+    """RANGE JOIN (lo <= v < hi) of events against the band table — a join
+    family Ray Data lacks natively (SURVEY §2.4 custom-operator slot).
+
+    Plan: broadcast range join. The band table is tiny, so its sorted lower
+    edges ship inside the task closure and each batch does ONE vectorized
+    ``np.searchsorted`` (binary search per row, no per-row Python); partial
+    pre-agg collapses each batch to <=5 rows before the only shuffle (the
+    5-row rollup). At 100 TB the event side streams; nothing wide moves.
+    A big-big range join would instead bucket BOTH sides by interval grid —
+    documented here as the scale-out path, not needed for a rate card."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    names = np.array([b[0] for b in VALUE_BANDS])
+    lows = np.array([b[1] for b in VALUE_BANDS], dtype=np.int64)
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = to_cents(t.column("value"))
+        v = cents.to_numpy()
+        idx = np.searchsorted(lows, v, side="right") - 1
+        tb = pa.table(
+            {
+                "band": pa.array(names[idx]),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "cents": cents,
+            }
+        )
+        g = tb.group_by(["band"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["band", "n", "cents"])
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+
+EVENTS_VALUE_BANDED_SQL = """
+SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(e.cents) AS BIGINT) AS cents
+FROM (SELECT CAST(ROUND(value*100) AS BIGINT) AS cents FROM events) e
+JOIN (VALUES ('micro', 0, 1000), ('small', 1000, 2500), ('mid', 2500, 5000),
+             ('large', 5000, 10000), ('xl', 10000, 4611686018427387904))
+     AS b(band, lo, hi)
+  ON e.cents >= b.lo AND e.cents < b.hi
+GROUP BY b.band
+"""
+
+REGISTRY["events_value_banded"] = (events_value_banded, EVENTS_VALUE_BANDED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-row rolling window — trailing 3-event spend per user
+# ---------------------------------------------------------------------------
+
+
+def user_rolling_spend(sf_dir: str) -> Dataset:
+    """Per-ROW windowed aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+    each event's trailing 3-event spend within its user's (ts, event_id)
+    order. Complements the bucketed windows (events_hourly / events_sliding)
+    with the per-row frame family a feature-engineering pipeline needs.
+
+    Plan: co-locate by user via ``grouped_scan`` (coarse-key partitions, so
+    Python overhead is per-partition, not per-user), then one C-level pandas
+    groupby-rolling over each multi-user frame. (ts, event_id) is a total
+    order, so the result is deterministic under any partitioning."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "cents": to_cents(t.column("value")),
+            }
+        )
+
+    def roll(df):
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        r = (
+            df.groupby("user_id", sort=False)["cents"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+        )
+        out = df[["event_id"]].copy()
+        out["roll3_cents"] = r.astype("int64")
+        return out
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "user_id", roll)
+
+
+USER_ROLLING_SPEND_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents
+FROM events
+"""
+
+REGISTRY["user_rolling_spend"] = (user_rolling_spend, USER_ROLLING_SPEND_SQL)

@@ -152,3 +152,53 @@ class TestSkewedKey:
         # small keys unaffected
         small = out[out.conv_id == "c0"].sort_values("turn_idx")
         assert list(small.prev_v) == [-1, 0]
+
+
+def test_conv_texts_ordered_concat():
+    """Flattened conversation text is the turn texts joined in turn_idx
+    order, regardless of input row order."""
+    import datetime as dt
+
+    from ocr_ray.pipelines.conversation import conv_texts
+
+    ts = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c2", "c1", "c1"],
+            "turn_idx": pa.array([2, 0, 0, 1], pa.int32()),
+            "text": ["third", "solo", "first", "second"],
+            "ts": [ts] * 4,
+        }
+    )
+    rows = {r["conv_id"]: r for r in conv_texts(rd.from_arrow(t)).take_all()}
+    assert rows["c1"]["conv_text"] == "first\nsecond\nthird"
+    assert rows["c1"]["n_turns"] == 3
+    assert rows["c2"]["conv_text"] == "solo"
+    assert rows["c2"]["n_turns"] == 1
+
+
+def test_extract_links_split_semantics():
+    """Link census counts every href="..." occurrence per target; an
+    unterminated href (no closing quote in the tail) is dropped. The
+    straddle case (a value ending in ``href=``) follows the documented
+    split-on-literal semantics — the SQL oracle uses the same split."""
+    from ocr_ray.pipelines.conversation import extract_links
+
+    t = pa.table(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": pa.array(range(4), pa.int32()),
+            "text": [
+                '<a href="/p/1">x</a> <a href="/p/2">y</a>',
+                'no links here',
+                'dup <a href="/p/1">z</a> and broken href="oops',
+                'straddle href="abchref="x" tail',
+            ],
+        }
+    )
+    got = {r["href"]: r["n"] for r in extract_links(rd.from_arrow(t)).take_all()}
+    assert got["/p/1"] == 2
+    assert got["/p/2"] == 1
+    # broken (unclosed) href contributes nothing; straddle resolves to "x"
+    assert "oops" not in got
+    assert got["x"] == 1
