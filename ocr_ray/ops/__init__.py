@@ -45,6 +45,7 @@ from ocr_ray.ops.corpus import (
     vocab_topk,
     vocab_topk_cms,
 )
+from ocr_ray.ops.graph import pagerank_graph, pagerank_graph_sql
 from ocr_ray.ops.markdown import extract_markdown, extract_markdown_sql
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
@@ -84,6 +85,7 @@ REGISTRY: dict[str, tuple] = {
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "extract_markdown": (extract_markdown, None),  # SQL built per-sf
+    "pagerank_graph": (pagerank_graph, None),  # SQL built per-sf: pagerank_graph_sql
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),

@@ -1,0 +1,298 @@
+"""Distributed PageRank — the iterative-algorithm family.
+
+Web-scale corpus pipelines rank pages/domains to use link authority as a
+quality prior (the reference's per-document pipeline has no graph ops; this
+is part of the beyond-reference training-data surface, like dedup/ANN).
+PageRank is the canonical iterative dataflow: each iteration is
+
+    share(src)   = rank(src) // out_deg(src)          (per-edge map)
+    inbound(dst) = SUM share over in-edges            (groupby shuffle)
+    rank'(node)  = BASE + (85 * inbound(node)) // 100 (damping 0.85)
+
+expressed here as two hash joins + one groupby per iteration over plain
+Datasets — no driver-side graph state; ranks and edges stay distributed.
+
+Determinism: all arithmetic is int64 fixed-point (INIT = 1e9 per node) —
+integer sums are reduction-order independent, so results are bit-identical
+under any partitioning AND match the DuckDB oracle (K chained CTEs doing
+the identical integer math). Floor vs trunc division never diverges because
+every operand is non-negative. Dangling-node mass is dropped (not
+redistributed) on BOTH sides — documented spec, not an accident.
+
+Scale notes (100 TB / 10^9 nodes):
+* Each iteration re-shuffles the edge list. The production layout keeps
+  edges hash-bucketed by src on storage (write once via the partitioned
+  sink) and ranks co-partitioned, making the rank join co-located; the
+  groupby(dst) exchange is then the only all-to-all per iteration — the
+  same plan Pregel/GraphX run.
+* With INIT = 1e9, total rank mass is n_nodes * 1e9 < 2^63 up to ~9e9
+  nodes; shrink INIT for larger graphs.
+* A long lazy chain of K iterations should checkpoint ranks to Parquet
+  every few iterations (the resumable sink) so lineage doesn't grow
+  unboundedly; at K=3 test scale the chain is fine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+_INIT = 1_000_000_000
+_BASE = 150_000_000  # (1 - 0.85) * INIT
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    iters: int = 3,
+    num_partitions: int | None = None,
+    broadcast_nodes_max: int = 2_000_000,
+) -> Dataset:
+    """PageRank over an ``(src: int64, dst: int64)`` edge Dataset.
+
+    Returns ``(node, pr)`` for every node appearing as src or dst. The edge
+    list is deduplicated first (simple graph), via groupby — never a driver
+    set.
+
+    Size-gated plan (the repo's established pattern — see the local-CC gate
+    in ops.dedup): when the NODE table fits comfortably in memory
+    (<= ``broadcast_nodes_max``; the edge list can still be arbitrarily
+    large), each iteration is ONE broadcast map pass over the distributed
+    edges — ranks ship via ray.put, per-batch contributions reduce to
+    sparse (dst, sum) int64 partials, the driver combines exactly — zero
+    shuffles per iteration. Above the gate, the fully distributed plan runs:
+    per-iteration edge x rank hash join + groupby(dst) contribution shuffle.
+
+    Distributed path: each iteration's ranks are materialized before the
+    next begins — (a) it is the checkpoint cadence the 100 TB run needs
+    anyway (swap materialize for the resumable sink), and (b) a fully lazy
+    K-iteration chain puts ~3K hash-shuffle operators in ONE streaming
+    topology, whose aggregator actors can exceed a small cluster's CPUs and
+    deadlock the scheduler (observed at num_cpus=4)."""
+    from ocr_ray.functions.joins import hash_join
+    from ocr_ray.ops.dedup import _coerce_schema
+
+    auto_parts = num_partitions is None
+    if auto_parts:
+        num_partitions = 4  # provisional for the dedup shuffle; resized below
+
+    # _coerce_schema: Ray 2.49 hash-shuffle ops emit empty partitions as
+    # zero-column blocks, which a downstream Dataset.join rejects
+    # ("No match for FieldRef") — repartition+cast absorbs them.
+    i64 = pa.int64()
+    edges = _coerce_schema(
+        edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"]),
+        pa.schema([("src", i64), ("dst", i64)]),
+        parts=num_partitions,
+    ).materialize()  # reused every iteration: dedup once, not K times
+    if auto_parts:
+        # size the per-iteration shuffles from the (now known) edge count:
+        # every hash-shuffle op spins num_partitions aggregator actors — a
+        # fixed ~1 s cost each that dominates small graphs (measured 37 s ->
+        # 12 s at 120k edges going 16 -> 3 partitions); large graphs get
+        # ~200k edges per partition up to a CPU-bounded cap.
+        try:
+            import ray
+
+            cap = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        except Exception:
+            cap = 4
+        num_partitions = max(2, min(cap, edges.count() // 200_000 + 2))
+    deg = _coerce_schema(
+        edges.groupby("src").aggregate(Count(alias_name="d")),
+        pa.schema([("src", i64), ("d", i64)]),
+        parts=num_partitions,
+    ).materialize()
+    nodes = _coerce_schema(
+        edges.select_columns(["src"])
+        .rename_columns({"src": "node"})
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"}))
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]),
+        pa.schema([("node", i64)]),
+        parts=num_partitions,
+    ).materialize()
+
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_nodes_max:
+        return _pagerank_broadcast(edges, deg, nodes, iters=iters)
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column("pr", pa.array(np.full(t.num_rows, _INIT, np.int64)))
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow")
+
+    for _ in range(iters):
+        shares = hash_join(
+            edges, ranks, on="src", right_on="node", num_partitions=num_partitions
+        )
+        shares = hash_join(shares, deg, on="src", num_partitions=num_partitions)
+
+        def mk_share(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"dst": t.column("dst"), "share": pc.divide(t.column("pr"), t.column("d"))}
+            )
+
+        inbound = _coerce_schema(
+            shares.map_batches(mk_share, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("share", alias_name="s")),
+            pa.schema([("dst", i64), ("s", i64)]),
+            parts=num_partitions,
+        )
+        joined = hash_join(
+            nodes,
+            inbound,
+            on="node",
+            right_on="dst",
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+
+        def nxt(t: pa.Table) -> pa.Table:
+            s = pc.coalesce(t.column("s"), pa.scalar(0, pa.int64()))
+            pr = pc.add(
+                pa.scalar(_BASE, pa.int64()),
+                pc.divide(
+                    pc.multiply(pa.scalar(85, pa.int64()), s), pa.scalar(100, pa.int64())
+                ),
+            )
+            return pa.table({"node": t.column("node"), "pr": pr})
+
+        ranks = joined.map_batches(nxt, batch_format="pyarrow").materialize()
+    return ranks
+
+
+def _pagerank_broadcast(edges: Dataset, deg: Dataset, nodes: Dataset, *, iters: int) -> Dataset:
+    """Node-table-fits gate: per iteration, broadcast the per-src share
+    vector once (ray.put; plasma-local per worker thereafter) and stream the
+    edges through one map pass. Per-batch contributions are reduced to
+    sparse (dst_pos, sum) via argsort + add.reduceat — all int64, exact, so
+    the result is bit-identical to the distributed path and the SQL oracle.
+
+    Driver holds three node-sized int64 arrays (16 MB at the 2M gate); the
+    edge list streams and is never collected."""
+    import ray
+
+    node_ids = np.sort(nodes.to_pandas()["node"].to_numpy().astype(np.int64))
+    n = len(node_ids)
+    deg_pd = deg.to_pandas()
+    deg_arr = np.zeros(n, np.int64)
+    deg_arr[np.searchsorted(node_ids, deg_pd["src"].to_numpy().astype(np.int64))] = (
+        deg_pd["d"].to_numpy().astype(np.int64)
+    )
+    ids_ref = ray.put(node_ids)
+    ranks = np.full(n, _INIT, np.int64)
+
+    for _ in range(iters):
+        shares = np.where(deg_arr > 0, ranks // np.maximum(deg_arr, 1), 0)
+        sh_ref = ray.put(shares)
+
+        def contrib(t: pa.Table, _ids=ids_ref, _sh=sh_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"i": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+            ids = ray.get(_ids)
+            sh = ray.get(_sh)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            s = sh[np.searchsorted(ids, src)]
+            di = np.searchsorted(ids, dst)
+            order = np.argsort(di, kind="stable")
+            di_s, s_s = di[order], s[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(di_s)) + 1))
+            return pa.table(
+                {
+                    "i": pa.array(di_s[starts]),
+                    "s": pa.array(np.add.reduceat(s_s, starts)),
+                }
+            )
+
+        inbound = np.zeros(n, np.int64)
+        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            np.add.at(
+                inbound,
+                b.column("i").to_numpy(zero_copy_only=False),
+                b.column("s").to_numpy(zero_copy_only=False),
+            )
+        ranks = _BASE + (85 * inbound) // 100
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({"node": pa.array(node_ids), "pr": pa.array(ranks)}))
+
+
+# ---------------------------------------------------------------------------
+# deterministic graph fixture (power-law-ish web graph)
+# ---------------------------------------------------------------------------
+
+
+def ensure_graph(
+    n_nodes: int, avg_deg: int = 6, seed: int = 5, root: str = "/tmp/ocr_ray_fixtures"
+) -> str:
+    """Seeded synthetic directed graph parquet: geometric out-degrees
+    (mean ``avg_deg``), squared-uniform targets (skewed in-degree — hubs),
+    self-loops dropped. The oracle reads the identical file."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, f"graph_n{n_nodes}_d{avg_deg}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    deg = 1 + rs.geometric(1.0 / avg_deg, size=n_nodes)
+    src = np.repeat(np.arange(n_nodes, dtype=np.int64), deg)
+    u = rs.random_sample(src.size)
+    dst = (u * u * n_nodes).astype(np.int64)
+    m = src != dst
+    pq.write_table(pa.table({"src": src[m], "dst": dst[m]}), path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _n_nodes_for_sf(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        return 4_000
+    return {0.001: 1_000, 0.01: 4_000, 0.1: 20_000}.get(sf, 4_000)
+
+
+def pagerank_graph(sf_dir: str) -> Dataset:
+    """queries() entry: 3 PageRank iterations over the sf-scaled fixture."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return pagerank(rd.read_parquet(path), iters=3)
+
+
+def pagerank_graph_sql(sf_dir: str) -> str:
+    """DuckDB mirror: identical int64 fixed-point math, K chained CTEs."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    prev, body = "r0", ""
+    for i in range(1, 4):
+        body += f""",
+r{i} AS (
+  SELECT n.node,
+         CAST({_BASE} + (85 * COALESCE(inb.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.pr // d.d) AS BIGINT) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) inb ON n.node = inb.dst
+)"""
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (SELECT DISTINCT src, dst FROM read_parquet('{path}')),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+r0 AS (SELECT node, CAST({_INIT} AS BIGINT) AS pr FROM nodes){body}
+SELECT node, pr FROM {prev}
+"""

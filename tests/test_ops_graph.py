@@ -1,0 +1,64 @@
+"""Distributed PageRank: planted hand-computed graph + fixture determinism."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from ocr_ray.ops.graph import _INIT, ensure_graph, pagerank
+
+
+import pytest
+
+
+@pytest.mark.parametrize("bcast_max", [2_000_000, 0])
+def test_pagerank_star_hand_computed(bcast_max):
+    """Star 1,2,3 -> 0, out_deg 1 each, INIT 1e9 — both the broadcast-gated
+    and the fully distributed (hash join + shuffle) paths.
+
+    r1(0) = 1.5e8 + 85*(3e9)//100 = 2_700_000_000; leaves = 1.5e8.
+    r2(0) = 1.5e8 + 85*(3*1.5e8)//100 = 532_500_000 (leaf ranks feed back).
+    r3(0) = r2(0) since leaf ranks are stationary."""
+    edges = pa.table({"src": pa.array([1, 2, 3], pa.int64()), "dst": pa.array([0, 0, 0], pa.int64())})
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            rd.from_arrow(edges), iters=3, broadcast_nodes_max=bcast_max
+        ).take_all()
+    }
+    assert got[0] == 532_500_000
+    assert got[1] == got[2] == got[3] == 150_000_000
+
+
+def test_pagerank_paths_identical():
+    """Broadcast-gated and distributed paths are bit-identical on a graph
+    with hubs, chains and dangling nodes."""
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    src = rs.randint(0, 60, size=300).astype("int64")
+    dst = rs.randint(0, 60, size=300).astype("int64")
+    m = src != dst
+    edges = pa.table({"src": src[m], "dst": dst[m]})
+    a = {r["node"]: r["pr"] for r in pagerank(rd.from_arrow(edges), iters=2).take_all()}
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(rd.from_arrow(edges), iters=2, broadcast_nodes_max=0).take_all()
+    }
+    assert a == b
+
+
+def test_pagerank_duplicate_edges_ignored():
+    """Edge dedup: a repeated edge must not double its contribution."""
+    edges = pa.table(
+        {"src": pa.array([1, 1, 2], pa.int64()), "dst": pa.array([0, 0, 0], pa.int64())}
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(rd.from_arrow(edges), iters=1).take_all()}
+    # two distinct in-edges, each share INIT//1
+    assert got[0] == 150_000_000 + 85 * (2 * _INIT) // 100
+
+
+def test_graph_fixture_deterministic(tmp_path):
+    p1 = ensure_graph(500, seed=5, root=str(tmp_path / "a"))
+    p2 = ensure_graph(500, seed=5, root=str(tmp_path / "b"))
+    t1, t2 = pa.parquet.read_table(p1), pa.parquet.read_table(p2)
+    assert t1.equals(t2)
+    assert t1.num_rows > 500

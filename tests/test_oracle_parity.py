@@ -48,6 +48,9 @@ def _rebind_extract_oracles():
 
     _SQLS["jsonl_events_rollup"] = jsonl_events_rollup_sql(SF)
     _SQLS["csv_events_rollup"] = csv_events_rollup_sql(SF)
+    from ocr_ray.ops.graph import pagerank_graph_sql
+
+    _SQLS["pagerank_graph"] = pagerank_graph_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
