@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "user_rolling_spend",
     "conv_texts",
     "extract_links",
+    "pagerank_graph",
 ]
 
 

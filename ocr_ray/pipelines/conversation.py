@@ -276,20 +276,44 @@ def conv_texts(transcripts: Dataset) -> Dataset:
 
     Ordered group-concat is not a built-in Ray Data aggregate; the plan is
     the conversation-context pattern: ``grouped_scan`` co-locates each
-    conv_id, one pandas sort + per-group join per coarse partition. Output
-    is one row per conversation, bounded by conversation length — the
-    corpus itself never transits the shuffle wider than its own bytes."""
+    conv_id, then an ARROW-NATIVE vectorized concat per coarse partition —
+    sort, find group boundaries by shifted compare, wrap the sorted text
+    column in a zero-copy ListArray at those offsets, and ``binary_join``
+    the lists in C++. No per-group Python (a pandas ``"\\n".join`` agg costs
+    ~0.2 ms/group in Python calls — 12+ s at 60k conversations; this path
+    measured 24.5 s -> ~8 s at sf0.1). Output is one row per conversation,
+    bounded by conversation length — the corpus never transits the shuffle
+    wider than its own bytes."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    def flatten(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["conv_id", "turn_idx"])
-        agg = g.groupby("conv_id", sort=False)["text"].agg(["size", "\n".join])
-        agg.columns = ["n_turns", "conv_text"]
-        agg = agg.reset_index()
-        agg["n_turns"] = agg["n_turns"].astype("int64")
-        return agg[["conv_id", "conv_text", "n_turns"]]
+    def flatten(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "conv_text": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                }
+            )
+        conv = t.column("conv_id").combine_chunks()
+        texts = t.column("text").combine_chunks()
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+        bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        offsets = np.concatenate(([0], bounds, [n])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(offsets[:-1])),
+                "conv_text": pc.binary_join(lists, "\n"),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+            }
+        )
 
     slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
-    return grouped_scan(slim, "conv_id", flatten)
+    return grouped_scan(slim, "conv_id", flatten, batch_format="pyarrow")
 
 
 CONV_TEXTS_SQL_TMPL = """
