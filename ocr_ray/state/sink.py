@@ -540,3 +540,103 @@ def write_segmented(
             }
         )
     return pa.concat_tables(out_rows)
+
+
+# ---------------------------------------------------------------------------
+# upsert (MERGE) into a committed partitioned table
+# ---------------------------------------------------------------------------
+
+
+def _upsert_partition_group(
+    group: pa.Table, *, out_dir: str, num_partitions: int, input_tag: str = ""
+) -> pa.Table:
+    """map_groups fn: merge one partition's delta rows into its committed
+    file. Last-write-wins on the (conv_id, turn_idx) key: committed rows
+    whose key appears in the delta are replaced; everything else is kept.
+    Same crash-safe commit protocol as write_partition_group (tmp + rename,
+    manifest last), so a crash mid-upsert rewrites only that partition."""
+    pid = int(group.column("part_id")[0].as_py())
+    delta = group.drop_columns(["part_id"])
+    data_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+    if os.path.exists(data_path):
+        old = pq.read_table(data_path)
+        if old.schema.names != delta.schema.names:
+            raise ValueError(
+                f"upsert schema mismatch on partition {pid}: "
+                f"{old.schema.names} vs {delta.schema.names}"
+            )
+        sep = pa.scalar("\x1f")
+        def keys(t: pa.Table):
+            return pc.binary_join_element_wise(
+                pc.cast(t.column("conv_id"), pa.string()),
+                pc.cast(t.column("turn_idx"), pa.string()),
+                sep,
+            )
+        keep = pc.invert(pc.is_in(keys(old), value_set=keys(delta).combine_chunks()))
+        merged = pa.concat_tables([old.filter(keep), delta.cast(old.schema)])
+    else:
+        merged = delta
+    merged = merged.append_column(
+        "part_id", pa.array([pid] * merged.num_rows, pa.int32())
+    )
+    row = write_partition_group(
+        merged, out_dir=out_dir, input_tag=input_tag, num_partitions=num_partitions
+    )
+    return row.append_column("rows_upserted", pa.array([delta.num_rows], pa.int64()))
+
+
+def upsert_partitioned(
+    delta: Dataset,
+    out_dir: str,
+    *,
+    num_partitions: int | None = None,
+    input_tag: str = "",
+) -> pa.Table:
+    """MERGE a delta Dataset into a committed partitioned table — the
+    reference's upsert-by-key sink semantics (delete rows matching the key,
+    then append, save-to-google-sheet.ts:146-184 + :232-240) generalized to
+    table maintenance: ONLY partitions receiving delta rows are rewritten;
+    untouched partition files (and their manifests) are not opened at all.
+
+    The delta is routed by the same crc32(conv_id) partitioning as the
+    original write (num_partitions is read from the committed manifests and
+    must match — the same remap hazard write_partitioned refuses). Result
+    is byte-identical to a from-scratch write of the merged content: the
+    partition file is re-sorted and re-encoded with the standard commit
+    protocol, so determinism and resume behavior carry over. At 100 TB a
+    daily delta touches a bounded set of partitions; cost scales with the
+    delta's key spread, not table size."""
+    done = committed_partitions(out_dir)
+    committed_np = {m.get("num_partitions") for m in done.values()} - {None}
+    if num_partitions is None:
+        if len(committed_np) != 1:
+            raise ValueError(
+                f"cannot infer num_partitions from manifests ({sorted(committed_np)}); "
+                "pass it explicitly"
+            )
+        num_partitions = committed_np.pop()
+    elif committed_np - {num_partitions}:
+        raise ValueError(
+            f"upsert mismatch: {out_dir} committed with num_partitions="
+            f"{sorted(committed_np)}, delta routed with {num_partitions}"
+        )
+    n_parts = int(num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return _add_part_id(t, n_parts)
+
+    out = (
+        delta.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(
+            lambda g: _upsert_partition_group(
+                g, out_dir=out_dir, num_partitions=n_parts, input_tag=input_tag
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    rows = out.take_all()  # tiny: one manifest row per touched partition
+    rows.sort(key=lambda r: r["partition_id"])
+    if not rows:
+        return pa.table({"partition_id": pa.array([], pa.int32())})
+    return pa.table({k: [r[k] for r in rows] for k in rows[0]})

@@ -239,3 +239,79 @@ def test_segmented_input_drift_refused(seg_inputs, tmp_path):
             pre_fn=_extract_batch,
             read_columns=["conv_id", "turn_idx", "role", "text"],
         )
+
+
+class TestUpsertPartitioned:
+    """MERGE into a committed table: last-write-wins by key, only touched
+    partitions rewritten, result byte-identical to a from-scratch write."""
+
+    @staticmethod
+    def _table(rows):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    def test_upsert_merge_and_byte_identity(self, tmp_path):
+        import hashlib
+        import os
+
+        import ray.data as rd
+
+        from ocr_ray.state.sink import (
+            committed_partitions,
+            upsert_partitioned,
+            write_partitioned,
+        )
+
+        base = [(f"c{i}", j, f"v0-{i}-{j}") for i in range(10) for j in range(2)]
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table(base)), out, num_partitions=4)
+        before = {p: m["checksum"] for p, m in committed_partitions(out).items()}
+
+        delta_rows = [("c0", 0, "UPDATED"), ("c0", 5, "NEW-TURN"), ("zz", 0, "NEW-CONV")]
+        m = upsert_partitioned(rd.from_arrow(self._table(delta_rows)), out)
+        touched = set(m.column("partition_id").to_pylist())
+        assert 0 < len(touched) <= 2  # c0 and zz partitions only
+
+        # merged content == pandas-computed expectation
+        got = rd.read_parquet(out).to_pandas().sort_values(["conv_id", "turn_idx"])
+        keyed = {(r[0], r[1]): r[2] for r in base}
+        keyed.update({(r[0], r[1]): r[2] for r in delta_rows})
+        assert len(got) == len(keyed)
+        for _, r in got.iterrows():
+            assert keyed[(r.conv_id, r.turn_idx)] == r.text
+
+        # untouched partitions: bit-identical (checksums unchanged)
+        after = {p: m2["checksum"] for p, m2 in committed_partitions(out).items()}
+        for p in before:
+            if p not in touched:
+                assert after[p] == before[p]
+
+        # byte-identity vs a from-scratch write of the merged content
+        out2 = str(tmp_path / "fresh")
+        merged_rows = [(k[0], k[1], v) for k, v in keyed.items()]
+        write_partitioned(rd.from_arrow(self._table(merged_rows)), out2, num_partitions=4)
+        for p in after:
+            f1 = os.path.join(out, f"part-{p:05d}.parquet")
+            f2 = os.path.join(out2, f"part-{p:05d}.parquet")
+            h = lambda fp: hashlib.sha256(open(fp, "rb").read()).hexdigest()
+            assert h(f1) == h(f2)
+
+    def test_upsert_refuses_partition_remap(self, tmp_path):
+        import pytest
+        import ray.data as rd
+
+        from ocr_ray.state.sink import upsert_partitioned, write_partitioned
+
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table([("a", 0, "x")])), out, num_partitions=4)
+        with pytest.raises(ValueError, match="num_partitions"):
+            upsert_partitioned(
+                rd.from_arrow(self._table([("a", 0, "y")])), out, num_partitions=8
+            )
