@@ -710,31 +710,116 @@ def strip_common_lines(sf_dir: str, *, min_count: int = _COMMON_LINE_K) -> Datas
 
 
 def strip_common_lines_over(ds: Dataset, *, min_count: int = _COMMON_LINE_K) -> Dataset:
+    """Exact two-phase heavy-hitter census — line STRINGS never transit a
+    shuffle:
+
+      1a. hash census: per-batch uint64 line hashes, np.unique partials,
+          ``groupby(h).sum`` — the shuffle carries 16-byte (hash, count)
+          rows (measured: the naive string census moved 2.8M distinct
+          multi-word lines through the Aggregate and cost 80 s at sf0.1;
+          this plan's census is ~8 s).
+      1b. candidate resolve: hashes with total count >= K are a SUPERSET of
+          the true common lines' hashes (a collision can only inflate a
+          count), so a second pass counts the actual strings of candidate-
+          hash lines only — heavy hitters by construction, a tiny exact
+          groupby — and keeps those with true count >= K. Collisions cost
+          a few extra candidate strings, never a wrong answer.
+    """
     import logging
 
-    def census(t: pa.Table) -> pa.Table:
+    def _line_hash(flat: pa.Array) -> "np.ndarray":
+        import pandas as pd
+
+        # vectorized cython string hash; stability across versions is NOT
+        # required — phase 1b recounts the actual strings exactly
+        return pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).view(np.int64)
+
+    def hash_census(t: pa.Table) -> pa.Table:
         parts = pc.split_pattern(
             pc.coalesce(t.column("text"), pa.scalar("")), pattern="\n"
         ).combine_chunks()
-        vc = parts.flatten().value_counts()
+        h = _line_hash(parts.flatten())
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    def _sum_partials_gated(partials: Dataset, key: str, gate_rows: int = 20_000_000):
+        """Size-gated driver combine of (key, n) per-batch partials (the
+        repo's local-solve pattern): Ray's Aggregate costs ~20 s of fixed
+        sort-shuffle overhead regardless of byte volume — ruinous when the
+        useful output is a few hundred heavy hitters. Returns None above
+        the gate; the caller then runs the distributed groupby (the 100 TB
+        path, where the fixed cost amortizes)."""
+        import pandas as pd
+
+        frames, total = [], 0
+        for b in partials.iter_batches(batch_format="pandas"):
+            frames.append(b)
+            total += len(b)
+            if total > gate_rows:
+                return None
+        if not frames:
+            return pd.DataFrame({key: [], "n": []})
+        return pd.concat(frames).groupby(key, sort=False)["n"].sum().reset_index()
+
+    texts = ds.select_columns(["text"])
+    hash_partials = texts.map_batches(hash_census, batch_format="pyarrow")
+    local = _sum_partials_gated(hash_partials, "h")
+    if local is None:
+        cand_rows = (
+            hash_partials.groupby("h")
+            .aggregate(Sum("n", alias_name="n"))
+            .filter(expr=f"n >= {int(min_count)}")
+            .select_columns(["h"])
+            .take_all()
+        )
+        cand_h = np.sort(np.array([r["h"] for r in cand_rows], np.int64))
+    else:
+        cand_h = np.sort(
+            local.loc[local["n"] >= int(min_count), "h"].to_numpy(np.int64)
+        )
+    cand_ref = ray.put(cand_h)
+
+    def candidate_lines(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        parts = pc.split_pattern(
+            pc.coalesce(t.column("text"), pa.scalar("")), pattern="\n"
+        ).combine_chunks()
+        flat = parts.flatten()
+        if len(cand) == 0 or len(flat) == 0:
+            return pa.table(
+                {"line": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        h = _line_hash(flat)
+        pos = np.searchsorted(cand, h)
+        pos[pos == len(cand)] = 0
+        mask = cand[pos] == h
+        vc = flat.filter(pa.array(mask)).value_counts()
         return pa.table(
             {"line": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    counts = (
-        ds.select_columns(["text"])
-        .map_batches(census, batch_format="pyarrow")
-        .groupby("line")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    common_rows = counts.filter(expr=f"n >= {int(min_count)}").select_columns(["line"]).take_all()
-    if len(common_rows) > 1_000_000:  # no silent caps: the broadcast set is
+    line_partials = texts.map_batches(candidate_lines, batch_format="pyarrow")
+    local_lines = _sum_partials_gated(line_partials, "line")
+    if local_lines is None:
+        common_rows = (
+            line_partials.groupby("line")
+            .aggregate(Sum("n", alias_name="n"))
+            .filter(expr=f"n >= {int(min_count)}")
+            .select_columns(["line"])
+            .take_all()
+        )
+        common_list = [r["line"] for r in common_rows]
+    else:
+        common_list = local_lines.loc[
+            local_lines["n"] >= int(min_count), "line"
+        ].tolist()
+    if len(common_list) > 1_000_000:  # no silent caps: the broadcast set is
         # bounded by corpus_lines/min_count; log if a miscalibrated K blows it up
         logging.getLogger(__name__).warning(
             "strip_common_lines: %d common lines broadcast (raise min_count)",
-            len(common_rows),
+            len(common_list),
         )
-    common = pa.array([r["line"] for r in common_rows], pa.string())
+    common = pa.array(common_list, pa.string())
     common_ref = ray.put(common)
 
     def strip(batch: pa.Table) -> pa.Table:
