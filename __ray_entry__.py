@@ -256,9 +256,10 @@ def oracle_sql() -> dict[str, str]:
 
         out["jsonl_events_rollup"] = jsonl_events_rollup_sql(_DRIVER_SF)
         out["csv_events_rollup"] = csv_events_rollup_sql(_DRIVER_SF)
-        from ocr_ray.ops.graph import pagerank_graph_sql
+        from ocr_ray.ops.graph import connected_components_graph_sql, pagerank_graph_sql
 
         out["pagerank_graph"] = pagerank_graph_sql(_DRIVER_SF)
+        out["connected_components_graph"] = connected_components_graph_sql(_DRIVER_SF)
     except ImportError:
         pass
     return out

@@ -45,7 +45,12 @@ from ocr_ray.ops.corpus import (
     vocab_topk,
     vocab_topk_cms,
 )
-from ocr_ray.ops.graph import pagerank_graph, pagerank_graph_sql
+from ocr_ray.ops.graph import (
+    connected_components_graph,
+    connected_components_graph_sql,
+    pagerank_graph,
+    pagerank_graph_sql,
+)
 from ocr_ray.ops.markdown import extract_markdown, extract_markdown_sql
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
@@ -86,6 +91,7 @@ REGISTRY: dict[str, tuple] = {
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "extract_markdown": (extract_markdown, None),  # SQL built per-sf
     "pagerank_graph": (pagerank_graph, None),  # SQL built per-sf: pagerank_graph_sql
+    "connected_components_graph": (connected_components_graph, None),  # SQL built per-sf
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),

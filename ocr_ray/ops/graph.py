@@ -296,3 +296,70 @@ nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
 r0 AS (SELECT node, CAST({_INIT} AS BIGINT) AS pr FROM nodes){body}
 SELECT node, pr FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components (first-class exposure of the dedup machinery)
+# ---------------------------------------------------------------------------
+
+
+def ensure_cc_graph(
+    n_nodes: int, group: int = 16, seed: int = 9, root: str = "/tmp/ocr_ray_fixtures"
+) -> str:
+    """Deterministic multi-component fixture: nodes partitioned into rings
+    of ``group`` consecutive ids plus one chord per ring — the ground-truth
+    component of node i is exactly (i // group), label = ring minimum."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, f"ccgraph_n{n_nodes}_g{group}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    ids = np.arange(n_nodes, dtype=np.int64)
+    grp = ids // group
+    ring_next = np.where(
+        ((ids + 1) // group == grp) & (ids + 1 < n_nodes), ids + 1, grp * group
+    )
+    src = [ids]
+    dst = [ring_next]
+    if group >= 4:  # one chord per ring: start -> midpoint
+        starts = np.unique(grp) * group
+        mids = np.minimum(starts + group // 2, n_nodes - 1)
+        src.append(starts)
+        dst.append(mids)
+    s, d = np.concatenate(src), np.concatenate(dst)
+    m = s != d
+    pq.write_table(pa.table({"src": s[m], "dst": d[m]}), path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def connected_components_graph(sf_dir: str) -> Dataset:
+    """queries() entry: undirected connected components over the ring
+    fixture via the size-gated min-label machinery (local union-find below
+    the edge gate, Pregel-style ``groupby.aggregate(Min)`` rounds above —
+    ocr_ray.ops.dedup.propagate_min_labels, shared with the near-dup
+    family). Output: (node, label), label = component minimum."""
+    from ocr_ray.ops.dedup import propagate_min_labels
+
+    path = ensure_cc_graph(_n_nodes_for_sf(sf_dir))
+    pairs = rd.read_parquet(path).rename_columns({"src": "a", "dst": "b"})
+    return propagate_min_labels(pairs)
+
+
+def connected_components_graph_sql(sf_dir: str) -> str:
+    """Recursive-CTE closure oracle: label(node) = min reachable node id."""
+    path = ensure_cc_graph(_n_nodes_for_sf(sf_dir))
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT src AS a, dst AS b FROM read_parquet('{path}') WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM read_parquet('{path}') WHERE src <> dst
+),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT node, CAST(MIN(r) AS BIGINT) AS label FROM reach GROUP BY node
+"""

@@ -62,3 +62,32 @@ def test_graph_fixture_deterministic(tmp_path):
     t1, t2 = pa.parquet.read_table(p1), pa.parquet.read_table(p2)
     assert t1.equals(t2)
     assert t1.num_rows > 500
+
+
+class TestConnectedComponents:
+    def test_ring_fixture_ground_truth(self):
+        """Ring-of-16 fixture: component label of node i is (i//16)*16."""
+        from ocr_ray.ops.graph import connected_components_graph
+
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_graph("/root/testdata/sf0.001").take_all()
+        }
+        assert len(got) == 1000
+        for node, label in got.items():
+            assert label == (node // 16) * 16
+
+    def test_distributed_rounds_match_local(self, monkeypatch):
+        """Force the Pregel-style min-label rounds (gate=0) and compare to
+        the local union-find path on the same fixture."""
+        import ocr_ray.ops.dedup as dedup
+        from ocr_ray.ops.graph import ensure_cc_graph
+        from ocr_ray.ops.dedup import propagate_min_labels
+
+        path = ensure_cc_graph(200, group=8)
+        pairs = rd.read_parquet(path).rename_columns({"src": "a", "dst": "b"})
+        local = {r["node"]: r["label"] for r in propagate_min_labels(pairs).take_all()}
+        monkeypatch.setattr(dedup, "_LOCAL_CC_MAX_EDGES", 0)
+        pairs2 = rd.read_parquet(path).rename_columns({"src": "a", "dst": "b"})
+        dist = {r["node"]: r["label"] for r in propagate_min_labels(pairs2).take_all()}
+        assert local == dist

@@ -48,9 +48,10 @@ def _rebind_extract_oracles():
 
     _SQLS["jsonl_events_rollup"] = jsonl_events_rollup_sql(SF)
     _SQLS["csv_events_rollup"] = csv_events_rollup_sql(SF)
-    from ocr_ray.ops.graph import pagerank_graph_sql
+    from ocr_ray.ops.graph import connected_components_graph_sql, pagerank_graph_sql
 
     _SQLS["pagerank_graph"] = pagerank_graph_sql(SF)
+    _SQLS["connected_components_graph"] = connected_components_graph_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
