@@ -360,3 +360,35 @@ REGISTRY: dict[str, tuple] = {
     "event_value_quantiles": (event_value_quantiles, EVENT_VALUE_QUANTILES_SQL),
     "click_and_purchase_users": (click_and_purchase_users, CLICK_AND_PURCHASE_USERS_SQL),
 }
+
+
+def orders_unpivot(sf_dir: str) -> Dataset:
+    """UNPIVOT (melt): the crosstab back to long (priority, status, n) —
+    the inverse reporting reshape. Derived from the same single-block pivot
+    result, so the corpus-sized work is still the one finest groupby."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        prios = t.column("o_orderpriority")
+        pieces = []
+        for s in _STATUSES:
+            pieces.append(
+                pa.table(
+                    {
+                        "o_orderpriority": prios,
+                        "status": pa.array([s] * t.num_rows, pa.string()),
+                        "n": t.column(f"n_{s.lower()}"),
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    return orders_pivot(sf_dir).map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+ORDERS_UNPIVOT_SQL = """
+SELECT o_orderpriority, status, CAST(SUM(CASE WHEN o_orderstatus = status THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM orders CROSS JOIN (VALUES ('F'), ('O'), ('P')) AS s(status)
+GROUP BY o_orderpriority, status
+"""
+
+REGISTRY["orders_unpivot"] = (orders_unpivot, ORDERS_UNPIVOT_SQL)

@@ -1371,3 +1371,156 @@ FROM events
 """
 
 REGISTRY["user_rolling_spend"] = (user_rolling_spend, USER_ROLLING_SPEND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# full outer join — per-user click vs purchase activity
+# ---------------------------------------------------------------------------
+
+
+def user_activity_full_outer(sf_dir: str) -> Dataset:
+    """FULL OUTER join of two per-user aggregates (click counts x purchase
+    cents) — completes the join matrix (inner/left/semi/anti/as-of/range/
+    broadcast/hash are covered elsewhere). Both sides are partial
+    pre-aggregated before the join, so the shuffle carries one row per
+    (user, side), never events."""
+    from ocr_ray.functions.joins import hash_join
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_clicks": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+        g = out.group_by(["user_id"]).aggregate([("n_clicks", "sum")])
+        return g.rename_columns(["user_id", "n_clicks"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "purchase_cents": to_cents(t.column("value")),
+            }
+        )
+        g = out.group_by(["user_id"]).aggregate([("purchase_cents", "sum")])
+        return g.rename_columns(["user_id", "purchase_cents"])
+
+    from ocr_ray.ops.dedup import _coerce_schema
+
+    i64 = pa.int64()
+    c = _coerce_schema(
+        events.map_batches(clicks, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_clicks", alias_name="n_clicks")),
+        pa.schema([("user_id", i64), ("n_clicks", i64)]),
+        parts=4,
+    )
+    p = _coerce_schema(
+        events.map_batches(purchases, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("purchase_cents", alias_name="purchase_cents")),
+        pa.schema([("user_id", i64), ("purchase_cents", i64)]),
+        parts=4,
+    )
+    j = hash_join(c, p, on="user_id", how="full_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_clicks": pc.coalesce(pc.cast(t.column("n_clicks"), pa.int64()), z),
+                "purchase_cents": pc.coalesce(
+                    pc.cast(t.column("purchase_cents"), pa.int64()), z
+                ),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+USER_ACTIVITY_FULL_OUTER_SQL = """
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(p.purchase_cents, 0) AS BIGINT) AS purchase_cents
+FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id) c
+FULL OUTER JOIN
+     (SELECT user_id, SUM(CAST(ROUND(value*100) AS BIGINT)) AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+ON c.user_id = p.user_id
+"""
+
+REGISTRY["user_activity_full_outer"] = (user_activity_full_outer, USER_ACTIVITY_FULL_OUTER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rank window — ROW_NUMBER per customer by order value
+# ---------------------------------------------------------------------------
+
+
+def order_rank_in_cust(sf_dir: str) -> Dataset:
+    """Per-group rank assignment (ROW_NUMBER over a deterministic total
+    order): every order ranked within its customer by price desc, orderkey
+    asc tiebreak — the rank/row_number window family (top_orders_per_cust
+    covers top-k; this emits the full ranking). grouped_scan co-location +
+    one vectorized boundary-arithmetic pass per partition."""
+    import numpy as np
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "total_cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def rank(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("total_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        n = len(cust)
+        starts = np.concatenate(([0], np.flatnonzero(cust[1:] != cust[:-1]) + 1))
+        start_of = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
+        rk = (np.arange(n) - start_of + 1).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "rank_in_cust": pa.array(rk),
+            }
+        )
+
+    pre = orders.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "o_custkey", rank, batch_format="pyarrow")
+
+
+ORDER_RANK_IN_CUST_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+       ) AS BIGINT) AS rank_in_cust
+FROM orders
+"""
+
+REGISTRY["order_rank_in_cust"] = (order_rank_in_cust, ORDER_RANK_IN_CUST_SQL)
