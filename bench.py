@@ -194,6 +194,26 @@ def run_bench() -> dict:
         ).count()
         qtimes["jaccard_exact_20k"] = round(time.monotonic() - t0, 3)
 
+        # graph ops at volume (1M nodes / ~7M distinct edges): PageRank via
+        # the size-gated local tier (collect+dedup dominates; the distributed
+        # tier at this size measured 233 s — pure Ray shuffle-op fixed cost,
+        # see BASELINE.md), components via the local union-find gate
+        from ocr_ray.ops.dedup import propagate_min_labels
+        from ocr_ray.ops.graph import ensure_cc_graph, ensure_graph, pagerank
+
+        g1m = ensure_graph(1_000_000, avg_deg=6, seed=5)
+        t0 = time.monotonic()
+        n_pr = pagerank(scaled_read_parquet(g1m), iters=3).count()
+        qtimes["pagerank_1m_nodes"] = round(time.monotonic() - t0, 3)
+        cc1m = ensure_cc_graph(1_000_000)
+        t0 = time.monotonic()
+        n_cc = (
+            propagate_min_labels(
+                scaled_read_parquet(cc1m).rename_columns({"src": "a", "dst": "b"})
+            ).count()
+        )
+        qtimes["connected_components_1m"] = round(time.monotonic() - t0, 3)
+
         # corpus-prep ops at volume (vocab partial-agg + two-level scan)
         from ocr_ray.ops.corpus import pack_sequences_over, vocab_topk_over
 

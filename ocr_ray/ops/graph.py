@@ -53,6 +53,7 @@ def pagerank(
     iters: int = 3,
     num_partitions: int | None = None,
     broadcast_nodes_max: int = 2_000_000,
+    local_edges_max: int = 30_000_000,
 ) -> Dataset:
     """PageRank over an ``(src: int64, dst: int64)`` edge Dataset.
 
@@ -77,6 +78,19 @@ def pagerank(
     deadlock the scheduler (observed at num_cpus=4)."""
     from ocr_ray.functions.joins import hash_join
     from ocr_ray.ops.dedup import _coerce_schema
+
+    # Tier 1 — LOCAL solve: if the DEDUPED edge list fits the driver gate,
+    # every Ray groupby here (edge dedup, out-degree, node set) is pure
+    # fixed-overhead: three sort-shuffle Aggregates over the edge list cost
+    # ~150 s at 6M edges while the actual PageRank arithmetic is ~1 s of
+    # numpy. Stream the edges once, dedup driver-side (uint64 pair keys),
+    # solve locally — bit-identical by construction. Falls through (and
+    # re-reads) if the gate or the id range is exceeded.
+    if local_edges_max > 0:
+        local = _collect_edges_gated(edges, local_edges_max)
+        if local is not None:
+            src, dst = local
+            return _pagerank_local(src, dst, iters=iters)
 
     auto_parts = num_partitions is None
     if auto_parts:
@@ -168,6 +182,60 @@ def pagerank(
 
         ranks = joined.map_batches(nxt, batch_format="pyarrow").materialize()
     return ranks
+
+
+def _collect_edges_gated(edges: Dataset, gate: int) -> tuple | None:
+    """Stream the edge Dataset once, deduplicating driver-side via uint64
+    pair keys (src * 2^32 + dst — requires ids < 2^32, checked). Returns
+    (src, dst) int64 arrays of DISTINCT non-self edges, or None if the
+    running distinct count exceeds ``gate`` or ids overflow (caller then
+    runs the distributed plan; the abandoned pass cost one read)."""
+    keys_parts: list[np.ndarray] = []
+    total = 0
+    for b in edges.select_columns(["src", "dst"]).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if s.size and (
+            s.min() < 0 or d.min() < 0 or s.max() >= 1 << 32 or d.max() >= 1 << 32
+        ):
+            return None
+        k = np.unique((s.astype(np.uint64) << np.uint64(32)) | d.astype(np.uint64))
+        keys_parts.append(k)
+        total += len(k)
+        if total > 4 * gate:  # early abort long before driver memory matters
+            return None
+    if not keys_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    keys = np.unique(np.concatenate(keys_parts))
+    if len(keys) > gate:
+        return None
+    src = (keys >> np.uint64(32)).astype(np.int64)
+    dst = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    m = src != dst
+    return src[m], dst[m]
+
+
+def _pagerank_local(src: np.ndarray, dst: np.ndarray, *, iters: int) -> Dataset:
+    """Exact local solve over a deduped edge list (gate-bounded): identical
+    int64 fixed-point arithmetic as the distributed plan and the oracle."""
+    node_ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(node_ids, src)
+    di = np.searchsorted(node_ids, dst)
+    deg = np.bincount(si, minlength=len(node_ids)).astype(np.int64)
+    ranks = np.full(len(node_ids), _INIT, np.int64)
+    order = np.argsort(di, kind="stable")
+    di_s = di[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(di_s)) + 1)) if len(di_s) else np.zeros(0, np.int64)
+    for _ in range(iters):
+        shares = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
+        inbound = np.zeros(len(node_ids), np.int64)
+        if len(di_s):
+            s_s = shares[si][order]
+            inbound[di_s[starts.astype(np.int64)]] = np.add.reduceat(s_s, starts)
+        ranks = _BASE + (85 * inbound) // 100
+    return rd.from_arrow(pa.table({"node": pa.array(node_ids), "pr": pa.array(ranks)}))
 
 
 def _pagerank_broadcast(edges: Dataset, deg: Dataset, nodes: Dataset, *, iters: int) -> Dataset:

@@ -9,10 +9,18 @@ from ocr_ray.ops.graph import _INIT, ensure_graph, pagerank
 import pytest
 
 
-@pytest.mark.parametrize("bcast_max", [2_000_000, 0])
-def test_pagerank_star_hand_computed(bcast_max):
-    """Star 1,2,3 -> 0, out_deg 1 each, INIT 1e9 — both the broadcast-gated
-    and the fully distributed (hash join + shuffle) paths.
+@pytest.mark.parametrize(
+    "tier_kwargs",
+    [
+        {},  # local-solve tier (default gates)
+        {"local_edges_max": 0},  # broadcast tier
+        {"local_edges_max": 0, "broadcast_nodes_max": 0},  # distributed tier
+    ],
+    ids=["local", "broadcast", "distributed"],
+)
+def test_pagerank_star_hand_computed(tier_kwargs):
+    """Star 1,2,3 -> 0, out_deg 1 each, INIT 1e9 — all three size-gated
+    tiers (local solve / broadcast iterations / hash-join shuffle).
 
     r1(0) = 1.5e8 + 85*(3e9)//100 = 2_700_000_000; leaves = 1.5e8.
     r2(0) = 1.5e8 + 85*(3*1.5e8)//100 = 532_500_000 (leaf ranks feed back).
@@ -20,9 +28,7 @@ def test_pagerank_star_hand_computed(bcast_max):
     edges = pa.table({"src": pa.array([1, 2, 3], pa.int64()), "dst": pa.array([0, 0, 0], pa.int64())})
     got = {
         r["node"]: r["pr"]
-        for r in pagerank(
-            rd.from_arrow(edges), iters=3, broadcast_nodes_max=bcast_max
-        ).take_all()
+        for r in pagerank(rd.from_arrow(edges), iters=3, **tier_kwargs).take_all()
     }
     assert got[0] == 532_500_000
     assert got[1] == got[2] == got[3] == 150_000_000
@@ -41,9 +47,15 @@ def test_pagerank_paths_identical():
     a = {r["node"]: r["pr"] for r in pagerank(rd.from_arrow(edges), iters=2).take_all()}
     b = {
         r["node"]: r["pr"]
-        for r in pagerank(rd.from_arrow(edges), iters=2, broadcast_nodes_max=0).take_all()
+        for r in pagerank(
+            rd.from_arrow(edges), iters=2, local_edges_max=0, broadcast_nodes_max=0
+        ).take_all()
     }
-    assert a == b
+    c = {
+        r["node"]: r["pr"]
+        for r in pagerank(rd.from_arrow(edges), iters=2, local_edges_max=0).take_all()
+    }
+    assert a == b == c
 
 
 def test_pagerank_duplicate_edges_ignored():
