@@ -190,9 +190,15 @@ def _collect_edges_gated(edges: Dataset, gate: int) -> tuple | None:
     (src, dst) int64 arrays of DISTINCT non-self edges, or None if the
     running distinct count exceeds ``gate`` or ids overflow (caller then
     runs the distributed plan; the abandoned pass cost one read)."""
+    import ray as _ray
+
     keys_parts: list[np.ndarray] = []
     total = 0
-    for b in edges.select_columns(["src", "dst"]).iter_batches(batch_format="pyarrow"):
+    # zero-copy block access (the _local_components pattern): blocks are
+    # already Arrow in the object store; avoids a Project re-execution and
+    # per-batch slicing through iter_batches
+    for ref in edges.to_arrow_refs():
+        b = _ray.get(ref)
         if b.num_rows == 0:
             continue
         s = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
