@@ -1524,3 +1524,130 @@ FROM orders
 """
 
 REGISTRY["order_rank_in_cust"] = (order_rank_in_cust, ORDER_RANK_IN_CUST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# column profiling — per-column counts / nulls / distincts / min / max
+# ---------------------------------------------------------------------------
+
+
+def profile_events(sf_dir: str) -> pa.Table:
+    """Exact column profile of the events table (row count, null count,
+    exact distinct count, min/max per column) — the data-quality screening
+    step a corpus pipeline runs before ingest.
+
+    Plan: counts/min/max come from ONE wide partial row per batch (no
+    shuffle — the driver folds O(batches) tiny rows); exact distincts use
+    the no-driver-sets pattern (per-batch (col, val) dedup -> global
+    groupby dedup -> per-col count). Values are normalized to int64
+    (cents / epoch-us) before profiling so min/max stringification matches
+    SQL CAST(BIGINT AS VARCHAR) exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type", "value", "ts"]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "value_cents": to_cents(t.column("value")),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    COLS = ["user_id", "event_type", "value_cents", "ts_us"]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        t = norm(t)
+        row: dict = {"n": pa.array([t.num_rows], pa.int64())}
+        for c in COLS:
+            col = t.column(c)
+            row[f"nn_{c}"] = pa.array(
+                [t.num_rows - int(pc.sum(pc.cast(pc.is_valid(col), pa.int64())).as_py() or 0)],
+                pa.int64(),
+            )
+            mm = pc.min_max(col).as_py()
+            as_s = (lambda v: None if v is None else str(v))
+            row[f"min_{c}"] = pa.array([as_s(mm["min"])], pa.string())
+            row[f"max_{c}"] = pa.array([as_s(mm["max"])], pa.string())
+        return pa.table(row)
+
+    parts = events.map_batches(stats_partial, batch_format="pyarrow").take_all()
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = norm(t)
+        frames = []
+        for c in COLS:
+            vals = pc.cast(pc.unique(t.column(c).combine_chunks()), pa.string())
+            frames.append(
+                pa.table({"col": pa.array([c] * len(vals), pa.string()), "val": vals})
+            )
+        return pa.concat_tables(frames)
+
+    nd_rows = (
+        events.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+        .take_all()
+    )
+    nd = {r["col"]: r["n_distinct"] for r in nd_rows}
+
+    n_total = sum(r["n"] for r in parts)
+    out = {"col": [], "n": [], "n_null": [], "n_distinct": [], "min_val": [], "max_val": []}
+    for c in COLS:
+        mins = [r[f"min_{c}"] for r in parts if r[f"min_{c}"] is not None]
+        maxs = [r[f"max_{c}"] for r in parts if r[f"max_{c}"] is not None]
+        num = c != "event_type"
+        key = (lambda s: int(s)) if num else (lambda s: s)
+        out["col"].append(c)
+        out["n"].append(n_total)
+        out["n_null"].append(sum(r[f"nn_{c}"] for r in parts))
+        out["n_distinct"].append(int(nd.get(c, 0)))
+        out["min_val"].append(min(mins, key=key) if mins else None)
+        out["max_val"].append(max(maxs, key=key) if maxs else None)
+    return pa.table(
+        {
+            "col": pa.array(out["col"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "min_val": pa.array(out["min_val"], pa.string()),
+            "max_val": pa.array(out["max_val"], pa.string()),
+        }
+    )
+
+
+PROFILE_EVENTS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS ts_us
+  FROM events
+)
+SELECT 'user_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(user_id) AS VARCHAR) AS min_val, CAST(MAX(user_id) AS VARCHAR) AS max_val
+FROM e
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       MIN(event_type), MAX(event_type) FROM e
+UNION ALL
+SELECT 'value_cents', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value_cents) AS BIGINT),
+       CAST(COUNT(DISTINCT value_cents) AS BIGINT),
+       CAST(MIN(value_cents) AS VARCHAR), CAST(MAX(value_cents) AS VARCHAR) FROM e
+UNION ALL
+SELECT 'ts_us', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(ts_us) AS BIGINT),
+       CAST(COUNT(DISTINCT ts_us) AS BIGINT),
+       CAST(MIN(ts_us) AS VARCHAR), CAST(MAX(ts_us) AS VARCHAR) FROM e
+"""
+
+REGISTRY["profile_events"] = (profile_events, PROFILE_EVENTS_SQL)
