@@ -203,15 +203,13 @@ def run_bench() -> dict:
 
         g1m = ensure_graph(1_000_000, avg_deg=6, seed=5)
         t0 = time.monotonic()
-        n_pr = pagerank(scaled_read_parquet(g1m), iters=3).count()
+        _ = pagerank(scaled_read_parquet(g1m), iters=3).count()
         qtimes["pagerank_1m_nodes"] = round(time.monotonic() - t0, 3)
         cc1m = ensure_cc_graph(1_000_000)
         t0 = time.monotonic()
-        n_cc = (
-            propagate_min_labels(
-                scaled_read_parquet(cc1m).rename_columns({"src": "a", "dst": "b"})
-            ).count()
-        )
+        _ = propagate_min_labels(
+            scaled_read_parquet(cc1m).rename_columns({"src": "a", "dst": "b"})
+        ).count()
         qtimes["connected_components_1m"] = round(time.monotonic() - t0, 3)
 
         # corpus-prep ops at volume (vocab partial-agg + two-level scan)

@@ -99,7 +99,10 @@ def pagerank(
     # _coerce_schema: Ray 2.49 hash-shuffle ops emit empty partitions as
     # zero-column blocks, which a downstream Dataset.join rejects
     # ("No match for FieldRef") — repartition+cast absorbs them.
+    # Self-loops are dropped in EVERY tier (the local tier always did; the
+    # spec is: a page does not vote for itself) — and in the SQL oracle.
     i64 = pa.int64()
+    edges = edges.filter(expr="src != dst")
     edges = _coerce_schema(
         edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"]),
         pa.schema([("src", i64), ("dst", i64)]),
@@ -364,7 +367,7 @@ r{i} AS (
 )"""
         prev = f"r{i}"
     return f"""
-WITH edges AS (SELECT DISTINCT src, dst FROM read_parquet('{path}')),
+WITH edges AS (SELECT DISTINCT src, dst FROM read_parquet('{path}') WHERE src <> dst),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
 r0 AS (SELECT node, CAST({_INIT} AS BIGINT) AS pr FROM nodes){body}
@@ -378,7 +381,7 @@ SELECT node, pr FROM {prev}
 
 
 def ensure_cc_graph(
-    n_nodes: int, group: int = 16, seed: int = 9, root: str = "/tmp/ocr_ray_fixtures"
+    n_nodes: int, group: int = 16, root: str = "/tmp/ocr_ray_fixtures"
 ) -> str:
     """Deterministic multi-component fixture: nodes partitioned into rings
     of ``group`` consecutive ids plus one chord per ring — the ground-truth
@@ -426,9 +429,12 @@ def connected_components_graph_sql(sf_dir: str) -> str:
     path = ensure_cc_graph(_n_nodes_for_sf(sf_dir))
     return f"""
 WITH RECURSIVE sym AS (
-  SELECT src AS a, dst AS b FROM read_parquet('{path}') WHERE src <> dst
+  -- self-loops kept: a node whose only edge is a self-loop is still a
+  -- labeled endpoint in propagate_min_labels; (a,a) rows are harmless to
+  -- min-reachability and keep the node sets identical
+  SELECT src AS a, dst AS b FROM read_parquet('{path}')
   UNION
-  SELECT dst AS a, src AS b FROM read_parquet('{path}') WHERE src <> dst
+  SELECT dst AS a, src AS b FROM read_parquet('{path}')
 ),
 reach(node, r) AS (
   SELECT a AS node, a AS r FROM sym

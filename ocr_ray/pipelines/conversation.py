@@ -299,7 +299,10 @@ def conv_texts(transcripts: Dataset) -> Dataset:
                 }
             )
         conv = t.column("conv_id").combine_chunks()
-        texts = t.column("text").combine_chunks()
+        # NULL turn text participates as "" (position-preserving; a null
+        # element would turn the whole binary_join result NULL) — the SQL
+        # oracle coalesces identically
+        texts = pc.coalesce(t.column("text"), pa.scalar("")).combine_chunks()
         neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
         bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
         offsets = np.concatenate(([0], bounds, [n])).astype(np.int32)
@@ -318,7 +321,7 @@ def conv_texts(transcripts: Dataset) -> Dataset:
 
 CONV_TEXTS_SQL_TMPL = """
 SELECT conv_id,
-       string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text,
+       string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS conv_text,
        CAST(COUNT(*) AS BIGINT) AS n_turns
 FROM read_parquet('{path}/*.parquet')
 GROUP BY conv_id

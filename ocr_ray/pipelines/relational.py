@@ -1282,14 +1282,19 @@ def events_value_banded(sf_dir: str) -> Dataset:
     events = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = to_cents(t.column("value"))
+        # range-join semantics: a row with no matching band (NULL value or
+        # cents below the lowest lo) is DROPPED, exactly like the SQL
+        # inner-join predicate
+        cents = pc.drop_null(to_cents(t.column("value")).combine_chunks())
         v = cents.to_numpy()
         idx = np.searchsorted(lows, v, side="right") - 1
+        keep = idx >= 0
+        v, idx = v[keep], idx[keep]
         tb = pa.table(
             {
                 "band": pa.array(names[idx]),
                 "n": pa.array(np.ones(len(v), dtype=np.int64)),
-                "cents": cents,
+                "cents": pa.array(v),
             }
         )
         g = tb.group_by(["band"]).aggregate([("n", "sum"), ("cents", "sum")])
@@ -1581,7 +1586,8 @@ def profile_events(sf_dir: str) -> pa.Table:
         t = norm(t)
         frames = []
         for c in COLS:
-            vals = pc.cast(pc.unique(t.column(c).combine_chunks()), pa.string())
+            # COUNT(DISTINCT) excludes NULL — drop it from the value set
+            vals = pc.drop_null(pc.cast(pc.unique(t.column(c).combine_chunks()), pa.string()))
             frames.append(
                 pa.table({"col": pa.array([c] * len(vals), pa.string()), "val": vals})
             )

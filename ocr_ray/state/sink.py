@@ -557,6 +557,16 @@ def _upsert_partition_group(
     manifest last), so a crash mid-upsert rewrites only that partition."""
     pid = int(group.column("part_id")[0].as_py())
     delta = group.drop_columns(["part_id"])
+    # "last-write-wins" is only well-defined against the COMMITTED rows: a
+    # Dataset carries no row order, so duplicate keys WITHIN the delta have
+    # no "last" — refuse instead of silently committing duplicate keys
+    n_keys = delta.group_by(["conv_id", "turn_idx"]).aggregate([]).num_rows
+    if n_keys != delta.num_rows:
+        raise ValueError(
+            f"upsert delta has {delta.num_rows - n_keys} duplicate "
+            f"(conv_id, turn_idx) keys in partition {pid}; deduplicate the "
+            "delta first (e.g. latest_event-style compaction)"
+        )
     data_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
     if os.path.exists(data_path):
         old = pq.read_table(data_path)
@@ -597,6 +607,9 @@ def upsert_partitioned(
     then append, save-to-google-sheet.ts:146-184 + :232-240) generalized to
     table maintenance: ONLY partitions receiving delta rows are rewritten;
     untouched partition files (and their manifests) are not opened at all.
+    The delta itself must be key-unique — a Dataset carries no row order,
+    so "last" within the delta is undefined; duplicate keys raise (pre-
+    compact with a latest_event-style reduction first).
 
     The delta is routed by the same crc32(conv_id) partitioning as the
     original write (num_partitions is read from the committed manifests and

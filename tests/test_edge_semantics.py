@@ -1,0 +1,128 @@
+"""Dirty-input parity: operators must match their DuckDB oracles on NULLs,
+negatives and duplicate keys — the cases the clean fixtures never hit
+(found by review; each was a silent divergence before the fix)."""
+
+import datetime as dt
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+
+def _dirty_events_dir(tmp_path) -> str:
+    ts = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([ts] * 5),
+            "user_id": pa.array([1, 2, None, 2, 1], pa.int64()),
+            "event_type": pa.array(["click", "purchase", "click", "view", "click"]),
+            "value": pa.array([12.5, -1.0, None, 0.0, 499.99], pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    d = tmp_path / "sf_dirty"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _compare(got, sql, sf_dir):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.sql(sql).df()
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    w = want.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    assert g.astype(str).values.tolist() == w.astype(str).values.tolist()
+
+
+def test_events_value_banded_drops_negative_and_null(tmp_path):
+    """Range-join semantics: NULL value and cents below the lowest band
+    edge match no interval and are dropped, like the SQL inner join."""
+    from ocr_ray.pipelines.relational import EVENTS_VALUE_BANDED_SQL, events_value_banded
+
+    d = _dirty_events_dir(tmp_path)
+    got = events_value_banded(d).to_pandas()
+    assert got["n"].sum() == 3  # -1.00 and NULL dropped
+    _compare(got, EVENTS_VALUE_BANDED_SQL, d)
+
+
+def test_profile_events_nulls(tmp_path):
+    """n_distinct excludes NULL (COUNT DISTINCT semantics) while n_null
+    reports it; min/max skip NULLs."""
+    from ocr_ray.pipelines.relational import PROFILE_EVENTS_SQL, profile_events
+
+    d = _dirty_events_dir(tmp_path)
+    got = profile_events(d).to_pandas()
+    row = got.set_index("col").loc["user_id"]
+    assert row["n_null"] == 1 and row["n_distinct"] == 2
+    _compare(got, PROFILE_EVENTS_SQL, d)
+
+
+def test_conv_texts_null_text_is_empty_position():
+    """A NULL turn joins as '' (position preserved), not a NULL document."""
+    from ocr_ray.pipelines.conversation import conv_texts
+
+    t = pa.table(
+        {
+            "conv_id": ["c", "c", "c"],
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "text": pa.array(["a", None, "b"], pa.string()),
+        }
+    )
+    rows = conv_texts(rd.from_arrow(t)).take_all()
+    assert rows[0]["conv_text"] == "a\n\nb"
+    assert rows[0]["n_turns"] == 3
+
+
+def test_pagerank_self_loops_identical_across_tiers():
+    """Self-loops are dropped by spec in every tier."""
+    from ocr_ray.ops.graph import pagerank
+
+    edges = pa.table(
+        {"src": pa.array([0, 1], pa.int64()), "dst": pa.array([0, 0], pa.int64())}
+    )
+    tiers = [
+        {},
+        {"local_edges_max": 0},
+        {"local_edges_max": 0, "broadcast_nodes_max": 0},
+    ]
+    results = [
+        {r["node"]: r["pr"] for r in pagerank(rd.from_arrow(edges), iters=1, **kw).take_all()}
+        for kw in tiers
+    ]
+    assert results[0] == results[1] == results[2]
+    assert results[0][0] == 150_000_000 + 85 * 1_000_000_000 // 100  # only 1->0 votes
+
+
+def test_upsert_refuses_duplicate_delta_keys(tmp_path):
+    from ocr_ray.state.sink import upsert_partitioned, write_partitioned
+
+    base = pa.table(
+        {
+            "conv_id": pa.array(["a"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "text": pa.array(["x"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "t")
+    write_partitioned(rd.from_arrow(base), out, num_partitions=2)
+    dup = pa.table(
+        {
+            "conv_id": pa.array(["a", "a"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "text": pa.array(["v1", "v2"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        upsert_partitioned(rd.from_arrow(dup), out)
