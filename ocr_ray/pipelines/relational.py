@@ -782,7 +782,8 @@ def distinct_users(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
     per_batch = ds.map_batches(
-        lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
+        # COUNT(DISTINCT) excludes NULL
+        lambda t: pa.table({"user_id": pc.drop_null(pc.unique(t.column("user_id")))}),
         batch_format="pyarrow",
     )
     n = per_batch.groupby("user_id").aggregate(Count(alias_name="_c")).count()
@@ -1206,7 +1207,10 @@ def event_props_stats(sf_dir: str) -> Dataset:
         k = json_int_field(t.column("props"), "k")
         out = pa.table(
             {
-                "event_type": t.column("event_type"),
+                # Ray's sort-based groupby cannot order a None key against
+                # strings (TypeError deep in the shuffle) — coalesce the
+                # group key; total output beats a crash on dirty input
+                "event_type": pc.coalesce(t.column("event_type"), pa.scalar("")),
                 "n_with_k": pc.cast(pc.is_valid(k), pa.int64()),
                 "sum_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
                 "max_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
@@ -1352,15 +1356,23 @@ def user_rolling_spend(sf_dir: str) -> Dataset:
         )
 
     def roll(df):
+        # SQL window semantics on dirty input: NULL user_id is one
+        # partition (dropna=False — pandas would otherwise drop the group
+        # and crash on an all-null-key frame), NULL ts sorts last (both
+        # engines' default), SUM skips NULL cents within the frame and is
+        # NULL only for an all-NULL frame (nullable Int64 out)
         df = df.sort_values(["user_id", "ts", "event_id"])
         r = (
-            df.groupby("user_id", sort=False)["cents"]
+            df.groupby("user_id", sort=False, dropna=False)["cents"]
             .rolling(3, min_periods=1)
             .sum()
             .reset_index(level=0, drop=True)
         )
         out = df[["event_id"]].copy()
-        out["roll3_cents"] = r.astype("int64")
+        vals = r.round()
+        # nullable dtype only when a frame was all-NULL (clean data keeps
+        # plain int64 — pandas blocks surface their dtype to the caller)
+        out["roll3_cents"] = vals.astype("Int64") if vals.isna().any() else vals.astype("int64")
         return out
 
     pre = events.map_batches(prep, batch_format="pyarrow")

@@ -41,8 +41,10 @@ def _compare(got, sql, sf_dir):
         got = got.to_pandas()
     cols = sorted(got.columns)
     assert cols == sorted(want.columns)
-    g = got.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
-    w = want.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+    # convert_dtypes: a NULL in a DuckDB BIGINT result arrives as float64
+    # (51249.0/NaN) while the engine emits nullable Int64 — normalize both
+    g = got.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True).convert_dtypes()
+    w = want.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True).convert_dtypes()
     assert g.astype(str).values.tolist() == w.astype(str).values.tolist()
 
 
@@ -126,3 +128,40 @@ def test_upsert_refuses_duplicate_delta_keys(tmp_path):
     )
     with pytest.raises(Exception, match="duplicate"):
         upsert_partitioned(rd.from_arrow(dup), out)
+
+
+def test_user_rolling_spend_dirty_matches_sql(tmp_path):
+    """NULL user_id is one window partition, NULL cents is skipped by the
+    frame SUM, NULL ts sorts last — pandas and DuckDB agree row for row
+    (this crashed outright before the dropna=False fix)."""
+    from ocr_ray.pipelines.relational import USER_ROLLING_SPEND_SQL, user_rolling_spend
+
+    d = _dirty_events_dir(tmp_path)
+    got = user_rolling_spend(d)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    _compare(got, USER_ROLLING_SPEND_SQL, d)
+
+
+def test_distinct_users_excludes_null(tmp_path):
+    from ocr_ray.pipelines.relational import DISTINCT_USERS_SQL, distinct_users
+
+    d = _dirty_events_dir(tmp_path)
+    got = distinct_users(d).to_pandas()
+    assert got["n_users"][0] == 2  # NULL excluded: users {1, 2}
+    _compare(got, DISTINCT_USERS_SQL, d)
+
+
+def test_event_props_stats_null_key_total(tmp_path):
+    """A NULL event_type must not crash the shuffle; the engine groups it
+    under '' (documented divergence: SQL keeps a NULL group — Ray's
+    sort-based groupby cannot order None against str). Totals match."""
+    from ocr_ray.pipelines.relational import event_props_stats
+
+    d = _dirty_events_dir(tmp_path)
+    got = event_props_stats(d).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.sql(
+        "SELECT CAST(COUNT(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) FROM events"
+    ).fetchone()[0]
+    assert got["n_with_k"].sum() == want
