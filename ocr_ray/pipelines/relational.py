@@ -1111,6 +1111,8 @@ def latest_event_per_user(sf_dir: str) -> Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # nulls FIRST so keep-last never prefers a NULL ts over a real one
+        # (and never discards the true latest row from the batch)
         idx = pc.sort_indices(
             t,
             sort_keys=[
@@ -1118,6 +1120,7 @@ def latest_event_per_user(sf_dir: str) -> Dataset:
                 ("ts", "ascending"),
                 ("event_id", "ascending"),
             ],
+            null_placement="at_start",
         )
         t = t.take(idx)
         u = t.column("user_id").to_numpy(zero_copy_only=False)
@@ -1130,9 +1133,12 @@ def latest_event_per_user(sf_dir: str) -> Dataset:
     pre = events.map_batches(partial, batch_format="pyarrow")
 
     def pick(df):
-        df = df.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
-            "user_id", keep="last"
-        )
+        # na_position="first": SQL ORDER BY ts DESC is NULLS LAST, so the
+        # winner is the max NON-NULL ts; keep-last on an ascending sort
+        # must push NULLs to the front
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], na_position="first"
+        ).drop_duplicates("user_id", keep="last")
         return df.drop(columns=["__part"])
 
     out = grouped_scan(pre, "user_id", pick)

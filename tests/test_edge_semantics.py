@@ -18,7 +18,7 @@ def _dirty_events_dir(tmp_path) -> str:
     t = pa.table(
         {
             "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
-            "ts": pa.array([ts] * 5),
+            "ts": pa.array([ts, ts, None, ts, ts]),
             "user_id": pa.array([1, 2, None, 2, 1], pa.int64()),
             "event_type": pa.array(["click", "purchase", "click", "view", "click"]),
             "value": pa.array([12.5, -1.0, None, 0.0, 499.99], pa.float64()),
@@ -165,3 +165,14 @@ def test_event_props_stats_null_key_total(tmp_path):
         "SELECT CAST(COUNT(TRY_CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) FROM events"
     ).fetchone()[0]
     assert got["n_with_k"].sum() == want
+
+
+def test_latest_event_null_ts_not_preferred(tmp_path):
+    """A NULL ts must never win keep-last (SQL ORDER BY ts DESC is NULLS
+    LAST) — and the batch partial must not discard the true latest row."""
+    from ocr_ray.pipelines.relational import LATEST_EVENT_PER_USER_SQL, latest_event_per_user
+
+    d = _dirty_events_dir(tmp_path)
+    got = latest_event_per_user(d)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    _compare(got, LATEST_EVENT_PER_USER_SQL, d)
