@@ -8,6 +8,8 @@ corpus     decontamination, vocabulary, tf/df terms, sequence packing,
            mixture sampling, distributed exact quantiles
 multimodal binary media columns: decode/feature plumbing (stubbed kernels)
 olap       cube/grouping sets, pivot, per-group exact quantiles, intersect
+mlprep     train/val/test split, stratified sample, Bloom-pruned semi-join,
+           distributed global rank
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
 merged into ``__ray_entry__.queries()``.
@@ -52,6 +54,16 @@ from ocr_ray.ops.graph import (
     pagerank_graph_sql,
 )
 from ocr_ray.ops.markdown import extract_markdown, extract_markdown_sql
+from ocr_ray.ops.mlprep import (
+    BLOOM_SEMI_EVENTS_SQL,
+    EVENTS_GLOBAL_RANK_SQL,
+    SPLIT_TRAIN_TEST_SQL,
+    STRATIFIED_SAMPLE_SQL,
+    bloom_semi_events,
+    events_global_rank,
+    split_train_test,
+    stratified_sample_docs,
+)
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
 from ocr_ray.ops.simjoin import (
@@ -103,6 +115,10 @@ REGISTRY: dict[str, tuple] = {
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
+    "split_train_test": (split_train_test, SPLIT_TRAIN_TEST_SQL),
+    "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
+    "bloom_semi_events": (bloom_semi_events, BLOOM_SEMI_EVENTS_SQL),
+    "events_global_rank": (events_global_rank, EVENTS_GLOBAL_RANK_SQL),
 }
 
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY

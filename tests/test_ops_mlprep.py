@@ -1,0 +1,98 @@
+"""ML-prep operator mechanics: Bloom-filter soundness, global-rank edge
+cases, split/sample determinism. The full-parity gate lives in
+test_oracle_parity.py; these cover what the clean fixtures never hit."""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_ray.ops.mlprep import (
+    EVENTS_GLOBAL_RANK_SQL,
+    _bloom_positions,
+    _bloom_test,
+    _BLOOM_BITS,
+    events_global_rank,
+    split_train_test,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        """Every inserted key MUST test positive — the property the exact
+        output depends on (a false negative would silently drop a row)."""
+        keys = np.arange(-500, 9500, dtype=np.int64)  # includes negatives
+        bitmap = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        pos = _bloom_positions(keys)
+        np.bitwise_or.at(
+            bitmap,
+            (pos >> 6).astype(np.int64),
+            np.uint64(1) << (pos.view(np.uint64) & np.uint64(63)),
+        )
+        assert _bloom_test(bitmap, keys).all()
+
+    def test_false_positive_rate_sane(self):
+        """Disjoint probe keys should rarely hit: with 10k keys in a 2^20-bit
+        filter (k=4) the analytic rate is ~1e-5; allow two orders of margin."""
+        ins = np.arange(0, 10_000, dtype=np.int64)
+        probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+        bitmap = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        pos = _bloom_positions(ins)
+        np.bitwise_or.at(
+            bitmap,
+            (pos >> 6).astype(np.int64),
+            np.uint64(1) << (pos.view(np.uint64) & np.uint64(63)),
+        )
+        fp = _bloom_test(bitmap, probe).mean()
+        assert fp < 1e-3, fp
+
+
+class TestGlobalRank:
+    def test_null_ts_ranks_last(self, tmp_path):
+        """NULL ts must land at the END of the order (SQL ASC NULLS LAST),
+        tie-broken by event_id, and ranks must stay a 1..n permutation."""
+        ts = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": pa.array([5, 2, 9, 1, 7], pa.int64()),
+                "ts": pa.array([ts, None, ts + dt.timedelta(hours=3), None, ts]),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["view"] * 5),
+                "value": pa.array([0.0] * 5, pa.float64()),
+                "props": pa.array(["{}"] * 5),
+            }
+        )
+        d = tmp_path / "sf_null_ts"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = events_global_rank(str(d)).to_pandas().sort_values("ts_rank")
+        assert got["event_id"].tolist() == [5, 7, 9, 1, 2]
+        assert sorted(got["ts_rank"]) == [1, 2, 3, 4, 5]
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.sql(EVENTS_GLOBAL_RANK_SQL).df().sort_values("ts_rank")
+        assert want["event_id"].tolist() == got["event_id"].tolist()
+
+    def test_rank_is_permutation(self):
+        got = events_global_rank(SF).to_pandas()
+        n = len(got)
+        assert sorted(got["ts_rank"]) == list(range(1, n + 1))
+
+
+class TestSplit:
+    def test_assignment_is_stable_and_total(self):
+        """Same doc -> same split on rerun; every doc assigned; fractions
+        roughly 80/10/10 (md5 uniformity at 500 docs: wide tolerance)."""
+        a = split_train_test(SF).to_pandas().sort_values("doc_id")
+        b = split_train_test(SF).to_pandas().sort_values("doc_id")
+        assert a["split"].tolist() == b["split"].tolist()
+        frac = a["split"].value_counts(normalize=True)
+        assert 0.7 < frac.get("train", 0) < 0.9
+        assert set(a["split"]) <= {"train", "val", "test"}
