@@ -10,6 +10,7 @@ multimodal binary media columns: decode/feature plumbing (stubbed kernels)
 olap       cube/grouping sets, pivot, per-group exact quantiles, intersect
 mlprep     train/val/test split, stratified sample, Bloom-pruned semi-join,
            distributed global rank
+search     inverted index, integer fixed-point BM25 top-k
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
 merged into ``__ray_entry__.queries()``.
@@ -66,6 +67,12 @@ from ocr_ray.ops.mlprep import (
 )
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
+from ocr_ray.ops.search import (
+    BM25_TOPK_SQL,
+    INVERTED_INDEX_SQL,
+    bm25_topk,
+    inverted_index,
+)
 from ocr_ray.ops.simjoin import (
     DEDUP_JACCARD_EXACT_SQL,
     dedup_cosine_exact,
@@ -119,6 +126,8 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
     "bloom_semi_events": (bloom_semi_events, BLOOM_SEMI_EVENTS_SQL),
     "events_global_rank": (events_global_rank, EVENTS_GLOBAL_RANK_SQL),
+    "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
+    "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
 }
 
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY

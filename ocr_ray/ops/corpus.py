@@ -165,10 +165,34 @@ WHERE doc_id % {_EVAL_MOD} != 0
 # ---------------------------------------------------------------------------
 
 
-def _token_lists(t: pa.Table, text_col: str = "text") -> pa.Array:
-    """Vectorized lowercase whitespace tokenization (Arrow kernels only)."""
-    lowered = pc.utf8_lower(pc.coalesce(t.column(text_col), pa.scalar("")))
-    return pc.ascii_split_whitespace(lowered)
+def _token_lists(t: pa.Table, text_col: str = "text") -> pa.ChunkedArray:
+    """Vectorized lowercase whitespace tokenization (Arrow kernels only).
+
+    Semantics are EXACTLY the oracle's ``regexp_extract_all('\\S+')``:
+    Arrow's ``ascii_split_whitespace`` emits an empty token at a leading/
+    trailing-whitespace boundary and ``['']`` for empty text, where the
+    regex yields none — so the input is ascii-trimmed first (internal
+    whitespace runs never produce empties) and the one remaining ``''``
+    per empty text is filtered with its list slot. Latent until a planted
+    trailing-space fixture caught it: the testdata corpus has no boundary
+    whitespace, so every gate passed while dl/tf were off by one there."""
+    lowered = pc.ascii_trim_whitespace(
+        pc.utf8_lower(pc.coalesce(t.column(text_col), pa.scalar("")))
+    )
+    if isinstance(lowered, pa.ChunkedArray):
+        lowered = lowered.combine_chunks()
+    lists = pc.ascii_split_whitespace(lowered)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    sizes = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+    is_empty = pc.equal(lowered, pa.scalar("")).to_numpy(zero_copy_only=False)
+    new_sizes = sizes - is_empty.astype(np.int64)
+    new_offs = np.concatenate(([0], np.cumsum(new_sizes))).astype(np.int32)
+    kept = flat.filter(pc.not_equal(flat, pa.scalar("")))
+    return pa.chunked_array(
+        [pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept)]
+    )
 
 
 def vocab_topk(sf_dir: str, top_k: int = _VOCAB_K) -> Dataset:
