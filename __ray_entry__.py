@@ -117,6 +117,14 @@ def _csv_events_rollup(sf_dir: str):
     return csv_events_rollup(sf_dir)
 
 
+def _docs_schema_union(sf_dir: str):
+    """Schema-evolution read: union-by-name over heterogeneous Parquet
+    shard generations (missing columns null-filled per batch)."""
+    from ocr_ray.sources.readers import docs_schema_union
+
+    return docs_schema_union(sf_dir)
+
+
 def _conv_texts(sf_dir: str):
     """Conversation flattening: ordered per-conversation text concat (the
     training-document assembly step), SQL-gated via string_agg ORDER BY."""
@@ -213,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,
+        "docs_schema_union": _docs_schema_union,
         "extract_context_turns": _extract_context_turns,
     }
     for name, (fn, _sql) in REGISTRY.items():
@@ -256,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
 
         out["jsonl_events_rollup"] = jsonl_events_rollup_sql(_DRIVER_SF)
         out["csv_events_rollup"] = csv_events_rollup_sql(_DRIVER_SF)
+        from ocr_ray.sources.readers import docs_schema_union_sql
+
+        out["docs_schema_union"] = docs_schema_union_sql(_DRIVER_SF)
         from ocr_ray.ops.graph import connected_components_graph_sql, pagerank_graph_sql
 
         out["pagerank_graph"] = pagerank_graph_sql(_DRIVER_SF)

@@ -186,3 +186,94 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value_cents) AS BIGIN
 FROM read_csv_auto('{cpath}')
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: union-by-name over heterogeneous Parquet footers
+# ---------------------------------------------------------------------------
+
+
+def ensure_schema_evo_fixture(
+    sf_dir: str, root: str = "/tmp/ocr_ray_fixtures"
+) -> tuple[str, str]:
+    """Two deterministic Parquet files with DIFFERENT schemas from the same
+    logical table — the shape a long-lived 100 TB corpus actually has
+    (columns added over time; old shards never rewritten): v1 shards carry
+    (doc_id, text, lang), v2 shards carry (doc_id, text, source)."""
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(root, f"schema_evo_{tag}")
+    a, b = os.path.join(out, "docs_v1.parquet"), os.path.join(out, "docs_v2.parquet")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return a, b
+    os.makedirs(out, exist_ok=True)
+    src = f"read_parquet('{sf_dir}/documents.parquet')"
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text, lang FROM {src} WHERE doc_id % 2 = 0 "
+        f"ORDER BY doc_id) TO '{a}.tmp.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text, source FROM {src} WHERE doc_id % 2 = 1 "
+        f"ORDER BY doc_id) TO '{b}.tmp.parquet' (FORMAT PARQUET)"
+    )
+    os.replace(f"{a}.tmp.parquet", a)
+    os.replace(f"{b}.tmp.parquet", b)
+    open(marker, "w").close()
+    return a, b
+
+
+def read_parquet_union(paths: list[str], *, columns: list[str] | None = None) -> Dataset:
+    """Read Parquet files whose schemas differ by ADDED/DROPPED columns into
+    one Dataset with the unified schema (missing columns null-filled, types
+    cast) — ``union_by_name`` semantics as a streaming source.
+
+    Footers only are read up front (one metadata fetch per file, no data);
+    each file then reads JUST its present-and-requested columns (column
+    pruning still applies per shard generation) and aligns per batch with
+    zero-copy casts + null fills. The union is a metadata concat — no
+    shuffle, blocks stream straight through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas = [pq.read_schema(p) for p in paths]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    if columns is not None:
+        unified = pa.schema([f for f in unified if f.name in set(columns)])
+    names = [f.name for f in unified]
+
+    parts: list[Dataset] = []
+    for p, s in zip(paths, schemas):
+        present = [n for n in names if s.get_field_index(n) != -1]
+
+        def align(t: pa.Table, _u=unified) -> pa.Table:
+            cols = []
+            for f in _u:
+                if t.schema.get_field_index(f.name) != -1:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            return pa.table(dict(zip([f.name for f in _u], cols)))
+
+        ds = rd.read_parquet(p, columns=present) if present else rd.read_parquet(p)
+        parts.append(ds.map_batches(align, batch_format="pyarrow"))
+    out = parts[0]
+    for ds in parts[1:]:
+        out = out.union(ds)
+    return out
+
+
+def docs_schema_union(sf_dir: str) -> Dataset:
+    """The schema-evolution read path as a gated query: v1+v2 doc shards
+    unified by name, NULL-filled where a generation lacks the column."""
+    a, b = ensure_schema_evo_fixture(sf_dir)
+    return read_parquet_union([a, b], columns=["doc_id", "text", "lang", "source"])
+
+
+def docs_schema_union_sql(sf_dir: str) -> str:
+    a, b = ensure_schema_evo_fixture(sf_dir)
+    return f"""
+SELECT doc_id, text, lang, source
+FROM read_parquet(['{a}', '{b}'], union_by_name=true)
+"""

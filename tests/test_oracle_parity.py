@@ -48,6 +48,9 @@ def _rebind_extract_oracles():
 
     _SQLS["jsonl_events_rollup"] = jsonl_events_rollup_sql(SF)
     _SQLS["csv_events_rollup"] = csv_events_rollup_sql(SF)
+    from ocr_ray.sources.readers import docs_schema_union_sql
+
+    _SQLS["docs_schema_union"] = docs_schema_union_sql(SF)
     from ocr_ray.ops.graph import connected_components_graph_sql, pagerank_graph_sql
 
     _SQLS["pagerank_graph"] = pagerank_graph_sql(SF)
