@@ -11,6 +11,8 @@ olap       cube/grouping sets, pivot, per-group exact quantiles, intersect
 mlprep     train/val/test split, stratified sample, Bloom-pruned semi-join,
            distributed global rank
 search     inverted index, integer fixed-point BM25 top-k
+timeseries gap-filled resample, ordered funnel, exact distributed NTILE
+dq         FK orphan audit, snapshot diff (CDC), keyset pagination
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
 merged into ``__ray_entry__.queries()``.
@@ -79,6 +81,22 @@ from ocr_ray.ops.simjoin import (
     dedup_cosine_exact_sql,
     dedup_jaccard_exact,
 )
+from ocr_ray.ops.dq import (
+    DQ_ORPHANS_SQL,
+    ORDERS_KEYSET_PAGE_SQL,
+    ORDERS_SNAPSHOT_DIFF_SQL,
+    dq_orphans,
+    orders_keyset_page,
+    orders_snapshot_diff,
+)
+from ocr_ray.ops.timeseries import (
+    EVENTS_NTILE_SQL,
+    SESSION_FUNNEL_SQL,
+    USER_DAYS_GAPFILLED_SQL,
+    events_ntile,
+    session_funnel,
+    user_days_gapfilled,
+)
 from ocr_ray.ops.textstats import (
     DOC_FINGERPRINTS_SQL,
     DOC_QUALITY_SQL,
@@ -128,6 +146,12 @@ REGISTRY: dict[str, tuple] = {
     "events_global_rank": (events_global_rank, EVENTS_GLOBAL_RANK_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    "user_days_gapfilled": (user_days_gapfilled, USER_DAYS_GAPFILLED_SQL),
+    "session_funnel": (session_funnel, SESSION_FUNNEL_SQL),
+    "events_ntile": (events_ntile, EVENTS_NTILE_SQL),
+    "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
+    "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
+    "orders_keyset_page": (orders_keyset_page, ORDERS_KEYSET_PAGE_SQL),
 }
 
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY

@@ -1,0 +1,321 @@
+"""Data-quality & table-maintenance operators: referential-integrity audit,
+snapshot diff (change-data capture), and keyset pagination.
+
+These generalize the reference's pre-commit validation (save-to-mongodb.ts
+asserts the row's shape before insert; save-to-google-sheet.ts re-reads the
+sheet to diff before upsert) to corpus-level maintenance: FK orphan audits
+across whole tables, an exact old-vs-new snapshot diff that ships only
+(key, digest) pairs, and stable cursor pagination that never needs OFFSET.
+
+Scale contract:
+* ``dq_orphans`` reduces the child side to a (key, n) census inside each
+  batch, then anti-joins keys-only against the parent (auto broadcast/hash by
+  parent size via functions.joins.auto_join machinery) — rows never shuffle.
+* ``orders_snapshot_diff`` hashes each row to a fixed 16-hex digest inside
+  the scan; the one shuffle carries (key, side, digest) = ~30 B/row no matter
+  how wide the table is. Classification is a vectorized boundary scan.
+* ``orders_keyset_page`` keeps a per-batch partial top-``k`` (the page is a
+  bound, not a sort): the driver merges at most ``k`` rows per block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+
+from ocr_ray.functions.scalars import to_cents
+
+__all__ = [
+    "dq_orphans",
+    "orders_snapshot_diff",
+    "orders_keyset_page",
+    "DQ_ORPHANS_SQL",
+    "ORDERS_SNAPSHOT_DIFF_SQL",
+    "ORDERS_KEYSET_PAGE_SQL",
+]
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity orphan audit
+# ---------------------------------------------------------------------------
+
+# the clean fixture has zero natural orphans, which would make the gate unable
+# to distinguish a broken anti-join from a working one — so the audit runs over
+# a deterministically perturbed child view: every key divisible by the prime is
+# negated (guaranteed orphan; parent keys are positive). Same rule in SQL.
+_PERTURB = {"lineitem_orders": 97, "orders_customer": 89, "events_customer": 83}
+
+
+def _orphan_count(child: Dataset, parent: Dataset, key: str, prime: int):
+    """(orphan_rows, distinct_orphan_keys) for one FK relation, keys-only."""
+    from ocr_ray.functions.joins import anti_join_ds
+
+    def census(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        k = np.where(k % prime == 0, -k, k)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {"k": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    child_keys = child.map_batches(census, batch_format="pyarrow")
+    orphans = anti_join_ds(child_keys, parent, on="k", right_on="pk")
+    # the same key can appear in several blocks' census rows, so the exact
+    # distinct count needs one cross-block merge; the driver holds only the
+    # ORPHAN key census (an audit finding 10^9 orphans should fail fast, not
+    # scale — the healthy-table output is near-empty)
+    frames = [b for b in orphans.iter_batches(batch_format="pandas")]
+    if not frames:
+        return 0, 0
+    merged = pd.concat(frames).groupby("k")["n"].sum()
+    return int(merged.sum()), len(merged)
+
+
+def dq_orphans(sf_dir: str) -> pd.DataFrame:
+    """FK orphan audit over three relations (child keys with no parent row).
+
+    Output: one row per relation with the orphan ROW count and the distinct
+    orphan KEY count — the audit a resumable 100 TB ingest runs before
+    promoting a snapshot."""
+    relations = []
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders_k = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["pk"]), batch_format="pyarrow"
+    )
+    relations.append(("lineitem.l_orderkey->orders", li, orders_k, "l_orderkey", _PERTURB["lineitem_orders"]))
+
+    od = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
+    cust_k = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["pk"]), batch_format="pyarrow"
+    )
+    relations.append(("orders.o_custkey->customer", od, cust_k, "o_custkey", _PERTURB["orders_customer"]))
+
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    cust_k2 = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["pk"]), batch_format="pyarrow"
+    )
+    relations.append(("events.user_id->customer", ev, cust_k2, "user_id", _PERTURB["events_customer"]))
+
+    names, rows, keys = [], [], []
+    for name, child, parent, key, prime in relations:
+        r, k = _orphan_count(child, parent, key, prime)
+        names.append(name)
+        rows.append(r)
+        keys.append(k)
+    return pd.DataFrame(
+        {
+            "relation": names,
+            "orphan_rows": np.array(rows, dtype=np.int64),
+            "orphan_keys": np.array(keys, dtype=np.int64),
+        }
+    )
+
+
+DQ_ORPHANS_SQL = f"""
+WITH c1 AS (SELECT CASE WHEN l_orderkey % {_PERTURB['lineitem_orders']} = 0 THEN -l_orderkey ELSE l_orderkey END AS k FROM lineitem),
+a1 AS (SELECT count(*) AS n, count(DISTINCT k) AS dk FROM (SELECT k FROM c1 ANTI JOIN orders ON c1.k = orders.o_orderkey)),
+c2 AS (SELECT CASE WHEN o_custkey % {_PERTURB['orders_customer']} = 0 THEN -o_custkey ELSE o_custkey END AS k FROM orders),
+a2 AS (SELECT count(*) AS n, count(DISTINCT k) AS dk FROM (SELECT k FROM c2 ANTI JOIN customer ON c2.k = customer.c_custkey)),
+c3 AS (SELECT CASE WHEN user_id % {_PERTURB['events_customer']} = 0 THEN -user_id ELSE user_id END AS k FROM events),
+a3 AS (SELECT count(*) AS n, count(DISTINCT k) AS dk FROM (SELECT k FROM c3 ANTI JOIN customer ON c3.k = customer.c_custkey))
+SELECT relation, orphan_rows, orphan_keys FROM (VALUES
+  ('lineitem.l_orderkey->orders', (SELECT n FROM a1), (SELECT dk FROM a1)),
+  ('orders.o_custkey->customer', (SELECT n FROM a2), (SELECT dk FROM a2)),
+  ('events.user_id->customer', (SELECT n FROM a3), (SELECT dk FROM a3))
+) AS t(relation, orphan_rows, orphan_keys)
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (change-data capture)
+# ---------------------------------------------------------------------------
+
+# the "new" snapshot is derived deterministically from the same table so the
+# oracle can mirror it: keys %13 deleted, keys %7 repriced (+100 cents in the
+# exact-integer domain), keys %11 re-inserted under the negated key.
+_DEL, _UPD, _INS = 13, 7, 11
+
+
+def _row_digest(status: list, cents: np.ndarray) -> list:
+    """16-hex md5 of the canonical row string — what actually transits the
+    shuffle instead of the row. C-speed loop (hashlib releases no work to
+    numpy, same family as mlprep._md5_first_bytes)."""
+    return [
+        hashlib.md5(f"{s}|{c}".encode("ascii")).hexdigest()[:16]
+        for s, c in zip(status, cents)
+    ]
+
+
+def orders_snapshot_diff(sf_dir: str) -> Dataset:
+    """Exact diff of two table snapshots: one row per changed key, labeled
+    insert / delete / update — the change-data-capture primitive an
+    incremental 100 TB refresh is built on.
+
+    Both snapshots stream as (key, side, digest) triples; the single shuffle
+    co-locates each key's <=2 triples; classification is a vectorized run
+    scan (no pandas merge, no driver state)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def triples(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        status = t.column("o_orderstatus").to_pylist()
+        cents = to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        old_h = _row_digest(status, cents)
+        # new snapshot, derived in-scan: delete %13, reprice %7, insert -%11
+        keep = k % _DEL != 0
+        new_cents = np.where(k % _UPD == 0, cents + 100, cents)
+        new_h = _row_digest(status, new_cents)
+        ins = k % _INS == 0
+        out_k = np.concatenate((k, k[keep], -k[ins]))
+        out_side = np.concatenate(
+            (
+                np.zeros(len(k), np.int8),
+                np.ones(int(keep.sum()), np.int8),
+                np.ones(int(ins.sum()), np.int8),
+            )
+        )
+        out_h = (
+            old_h
+            + [h for h, m in zip(new_h, keep) if m]
+            + [h for h, m in zip(old_h, ins) if m]
+        )
+        return pa.table(
+            {
+                "k": pa.array(out_k),
+                "side": pa.array(out_side),
+                "h": pa.array(out_h, pa.string()),
+            }
+        )
+
+    snap = rd.read_parquet(_pq(sf_dir, "orders"), columns=cols).map_batches(
+        triples, batch_format="pyarrow"
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()), "change": pa.array([], pa.string())}
+            )
+        t = t.sort_by([("k", "ascending"), ("side", "ascending")])
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        h = np.asarray(t.column("h").to_pylist(), dtype=object)
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        span = np.diff(np.concatenate((starts, [n])))
+        single = span == 1
+        s_idx = starts[single]
+        # run of 1: side 0 -> deleted, side 1 -> inserted
+        out_k = [k[s_idx]]
+        out_c = [np.where(side[s_idx] == 0, "delete", "insert")]
+        both = starts[span == 2]
+        if len(both):
+            changed = h[both] != h[both + 1]
+            out_k.append(k[both[changed]])
+            out_c.append(np.full(int(changed.sum()), "update", dtype=object))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.concatenate(out_k).astype(np.int64)),
+                "change": pa.array(
+                    np.concatenate(out_c).astype(object).tolist(), pa.string()
+                ),
+            }
+        )
+
+    return grouped_scan(snap, "k", classify, batch_format="pyarrow").select_columns(
+        ["o_orderkey", "change"]
+    )
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+  FROM orders
+),
+old AS (SELECT k, substr(md5(s || '|' || CAST(c AS VARCHAR)), 1, 16) AS h FROM base),
+new AS (
+  SELECT k, substr(md5(s || '|' || CAST(CASE WHEN k % {_UPD} = 0 THEN c + 100 ELSE c END AS VARCHAR)), 1, 16) AS h
+  FROM base WHERE k % {_DEL} <> 0
+  UNION ALL
+  SELECT -k AS k, substr(md5(s || '|' || CAST(c AS VARCHAR)), 1, 16) AS h
+  FROM base WHERE k % {_INS} = 0
+)
+SELECT COALESCE(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'insert'
+            WHEN new.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE old.k IS NULL OR new.k IS NULL OR old.h <> new.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination
+# ---------------------------------------------------------------------------
+
+_PAGE_K = 50
+_CURSOR_DATE = np.datetime64("1998-01-01T00:00:00", "us")
+_CURSOR_KEY = 0
+
+
+def orders_keyset_page(sf_dir: str, *, k: int = _PAGE_K) -> pd.DataFrame:
+    """Page of ``k`` orders after the cursor ``(o_orderdate, o_orderkey) >
+    (D, K)`` in (date, key) order — OFFSET-free pagination, the only stable
+    way to walk a 10^12-row table.
+
+    Per-batch: vectorized tuple-compare filter + local top-``k``; the driver
+    merges <= ``k`` rows per block (bounded, no global sort)."""
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        after = (d > _CURSOR_DATE) | ((d == _CURSOR_DATE) & (key > _CURSOR_KEY))
+        t = t.filter(pa.array(after))
+        t = t.append_column("total_cents", to_cents(t.column("o_totalprice")))
+        t = t.sort_by([("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
+        return t.slice(0, k).select(["o_orderkey", "o_orderdate", "total_cents"])
+
+    parts = orders.map_batches(local_topk, batch_format="pyarrow")
+    frames = [b for b in parts.iter_batches(batch_format="pandas")]
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype=np.int64),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "total_cents": pd.Series(dtype=np.int64),
+            }
+        )
+    )
+    return (
+        merged.sort_values(["o_orderdate", "o_orderkey"])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+ORDERS_KEYSET_PAGE_SQL = f"""
+SELECT o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders
+WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1998-01-01 00:00:00', {_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_PAGE_K}
+"""

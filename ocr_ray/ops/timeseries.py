@@ -1,0 +1,305 @@
+"""Time-series operators: per-key gap-filled resampling, ordered funnel
+analysis, and exact distributed NTILE.
+
+These generalize the reference's per-upload timeline (each processed PDF is
+one timestamped row, page.tsx state history) to the event-log shapes a
+training-data pipeline meets: dense per-entity activity series (feature
+windows need zero-filled gaps, not sparse counts), strictly-ordered
+conversion funnels (the sequential-pattern sibling of purchase_followups),
+and equal-frequency binning for curriculum bucketing.
+
+Scale contract:
+* ``user_days_gapfilled`` pre-aggregates (user, day) counts inside each batch
+  before the one shuffle; the dense expansion happens AFTER co-location, so
+  the shuffle carries one row per OBSERVED (user, day), never the zeros.
+* ``session_funnel`` ships only per-partition stage counters to the driver
+  (3 ints per partition); user ordering state stays inside the grouped scan.
+* ``events_ntile`` reuses the bucket-histogram global-rank plan
+  (ops/mlprep.events_global_rank): the driver holds one int per distinct
+  coarse value bucket; no global sort node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+__all__ = [
+    "user_days_gapfilled",
+    "session_funnel",
+    "events_ntile",
+    "USER_DAYS_GAPFILLED_SQL",
+    "SESSION_FUNNEL_SQL",
+    "EVENTS_NTILE_SQL",
+]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# gap-filled per-user daily activity series
+# ---------------------------------------------------------------------------
+
+
+def user_days_gapfilled(sf_dir: str) -> Dataset:
+    """One row per (user, day) for every day between the user's first and
+    last event, ``n_events`` = 0 where the user was silent — the dense
+    resample that rolling-feature windows assume.
+
+    Plan: per-batch (user, day) count partials (Arrow ``group_by``), ONE
+    coarse-key shuffle co-locating each user, then a fully vectorized dense
+    expansion (repeat/arange over span lengths + scatter of the observed
+    counts). Days are positive-epoch floor buckets (``epoch_us // day``);
+    NULL ts rows are dropped (mirrored in SQL)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        g = (
+            pa.table({"user_id": t.column("user_id"), "day": pa.array(day)})
+            .group_by(["user_id", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "day", "n"])
+
+    pre = events.map_batches(partial, batch_format="pyarrow")
+
+    def dense(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        # merge cross-block partials, then expand each user's [lo, hi] span
+        g = (
+            t.group_by(["user_id", "day"])
+            .aggregate([("n", "sum")])
+            .sort_by([("user_id", "ascending"), ("day", "ascending")])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [m]))
+        lo, hi = d[starts], d[ends - 1]
+        lens = hi - lo + 1
+        total = int(lens.sum())
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out_user = np.repeat(u[starts], lens)
+        out_day = np.repeat(lo, lens) + (np.arange(total) - np.repeat(offs, lens))
+        out_n = np.zeros(total, dtype=np.int64)
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        out_n[offs[grp] + (d - lo[grp])] = n
+        return pa.table(
+            {
+                "user_id": pa.array(out_user),
+                "day": pa.array(out_day),
+                "n_events": pa.array(out_n),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", dense, batch_format="pyarrow").select_columns(
+        ["user_id", "day", "n_events"]
+    )
+
+
+USER_DAYS_GAPFILLED_SQL = f"""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
+  FROM events WHERE ts IS NOT NULL
+),
+counts AS (SELECT user_id, day, count(*) AS n FROM pts GROUP BY 1, 2),
+span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM pts GROUP BY 1),
+dense AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span)
+SELECT d.user_id, d.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM dense d LEFT JOIN counts c USING (user_id, day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# strictly-ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "view_click", "view_click_purchase")
+
+
+def session_funnel(sf_dir: str) -> pd.DataFrame:
+    """Users reaching each funnel stage IN ORDER: a view, then a click
+    strictly after the first view, then a purchase strictly after the first
+    qualifying click.
+
+    Grouped scan co-locates each user's events; per-partition pandas
+    ``groupby().min()`` (C-speed) walks the three stages; only 3 counters
+    per partition reach the driver (the size-gated local-solve pattern —
+    Ray's Aggregate costs ~20 s fixed for a 3-row output)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("event_type"), pa.array(["view", "click", "purchase"]))
+        )
+
+    pre = events.map_batches(keep, batch_format="pyarrow")
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        fv = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        c = g[g["event_type"] == "click"]
+        after_view = c["ts"] > c["user_id"].map(fv)  # NaT compare -> False
+        fc = c[after_view].groupby("user_id")["ts"].min()
+        p = g[g["event_type"] == "purchase"]
+        after_click = p["ts"] > p["user_id"].map(fc)
+        fp = p[after_click].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {"n_view": [len(fv)], "n_click": [len(fc)], "n_purchase": [len(fp)]}
+        )
+
+    parts = grouped_scan(pre, "user_id", scan)
+    tot = np.zeros(3, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pandas"):
+        tot += b[["n_view", "n_click", "n_purchase"]].to_numpy(np.int64).sum(axis=0)
+    return pd.DataFrame({"stage": list(_FUNNEL_STAGES), "users": tot})
+
+
+SESSION_FUNNEL_SQL = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fc AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.t GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.t GROUP BY 1
+)
+SELECT stage, users FROM (VALUES
+  ('view', (SELECT count(*) FROM fv)),
+  ('view_click', (SELECT count(*) FROM fc)),
+  ('view_click_purchase', (SELECT count(*) FROM fp))
+) AS t(stage, users)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distributed NTILE (equal-frequency binning)
+# ---------------------------------------------------------------------------
+
+_NTILE_K = 4
+
+
+def _ntile_of_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Exact SQL NTILE: the first ``n % k`` tiles get ``n // k + 1`` rows.
+    Closed form over 1-based ranks, fully vectorized."""
+    q, m = divmod(n, k)
+    if q == 0:  # fewer rows than tiles: tile == rank
+        return rank.copy()
+    cut = (q + 1) * m
+    return np.where(rank <= cut, (rank - 1) // (q + 1) + 1, m + (rank - cut - 1) // q + 1)
+
+
+def events_ntile(sf_dir: str, *, k: int = _NTILE_K) -> Dataset:
+    """Equal-frequency bin (NTILE(k) over (value, event_id)) per event — the
+    curriculum-bucket / percentile-band assignment, computed without a global
+    sort: the bucket-histogram census (ops/mlprep.events_global_rank plan)
+    yields exact global offsets; each coarse value bucket sorts locally.
+
+    ``value`` has no NULLs in the fixture but NULLS LAST is still honored
+    via a +inf sentinel (matching the SQL ``ASC NULLS LAST``)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(t.column("value"), np.inf).to_numpy(zero_copy_only=False)
+        bucket = (
+            np.where(np.isinf(v), np.iinfo(np.int64).max, np.floor(v)).astype(np.int64)
+            if len(v)
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value": pa.array(v),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def census(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    frames = [
+        f
+        for f in pre.map_batches(census, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    hist = (
+        pd.concat(frames).groupby("bucket", sort=True)["n"].sum()
+        if frames
+        else pd.Series(dtype=np.int64)
+    )
+    buckets = hist.index.to_numpy(np.int64)
+    counts = hist.to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    off_ref = ray.put((buckets, offsets))
+
+    def tile(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("bucket", "ascending"), ("value", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "tile": pa.array([], pa.int64())}
+            )
+        bks, offs = ray.get(off_ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(b[1:] != b[:-1]) + 1))
+        span = np.diff(np.concatenate((starts, [n])))
+        base = offs[np.searchsorted(bks, b[starts])]
+        rank = np.repeat(base, span) + (np.arange(n) - np.repeat(starts, span)) + 1
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "tile": pa.array(_ntile_of_rank(rank, n_total, k).astype(np.int64)),
+            }
+        )
+
+    return grouped_scan(pre, "bucket", tile, batch_format="pyarrow").select_columns(
+        ["event_id", "tile"]
+    )
+
+
+EVENTS_NTILE_SQL = f"""
+SELECT event_id,
+       CAST(ntile({_NTILE_K}) OVER (ORDER BY value ASC NULLS LAST, event_id) AS BIGINT) AS tile
+FROM events
+"""
