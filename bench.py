@@ -46,6 +46,14 @@ QUERY_NAMES = [
     "conv_texts",
     "extract_links",
     "pagerank_graph",
+    "user_days_gapfilled",
+    "events_ntile",
+    "session_funnel",
+    "orders_snapshot_diff",
+    "dq_orphans",
+    "inverted_index",
+    "bm25_topk",
+    "events_global_rank",
 ]
 
 

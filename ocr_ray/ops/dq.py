@@ -57,8 +57,18 @@ _PERTURB = {"lineitem_orders": 97, "orders_customer": 89, "events_customer": 83}
 
 
 def _orphan_count(child: Dataset, parent: Dataset, key: str, prime: int):
-    """(orphan_rows, distinct_orphan_keys) for one FK relation, keys-only."""
-    from ocr_ray.functions.joins import anti_join_ds
+    """(orphan_rows, distinct_orphan_keys) for one FK relation, keys-only.
+
+    Size-gated join choice (the auto_join policy): a parent key column that
+    fits the broadcast budget is collected ONCE and probed per batch with no
+    shuffle (each hash join here otherwise pays Ray's fixed shuffle cost —
+    measured 3x ~5.5 s for a 3-relation audit at sf0.1); a big parent goes
+    through the keys-only anti hash join."""
+    from ocr_ray.functions.joins import (
+        _BROADCAST_JOIN_MAX_BYTES,
+        anti_join_ds,
+        anti_join_filter,
+    )
 
     def census(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -69,7 +79,18 @@ def _orphan_count(child: Dataset, parent: Dataset, key: str, prime: int):
         )
 
     child_keys = child.map_batches(census, batch_format="pyarrow")
-    orphans = anti_join_ds(child_keys, parent, on="k", right_on="pk")
+    psize = parent.size_bytes() or (_BROADCAST_JOIN_MAX_BYTES + 1)
+    if psize <= _BROADCAST_JOIN_MAX_BYTES:
+        pk = np.concatenate(
+            [
+                b.column("pk").to_numpy(zero_copy_only=False)
+                for b in parent.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.zeros(0, np.int64)]
+        )
+        orphans = anti_join_filter(child_keys, "k", pk)
+    else:
+        orphans = anti_join_ds(child_keys, parent, on="k", right_on="pk")
     # the same key can appear in several blocks' census rows, so the exact
     # distinct count needs one cross-block merge; the driver holds only the
     # ORPHAN key census (an audit finding 10^9 orphans should fail fast, not
