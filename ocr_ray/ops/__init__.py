@@ -11,8 +11,9 @@ olap       cube/grouping sets, pivot, per-group exact quantiles, intersect
 mlprep     train/val/test split, stratified sample, Bloom-pruned semi-join,
            distributed global rank
 search     inverted index, integer fixed-point BM25 top-k
-timeseries gap-filled resample, ordered funnel, exact distributed NTILE
+timeseries gap-filled resample, LOCF forward fill, ordered funnel, NTILE
 dq         FK orphan audit, snapshot diff (CDC), keyset pagination
+incremental mergeable aggregate states: O(delta) refresh == full recompute
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
 merged into ``__ray_entry__.queries()``.
@@ -89,13 +90,19 @@ from ocr_ray.ops.dq import (
     orders_keyset_page,
     orders_snapshot_diff,
 )
+from ocr_ray.ops.incremental import (
+    NATION_ORDERS_INCREMENTAL_SQL,
+    nation_orders_incremental,
+)
 from ocr_ray.ops.timeseries import (
     EVENTS_NTILE_SQL,
     SESSION_FUNNEL_SQL,
     USER_DAYS_GAPFILLED_SQL,
+    USER_DAYS_LOCF_SQL,
     events_ntile,
     session_funnel,
     user_days_gapfilled,
+    user_days_locf,
 )
 from ocr_ray.ops.textstats import (
     DOC_FINGERPRINTS_SQL,
@@ -147,6 +154,8 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "user_days_gapfilled": (user_days_gapfilled, USER_DAYS_GAPFILLED_SQL),
+    "user_days_locf": (user_days_locf, USER_DAYS_LOCF_SQL),
+    "nation_orders_incremental": (nation_orders_incremental, NATION_ORDERS_INCREMENTAL_SQL),
     "session_funnel": (session_funnel, SESSION_FUNNEL_SQL),
     "events_ntile": (events_ntile, EVENTS_NTILE_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),

@@ -1,0 +1,149 @@
+"""Incremental aggregate maintenance: merge a delta's partial aggregation
+states into a base aggregate WITHOUT recomputing the base — the
+streaming-warehouse refresh primitive behind the upsert sink
+(state/sink.upsert_partitioned maintains rows; this maintains AGGREGATES).
+
+The reference recomputes its whole sheet summary on every upload
+(save-to-google-sheet.ts re-reads and rewrites the full sheet). At 100 TB a
+nightly delta must fold into yesterday's aggregate in O(delta), so every
+aggregate is carried as a MERGEABLE state vector (count, sum, min, max):
+merge(a, b) is elementwise (+, +, min, max), associative and commutative,
+so any partition of the data into base/delta (or 1000 deltas) folds to the
+same result as one full recompute — which is exactly what the SQL oracle
+checks (it aggregates the full table in one pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+from ocr_ray.functions.scalars import to_cents
+
+__all__ = [
+    "agg_states",
+    "merge_states",
+    "nation_orders_incremental",
+    "NATION_ORDERS_INCREMENTAL_SQL",
+]
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def agg_states(ds: Dataset, key: str, cents_col: str) -> pd.DataFrame:
+    """Per-key mergeable state vector (n, sum, min, max) over an exact
+    integer-cents column.
+
+    Per-batch Arrow ``group_by`` partials; the driver folds one tiny state
+    frame per block (size-gated local-solve — states are O(distinct keys),
+    which for a maintenance aggregate is the SMALL side by construction).
+    The returned frame IS the checkpointable aggregate: store it, then
+    ``merge_states`` tomorrow's delta into it."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key: t.column(key), "c": t.column(cents_col)})
+            .group_by(key)
+            .aggregate([("c", "count"), ("c", "sum"), ("c", "min"), ("c", "max")])
+        )
+        return g.rename_columns([key, "n", "s", "mn", "mx"])
+
+    frames = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    if not frames:
+        return pd.DataFrame(
+            {
+                key: pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "s": pd.Series(dtype=np.int64),
+                "mn": pd.Series(dtype=np.int64),
+                "mx": pd.Series(dtype=np.int64),
+            }
+        )
+    return merge_states(pd.concat(frames, ignore_index=True), key)
+
+
+def merge_states(states: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Fold any number of state rows per key into one: the merge is the
+    aggregation — associative, commutative, so base+delta, delta+base, or
+    1000 shards all converge to the recompute result."""
+    out = (
+        states.groupby(key, as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    return out.astype({"n": np.int64, "s": np.int64, "mn": np.int64, "mx": np.int64})
+
+
+_CUTOFF = np.datetime64("1998-01-01T00:00:00", "us")
+
+
+def nation_orders_incremental(sf_dir: str) -> pd.DataFrame:
+    """Per-nation order stats maintained incrementally: the base aggregate
+    covers orders BEFORE the cutoff, the delta covers the rest, and the
+    published result is ``merge_states(base, delta)`` — proving O(delta)
+    refresh gives the exact full-recompute answer (the SQL oracle
+    aggregates the whole table in one pass).
+
+    The key is the customer's nation (broadcast customer->nation lookup —
+    dimension-sized, ray.put once)."""
+    from ocr_ray.functions.joins import broadcast_join
+
+    def with_nation(sf: str, lo_excl, hi_incl) -> Dataset:
+        orders = rd.read_parquet(
+            _pq(sf, "orders"), columns=["o_custkey", "o_totalprice", "o_orderdate"]
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            mask = (d >= lo_excl) & (d < hi_incl) if lo_excl is not None else d < hi_incl
+            t = t.filter(pa.array(mask))
+            return pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "cents": to_cents(t.column("o_totalprice")),
+                }
+            )
+
+        cust = rd.read_parquet(_pq(sf, "customer"), columns=["c_custkey", "c_nationkey"])
+        return broadcast_join(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            cust.to_pandas(),
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )
+
+    far_future = np.datetime64("9999-01-01T00:00:00", "us")
+    base = agg_states(with_nation(sf_dir, None, _CUTOFF), "c_nationkey", "cents")
+    delta = agg_states(with_nation(sf_dir, _CUTOFF, far_future), "c_nationkey", "cents")
+    merged = merge_states(pd.concat([base, delta], ignore_index=True), "c_nationkey")
+    return merged.rename(
+        columns={
+            "c_nationkey": "nationkey",
+            "n": "o_count",
+            "s": "sum_cents",
+            "mn": "min_cents",
+            "mx": "max_cents",
+        }
+    )
+
+
+NATION_ORDERS_INCREMENTAL_SQL = """
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS o_count,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""

@@ -31,9 +31,11 @@ from ray.data import Dataset
 
 __all__ = [
     "user_days_gapfilled",
+    "user_days_locf",
     "session_funnel",
     "events_ntile",
     "USER_DAYS_GAPFILLED_SQL",
+    "USER_DAYS_LOCF_SQL",
     "SESSION_FUNNEL_SQL",
     "EVENTS_NTILE_SQL",
 ]
@@ -130,6 +132,154 @@ span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM pts GROUP BY 1),
 dense AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span)
 SELECT d.user_id, d.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
 FROM dense d LEFT JOIN counts c USING (user_id, day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap-filled series with last-observation-carried-forward values
+# ---------------------------------------------------------------------------
+
+
+def user_days_locf(sf_dir: str) -> Dataset:
+    """Dense per-user daily series where each day carries the LAST observed
+    event value (forward fill / LOCF) — the standard imputation for feature
+    series ("account balance as of day d").
+
+    The day's observation is the value of the user's last event that day
+    (max (ts, event_id) — exact argmax, not batch order). Per-batch partials
+    keep one candidate row per (user, day); the final per-key scan resolves
+    cross-block argmax, then forward-fills the gaps with a single
+    ``np.repeat`` (no per-day loop). Values stay in exact integer cents so
+    the gate is reduction-order independent."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        t = t.append_column("day", pa.array(day)).append_column(
+            "v", to_cents(t.column("value"))
+        )
+        # one candidate per (user, day): the lexicographic argmax of
+        # (ts, event_id) — sort then keep each run's last row
+        t = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("day", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "us": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        is_last = np.concatenate(((u[1:] != u[:-1]) | (d[1:] != d[:-1]), [True]))
+        t = t.filter(pa.array(is_last))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": t.column("day"),
+                "us": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id"),
+                "v": t.column("v"),
+            }
+        )
+
+    pre = events.map_batches(partial, batch_format="pyarrow")
+
+    def ffill(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # cross-block argmax per (user, day): same sort + keep-last
+        t = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("day", "ascending"),
+                ("us", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        is_last = np.concatenate(((u[1:] != u[:-1]) | (d[1:] != d[:-1]), [True]))
+        u, d, v = u[is_last], d[is_last], v[is_last]
+        m = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [m]))
+        # forward fill: each observed day's value repeats until the next
+        # observed day (the user's last day repeats once)
+        next_day = np.empty(m, dtype=np.int64)
+        next_day[:-1] = d[1:]
+        grp_last = ends - 1
+        next_day[grp_last] = d[grp_last] + 1
+        reps = next_day - d
+        out_u = np.repeat(u, reps)
+        out_v = np.repeat(v, reps)
+        total = int(reps.sum())
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        out_day = np.repeat(d, reps) + (np.arange(total) - np.repeat(offs, reps))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u),
+                "day": pa.array(out_day),
+                "value_cents": pa.array(out_v),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", ffill, batch_format="pyarrow").select_columns(
+        ["user_id", "day", "value_cents"]
+    )
+
+
+USER_DAYS_LOCF_SQL = f"""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day, ts, event_id,
+         CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL
+),
+lastv AS (
+  SELECT user_id, day, v FROM (
+    SELECT user_id, day, v,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM pts
+  ) WHERE rn = 1
+),
+span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM pts GROUP BY 1),
+dense AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span),
+joined AS (
+  SELECT d.user_id, d.day, l.v
+  FROM dense d LEFT JOIN lastv l USING (user_id, day)
+)
+SELECT user_id, day,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_cents
+FROM joined
 """
 
 

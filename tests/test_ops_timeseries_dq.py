@@ -187,3 +187,96 @@ class TestOrphanAudit:
         row = out.loc["lineitem.l_orderkey->orders"]
         assert row.orphan_rows == 3 and row.orphan_keys == 1
         assert out.loc["orders.o_custkey->customer"].orphan_rows == 0
+
+
+class TestLocf:
+    def test_argmax_and_forward_fill(self, tmp_path, ray_session):
+        """Two events on the same day -> the LATER one's value wins; gap
+        days carry the last value forward; the series ends at the user's
+        last active day."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, base + dt.timedelta(hours=1), 1, 2.00),   # day 0 early
+            (1, base + dt.timedelta(hours=9), 1, 5.00),   # day 0 late: wins
+            (2, base + dt.timedelta(days=3), 1, 7.50),    # day 3
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([r[3] for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        from ocr_ray.ops.timeseries import user_days_locf
+
+        out = user_days_locf(str(tmp_path)).to_pandas().sort_values("day")
+        assert out.value_cents.tolist() == [500, 500, 500, 750]
+
+    def test_same_ts_event_id_breaks_tie(self, tmp_path, ray_session):
+        """Identical ts on one day -> higher event_id wins (the SQL ORDER BY
+        ts DESC, event_id DESC tiebreak)."""
+        import datetime as dt
+
+        ts = dt.datetime(2024, 1, 1, 12)
+        t = pa.table(
+            {
+                "event_id": pa.array([5, 9], pa.int64()),
+                "ts": pa.array([ts, ts], pa.timestamp("us")),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["view", "view"]),
+                "value": pa.array([1.00, 3.00]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        from ocr_ray.ops.timeseries import user_days_locf
+
+        out = user_days_locf(str(tmp_path)).to_pandas()
+        assert out.value_cents.tolist() == [300]
+
+
+class TestIncrementalAgg:
+    def test_merge_equals_recompute_any_split(self):
+        """Folding shard states in ANY grouping/order must equal the one-pass
+        aggregate — the mergeability contract."""
+        import numpy as np
+        import pandas as pd
+
+        from ocr_ray.ops.incremental import merge_states
+
+        rng = np.random.RandomState(7)
+        full = pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 200),
+                "c": rng.randint(-1000, 1000, 200).astype(np.int64),
+            }
+        )
+        want = (
+            full.groupby("k", as_index=False)
+            .agg(n=("c", "count"), s=("c", "sum"), mn=("c", "min"), mx=("c", "max"))
+            .astype({"n": np.int64})
+        )
+        # three shards, merged in two different orders
+        shards = [full.iloc[:50], full.iloc[50:51], full.iloc[51:]]
+        states = [
+            s.groupby("k", as_index=False).agg(
+                n=("c", "count"), s=("c", "sum"), mn=("c", "min"), mx=("c", "max")
+            )
+            for s in shards
+        ]
+        for order in ([0, 1, 2], [2, 0, 1]):
+            got = merge_states(
+                pd.concat([states[i] for i in order], ignore_index=True), "k"
+            ).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got,
+                want.sort_values("k").reset_index(drop=True).astype(
+                    {"n": np.int64, "s": np.int64, "mn": np.int64, "mx": np.int64}
+                ),
+            )
