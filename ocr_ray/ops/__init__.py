@@ -32,6 +32,9 @@ from ocr_ray.ops.corpus import (
     CAP_PER_SOURCE_SQL,
     CHUNK_DOCS_SQL,
     DECONTAMINATE_SQL,
+    EXPLODE_DOC_WORDS_SQL,
+    explode_doc_words,
+    order_quantiles_sketch,
     DOC_TOP_TERMS_SQL,
     MIXTURE_SAMPLE_SQL,
     ORDER_QUANTILES_SQL,
@@ -63,10 +66,12 @@ from ocr_ray.ops.mlprep import (
     EVENTS_GLOBAL_RANK_SQL,
     SPLIT_TRAIN_TEST_SQL,
     STRATIFIED_SAMPLE_SQL,
+    WEIGHTED_SAMPLE_ORDERS_SQL,
     bloom_semi_events,
     events_global_rank,
     split_train_test,
     stratified_sample_docs,
+    weighted_sample_orders,
 )
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
@@ -147,6 +152,9 @@ REGISTRY: dict[str, tuple] = {
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
+    "order_quantiles_sketch": (order_quantiles_sketch, None),  # approx; exact sibling gated
+    "explode_doc_words": (explode_doc_words, EXPLODE_DOC_WORDS_SQL),
+    "weighted_sample_orders": (weighted_sample_orders, WEIGHTED_SAMPLE_ORDERS_SQL),
     "split_train_test": (split_train_test, SPLIT_TRAIN_TEST_SQL),
     "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
     "bloom_semi_events": (bloom_semi_events, BLOOM_SEMI_EVENTS_SQL),

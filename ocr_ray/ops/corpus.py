@@ -46,6 +46,7 @@ import hashlib
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -1003,3 +1004,103 @@ def _quality_gated_sql() -> str:
     from ocr_ray.ops.textstats import _STOPWORDS, _sql_str_set
 
     return QUALITY_GATED_DOCS_SQL.format(stopwords=_sql_str_set(_STOPWORDS["en"]))
+
+
+# ---------------------------------------------------------------------------
+# word explode (the gated flat_map / UNNEST operator class)
+# ---------------------------------------------------------------------------
+
+
+def explode_doc_words(sf_dir: str) -> "Dataset":
+    """One output row per token of every document — the explode / UNNEST
+    primitive (the relational face of the sheet-sink block explode,
+    save-to-google-sheet.ts:199-215, which is gated only via pytest because
+    extraction isn't SQL; THIS explode runs over a real table so the driver
+    can gate the operator class itself).
+
+    Embarrassingly parallel: ``pc.split_pattern`` + ``list_flatten`` with a
+    ``np.repeat`` of the parent key by list length — no Python loop, no
+    shuffle. Multiset row parity with the DuckDB ``unnest(string_split())``
+    oracle (both sides preserve duplicates; the gate's sorted-values hash is
+    order independent)."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))  # unnest(NULL) -> 0 rows
+        parts = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        flat = pc.list_flatten(parts)
+        return pa.table({"doc_id": pa.array(ids), "word": flat})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+EXPLODE_DOC_WORDS_SQL = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS word
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (approximate sibling of order_quantiles)
+# ---------------------------------------------------------------------------
+
+# 16 sub-bins per octave: relative bin width 2^(1/16)-1 ~ 4.4%, so any
+# reported quantile is within ~4.4% of the exact one (pytest-probed vs the
+# exact sibling). 64 octaves x 16 = 1024 registers regardless of row count.
+_SKETCH_BINS_PER_OCT = 16
+_SKETCH_REGS = 64 * _SKETCH_BINS_PER_OCT
+
+
+def _sketch_bins(cents: np.ndarray) -> np.ndarray:
+    """Log-bin index per value (0 register reserved for zeros)."""
+    b = np.zeros(len(cents), dtype=np.int64)
+    pos = cents > 0
+    b[pos] = 1 + np.minimum(
+        _SKETCH_REGS - 2,
+        (np.log2(cents[pos].astype(np.float64)) * _SKETCH_BINS_PER_OCT).astype(np.int64),
+    )
+    return b
+
+
+def order_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate p25/50/75/90/99 of order cents from a fixed 1024-register
+    log histogram — the mergeable quantile sketch completing the sketch trio
+    (HLL distincts, Count-Min heavy hitters, and now quantiles). One pass,
+    one tiny register vector per block, driver fold; at any scale the
+    shuffle-free sketch path costs O(rows) map + O(1024) merge.
+
+    Ungated (approximate by construction); the EXACT sibling
+    ``order_quantiles`` is driver-gated and the pytest probe bounds this
+    sketch's relative error at the bin width (~4.4%)."""
+    from ocr_ray.functions.scalars import to_cents
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        regs = np.bincount(_sketch_bins(c), minlength=_SKETCH_REGS).astype(np.int64)
+        return pa.table({"reg": pa.array(np.arange(_SKETCH_REGS)), "n": pa.array(regs)})
+
+    regs = np.zeros(_SKETCH_REGS, dtype=np.int64)
+    for b in orders.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        regs[b["reg"].to_numpy()] += b["n"].to_numpy()
+    n = int(regs.sum())
+    cum = np.cumsum(regs)
+    out_q, out_est = [], []
+    for q_bp in _QUANTILES_BP:
+        k = max(1, (q_bp * n + 9_999) // 10_000)
+        reg = int(np.searchsorted(cum, k))
+        # bin midpoint in log space: 2^((reg-1+0.5)/16), register 0 is zero
+        est = 0 if reg == 0 else int(round(2 ** ((reg - 1 + 0.5) / _SKETCH_BINS_PER_OCT)))
+        out_q.append(q_bp)
+        out_est.append(est)
+    return pd.DataFrame(
+        {"q_bp": np.array(out_q, np.int64), "cents_est": np.array(out_est, np.int64)}
+    )

@@ -370,3 +370,63 @@ SELECT event_id,
        CAST(row_number() OVER (ORDER BY ts ASC NULLS LAST, event_id) AS BIGINT) AS ts_rank
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted (probability-proportional-to-size) sample
+# ---------------------------------------------------------------------------
+
+# inclusion probability p = min(1, cents / 2^26): every order's keep/drop is
+# a pure function of its key and weight (rerun-stable, shard-order-free, and
+# the SQL oracle computes the identical predicate). Comparing the 48-bit
+# md5 prefix against cents << 22 keeps the whole test in exact int64.
+_W_SHIFT = 22  # 2^48 / 2^26
+
+
+def _md5_u48(ids) -> np.ndarray:
+    """First 48 bits of md5 of each id's decimal form (as int64)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(i).encode("ascii")).digest()[:6], "big")
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def weighted_sample_orders(sf_dir: str) -> Dataset:
+    """Bernoulli sample of orders with inclusion probability proportional to
+    the order total (capped at 1) — the weighted/importance sampler of a
+    data-mixture pipeline, with NO RNG state: the coin is the md5 prefix of
+    the key, so any worker, rerun, or the SQL oracle draws the same sample.
+
+    Embarrassingly parallel (one vectorized predicate per batch, no
+    shuffle); at 10^12 rows the sampled fraction streams straight to the
+    sink."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ocr_ray.functions.scalars import to_cents
+
+        k = t.column("o_orderkey").to_pylist()
+        cents = to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        u48 = _md5_u48(k)
+        mask = u48 < (cents << _W_SHIFT)
+        t = t.filter(pa.array(mask))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": pa.array(cents[mask]),
+            }
+        )
+
+    return orders.map_batches(keep, batch_format="pyarrow")
+
+
+WEIGHTED_SAMPLE_ORDERS_SQL = f"""
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+      < CAST(ROUND(o_totalprice*100) AS BIGINT) * {1 << _W_SHIFT}
+"""

@@ -280,3 +280,104 @@ class TestIncrementalAgg:
                     {"n": np.int64, "s": np.int64, "mn": np.int64, "mx": np.int64}
                 ),
             )
+
+
+class TestWeightedSample:
+    def test_big_orders_always_kept(self, tmp_path, ray_session):
+        """cents >= 2^26 means p = 1: those rows MUST all survive; tiny
+        weights must be (almost) all dropped."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import datetime as dt
+
+        n = 500
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                # half huge (p=1), half one cent (p ~ 2^-26)
+                "o_totalprice": pa.array(
+                    [700000.0] * (n // 2) + [0.01] * (n - n // 2)
+                ),
+                "o_orderdate": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        )
+        pq.write_table(t, tmp_path / "orders.parquet")
+        from ocr_ray.ops.mlprep import weighted_sample_orders
+
+        out = weighted_sample_orders(str(tmp_path)).to_pandas()
+        big = out[out.o_orderkey < n // 2]
+        small = out[out.o_orderkey >= n // 2]
+        assert len(big) == n // 2  # capped p=1: all kept
+        assert len(small) == 0  # p ~ 1.5e-8: none kept at this n
+
+    def test_rate_tracks_weight(self, ray_session):
+        """Across the real fixture, the empirical keep rate of the heavier
+        half must exceed the lighter half's (proportionality smoke)."""
+        import duckdb
+
+        SF2 = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF2}/orders.parquet')"
+        )
+        med = con.sql("SELECT median(o_totalprice) FROM orders").fetchone()[0]
+        from ocr_ray.ops.mlprep import weighted_sample_orders
+
+        out = weighted_sample_orders(SF2).to_pandas()
+        n_hi_all = con.sql(f"SELECT count(*) FROM orders WHERE o_totalprice >= {med}").fetchone()[0]
+        n_lo_all = con.sql(f"SELECT count(*) FROM orders WHERE o_totalprice < {med}").fetchone()[0]
+        hi_rate = (out.total_cents >= med * 100).sum() / n_hi_all
+        lo_rate = (out.total_cents < med * 100).sum() / n_lo_all
+        assert hi_rate > lo_rate
+
+
+class TestQuantileSketch:
+    def test_error_bounded_by_bin_width(self, ray_session):
+        """Sketch quantiles must sit within the log-bin width (~4.4%) of the
+        exact sibling at every probed quantile."""
+        from ocr_ray.ops.corpus import order_quantiles, order_quantiles_sketch
+
+        SF2 = "/root/testdata/sf0.001"
+        exact = order_quantiles(SF2).to_pandas().set_index("q_bp")["cents"]
+        sk = order_quantiles_sketch(SF2).set_index("q_bp")["cents_est"]
+        rel = ((sk - exact).abs() / exact).max()
+        assert rel < 0.05, rel
+
+    def test_register_merge_is_order_free(self):
+        """bincount partials summed in any order give the same registers."""
+        import numpy as np
+
+        from ocr_ray.ops.corpus import _sketch_bins, _SKETCH_REGS
+
+        rng = np.random.RandomState(3)
+        c = rng.randint(1, 10_000_000, 5000).astype(np.int64)
+        full = np.bincount(_sketch_bins(c), minlength=_SKETCH_REGS)
+        parts = [c[:1000], c[1000:1001], c[1001:]]
+        acc = np.zeros(_SKETCH_REGS, np.int64)
+        for p in reversed(parts):
+            acc += np.bincount(_sketch_bins(p), minlength=_SKETCH_REGS)
+        assert (acc == full).all()
+
+
+class TestExplodeWords:
+    def test_token_count_roundtrip(self, ray_session):
+        """Explode must emit exactly count(' ')+1 rows per doc (single-space
+        corpus invariant) and never reorder doc ids away."""
+        import duckdb
+
+        SF2 = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF2}/documents.parquet')"
+        )
+        from ocr_ray.ops.corpus import explode_doc_words
+
+        out = explode_doc_words(SF2).to_pandas()
+        per_doc = out.groupby("doc_id").size()
+        want = con.sql(
+            "SELECT doc_id, len(text) - len(replace(text, ' ', '')) + 1 AS n FROM documents"
+        ).df().set_index("doc_id")["n"]
+        assert (per_doc.sort_index() == want.sort_index()).all()
