@@ -252,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.simjoin import dedup_cosine_exact_sql
 
         out["dedup_cosine_exact"] = dedup_cosine_exact_sql(_DRIVER_SF)
+        from ocr_ray.ops.ann import embedding_cluster_assign_sql
+
+        out["embedding_cluster_assign"] = embedding_cluster_assign_sql(_DRIVER_SF)
         from ocr_ray.ops.scrub import scrub_docs_sql
 
         out["scrub_docs"] = scrub_docs_sql(_DRIVER_SF)

@@ -19,7 +19,14 @@ incremental mergeable aggregate states: O(delta) refresh == full recompute
 merged into ``__ray_entry__.queries()``.
 """
 
-from ocr_ray.ops.ann import ANN_TOPK_SQL, ann_ivf_topk, ann_lsh_topk, ann_topk
+from ocr_ray.ops.ann import (
+    ANN_TOPK_SQL,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_topk,
+    embedding_cluster_assign,
+    embedding_cluster_assign_sql,
+)
 from ocr_ray.ops.dedup import (
     DEDUP_EXACT_SQL,
     dedup_exact_docs,
@@ -129,6 +136,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_jaccard_exact": (dedup_jaccard_exact, DEDUP_JACCARD_EXACT_SQL),
     "dedup_cosine_exact": (dedup_cosine_exact, None),  # SQL built per-sf: dedup_cosine_exact_sql
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "embedding_cluster_assign": (embedding_cluster_assign, None),  # SQL built per-sf
+
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),

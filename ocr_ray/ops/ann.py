@@ -497,3 +497,106 @@ def recall_at_k(approx_rows: list[dict], exact_rows: list[dict]) -> float:
     if not e:
         return 1.0
     return sum(len(a[q] & s) / len(s) for q, s in e.items()) / len(e)
+
+
+# ---------------------------------------------------------------------------
+# k-means cluster assignment (topic / domain bucketing over embeddings)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_K = 8
+_QSCALE = 1_000_000  # fixed-point quantization for the exact-integer gate
+
+
+_CLUSTER_SAMPLE = 4096
+
+
+def _cluster_centroids_q(sf_dir: str) -> np.ndarray:
+    """Quantized (k, dim) int64 centroid matrix for ``sf_dir``, fit once per
+    process over a bounded head sample with the LOCAL reference k-means
+    (``_kmeans_fit`` — no Ray session needed, so ``oracle_sql()`` can build
+    the mirror SQL cheaply; the distributed combiner ``kmeans_fit_ray`` is
+    the 10^9-row sibling and is parity-tested against this fit). The query
+    path and the SQL oracle must embed the SAME centroids, hence the
+    process-level cache."""
+    if sf_dir in _CLUSTER_CACHE:
+        return _CLUSTER_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).slice(0, _CLUSTER_SAMPLE)
+    x = _emb_matrix(t.column("embedding"))
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.where(norms == 0, 1.0, norms)
+    cent = _kmeans_fit(xn, _CLUSTER_K)
+    cq = np.floor(cent * _QSCALE).astype(np.int64)
+    _CLUSTER_CACHE[sf_dir] = cq
+    return cq
+
+
+_CLUSTER_CACHE: dict = {}
+
+
+def embedding_cluster_assign(sf_dir: str) -> "rd.Dataset":
+    """Assign every embedding to its nearest k-means centroid (cosine) — the
+    topic/domain bucketing step of a mixture pipeline (cluster-balanced
+    sampling, per-topic caps, curriculum grouping).
+
+    The gate-critical trick: both engines score the dot product in EXACT
+    fixed-point — vectors quantized per batch with floor(x * 1e6) (identical
+    IEEE double math in numpy and DuckDB), centroids quantized ONCE and
+    embedded in the generated SQL as integer literals — so argmax is
+    bit-deterministic and reduction-order independent (<= 64 * 1e12 < 2^53;
+    ties break to the lowest cluster id in both engines). Assignment itself
+    is one int64 GEMM per batch against the broadcast centroid matrix."""
+    cq = _cluster_centroids_q(sf_dir)
+    ref = ray.put(cq)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        V = _emb_matrix(t.column("embedding"))
+        Vq = np.floor(V * _QSCALE).astype(np.int64)
+        C = ray.get(ref)
+        scores = Vq @ C.T
+        cl = np.argmax(scores, axis=1).astype(np.int64)  # first max = lowest id
+        return pa.table({"vec_id": t.column("vec_id"), "cluster": pa.array(cl)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_cluster_assign_sql(sf_dir: str) -> str:
+    """DuckDB mirror: the SAME quantized centroids as integer list literals;
+    scores via list_dot_product (exact in double below 2^53), argmax via
+    greatest + first-match CASE (ties to lowest id, like np.argmax)."""
+    cq = _cluster_centroids_q(sf_dir)
+    k = cq.shape[0]
+    lits = [
+        "[" + ",".join(str(int(x)) for x in row) + "]::BIGINT[]" for row in cq
+    ]
+    s_exprs = ",\n       ".join(
+        f"CAST(list_dot_product(vq, {lit}) AS BIGINT) AS s{i}"
+        for i, lit in enumerate(lits)
+    )
+    g = "greatest(" + ", ".join(f"s{i}" for i in range(k)) + ")"
+    case = " ".join(f"WHEN s{i} = g THEN {i}" for i in range(k))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS vq
+  FROM read_parquet('{sf_dir}/embeddings.parquet')
+),
+s AS (
+  SELECT vec_id,
+       {s_exprs}
+  FROM q
+)
+SELECT vec_id, CAST(CASE {case} END AS BIGINT) AS cluster
+FROM (SELECT *, {g} AS g FROM s)
+"""

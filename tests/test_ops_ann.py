@@ -96,3 +96,38 @@ def test_kmeans_fit_ray_matches_local():
     dist = kmeans_fit_ray(sample, 16)
     assert dist.shape == local.shape
     assert np.allclose(dist, local, atol=1e-9)
+
+
+class TestClusterAssign:
+    def test_assignment_is_nearest_centroid(self, ray_session):
+        """Every assigned cluster must maximize the quantized dot product
+        (brute-force recheck), with ties to the lowest cluster id."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.ann import (
+            _cluster_centroids_q,
+            _emb_matrix,
+            _QSCALE,
+            embedding_cluster_assign,
+        )
+
+        got = embedding_cluster_assign(SF).to_pandas().set_index("vec_id")["cluster"]
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        V = _emb_matrix(t.column("embedding"))
+        Vq = np.floor(V * _QSCALE).astype(np.int64)
+        cq = _cluster_centroids_q(SF)
+        want = np.argmax(Vq @ cq.T, axis=1)
+        ids = t.column("vec_id").to_numpy()
+        assert (got.loc[ids].to_numpy() == want).all()
+
+    def test_centroid_fit_is_cached_and_deterministic(self):
+        from ocr_ray.ops.ann import _cluster_centroids_q, _CLUSTER_CACHE
+
+        _CLUSTER_CACHE.clear()
+        a = _cluster_centroids_q(SF)
+        b = _cluster_centroids_q(SF)
+        assert a is b  # process cache: oracle + query embed identical centroids
+        _CLUSTER_CACHE.clear()
+        c = _cluster_centroids_q(SF)
+        assert (a == c).all()  # refit is bit-identical

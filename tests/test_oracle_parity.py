@@ -35,6 +35,9 @@ def _rebind_extract_oracles():
     _SQLS.update(oracle_sqls(SF))
     _SQLS["media_inventory"] = media_inventory_sql(SF)
     _SQLS["dedup_cosine_exact"] = dedup_cosine_exact_sql(SF)
+    from ocr_ray.ops.ann import embedding_cluster_assign_sql
+
+    _SQLS["embedding_cluster_assign"] = embedding_cluster_assign_sql(SF)
     from ocr_ray.ops.scrub import scrub_docs_sql
 
     _SQLS["scrub_docs"] = scrub_docs_sql(SF)
@@ -81,5 +84,10 @@ def test_rows_only_queries_run():
         if name in _SQLS or name.startswith("extract"):
             continue
         res = fn(SF)
-        n = res.num_rows if hasattr(res, "num_rows") else res.count()
+        if hasattr(res, "num_rows"):  # pyarrow.Table
+            n = res.num_rows
+        elif isinstance(res, pd.DataFrame):
+            n = len(res)
+        else:  # ray.data.Dataset
+            n = res.count()
         assert n >= 0
