@@ -96,9 +96,11 @@ from ocr_ray.ops.simjoin import (
 )
 from ocr_ray.ops.dq import (
     DQ_ORPHANS_SQL,
+    EVENTS_ZORDER_SQL,
     ORDERS_KEYSET_PAGE_SQL,
     ORDERS_SNAPSHOT_DIFF_SQL,
     dq_orphans,
+    events_zorder,
     orders_keyset_page,
     orders_snapshot_diff,
 )
@@ -177,6 +179,7 @@ REGISTRY: dict[str, tuple] = {
     "events_ntile": (events_ntile, EVENTS_NTILE_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
+    "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),
     "orders_keyset_page": (orders_keyset_page, ORDERS_KEYSET_PAGE_SQL),
 }
 

@@ -340,3 +340,72 @@ WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1998-01-01 00:00:00', {_CURSOR_KEY
 ORDER BY o_orderdate, o_orderkey
 LIMIT {_PAGE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+# 21 bits per dimension (42-bit z-value): at 2^21 distinct buckets per axis
+# the interleave is exact for this fixture's full key ranges; wider keys
+# would mask to their top bits (locality needs the HIGH bits, masking is the
+# standard Morton truncation). The write path would .sort("zval") before
+# write_partitioned so co-accessed (user, time) ranges land in the same
+# files — the layout step that makes both per-user scans AND time-range
+# scans prune well, where sorting by either single key serves only one.
+_Z_BITS = 21
+
+
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    """Insert a zero bit between every bit of the low 21 bits of ``x``
+    (classic Morton magic-number spreading, fully vectorized)."""
+    v = x.astype(np.uint64) & np.uint64((1 << _Z_BITS) - 1)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def events_zorder(sf_dir: str) -> Dataset:
+    """Morton (z-order) clustering key over (user_id, hour bucket) per event
+    — the multi-dimensional sort key a 100 TB table is laid out by so range
+    scans on EITHER dimension prune files.
+
+    Embarrassingly parallel (five shift-and-mask passes per batch, no
+    shuffle); the SQL oracle mirrors the interleave with a generated exact
+    bit-arithmetic expression. NULL ts takes bucket 0 (documented, mirrored)."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def z(t: pa.Table) -> pa.Table:
+        us = pc.fill_null(t.column("ts").cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (us // 3_600_000_000).astype(np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        zval = (_spread_bits(u) | (_spread_bits(hour) << np.uint64(1))).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"), "zval": pa.array(zval)})
+
+    return events.map_batches(z, batch_format="pyarrow")
+
+
+def _z_sql_interleave(col: str, offset: int) -> str:
+    """Exact SQL mirror of the bit interleave: bit i of ``col`` lands at
+    output bit 2*i + offset."""
+    terms = [
+        f"(({col} >> {i}) & 1) * {1 << (2 * i + offset)}" for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+EVENTS_ZORDER_SQL = f"""
+SELECT event_id,
+       CAST({_z_sql_interleave('(user_id & {umask})', 0)} +
+            {_z_sql_interleave('(hb & {umask})', 1)} AS BIGINT) AS zval
+FROM (
+  SELECT event_id, user_id,
+         CASE WHEN ts IS NULL THEN 0 ELSE epoch_us(ts) // 3600000000 END AS hb
+  FROM events
+)
+""".replace("{umask}", str((1 << _Z_BITS) - 1))

@@ -381,3 +381,80 @@ class TestExplodeWords:
             "SELECT doc_id, len(text) - len(replace(text, ' ', '')) + 1 AS n FROM documents"
         ).df().set_index("doc_id")["n"]
         assert (per_doc.sort_index() == want.sort_index()).all()
+
+
+class TestZOrder:
+    def test_interleave_roundtrip(self):
+        """De-interleaving zval must recover (user bits, hour bits) exactly
+        for the full 21-bit range — the property file-range pruning rests on."""
+        import numpy as np
+
+        from ocr_ray.ops.dq import _spread_bits, _Z_BITS
+
+        rng = np.random.RandomState(11)
+        u = rng.randint(0, 1 << _Z_BITS, 2000).astype(np.int64)
+        h = rng.randint(0, 1 << _Z_BITS, 2000).astype(np.int64)
+        z = _spread_bits(u) | (_spread_bits(h) << np.uint64(1))
+
+        def unspread(v):
+            v = v & np.uint64(0x5555555555555555)
+            v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+            v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+            v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+            v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+            return v.astype(np.int64)
+
+        assert (unspread(z) == u).all()
+        assert (unspread(z >> np.uint64(1)) == h).all()
+
+    def test_locality_beats_single_key_sort(self, tmp_path, ray_session):
+        """The layout claim, measured on a dense (64 users x 64 hours) grid:
+        cut the z-sorted table into 16 equal file ranges — a user-range box
+        (all hours) must touch FEWER files than under a pure hour sort, and
+        an hour-range box must still prune (the two-dimensional win a single
+        sort key cannot give)."""
+        import datetime as dt
+
+        import numpy as np
+
+        from ocr_ray.ops.dq import events_zorder
+
+        side = 64
+        base = dt.datetime(2024, 1, 1)
+        uu, hh = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+        uu, hh = uu.ravel(), hh.ravel()
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(side * side), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(hours=int(h)) for h in hh], pa.timestamp("us")
+                ),
+                "user_id": pa.array(uu.astype(np.int64)),
+                "event_type": pa.array(["view"] * (side * side)),
+                "value": pa.array([1.0] * (side * side)),
+                "props": pa.array(["{}"] * (side * side)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        z = (
+            events_zorder(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")["zval"]
+            .to_numpy()
+        )
+        n, files = side * side, 16
+
+        def files_touched(order, box):
+            fid = np.empty(n, np.int64)
+            fid[np.argsort(order, kind="stable")] = np.arange(n) * files // n
+            return len(np.unique(fid[box]))
+
+        user_box = (uu >= 8) & (uu < 16)  # one user stripe, all hours
+        hour_box = (hh >= 8) & (hh < 16)  # one hour stripe, all users
+        # pure hour sort: the user box touches every file
+        assert files_touched(hh, user_box) == files
+        # z-order: the same box touches a strict subset
+        assert files_touched(z, user_box) < files
+        # and the hour box still prunes under z-order
+        assert files_touched(z, hour_box) < files
