@@ -54,6 +54,12 @@ QUERY_NAMES = [
     "inverted_index",
     "bm25_topk",
     "events_global_rank",
+    "user_days_locf",
+    "nation_orders_incremental",
+    "explode_doc_words",
+    "weighted_sample_orders",
+    "embedding_cluster_assign",
+    "events_zorder",
 ]
 
 
