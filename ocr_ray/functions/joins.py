@@ -48,8 +48,13 @@ def broadcast_join(
     frame — no actor pool, no per-batch re-ship."""
     if isinstance(small, pa.Table):
         small = small.to_pandas()
-    ref = ray.put(small)
     r_on = right_on or left_on
+    # SQL join semantics: NULL never matches NULL — but pandas merge treats
+    # NaN keys as EQUAL. Dropping null keys from the small side restores
+    # three-valued behavior for every `how` (a null-key big-side row then
+    # matches nothing, and still survives a left join).
+    small = small[small[r_on].notna()]
+    ref = ray.put(small)
 
     def merge(batch: pd.DataFrame, _ref=ref, _l=left_on, _r=r_on, _how=how) -> pd.DataFrame:
         key = _ref.hex()

@@ -1029,12 +1029,12 @@ def explode_doc_words(sf_dir: str) -> "Dataset":
         t = t.filter(pc.is_valid(t.column("text")))  # unnest(NULL) -> 0 rows
         parts = pc.split_pattern(t.column("text"), " ")
         lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-        ids = np.repeat(
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-            lens.astype(np.int64),
-        )
+        # repeat row INDICES and take, so a NULL doc_id survives as NULL
+        # with its int64 type intact (numpy repeat would float-promote it)
+        idx = np.repeat(np.arange(t.num_rows), lens.astype(np.int64))
+        ids = t.column("doc_id").take(pa.array(idx))
         flat = pc.list_flatten(parts)
-        return pa.table({"doc_id": pa.array(ids), "word": flat})
+        return pa.table({"doc_id": ids, "word": flat})
 
     return docs.map_batches(explode, batch_format="pyarrow")
 

@@ -71,6 +71,10 @@ def _orphan_count(child: Dataset, parent: Dataset, key: str, prime: int):
     )
 
     def census(t: pa.Table) -> pa.Table:
+        # NULL FK is a different audit class (not an orphan): dropped in both
+        # engines — SQL's count(DISTINCT k) would exclude a NULL anyway while
+        # count(*) would not, so keeping them could never match
+        t = t.filter(pc.is_valid(t.column(key)))
         k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         k = np.where(k % prime == 0, -k, k)
         uniq, cnt = np.unique(k, return_counts=True)
@@ -83,7 +87,7 @@ def _orphan_count(child: Dataset, parent: Dataset, key: str, prime: int):
     if psize <= _BROADCAST_JOIN_MAX_BYTES:
         pk = np.concatenate(
             [
-                b.column("pk").to_numpy(zero_copy_only=False)
+                b.column("pk").drop_null().to_numpy(zero_copy_only=False)
                 for b in parent.iter_batches(batch_format="pyarrow")
             ]
             or [np.zeros(0, np.int64)]
@@ -143,11 +147,11 @@ def dq_orphans(sf_dir: str) -> pd.DataFrame:
 
 
 DQ_ORPHANS_SQL = f"""
-WITH c1 AS (SELECT CASE WHEN l_orderkey % {_PERTURB['lineitem_orders']} = 0 THEN -l_orderkey ELSE l_orderkey END AS k FROM lineitem),
+WITH c1 AS (SELECT CASE WHEN l_orderkey % {_PERTURB['lineitem_orders']} = 0 THEN -l_orderkey ELSE l_orderkey END AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
 a1 AS (SELECT count(*) AS n, count(DISTINCT k) AS dk FROM (SELECT k FROM c1 ANTI JOIN orders ON c1.k = orders.o_orderkey)),
-c2 AS (SELECT CASE WHEN o_custkey % {_PERTURB['orders_customer']} = 0 THEN -o_custkey ELSE o_custkey END AS k FROM orders),
+c2 AS (SELECT CASE WHEN o_custkey % {_PERTURB['orders_customer']} = 0 THEN -o_custkey ELSE o_custkey END AS k FROM orders WHERE o_custkey IS NOT NULL),
 a2 AS (SELECT count(*) AS n, count(DISTINCT k) AS dk FROM (SELECT k FROM c2 ANTI JOIN customer ON c2.k = customer.c_custkey)),
-c3 AS (SELECT CASE WHEN user_id % {_PERTURB['events_customer']} = 0 THEN -user_id ELSE user_id END AS k FROM events),
+c3 AS (SELECT CASE WHEN user_id % {_PERTURB['events_customer']} = 0 THEN -user_id ELSE user_id END AS k FROM events WHERE user_id IS NOT NULL),
 a3 AS (SELECT count(*) AS n, count(DISTINCT k) AS dk FROM (SELECT k FROM c3 ANTI JOIN customer ON c3.k = customer.c_custkey))
 SELECT relation, orphan_rows, orphan_keys FROM (VALUES
   ('lineitem.l_orderkey->orders', (SELECT n FROM a1), (SELECT dk FROM a1)),
@@ -190,9 +194,16 @@ def orders_snapshot_diff(sf_dir: str) -> Dataset:
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
 
     def triples(t: pa.Table) -> pa.Table:
+        # NULL keys can't be diffed (no identity); NULL attributes take
+        # fixed sentinels so the digest is total — both mirrored in SQL
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
         k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        status = t.column("o_orderstatus").to_pylist()
-        cents = to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        status = pc.fill_null(t.column("o_orderstatus"), "").to_pylist()
+        cents = (
+            pc.fill_null(to_cents(t.column("o_totalprice")), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         old_h = _row_digest(status, cents)
         # new snapshot, derived in-scan: delete %13, reprice %7, insert -%11
         keep = k % _DEL != 0
@@ -262,9 +273,9 @@ def orders_snapshot_diff(sf_dir: str) -> Dataset:
 
 ORDERS_SNAPSHOT_DIFF_SQL = f"""
 WITH base AS (
-  SELECT o_orderkey AS k, o_orderstatus AS s,
-         CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
-  FROM orders
+  SELECT o_orderkey AS k, COALESCE(o_orderstatus, '') AS s,
+         COALESCE(CAST(ROUND(o_totalprice*100) AS BIGINT), -1) AS c
+  FROM orders WHERE o_orderkey IS NOT NULL
 ),
 old AS (SELECT k, substr(md5(s || '|' || CAST(c AS VARCHAR)), 1, 16) AS h FROM base),
 new AS (
@@ -336,10 +347,15 @@ ORDERS_KEYSET_PAGE_SQL = f"""
 SELECT o_orderkey, o_orderdate,
        CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
 FROM orders
-WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1998-01-01 00:00:00', {_CURSOR_KEY})
+WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+   OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > {_CURSOR_KEY})
 ORDER BY o_orderdate, o_orderkey
 LIMIT {_PAGE_K}
 """
+# NOTE: spelled as an explicit OR, not a row-value comparison — DuckDB's
+# tuple compare is a TOTAL order (NULL sorts last, so a NULL date would
+# match the cursor predicate), while the engine's vectorized compare drops
+# NULLs like three-valued SQL; the OR form has three-valued semantics too.
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +399,11 @@ def events_zorder(sf_dir: str) -> Dataset:
             zero_copy_only=False
         )
         hour = (us // 3_600_000_000).astype(np.int64)
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        u = (
+            pc.fill_null(t.column("user_id"), 0)  # NULL key -> origin cell, mirrored
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         zval = (_spread_bits(u) | (_spread_bits(hour) << np.uint64(1))).astype(np.int64)
         return pa.table({"event_id": t.column("event_id"), "zval": pa.array(zval)})
 
@@ -404,7 +424,7 @@ SELECT event_id,
        CAST({_z_sql_interleave('(user_id & {umask})', 0)} +
             {_z_sql_interleave('(hb & {umask})', 1)} AS BIGINT) AS zval
 FROM (
-  SELECT event_id, user_id,
+  SELECT event_id, COALESCE(user_id, 0) AS user_id,
          CASE WHEN ts IS NULL THEN 0 ELSE epoch_us(ts) // 3600000000 END AS hb
   FROM events
 )

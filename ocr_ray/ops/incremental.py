@@ -99,15 +99,21 @@ def nation_orders_incremental(sf_dir: str) -> pd.DataFrame:
     dimension-sized, ray.put once)."""
     from ocr_ray.functions.joins import broadcast_join
 
-    def with_nation(sf: str, lo_excl, hi_incl) -> Dataset:
+    def with_nation(sf: str, leg: str) -> Dataset:
         orders = rd.read_parquet(
             _pq(sf, "orders"), columns=["o_custkey", "o_totalprice", "o_orderdate"]
         )
 
         def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # the legs must PARTITION the table: delta is the complement of
+            # base (a NULL o_orderdate lands in delta, never nowhere); NULL
+            # prices are excluded in both engines (count parity)
+            t = t.filter(pc.is_valid(t.column("o_totalprice")))
             d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
-            mask = (d >= lo_excl) & (d < hi_incl) if lo_excl is not None else d < hi_incl
-            t = t.filter(pa.array(mask))
+            in_base = d < _CUTOFF  # NaT compares False
+            t = t.filter(pa.array(in_base if leg == "base" else ~in_base))
             return pa.table(
                 {
                     "o_custkey": t.column("o_custkey"),
@@ -123,9 +129,8 @@ def nation_orders_incremental(sf_dir: str) -> pd.DataFrame:
             right_on="c_custkey",
         )
 
-    far_future = np.datetime64("9999-01-01T00:00:00", "us")
-    base = agg_states(with_nation(sf_dir, None, _CUTOFF), "c_nationkey", "cents")
-    delta = agg_states(with_nation(sf_dir, _CUTOFF, far_future), "c_nationkey", "cents")
+    base = agg_states(with_nation(sf_dir, "base"), "c_nationkey", "cents")
+    delta = agg_states(with_nation(sf_dir, "delta"), "c_nationkey", "cents")
     merged = merge_states(pd.concat([base, delta], ignore_index=True), "c_nationkey")
     return merged.rename(
         columns={
@@ -145,5 +150,6 @@ SELECT c.c_nationkey AS nationkey,
        MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_cents,
        MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice IS NOT NULL
 GROUP BY 1
 """

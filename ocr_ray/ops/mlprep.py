@@ -409,6 +409,14 @@ def weighted_sample_orders(sf_dir: str) -> Dataset:
     def keep(t: pa.Table) -> pa.Table:
         from ocr_ray.functions.scalars import to_cents
 
+        # NULL key or NULL weight -> predicate is NULL in SQL (row dropped);
+        # mirror by filtering before the hash
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("o_orderkey")),
+                pc.is_valid(t.column("o_totalprice")),
+            )
+        )
         k = t.column("o_orderkey").to_pylist()
         cents = to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
         u48 = _md5_u48(k)

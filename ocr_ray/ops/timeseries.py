@@ -67,7 +67,12 @@ def user_days_gapfilled(sf_dir: str) -> Dataset:
     events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("ts")))
+        # an entity series needs an entity and a time: NULL user_id or NULL
+        # ts rows are dropped (mirrored in SQL; SQL GROUP BY would otherwise
+        # form a NULL group that its own dense-join could never match)
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id")))
+        )
         us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = us // _US_PER_DAY
         g = (
@@ -125,7 +130,7 @@ def user_days_gapfilled(sf_dir: str) -> Dataset:
 USER_DAYS_GAPFILLED_SQL = f"""
 WITH pts AS (
   SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 counts AS (SELECT user_id, day, count(*) AS n FROM pts GROUP BY 1, 2),
 span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM pts GROUP BY 1),
@@ -159,7 +164,17 @@ def user_days_locf(sf_dir: str) -> Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("ts")))
+        # LOCF needs entity + time + observation: NULL user_id / ts / value
+        # rows are not observations (mirrored in SQL — a NULL v would
+        # otherwise become "the day's last value" that IGNORE NULLS skips)
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id"))
+                ),
+                pc.is_valid(t.column("value")),
+            )
+        )
         us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = us // _US_PER_DAY
         t = t.append_column("day", pa.array(day)).append_column(
@@ -258,7 +273,8 @@ USER_DAYS_LOCF_SQL = f"""
 WITH pts AS (
   SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day, ts, event_id,
          CAST(ROUND(value*100) AS BIGINT) AS v
-  FROM events WHERE ts IS NOT NULL
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
 ),
 lastv AS (
   SELECT user_id, day, v FROM (
@@ -306,8 +322,15 @@ def session_funnel(sf_dir: str) -> pd.DataFrame:
     )
 
     def keep(t: pa.Table) -> pa.Table:
+        # NULL user_id can't convert (mirrored: SQL fv filters it; a NULL
+        # GROUP BY row would otherwise inflate the stage-1 count by one)
         return t.filter(
-            pc.is_in(t.column("event_type"), pa.array(["view", "click", "purchase"]))
+            pc.and_(
+                pc.is_in(
+                    t.column("event_type"), pa.array(["view", "click", "purchase"])
+                ),
+                pc.is_valid(t.column("user_id")),
+            )
         )
 
     pre = events.map_batches(keep, batch_format="pyarrow")
@@ -333,7 +356,8 @@ def session_funnel(sf_dir: str) -> pd.DataFrame:
 
 SESSION_FUNNEL_SQL = """
 WITH fv AS (
-  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
 ),
 fc AS (
   SELECT e.user_id, min(e.ts) AS t
@@ -384,11 +408,12 @@ def events_ntile(sf_dir: str, *, k: int = _NTILE_K) -> Dataset:
 
     def prep(t: pa.Table) -> pa.Table:
         v = pc.fill_null(t.column("value"), np.inf).to_numpy(zero_copy_only=False)
-        bucket = (
-            np.where(np.isinf(v), np.iinfo(np.int64).max, np.floor(v)).astype(np.int64)
-            if len(v)
-            else np.zeros(0, np.int64)
-        )
+        # sentinel assigned in the INT domain: int64-max is not float64-
+        # representable, so routing it through np.where's float result
+        # would overflow the cast and scramble NULL ordering
+        bucket = np.full(len(v), np.iinfo(np.int64).max, dtype=np.int64)
+        finite = np.isfinite(v)
+        bucket[finite] = np.floor(v[finite]).astype(np.int64)
         return pa.table(
             {
                 "event_id": t.column("event_id"),

@@ -1,0 +1,195 @@
+"""Dirty-input parity for the timeseries / dq / mlprep-extension /
+incremental ops: NULL keys, NULL timestamps, NULL measures, and negative
+values must produce EXACTLY what the DuckDB oracle produces (the clean
+fixtures never hit these paths — same sweep the earlier families got)."""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _dirty_dir(tmp_path) -> str:
+    """Events + orders + lineitem + customer + documents with every nasty
+    combination: NULL key with valid ts, NULL ts with valid key, NULL
+    measures, negatives."""
+    d = tmp_path / "sf_dirty"
+    d.mkdir()
+    ts = dt.datetime(2024, 1, 1)
+
+    def day(n, h=0):
+        return ts + dt.timedelta(days=n, hours=h)
+
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "ts": pa.array(
+                [day(0), day(0, 9), None, day(2), day(3), day(1), None, day(4)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, None, 1, 2, None, 2], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "click", "view", "purchase", "view", "view", "click"]
+            ),
+            "value": pa.array([12.5, None, 3.0, -1.0, 0.07, None, 1.0, 499.99]),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    pq.write_table(events, str(d / "events.parquet"))
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([7, 13, 11, None, 5, 97 * 89, 3], pa.int64()),
+            "o_custkey": pa.array([1, None, 2, 1, 89, 1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F", None, "O", "F", "O", "O"]),
+            # key 3: cents 7e7 -> PPS keep-probability 1 (sample never empty)
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, None, 60.0, 700000.0]),
+            "o_orderdate": pa.array(
+                [day(0), None, day(400), day(0), day(0), day(400), day(1)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 7),
+        }
+    )
+    pq.write_table(orders, str(d / "orders.parquet"))
+    lineitem = pa.table(
+        {"l_orderkey": pa.array([7, 7, None, 97, 13], pa.int64())}
+    )
+    pq.write_table(lineitem, str(d / "lineitem.parquet"))
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, None], pa.int64()),
+            "c_nationkey": pa.array([10, 20, 30], pa.int32()),
+        }
+    )
+    pq.write_table(customer, str(d / "customer.parquet"))
+    documents = pa.table(
+        {
+            "doc_id": pa.array([1, None, 3], pa.int64()),
+            "text": pa.array(["a b", "x y z", None]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([3, 5, 0], pa.int64()),
+        }
+    )
+    pq.write_table(documents, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(got, sql, sf_dir, tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.sql(sql).df()
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True).convert_dtypes()
+    w = want.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True).convert_dtypes()
+    assert g.astype(str).values.tolist() == w.astype(str).values.tolist()
+
+
+@pytest.fixture()
+def dirty(tmp_path, ray_session):
+    return _dirty_dir(tmp_path)
+
+
+def test_gapfill_dirty(dirty):
+    """NULL ts and NULL user rows contribute nothing; spans come only from
+    clean observations."""
+    from ocr_ray.ops.timeseries import USER_DAYS_GAPFILLED_SQL, user_days_gapfilled
+
+    got = user_days_gapfilled(dirty).to_pandas()
+    assert set(got.user_id) == {1, 2}
+    _compare(got, USER_DAYS_GAPFILLED_SQL, dirty)
+
+
+def test_locf_dirty(dirty):
+    """A NULL value is not an observation (user 1 day 0: the NULL-value
+    click at 09:00 must NOT override the 00:00 view's 12.50)."""
+    from ocr_ray.ops.timeseries import USER_DAYS_LOCF_SQL, user_days_locf
+
+    got = user_days_locf(dirty).to_pandas()
+    u1 = got[got.user_id == 1].sort_values("day")
+    assert u1.value_cents.tolist()[0] == 1250
+    _compare(got, USER_DAYS_LOCF_SQL, dirty)
+
+
+def test_funnel_dirty(dirty):
+    from ocr_ray.ops.timeseries import SESSION_FUNNEL_SQL, session_funnel
+
+    _compare(session_funnel(dirty), SESSION_FUNNEL_SQL, dirty)
+
+
+def test_ntile_dirty(dirty):
+    """NULL and negative values: NULLS LAST, negatives first."""
+    from ocr_ray.ops.timeseries import EVENTS_NTILE_SQL, events_ntile
+
+    _compare(events_ntile(dirty), EVENTS_NTILE_SQL, dirty)
+
+
+def test_zorder_dirty(dirty):
+    """NULL ts -> bucket 0; NULL user -> origin cell, in both engines."""
+    from ocr_ray.ops.dq import EVENTS_ZORDER_SQL, events_zorder
+
+    _compare(events_zorder(dirty), EVENTS_ZORDER_SQL, dirty)
+
+
+def test_orphans_dirty(dirty):
+    """NULL FKs are not orphans; NULL parent keys match nothing."""
+    from ocr_ray.ops.dq import DQ_ORPHANS_SQL, dq_orphans
+
+    got = dq_orphans(dirty)
+    _compare(got, DQ_ORPHANS_SQL, dirty, tables=("events", "orders", "lineitem", "customer"))
+
+
+def test_snapshot_diff_dirty(dirty):
+    """NULL key rows are undiffable (dropped); NULL status/price take
+    sentinels so updates on other columns still surface."""
+    from ocr_ray.ops.dq import ORDERS_SNAPSHOT_DIFF_SQL, orders_snapshot_diff
+
+    got = orders_snapshot_diff(dirty).to_pandas()
+    _compare(got, ORDERS_SNAPSHOT_DIFF_SQL, dirty, tables=("orders",))
+
+
+def test_keyset_page_dirty(dirty):
+    from ocr_ray.ops.dq import ORDERS_KEYSET_PAGE_SQL, orders_keyset_page
+
+    _compare(orders_keyset_page(dirty), ORDERS_KEYSET_PAGE_SQL, dirty, tables=("orders",))
+
+
+def test_weighted_sample_dirty(dirty):
+    """NULL key / NULL price: the SQL predicate is NULL -> dropped; the
+    engine must drop the same rows, not crash on the hash."""
+    from ocr_ray.ops.mlprep import WEIGHTED_SAMPLE_ORDERS_SQL, weighted_sample_orders
+
+    _compare(
+        weighted_sample_orders(dirty), WEIGHTED_SAMPLE_ORDERS_SQL, dirty, tables=("orders",)
+    )
+
+
+def test_incremental_dirty(dirty):
+    """NULL o_orderdate lands in exactly one leg (delta = complement of
+    base); NULL price rows are excluded from the stats in both engines."""
+    from ocr_ray.ops.incremental import (
+        NATION_ORDERS_INCREMENTAL_SQL,
+        nation_orders_incremental,
+    )
+
+    got = nation_orders_incremental(dirty)
+    _compare(got, NATION_ORDERS_INCREMENTAL_SQL, dirty, tables=("orders", "customer"))
+
+
+def test_explode_words_dirty(dirty):
+    """NULL text -> zero rows; NULL doc_id survives as NULL (not float)."""
+    from ocr_ray.ops.corpus import EXPLODE_DOC_WORDS_SQL, explode_doc_words
+
+    got = explode_doc_words(dirty).to_pandas()
+    assert got.doc_id.isna().sum() == 3  # 'x y z' under the NULL doc id
+    _compare(got, EXPLODE_DOC_WORDS_SQL, dirty, tables=("documents",))
