@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "weighted_sample_orders",
     "embedding_cluster_assign",
     "events_zorder",
+    "user_retention_cohorts",
 ]
 
 

@@ -113,10 +113,12 @@ from ocr_ray.ops.timeseries import (
     SESSION_FUNNEL_SQL,
     USER_DAYS_GAPFILLED_SQL,
     USER_DAYS_LOCF_SQL,
+    USER_RETENTION_COHORTS_SQL,
     events_ntile,
     session_funnel,
     user_days_gapfilled,
     user_days_locf,
+    user_retention_cohorts,
 )
 from ocr_ray.ops.textstats import (
     DOC_FINGERPRINTS_SQL,
@@ -174,6 +176,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "user_days_gapfilled": (user_days_gapfilled, USER_DAYS_GAPFILLED_SQL),
     "user_days_locf": (user_days_locf, USER_DAYS_LOCF_SQL),
+    "user_retention_cohorts": (user_retention_cohorts, USER_RETENTION_COHORTS_SQL),
     "nation_orders_incremental": (nation_orders_incremental, NATION_ORDERS_INCREMENTAL_SQL),
     "session_funnel": (session_funnel, SESSION_FUNNEL_SQL),
     "events_ntile": (events_ntile, EVENTS_NTILE_SQL),

@@ -478,3 +478,97 @@ SELECT event_id,
        CAST(ntile({_NTILE_K}) OVER (ORDER BY value ASC NULLS LAST, event_id) AS BIGINT) AS tile
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Retention matrix: users are cohorted by their FIRST active day;
+    cell (cohort_day, day_offset) counts distinct users of that cohort
+    active again ``offset`` days later — the engagement curve every
+    event-log product reads daily.
+
+    ONE shuffle: the coarse-key grouped scan co-locates each user, so the
+    cohort (min day) and the distinct (cohort, offset) pairs are computed
+    inside the partition in a single vectorized pass; only the deduped
+    per-partition (cohort, offset, n) partials reach the driver (bounded by
+    cohorts x offsets, not users — the size-gated local-solve pattern)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        g = (
+            pa.table({"user_id": t.column("user_id"), "day": pa.array(day)})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        return g
+
+    pre = events.map_batches(partial, batch_format="pyarrow")
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # dedup cross-block (user, day) repeats, then per-user min day and
+        # offsets — all boundary arithmetic on the sorted frame
+        g = t.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
+        g = g.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        m = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [m])))
+        cohort = np.repeat(d[starts], counts)
+        off = d - cohort
+        pairs = (
+            pa.table({"cohort_day": pa.array(cohort), "day_offset": pa.array(off)})
+            .group_by(["cohort_day", "day_offset"])
+            .aggregate([([], "count_all")])
+        )
+        return pairs.rename_columns(["cohort_day", "day_offset", "n"])
+
+    parts = grouped_scan(pre, "user_id", scan, batch_format="pyarrow")
+    frames = [b for b in parts.iter_batches(batch_format="pandas")]
+    if not frames:
+        return pd.DataFrame(
+            {
+                "cohort_day": pd.Series(dtype=np.int64),
+                "day_offset": pd.Series(dtype=np.int64),
+                "users": pd.Series(dtype=np.int64),
+            }
+        )
+    out = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(["cohort_day", "day_offset"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "users"})
+        .astype({"cohort_day": np.int64, "day_offset": np.int64, "users": np.int64})
+    )
+    return out
+
+
+USER_RETENTION_COHORTS_SQL = f"""
+WITH pts AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+coh AS (SELECT user_id, min(day) AS cohort_day FROM pts GROUP BY 1)
+SELECT c.cohort_day, p.day - c.cohort_day AS day_offset, count(*) AS users
+FROM pts p JOIN coh c ON p.user_id = c.user_id
+GROUP BY 1, 2
+"""

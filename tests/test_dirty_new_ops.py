@@ -193,3 +193,53 @@ def test_explode_words_dirty(dirty):
     got = explode_doc_words(dirty).to_pandas()
     assert got.doc_id.isna().sum() == 3  # 'x y z' under the NULL doc id
     _compare(got, EXPLODE_DOC_WORDS_SQL, dirty, tables=("documents",))
+
+
+def test_retention_cohorts_dirty(dirty):
+    """Cohort = first CLEAN observation; NULL ts / NULL user rows shape no
+    cohort; day-0 offset counts every cohort member exactly once."""
+    from ocr_ray.ops.timeseries import (
+        USER_RETENTION_COHORTS_SQL,
+        user_retention_cohorts,
+    )
+
+    got = user_retention_cohorts(dirty)
+    d0 = got[got.day_offset == 0]
+    assert (d0.users >= 1).all()
+    _compare(got, USER_RETENTION_COHORTS_SQL, dirty)
+
+
+def test_retention_cohorts_planted(tmp_path, ray_session):
+    """Planted cohorts: u1,u2 start day 0 (u1 returns day 1 and 3, u2 day 1);
+    u3 starts day 2 and returns day 3 — exact matrix."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0), (1, 1), (1, 3), (2, 0), (2, 1), (2, 1), (3, 2), (3, 3),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(days=d) for _, d in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ocr_ray.ops.timeseries import user_retention_cohorts
+
+    got = user_retention_cohorts(str(tmp_path))
+    cells = {(r.cohort_day, r.day_offset): r.users for r in got.itertuples()}
+    d0 = base.toordinal() - dt.date(1970, 1, 1).toordinal()
+    assert cells == {
+        (d0, 0): 2,      # u1, u2
+        (d0, 1): 2,      # u1, u2 (u2's duplicate day-1 events count once)
+        (d0, 3): 1,      # u1
+        (d0 + 2, 0): 1,  # u3
+        (d0 + 2, 1): 1,  # u3 day 3
+    }
