@@ -238,6 +238,19 @@ def run_bench() -> dict:
         _consume(pack_sequences_over(big))
         qtimes["pack_sequences_100k"] = round(time.monotonic() - t0, 3)
 
+        # timeseries family at volume (1M events, 5k users + one hot user):
+        # one coarse-key shuffle each; the gapfill output is the DENSE series
+        from ocr_ray.ops.timeseries import user_days_gapfilled, user_retention_cohorts
+        from ocr_ray.sources.bigdocs import ensure_bigevents
+
+        ev1m = ensure_bigevents(1_000_000, seed=7)
+        t0 = time.monotonic()
+        _consume(user_days_gapfilled(ev1m))
+        qtimes["gapfill_1m_events"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        _consume(user_retention_cohorts(ev1m))
+        qtimes["retention_1m_events"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "extraction pipeline wall time (transcripts -> extracted, partitioned sink)",

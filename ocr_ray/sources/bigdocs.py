@@ -144,3 +144,79 @@ def ensure_bigvecs(
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# big events (volume fixture for the timeseries/window family)
+# ---------------------------------------------------------------------------
+
+_EV_USERS = 5_000
+_EV_SPAN_DAYS = 60
+_EV_TYPES = np.array(["view", "click", "purchase", "signup", "error"])
+
+
+def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64-style avalanche (pure function of (salt, index))."""
+    z = x.astype(np.uint64) + np.uint64(salt * 0x9E3779B97F4A7C15 & (2**64 - 1))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def event_batch(indices, seed: int) -> pa.Table:
+    """Synthetic event rows: ~uniform users with one HOT user (~1% of all
+    rows land on user 42 — the skew a retention/gapfill plan must survive),
+    60-day span at second resolution, cents-friendly values."""
+    ids = np.asarray(indices, dtype=np.int64)
+    h = _mix64(ids, seed)
+    user = (h % np.uint64(_EV_USERS)).astype(np.int64)
+    user = np.where(h % np.uint64(97) == 0, 42, user)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    sec = ((h >> np.uint64(16)) % np.uint64(_EV_SPAN_DAYS * 86_400)).astype(np.int64)
+    ts = (base_us + sec * 1_000_000).astype("datetime64[us]")
+    value = ((h >> np.uint64(8)) % np.uint64(5_000_000)).astype(np.float64) / 100.0
+    etype = _EV_TYPES[(h % np.uint64(5)).astype(np.int64)]
+    return pa.table(
+        {
+            "event_id": pa.array(ids),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "event_type": pa.array(etype.tolist(), pa.string()),
+            "value": pa.array(value),
+            "props": pa.array(["{}"] * len(ids), pa.string()),
+        }
+    )
+
+
+def ensure_bigevents(
+    n_rows: int, seed: int = 7, root: str = "/dev/shm/ocr_ray_fixtures"
+) -> str:
+    """Cached events fixture dir whose layout matches the sf dirs
+    (``<out>/events.parquet/`` holds the part files), so every events-table
+    operator runs on it unchanged."""
+    out = os.path.join(root, f"bigevents_s{seed}_n{n_rows}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    import ray.data as rd
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "events.parquet"), exist_ok=True)
+    n_blocks = max(4, min(n_rows // 50_000, 256))
+    (
+        rd.range(n_rows, override_num_blocks=n_blocks)
+        .map_batches(
+            lambda b, s=seed: event_batch(b["id"], s),
+            batch_format="numpy",
+            batch_size=65536,
+        )
+        .write_parquet(os.path.join(tmp, "events.parquet"))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
