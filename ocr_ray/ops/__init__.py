@@ -114,7 +114,9 @@ from ocr_ray.ops.timeseries import (
     USER_DAYS_GAPFILLED_SQL,
     USER_DAYS_LOCF_SQL,
     USER_RETENTION_COHORTS_SQL,
+    EVENTS_NTILE_BY_TYPE_SQL,
     events_ntile,
+    events_ntile_by_type,
     session_funnel,
     user_days_gapfilled,
     user_days_locf,
@@ -180,6 +182,7 @@ REGISTRY: dict[str, tuple] = {
     "nation_orders_incremental": (nation_orders_incremental, NATION_ORDERS_INCREMENTAL_SQL),
     "session_funnel": (session_funnel, SESSION_FUNNEL_SQL),
     "events_ntile": (events_ntile, EVENTS_NTILE_SQL),
+    "events_ntile_by_type": (events_ntile_by_type, EVENTS_NTILE_BY_TYPE_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),

@@ -572,3 +572,134 @@ SELECT c.cohort_day, p.day - c.cohort_day AS day_offset, count(*) AS users
 FROM pts p JOIN coh c ON p.user_id = c.user_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# partitioned NTILE (NTILE(k) OVER (PARTITION BY ... ORDER BY ...))
+# ---------------------------------------------------------------------------
+
+
+def events_ntile_by_type(sf_dir: str, *, k: int = _NTILE_K) -> Dataset:
+    """Equal-frequency bins WITHIN each event_type — the partitioned-window
+    form of ``events_ntile`` (per-segment curriculum bands).
+
+    Same bucket-histogram plan with a two-level key: the census counts
+    (type, bucket) cells, the driver derives per-type totals and exclusive
+    offsets (one int per distinct cell — bounded by types x value buckets,
+    not rows), and each co-located (type, bucket) run ranks locally. No
+    global or per-type sort node."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.fill_null(t.column("value"), np.inf).to_numpy(zero_copy_only=False)
+        bucket = np.full(len(v), np.iinfo(np.int64).max, dtype=np.int64)
+        finite = np.isfinite(v)
+        bucket[finite] = np.floor(v[finite]).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "etype": pc.fill_null(t.column("event_type"), ""),
+                "value": pa.array(v),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def census(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["etype", "bucket"])
+            .group_by(["etype", "bucket"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["etype", "bucket", "n"])
+
+    frames = [
+        f
+        for f in pre.map_batches(census, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    hist = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(["etype", "bucket"], sort=True)["n"]
+        .sum()
+        .reset_index()
+        if frames
+        else pd.DataFrame({"etype": [], "bucket": [], "n": []})
+    )
+    # exclusive offsets within each type + per-type totals
+    hist["off"] = hist.groupby("etype")["n"].cumsum() - hist["n"]
+    offsets = {
+        (r.etype, int(r.bucket)): int(r.off) for r in hist.itertuples()
+    }
+    totals = hist.groupby("etype")["n"].sum().astype(int).to_dict()
+    ref = ray.put((offsets, totals))
+
+    def tile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "tile": pa.array([], pa.int64())}
+            )
+        t = t.sort_by(
+            [
+                ("etype", "ascending"),
+                ("bucket", "ascending"),
+                ("value", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        offs, tots = ray.get(ref)
+        et = t.column("etype").to_pylist()
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        new_run = np.ones(n, dtype=bool)
+        etype_changed = np.array(
+            [et[i] != et[i - 1] for i in range(1, n)], dtype=bool
+        )
+        new_run[1:] = (b[1:] != b[:-1]) | etype_changed
+        starts = np.flatnonzero(new_run)
+        span = np.diff(np.concatenate((starts, [n])))
+        base = np.array([offs[(et[s], int(b[s]))] for s in starts], dtype=np.int64)
+        rank = np.repeat(base, span) + (np.arange(n) - np.repeat(starts, span)) + 1
+        out = np.empty(n, dtype=np.int64)
+        # per-type closed form (types are contiguous after the sort)
+        tstarts = np.flatnonzero(
+            np.concatenate((np.ones(1, dtype=bool), etype_changed))
+        )
+        tspan = np.diff(np.concatenate((tstarts, [n])))
+        for s, ln in zip(tstarts, tspan):
+            out[s : s + ln] = _ntile_of_rank(rank[s : s + ln], tots[et[s]], k)
+        return pa.table(
+            {"event_id": t.column("event_id"), "tile": pa.array(out)}
+        )
+
+    # co-locate complete (etype, bucket) cells: partition on the pair key
+    def add_pair(t: pa.Table) -> pa.Table:
+        pairs = [
+            f"{e}|{v}"
+            for e, v in zip(
+                t.column("etype").to_pylist(),
+                t.column("bucket").to_numpy(zero_copy_only=False),
+            )
+        ]
+        return t.append_column("pairkey", pa.array(pairs, pa.string()))
+
+    return grouped_scan(
+        pre.map_batches(add_pair, batch_format="pyarrow"), "pairkey", tile,
+        batch_format="pyarrow",
+    ).select_columns(["event_id", "tile"])
+
+
+EVENTS_NTILE_BY_TYPE_SQL = f"""
+SELECT event_id,
+       CAST(ntile({_NTILE_K}) OVER (
+         PARTITION BY COALESCE(event_type, '')
+         ORDER BY value ASC NULLS LAST, event_id
+       ) AS BIGINT) AS tile
+FROM events
+"""

@@ -243,3 +243,14 @@ def test_retention_cohorts_planted(tmp_path, ray_session):
         (d0 + 2, 0): 1,  # u3
         (d0 + 2, 1): 1,  # u3 day 3
     }
+
+
+def test_ntile_by_type_dirty(dirty):
+    """Partitioned NTILE: NULL event_type forms its own partition (coalesced
+    to '' in both engines); NULL values sort last within each partition."""
+    from ocr_ray.ops.timeseries import (
+        EVENTS_NTILE_BY_TYPE_SQL,
+        events_ntile_by_type,
+    )
+
+    _compare(events_ntile_by_type(dirty), EVENTS_NTILE_BY_TYPE_SQL, dirty)
