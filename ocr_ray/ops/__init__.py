@@ -114,9 +114,11 @@ from ocr_ray.ops.timeseries import (
     USER_DAYS_GAPFILLED_SQL,
     USER_DAYS_LOCF_SQL,
     USER_RETENTION_COHORTS_SQL,
+    USER_TRAILING_HOUR_SPEND_SQL,
     EVENTS_NTILE_BY_TYPE_SQL,
     events_ntile,
     events_ntile_by_type,
+    user_trailing_hour_spend,
     session_funnel,
     user_days_gapfilled,
     user_days_locf,
@@ -183,6 +185,7 @@ REGISTRY: dict[str, tuple] = {
     "session_funnel": (session_funnel, SESSION_FUNNEL_SQL),
     "events_ntile": (events_ntile, EVENTS_NTILE_SQL),
     "events_ntile_by_type": (events_ntile_by_type, EVENTS_NTILE_BY_TYPE_SQL),
+    "user_trailing_hour_spend": (user_trailing_hour_spend, USER_TRAILING_HOUR_SPEND_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),

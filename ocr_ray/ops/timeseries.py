@@ -703,3 +703,95 @@ SELECT event_id,
        ) AS BIGINT) AS tile
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# time-based RANGE window (trailing interval sum)
+# ---------------------------------------------------------------------------
+
+_TRAIL_US = 3_600_000_000  # 1 hour
+
+
+def user_trailing_hour_spend(sf_dir: str) -> Dataset:
+    """Per event: the user's total spend in the trailing ONE HOUR (a RANGE
+    interval frame — the time-based sibling of the ROWS-frame
+    ``user_rolling_spend``; rate limits, velocity features, fraud windows).
+
+    Per co-located user segment: one prefix-sum + two vectorized
+    ``searchsorted`` calls (needles = the whole segment) give every row's
+    frame ends, including the RANGE peer rule (equal-ts rows share a frame
+    end). Python cost is per SEGMENT, not per row. Rows lacking entity,
+    time, or value are excluded up front (mirrored in SQL)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id"))
+                ),
+                pc.is_valid(t.column("value")),
+            )
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "v": to_cents(t.column("value")),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def trail(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "trail_cents": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("us").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        out = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            pref = np.concatenate(([0], np.cumsum(v[s:e])))
+            lo = np.searchsorted(seg, seg - _TRAIL_US, side="left")
+            hi = np.searchsorted(seg, seg, side="right")  # include equal-ts peers
+            out[s:e] = pref[hi] - pref[lo]
+        return pa.table(
+            {"event_id": t.column("event_id"), "trail_cents": pa.array(out)}
+        )
+
+    return grouped_scan(pre, "user_id", trail, batch_format="pyarrow").select_columns(
+        ["event_id", "trail_cents"]
+    )
+
+
+USER_TRAILING_HOUR_SPEND_SQL = """
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_id,
+       CAST(SUM(v) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trail_cents
+FROM pts
+"""

@@ -254,3 +254,53 @@ def test_ntile_by_type_dirty(dirty):
     )
 
     _compare(events_ntile_by_type(dirty), EVENTS_NTILE_BY_TYPE_SQL, dirty)
+
+
+def test_trailing_hour_spend_dirty(dirty):
+    """RANGE frame with dirty rows: non-observations excluded up front in
+    both engines."""
+    from ocr_ray.ops.timeseries import (
+        USER_TRAILING_HOUR_SPEND_SQL,
+        user_trailing_hour_spend,
+    )
+
+    _compare(user_trailing_hour_spend(dirty), USER_TRAILING_HOUR_SPEND_SQL, dirty)
+
+
+def test_trailing_hour_peers_and_boundary(tmp_path, ray_session):
+    """RANGE semantics the fixture never isolates: equal-ts rows are PEERS
+    (both include both), and an event exactly 1h earlier IS in the frame
+    (inclusive bound) while 1h+1us is not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(hours=1, microseconds=1), 1.00),  # outside
+        (2, base - dt.timedelta(hours=1), 2.00),                  # inclusive edge
+        (3, base, 4.00),                                          # peer A
+        (4, base, 8.00),                                          # peer B
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["purchase"] * 4),
+            "value": pa.array([r[2] for r in rows]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ocr_ray.ops.timeseries import user_trailing_hour_spend
+
+    out = (
+        user_trailing_hour_spend(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")["trail_cents"]
+    )
+    assert out[1] == 100  # first event: only itself
+    assert out[2] == 300  # e1 is 1us before e2 -> inside e2's trailing hour
+    # e3/e4's frame: e2 sits exactly 1h earlier (inclusive) + both peers;
+    # e1 is 1h+1us earlier -> excluded
+    assert out[3] == 200 + 400 + 800
+    assert out[4] == out[3]  # equal-ts rows are peers and share the frame
