@@ -61,6 +61,10 @@ QUERY_NAMES = [
     "embedding_cluster_assign",
     "events_zorder",
     "user_retention_cohorts",
+    "q5_supplier_volume",
+    "user_top_event_type",
+    "overlapping_order_windows",
+    "user_trailing_hour_spend",
 ]
 
 

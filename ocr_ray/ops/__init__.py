@@ -115,6 +115,8 @@ from ocr_ray.ops.timeseries import (
     USER_DAYS_LOCF_SQL,
     USER_RETENTION_COHORTS_SQL,
     USER_TRAILING_HOUR_SPEND_SQL,
+    OVERLAPPING_ORDER_WINDOWS_SQL,
+    overlapping_order_windows,
     EVENTS_NTILE_BY_TYPE_SQL,
     events_ntile,
     events_ntile_by_type,
@@ -186,6 +188,7 @@ REGISTRY: dict[str, tuple] = {
     "events_ntile": (events_ntile, EVENTS_NTILE_SQL),
     "events_ntile_by_type": (events_ntile_by_type, EVENTS_NTILE_BY_TYPE_SQL),
     "user_trailing_hour_spend": (user_trailing_hour_spend, USER_TRAILING_HOUR_SPEND_SQL),
+    "overlapping_order_windows": (overlapping_order_windows, OVERLAPPING_ORDER_WINDOWS_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),

@@ -392,3 +392,110 @@ GROUP BY o_orderpriority, status
 """
 
 REGISTRY["orders_unpivot"] = (orders_unpivot, ORDERS_UNPIVOT_SQL)
+
+
+def custs_finished_only(sf_dir: str) -> Dataset:
+    """Customer keys with a finished ('F') order but NO open ('O') order
+    (EXCEPT — the set-difference sibling of ``click_and_purchase_users``;
+    the churn/completion audit shape).
+
+    Same tag-union plan: dedup (custkey, tag) per batch, one
+    groupby(custkey) keeping Max(tag)=0 (tag 1 = open order seen). The
+    shuffle moves distinct pairs; no driver sets at any cardinality."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        st = t.column("o_orderstatus")
+        keep = pc.and_(
+            pc.or_(pc.equal(st, "F"), pc.equal(st, "O")),
+            pc.is_valid(t.column("o_custkey")),
+        )
+        t = t.filter(keep)
+        tags = pc.cast(pc.equal(t.column("o_orderstatus"), "O"), pa.int64())
+        return (
+            pa.table({"o_custkey": t.column("o_custkey"), "tag": tags})
+            .group_by(["o_custkey", "tag"])
+            .aggregate([])
+        )
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+    f_only = (
+        tagged.groupby("o_custkey")
+        .aggregate(Max("tag", alias_name="hi"))
+        .filter(expr="hi == 0")
+    )
+    out = f_only.map_batches(
+        lambda t: pa.table({"o_custkey": t.column("o_custkey")}), batch_format="pyarrow"
+    )
+    # a legitimately-empty difference yields ZERO blocks in Ray 2.49 (empty
+    # hash-aggregate partitions are dropped) and schema() would be None —
+    # union one typed 0-row block; costs nothing when non-empty.
+    empty = rd.from_arrow(pa.schema([("o_custkey", pa.int64())]).empty_table())
+    return out.union(empty)
+
+
+CUSTS_FINISHED_ONLY_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
+"""
+
+REGISTRY["custs_finished_only"] = (custs_finished_only, CUSTS_FINISHED_ONLY_SQL)
+
+
+def user_top_event_type(sf_dir: str) -> Dataset:
+    """Per-user MODE: the most frequent event_type (ties → lexicographically
+    smallest) and its count — categorical profile compaction.
+
+    Plan: per-batch (user, type) census (the shuffle carries counts, not
+    events) → one groupby((user, type)) Sum → coarse-key ``grouped_scan``
+    by user for the argmax, vectorized over the whole partition frame (sort
+    + drop_duplicates, no per-key Python)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("event_type")))
+        )
+        t = t.append_column("n", pa.array([1] * t.num_rows, pa.int64()))
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        events.map_batches(census, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(df):
+        df = df.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        ).drop_duplicates("user_id", keep="first")
+        return df.drop(columns=["__part"])
+
+    out = grouped_scan(counts, "user_id", pick)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "top_type": t.column("event_type"),
+                "n": t.column("n"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+USER_TOP_EVENT_TYPE_SQL = """
+SELECT user_id, event_type AS top_type, n FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+REGISTRY["user_top_event_type"] = (user_top_event_type, USER_TOP_EVENT_TYPE_SQL)

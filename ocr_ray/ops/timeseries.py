@@ -795,3 +795,94 @@ SELECT event_id,
        ) AS BIGINT) AS trail_cents
 FROM pts
 """
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap self-join (temporal conflict counting)
+# ---------------------------------------------------------------------------
+
+_WIN_US = 30 * 86_400_000_000  # 30-day window
+
+
+def overlapping_order_windows(sf_dir: str) -> Dataset:
+    """Per order: how many OTHER orders of the same customer have an
+    overlapping 30-day service window [o_orderdate, o_orderdate + 30d] —
+    the interval-overlap self-join (booking conflicts, concurrent-session
+    counts, warranty overlap audits).
+
+    A naive plan is an O(n²) self-join per customer. Here: co-locate by
+    customer (``grouped_scan``), and per segment the classic two-pointer
+    identity counts overlaps with two vectorized ``searchsorted`` calls —
+    overlaps(i) = #(starts ≤ end_i) − #(ends < start_i) − 1 — so the cost
+    is O(n log n) per segment and only (orderkey, count) rows leave.
+    Intervals are closed on both ends (SQL mirror uses the same bounds)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(t.column("o_custkey")),
+                    pc.is_valid(t.column("o_orderdate")),
+                ),
+                pc.is_valid(t.column("o_orderkey")),
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    pre = orders.map_batches(prep, batch_format="pyarrow")
+
+    def overlaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "n_overlaps": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by([("o_custkey", "ascending"), ("us", "ascending")])
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = t.column("us").to_numpy(zero_copy_only=False)
+        n = len(c)
+        seg_starts = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        seg_ends = np.concatenate((seg_starts[1:], [n]))
+        out = np.empty(n, dtype=np.int64)
+        for a, b in zip(seg_starts, seg_ends):
+            st = s[a:b]                      # sorted starts
+            en = st + _WIN_US                # ends, same order (fixed width)
+            lo = np.searchsorted(en, st, side="left")    # #(ends < my start)
+            hi = np.searchsorted(st, en, side="right")   # #(starts <= my end)
+            out[a:b] = hi - lo - 1
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "n_overlaps": pa.array(out)})
+
+    return grouped_scan(pre, "o_custkey", overlaps, batch_format="pyarrow").select_columns(
+        ["o_orderkey", "n_overlaps"]
+    )
+
+
+OVERLAPPING_ORDER_WINDOWS_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_orderdate AS TIMESTAMP) AS ts,
+         CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS te
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+)
+SELECT a.o_orderkey,
+       CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_overlaps
+FROM w a
+LEFT JOIN w b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+ AND a.ts <= b.te AND b.ts <= a.te
+GROUP BY a.o_orderkey
+"""

@@ -1675,3 +1675,139 @@ SELECT 'ts_us', CAST(COUNT(*) AS BIGINT),
 """
 
 REGISTRY["profile_events"] = (profile_events, PROFILE_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume (six-table join composition)
+# ---------------------------------------------------------------------------
+
+
+def q5_supplier_volume(sf_dir: str) -> Dataset:
+    """TPC-H Q5: revenue per ASIA nation where the customer and the line's
+    supplier share a nation — the canonical multi-way join composition
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier).
+
+    Scale plan: region→nation resolve on the driver (25 rows). The two
+    mid-size dimensions go through ``auto_join`` (broadcast under 64 MB,
+    hash-shuffle join above — at 100 TB customer/supplier cross the
+    threshold and the plan switches without code change). lineitem — the
+    only true fact table — is pre-combined per batch to one row per
+    (l_orderkey, s_nationkey) BEFORE its join, so the big join moves
+    ~1 row per order-supplier-nation, never raw line items. The final
+    equality c_nation = s_nation is a vectorized filter after the orderkey
+    join; the groupby that follows carries ≤ nations rows per block."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.joins import auto_join
+
+    nat = pq.read_table(_pq(sf_dir, "nation"))
+    reg = pq.read_table(_pq(sf_dir, "region"))
+    asia_keys = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column("r_regionkey")
+    nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=asia_keys.combine_chunks()))
+    nation_name = {
+        k: v for k, v in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+    nation_keys = pa.array(sorted(nation_name), pa.int32())
+
+    lo = pa.array(["1995-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+    hi = pa.array(["1999-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+
+    # orders ⋈ customer (ASIA customers only) → (o_orderkey, c_nationkey)
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=nation_keys)),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(t.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = auto_join(orders, cust, on="o_custkey", right_on="c_custkey").select_columns(
+        ["o_orderkey", "c_nationkey"]
+    )
+
+    # lineitem: per-batch combine to (l_orderkey, l_suppkey, revenue), then
+    # resolve the supplier's nation and re-combine — the shuffle join input
+    # is one row per (order, supplier nation)
+    supp = rd.read_parquet(
+        _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=nation_keys)),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: _partial_groupby(
+            t.append_column(
+                "revenue_c4",
+                discounted_c4(t.column("l_extendedprice"), t.column("l_discount")),
+            ).select(["l_orderkey", "l_suppkey", "revenue_c4"]),
+            ["l_orderkey", "l_suppkey"],
+            ["revenue_c4"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+    line = auto_join(line, supp, on="l_suppkey", right_on="s_suppkey").map_batches(
+        lambda t: _partial_groupby(
+            t.select(["l_orderkey", "s_nationkey", "revenue_c4"]),
+            ["l_orderkey", "s_nationkey"],
+            ["revenue_c4"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = auto_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nationkey"), t.column("c_nationkey")))
+        return _partial_groupby(
+            t.select(["s_nationkey", "revenue_c4"]), ["s_nationkey"], ["revenue_c4"], None
+        )
+
+    per_nation = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+
+    def name_it(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [nation_name[k] for k in t.column("s_nationkey").to_pylist()], pa.string()
+        )
+        return pa.table({"n_name": names, "revenue_c4": t.column("revenue_c4")})
+
+    return per_nation.map_batches(name_it, batch_format="pyarrow").sort(
+        ["revenue_c4", "n_name"], descending=[True, False]
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue_c4 DESC, n_name
+"""
+
+REGISTRY["q5_supplier_volume"] = (q5_supplier_volume, Q5_SQL)

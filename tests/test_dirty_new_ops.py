@@ -304,3 +304,146 @@ def test_trailing_hour_peers_and_boundary(tmp_path, ray_session):
     # e1 is 1h+1us earlier -> excluded
     assert out[3] == 200 + 400 + 800
     assert out[4] == out[3]  # equal-ts rows are peers and share the frame
+
+
+def test_custs_finished_only_dirty(dirty):
+    """EXCEPT with NULL keys and NULL statuses: neither contributes."""
+    from ocr_ray.ops.olap import CUSTS_FINISHED_ONLY_SQL, custs_finished_only
+
+    _compare(custs_finished_only(dirty), CUSTS_FINISHED_ONLY_SQL, dirty, tables=("orders",))
+
+
+def test_user_top_event_type_dirty(dirty):
+    """MODE with NULL users/types excluded; ties break to the smaller type."""
+    from ocr_ray.ops.olap import USER_TOP_EVENT_TYPE_SQL, user_top_event_type
+
+    _compare(user_top_event_type(dirty), USER_TOP_EVENT_TYPE_SQL, dirty)
+
+
+def test_overlapping_order_windows_dirty(dirty):
+    """Interval overlap with NULL custkey/orderdate rows excluded up front."""
+    from ocr_ray.ops.timeseries import (
+        OVERLAPPING_ORDER_WINDOWS_SQL,
+        overlapping_order_windows,
+    )
+
+    _compare(
+        overlapping_order_windows(dirty),
+        OVERLAPPING_ORDER_WINDOWS_SQL,
+        dirty,
+        tables=("orders",),
+    )
+
+
+def test_overlap_window_boundary(tmp_path, ray_session):
+    """Closed-interval rule: windows touching at exactly day 30 DO overlap;
+    1 microsecond past does not. Different customers never overlap."""
+    import datetime as dt
+
+    base = dt.datetime(1996, 1, 1)
+    rows = [  # (orderkey, custkey, date)
+        (1, 1, base),                                        # [0, 30]
+        (2, 1, base + dt.timedelta(days=30)),                # [30, 60] — touches 1
+        (3, 1, base + dt.timedelta(days=60, microseconds=1)),# misses 2 by 1us
+        (4, 2, base),                                        # other customer
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4),
+            "o_totalprice": pa.array([1.0] * 4),
+            "o_orderdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    from ocr_ray.ops.timeseries import overlapping_order_windows
+
+    got = (
+        overlapping_order_windows(str(tmp_path))
+        .to_pandas()
+        .set_index("o_orderkey")["n_overlaps"]
+    )
+    assert got[1] == 1 and got[2] == 1 and got[3] == 0 and got[4] == 0
+
+
+def test_q5_dirty(tmp_path, ray_session):
+    """Six-table join with NULL join keys, NULL dates, out-of-region rows,
+    and customer/supplier nation mismatches — exact parity with DuckDB."""
+    import datetime as dt
+
+    d = tmp_path / "sf_q5"
+    d.mkdir()
+    day = dt.datetime(1996, 6, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE"]),
+            }
+        ),
+        d / "region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([10, 11, 20], pa.int32()),
+                "n_name": pa.array(["JP", "IN", "FR"]),
+                "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+            }
+        ),
+        d / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, None], pa.int64()),
+                "c_nationkey": pa.array([10, 11, 20, 10], pa.int32()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([100, 101, None], pa.int64()),
+                "s_nationkey": pa.array([10, 20, 10], pa.int32()),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # order 5: matching nations (cust 1 JP, supp 100 JP) -> counts
+                # order 6: cust 2 IN vs supp 100 JP -> filtered by n==n
+                # order 7: NULL date; order 8: out of window
+                "o_orderkey": pa.array([5, 6, 7, 8, None], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1, 1, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [day, day, None, dt.datetime(2005, 1, 1), day], pa.timestamp("us")
+                ),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([5, 5, 6, 8, None], pa.int64()),
+                "l_suppkey": pa.array([100, 101, 100, 100, 100], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+                "l_discount": pa.array([0.05, 0.0, None, 0.0, 0.0]),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    from ocr_ray.pipelines.relational import Q5_SQL, q5_supplier_volume
+
+    _compare(
+        q5_supplier_volume(str(d)),
+        Q5_SQL,
+        str(d),
+        tables=("region", "nation", "customer", "supplier", "orders", "lineitem"),
+    )
