@@ -65,6 +65,9 @@ QUERY_NAMES = [
     "user_top_event_type",
     "overlapping_order_windows",
     "user_trailing_hour_spend",
+    "events_value_dense_rank",
+    "user_twap",
+    "doc_bpe_token_counts",
 ]
 
 

@@ -71,11 +71,13 @@ from ocr_ray.ops.markdown import extract_markdown, extract_markdown_sql
 from ocr_ray.ops.mlprep import (
     BLOOM_SEMI_EVENTS_SQL,
     EVENTS_GLOBAL_RANK_SQL,
+    EVENTS_VALUE_DENSE_RANK_SQL,
     SPLIT_TRAIN_TEST_SQL,
     STRATIFIED_SAMPLE_SQL,
     WEIGHTED_SAMPLE_ORDERS_SQL,
     bloom_semi_events,
     events_global_rank,
+    events_value_dense_rank,
     split_train_test,
     stratified_sample_docs,
     weighted_sample_orders,
@@ -116,7 +118,9 @@ from ocr_ray.ops.timeseries import (
     USER_RETENTION_COHORTS_SQL,
     USER_TRAILING_HOUR_SPEND_SQL,
     OVERLAPPING_ORDER_WINDOWS_SQL,
+    USER_TWAP_SQL,
     overlapping_order_windows,
+    user_twap,
     EVENTS_NTILE_BY_TYPE_SQL,
     events_ntile,
     events_ntile_by_type,
@@ -127,10 +131,12 @@ from ocr_ray.ops.timeseries import (
     user_retention_cohorts,
 )
 from ocr_ray.ops.textstats import (
+    DOC_BPE_TOKEN_COUNTS_SQL,
     DOC_FINGERPRINTS_SQL,
     DOC_QUALITY_SQL,
     LANG_ID_SQL,
     REPETITION_STATS_SQL,
+    doc_bpe_token_counts,
     doc_fingerprints,
     doc_quality,
     lang_id_docs,
@@ -178,6 +184,8 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
     "bloom_semi_events": (bloom_semi_events, BLOOM_SEMI_EVENTS_SQL),
     "events_global_rank": (events_global_rank, EVENTS_GLOBAL_RANK_SQL),
+    "events_value_dense_rank": (events_value_dense_rank, EVENTS_VALUE_DENSE_RANK_SQL),
+    "doc_bpe_token_counts": (doc_bpe_token_counts, DOC_BPE_TOKEN_COUNTS_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "user_days_gapfilled": (user_days_gapfilled, USER_DAYS_GAPFILLED_SQL),
@@ -189,6 +197,7 @@ REGISTRY: dict[str, tuple] = {
     "events_ntile_by_type": (events_ntile_by_type, EVENTS_NTILE_BY_TYPE_SQL),
     "user_trailing_hour_spend": (user_trailing_hour_spend, USER_TRAILING_HOUR_SPEND_SQL),
     "overlapping_order_windows": (overlapping_order_windows, OVERLAPPING_ORDER_WINDOWS_SQL),
+    "user_twap": (user_twap, USER_TWAP_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),

@@ -438,3 +438,85 @@ FROM orders
 WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
       < CAST(ROUND(o_totalprice*100) AS BIGINT) * {1 << _W_SHIFT}
 """
+
+
+# ---------------------------------------------------------------------------
+# dense rank + cumulative distribution (broadcast value-census plan)
+# ---------------------------------------------------------------------------
+
+
+def events_value_dense_rank(sf_dir: str) -> Dataset:
+    """Per event: DENSE_RANK over the global value order, plus the exact
+    cumulative distribution as a rational (cd_num/cd_den) so the result is
+    hash-exact at any reduction order (CUME_DIST itself is a float).
+
+    Broadcast-dictionary plan: a per-batch (value, n) census folds to the
+    driver (values are bounded-domain cents — the census is O(distinct
+    values), not O(rows); the size-gated local-solve pattern of
+    ``events_global_rank``), the sorted distinct values + inclusive prefix
+    counts are broadcast ONCE via ``ray.put``, and every batch resolves
+    rank and cd_num with one vectorized searchsorted — no global sort, no
+    second shuffle. For an unbounded value domain the two-phase bucket
+    census of ``events_global_rank`` is the fallback plan."""
+    import pandas as pd
+
+    from ocr_ray.functions.scalars import to_cents
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pa.table(
+            {"event_id": t.column("event_id"), "v": to_cents(t.column("value"))}
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def census(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    frames = [
+        f
+        for f in pre.map_batches(census, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    hist = (
+        pd.concat(frames).groupby("v", sort=True)["n"].sum()
+        if frames
+        else pd.Series(dtype=np.int64)
+    )
+    vals = hist.index.to_numpy(np.int64)
+    cum = np.cumsum(hist.to_numpy(np.int64))  # inclusive: #(rows <= v)
+    total = int(cum[-1]) if len(cum) else 0
+    ref = ray.put((vals, cum))
+
+    def rank(t: pa.Table) -> pa.Table:
+        vs, cm = ray.get(ref)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vs, v)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "dense_rank": pa.array((idx + 1).astype(np.int64)),
+                "cd_num": pa.array(cm[idx].astype(np.int64)),
+                "cd_den": pa.array(np.full(len(v), total, np.int64)),
+            }
+        )
+
+    return pre.map_batches(rank, batch_format="pyarrow")
+
+
+EVENTS_VALUE_DENSE_RANK_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id,
+       CAST(DENSE_RANK() OVER (ORDER BY v) AS BIGINT) AS dense_rank,
+       CAST(COUNT(*) OVER (ORDER BY v) AS BIGINT) AS cd_num,
+       CAST(COUNT(*) OVER () AS BIGINT) AS cd_den
+FROM p
+"""

@@ -395,3 +395,51 @@ FROM base b
 LEFT JOIN wagg USING (doc_id)
 LEFT JOIN bagg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (subword-style token counting)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer made RE2-safe (no lookahead): contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace. Both engines run
+# RE2, so counts are identical by construction.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def doc_bpe_token_counts(sf_dir: str) -> Dataset:
+    """Per document: token count under a BPE-ish pre-tokenizer regex — the
+    budget estimator a training pipeline runs before packing (the
+    whitespace sibling is ``doc_token_counts``).
+
+    One vectorized RE2 scan per batch (``pc.count_substring_regex``); the
+    pattern is compiled once inside Arrow, no Python per row. NULL text
+    stays NULL (totality, both engines)."""
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": pa.array(
+                    pc.cast(
+                        pc.count_substring_regex(t.column("text"), pattern=_BPE_PATTERN),
+                        pa.int64(),
+                    )
+                ),
+            }
+        )
+
+    return docs.map_batches(count, batch_format="pyarrow")
+
+
+DOC_BPE_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""

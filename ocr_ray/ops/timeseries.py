@@ -886,3 +886,104 @@ LEFT JOIN w b
  AND a.ts <= b.te AND b.ts <= a.te
 GROUP BY a.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP) per user
+# ---------------------------------------------------------------------------
+
+
+def user_twap(sf_dir: str) -> Dataset:
+    """Per user: time-weighted value as an exact rational — numerator
+    Σ value_cents × hold-seconds (each observation held until the next,
+    LOCF-style) and denominator = observed span seconds. The financial
+    TWAP / duration-weighted metric, kept in integers so the gate is
+    hash-exact at any reduction order (the float quotient is one divide
+    away for a consumer).
+
+    Per co-located user segment: sort by (second, event_id), one diff +
+    one dot product — Python cost per segment, not per row. Timestamps are
+    floored to whole seconds BEFORE ordering (sub-second order must not
+    change the pairing, so both engines order by the floored key)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id"))
+                ),
+                pc.is_valid(t.column("value")),
+            )
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "s": pa.array(us // 1_000_000),
+                "v": to_cents(t.column("value")),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def twap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "twap_num": pa.array([], pa.int64()),
+                    "twap_den": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("s", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        nums = np.empty(len(starts), dtype=np.int64)
+        dens = np.empty(len(starts), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            hold = np.diff(s[a:b])
+            nums[i] = int(np.dot(v[a : b - 1], hold)) if b - a > 1 else 0
+            dens[i] = int(s[b - 1] - s[a])
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "twap_num": pa.array(nums),
+                "twap_den": pa.array(dens),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", twap, batch_format="pyarrow").select_columns(
+        ["user_id", "twap_num", "twap_den"]
+    )
+
+
+USER_TWAP_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS s,
+         CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), l AS (
+  SELECT user_id, v, s,
+         lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS s2
+  FROM p
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(v * (s2 - s)), 0) AS BIGINT) AS twap_num,
+       CAST(MAX(s) - MIN(s) AS BIGINT) AS twap_den
+FROM l GROUP BY user_id
+"""

@@ -447,3 +447,64 @@ def test_q5_dirty(tmp_path, ray_session):
         str(d),
         tables=("region", "nation", "customer", "supplier", "orders", "lineitem"),
     )
+
+
+def test_dense_rank_dirty(dirty):
+    """DENSE_RANK/CUME_DIST over dirty values: NULLs excluded in both
+    engines; negatives rank below zero; ties share rank and cd_num."""
+    from ocr_ray.ops.mlprep import (
+        EVENTS_VALUE_DENSE_RANK_SQL,
+        events_value_dense_rank,
+    )
+
+    _compare(events_value_dense_rank(dirty), EVENTS_VALUE_DENSE_RANK_SQL, dirty)
+
+
+def test_twap_dirty(dirty):
+    """TWAP with NULL user/ts/value rows excluded; single-observation users
+    get num=0, den=0."""
+    from ocr_ray.ops.timeseries import USER_TWAP_SQL, user_twap
+
+    _compare(user_twap(dirty), USER_TWAP_SQL, dirty)
+
+
+def test_bpe_tokens_dirty(dirty):
+    """NULL text stays NULL (totality) in both engines."""
+    from ocr_ray.ops.textstats import DOC_BPE_TOKEN_COUNTS_SQL, doc_bpe_token_counts
+
+    _compare(
+        doc_bpe_token_counts(dirty), DOC_BPE_TOKEN_COUNTS_SQL, dirty, tables=("documents",)
+    )
+
+
+def test_twap_same_second_pairing(tmp_path, ray_session):
+    """Two events in the SAME floored second with event_id order opposite
+    to sub-second order: the pairing must follow (second, event_id) in both
+    engines — this is exactly the case where sorting by raw microseconds
+    would disagree with the SQL mirror."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # event 2 happens EARLIER within second 0 but has the larger id
+        (1, base + dt.timedelta(microseconds=900_000), 10.00),
+        (2, base + dt.timedelta(microseconds=100_000), 20.00),
+        (3, base + dt.timedelta(seconds=5), 40.00),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([r[2] for r in rows]),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ocr_ray.ops.timeseries import USER_TWAP_SQL, user_twap
+
+    got = user_twap(str(tmp_path)).to_pandas()
+    # order by (s, event_id): e1 (1000c, hold 0s) -> e2 (2000c, hold 5s) -> e3
+    assert got.twap_num.iloc[0] == 2000 * 5 and got.twap_den.iloc[0] == 5
+    _compare(got, USER_TWAP_SQL, str(tmp_path))
