@@ -275,35 +275,43 @@ WHERE e.event_type = 'view'
 # ---------------------------------------------------------------------------
 
 
+# max rows a single rank-scan chunk may hold (phase-2 co-location unit).
+# Tests shrink this to force subdivision; at 2M rows x ~16 B a chunk is
+# ~32 MB in a worker's heap.
+_RANK_CHUNK_TARGET = 1 << 21
+
+
 def events_global_rank(sf_dir: str) -> Dataset:
     """``ts_rank`` = row_number() over the global (ts, event_id) order —
     the global-ordering column (curriculum order, stable shard ids) without
     materializing a global sort on one node.
 
-    Two-phase bucket plan (the order_quantiles histogram trick applied to
-    ranking): (1) per-batch counts per coarse hour bucket -> tiny census ->
-    exclusive prefix offsets broadcast via ``ray.put`` (driver holds one
-    int per DISTINCT bucket, not per row); (2) ``grouped_scan`` co-locates
-    each bucket, sorts locally, and adds offset + local index. Ranks are
-    globally exact because buckets partition the sort order. NULL ts sorts
+    Two-phase census plan with SKEW-PROOF chunking: (1) per-batch counts
+    per minute bucket fold to a driver census (O(distinct minutes), not
+    rows); contiguous minutes are greedily packed into chunks of at most
+    ``_RANK_CHUNK_TARGET`` rows, so a pathologically hot HOUR subdivides
+    into minute-grain chunks instead of landing in one partition. (2) each
+    row resolves its chunk with one searchsorted against the broadcast
+    chunk boundaries; ``grouped_scan`` co-locates chunks, sorts locally,
+    and adds the chunk's exclusive prefix offset + local index. Ranks are
+    globally exact because chunks partition the sort order. NULL ts sorts
     last (int64 max sentinel), matching SQL ASC NULLS LAST.
 
-    Skew note: a pathologically hot hour lands in one partition; the
-    census (phase 1) is exactly the histogram needed to subdivide hot
-    buckets by ts sub-range before phase 2 — flagged, not implemented,
-    the fixture's hour histogram is near-uniform."""
+    Skew floor: the finest splittable unit is one census minute — a single
+    minute hotter than the target still forms one oversized chunk (the
+    same machinery applies recursively at second grain if a domain needs
+    it)."""
     from ocr_ray.pipelines.conversation import grouped_scan
 
     _NULL_TS = np.iinfo(np.int64).max
-    _H = 3_600_000_000  # us per hour
+    _M = 60_000_000  # us per minute
 
     events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts"])
 
     def prep(t: pa.Table) -> pa.Table:
         us = pc.fill_null(t.column("ts").cast(pa.int64()), _NULL_TS)
-        # floor-div (matches functions.scalars.epoch_hours semantics)
         usn = us.to_numpy(zero_copy_only=False)
-        bucket = usn // _H
+        bucket = usn // _M
         return pa.table(
             {
                 "event_id": t.column("event_id"),
@@ -321,7 +329,7 @@ def events_global_rank(sf_dir: str) -> Dataset:
             {"bucket": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
         )
 
-    # tiny census: (bucket, n) rows bounded by distinct hours x blocks;
+    # tiny census: (minute, n) rows bounded by distinct minutes x blocks;
     # driver combine is the repo's size-gated local-solve pattern (Ray's
     # Aggregate costs ~20 s fixed regardless of bytes)
     import pandas as pd
@@ -337,24 +345,51 @@ def events_global_rank(sf_dir: str) -> Dataset:
         if frames
         else pd.Series(dtype=np.int64)
     )
-    buckets = hist.index.to_numpy(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(hist.to_numpy(np.int64))[:-1]))
-    off_ref = ray.put((buckets, offsets))
+    minutes = hist.index.to_numpy(np.int64)
+    counts = hist.to_numpy(np.int64)
+    # greedy contiguous packing: chunk boundaries at minutes where the
+    # running total would exceed the target (vector-friendly loop over the
+    # CENSUS, never the rows)
+    starts_idx: list[int] = []
+    running = 0
+    for i, c in enumerate(counts):
+        if not starts_idx or running + int(c) > _RANK_CHUNK_TARGET:
+            starts_idx.append(i)
+            running = 0
+        running += int(c)
+    chunk_start_minute = minutes[starts_idx] if len(minutes) else minutes
+    totals = np.add.reduceat(counts, starts_idx) if len(counts) else counts
+    chunk_offsets = np.concatenate(([0], np.cumsum(totals)[:-1])) if len(totals) else totals
+    off_ref = ray.put((chunk_start_minute, chunk_offsets))
+
+    def to_chunk(t: pa.Table) -> pa.Table:
+        bounds, _ = ray.get(off_ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        chunk = np.searchsorted(bounds, b, side="right") - 1
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "us": t.column("us"),
+                "chunk": pa.array(chunk.astype(np.int64)),
+            }
+        )
+
+    chunked = pre.map_batches(to_chunk, batch_format="pyarrow")
 
     def rank(t: pa.Table) -> pa.Table:
         t = t.sort_by(
-            [("bucket", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
+            [("chunk", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
         )
         n = t.num_rows
         if n == 0:
             return pa.table(
                 {"event_id": pa.array([], pa.int64()), "ts_rank": pa.array([], pa.int64())}
             )
-        bks, offs = ray.get(off_ref)
-        b = t.column("bucket").to_numpy(zero_copy_only=False)
-        starts = np.concatenate(([0], np.flatnonzero(b[1:] != b[:-1]) + 1))
+        _, offs = ray.get(off_ref)
+        c = t.column("chunk").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
         start_of = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
-        base = offs[np.searchsorted(bks, b[starts])]
+        base = offs[c[starts]]
         rk = np.repeat(base, np.diff(np.concatenate((starts, [n])))) + (
             np.arange(n) - start_of
         ) + 1
@@ -362,7 +397,7 @@ def events_global_rank(sf_dir: str) -> Dataset:
             {"event_id": t.column("event_id"), "ts_rank": pa.array(rk.astype(np.int64))}
         )
 
-    return grouped_scan(pre, "bucket", rank, batch_format="pyarrow")
+    return grouped_scan(chunked, "chunk", rank, batch_format="pyarrow")
 
 
 EVENTS_GLOBAL_RANK_SQL = """

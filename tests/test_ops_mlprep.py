@@ -85,6 +85,48 @@ class TestGlobalRank:
         n = len(got)
         assert sorted(got["ts_rank"]) == list(range(1, n + 1))
 
+    def test_hot_minute_subdivides(self, tmp_path, monkeypatch):
+        """Skew: ONE hot hour (600 events in 3 minutes) with a tiny chunk
+        target must split into many chunks — and ranks must still be the
+        exact global row_number. Guards the minute-census chunking."""
+        import numpy as np
+
+        from ocr_ray.ops import mlprep
+
+        monkeypatch.setattr(mlprep, "_RANK_CHUNK_TARGET", 50)
+        base = dt.datetime(2024, 6, 1, 12, 0, 0)
+        rng = np.random.default_rng(7)
+        rows = []
+        eid = 0
+        for i in range(600):  # hot: 3 minutes get 200 events each
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=i % 3, microseconds=int(rng.integers(0, 59_000_000)))))
+        for i in range(100):  # scattered tail over later days
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=1 + i)))
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        d = tmp_path / "sf_hot"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = events_global_rank(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.sql(EVENTS_GLOBAL_RANK_SQL).df()
+        g = got.sort_values("event_id").reset_index(drop=True)
+        w = want.sort_values("event_id").reset_index(drop=True)
+        assert g["ts_rank"].tolist() == w["ts_rank"].tolist()
+
 
 class TestSplit:
     def test_assignment_is_stable_and_total(self):
