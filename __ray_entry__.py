@@ -258,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.scrub import scrub_docs_sql
 
         out["scrub_docs"] = scrub_docs_sql(_DRIVER_SF)
+        from ocr_ray.sources.evolving import orders_evolved_rollup_sql
+
+        out["orders_evolved_rollup"] = orders_evolved_rollup_sql(_DRIVER_SF)
         from ocr_ray.ops.corpus import strip_common_lines_sql
 
         out["strip_common_lines"] = strip_common_lines_sql(_DRIVER_SF)

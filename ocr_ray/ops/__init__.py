@@ -130,6 +130,7 @@ from ocr_ray.ops.timeseries import (
     user_days_locf,
     user_retention_cohorts,
 )
+from ocr_ray.sources.evolving import orders_evolved_rollup
 from ocr_ray.ops.textstats import (
     DOC_BPE_TOKEN_COUNTS_SQL,
     DOC_FINGERPRINTS_SQL,
@@ -202,6 +203,7 @@ REGISTRY: dict[str, tuple] = {
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),
     "orders_keyset_page": (orders_keyset_page, ORDERS_KEYSET_PAGE_SQL),
+    "orders_evolved_rollup": (orders_evolved_rollup, None),  # SQL built per-sf
 }
 
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY
