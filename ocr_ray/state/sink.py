@@ -653,3 +653,117 @@ def upsert_partitioned(
     if not rows:
         return pa.table({"partition_id": pa.array([], pa.int32())})
     return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+
+# ---------------------------------------------------------------------------
+# segment compaction (table maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _compact_one(
+    pid: int,
+    files: list[str],
+    *,
+    dest_dir: str,
+    input_tag: str,
+    expected_schema=None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Merge ONE partition's files from every segment into its canonical
+    single file in ``dest_dir`` (plain function run as a Ray task)."""
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    t = t.append_column("part_id", pa.array([int(pid)] * t.num_rows, pa.int32()))
+    row = write_partition_group(
+        t, out_dir=dest_dir, input_tag=input_tag,
+        expected_schema=expected_schema, num_partitions=num_partitions,
+    )
+    return {k: row.column(k)[0].as_py() for k in row.column_names}
+
+
+def compact_segments(
+    out_dir: str,
+    dest_dir: str,
+    *,
+    resume: bool = True,
+    expected_schema: pa.Schema | None = None,
+    compact_num_cpus: int | None = None,
+) -> pa.Table:
+    """Compact a ``write_segmented`` table (K segments × P partition files)
+    into the flat ``write_partitioned`` layout (P files) — the maintenance
+    pass a long-lived ingest runs when segment-count read amplification
+    builds up.
+
+    Scale shape: segments already agree on the partition function, so
+    compaction is embarrassingly parallel PER PARTITION — one Ray task
+    reads that partition's K files (nothing else), merges, sorts by the
+    canonical key and commits via the normal atomic protocol. No shuffle,
+    no driver data. Out-of-place (``dest_dir``): the segmented source
+    stays intact until the caller swaps directories, and a crashed
+    compaction resumes at partition granularity via ``dest_dir``'s own
+    manifests. The result is byte-identical to what a from-scratch
+    ``write_partitioned`` of the same rows would produce (same sort, same
+    writer options)."""
+    segs = committed_segments(out_dir)
+    if not segs:
+        raise ValueError(f"{out_dir} has no committed segments to compact")
+    nps = {m.get("num_partitions") for m in segs.values()}
+    if len(nps) != 1:
+        raise ValueError(f"segments disagree on num_partitions: {sorted(nps)}")
+    num_partitions = nps.pop()
+    tag = "compact:" + hashlib.sha256(
+        "\n".join(
+            f"{sid}:{','.join(m['files'])}" for sid, m in sorted(segs.items())
+        ).encode()
+    ).hexdigest()[:16]
+
+    per_pid: dict[int, list[str]] = {}
+    for sid in sorted(segs):
+        seg_dir = os.path.join(out_dir, f"seg-{sid:04d}")
+        for p in segs[sid]["partitions"]:
+            pid = int(p["partition_id"])
+            f = os.path.join(seg_dir, f"part-{pid:05d}.parquet")
+            if os.path.exists(f):
+                per_pid.setdefault(pid, []).append(f)
+
+    done = committed_partitions(dest_dir) if resume else {}
+    if done:
+        stale = {m.get("input_tag") for m in done.values()} - {tag, ""}
+        if stale:
+            raise ValueError(
+                f"resume mismatch: {dest_dir} holds a compaction of "
+                f"{sorted(stale)}, current source is {tag!r}; use a new dest "
+                "dir or resume=False"
+            )
+    pending = sorted(set(per_pid) - set(done))
+
+    import ray
+
+    if compact_num_cpus is None:
+        try:
+            compact_num_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+        except Exception:
+            compact_num_cpus = 1
+    rows: list[dict] = []
+    if pending:
+        task = ray.remote(_compact_one).options(num_cpus=compact_num_cpus)
+        rows = ray.get(
+            [
+                task.remote(
+                    pid,
+                    per_pid[pid],
+                    dest_dir=dest_dir,
+                    input_tag=tag,
+                    expected_schema=expected_schema,
+                    num_partitions=num_partitions,
+                )
+                for pid in pending
+            ]
+        )
+    for pid in sorted(set(per_pid) & set(done)):
+        rows.append({k: v for k, v in done[pid].items() if k != "input_tag"})
+    if not rows:
+        return pa.table({"partition_id": pa.array([], pa.int32())})
+    keys = ["partition_id", "rows_out", "bytes_out", "checksum"]
+    return pa.table(
+        {k: pa.array([r.get(k) for r in sorted(rows, key=lambda r: r["partition_id"])]) for k in keys}
+    )

@@ -315,3 +315,62 @@ class TestUpsertPartitioned:
             upsert_partitioned(
                 rd.from_arrow(self._table([("a", 0, "y")])), out, num_partitions=8
             )
+
+
+# ---------------------------------------------------------------------------
+# segment compaction (compact_segments)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_segments_matches_flat_write(seg_inputs, tmp_path):
+    """Compacting 3 segments x 4 partitions must produce the flat layout a
+    from-scratch write_partitioned of the SAME rows produces — byte
+    identical — and read back as the same row multiset."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract_pipeline import _extract_batch
+    from ocr_ray.state.sink import compact_segments, write_partitioned
+
+    seg_out = str(tmp_path / "seg")
+    _run_segmented(seg_inputs, seg_out)
+    dest = str(tmp_path / "flat")
+    manifest = compact_segments(seg_out, dest)
+    assert manifest.num_rows == 4  # every partition compacted
+
+    # reference: one flat write of the same input
+    ref = str(tmp_path / "ref")
+    write_partitioned(
+        rd.read_parquet(list(seg_inputs), columns=["conv_id", "turn_idx", "role", "text"]),
+        ref,
+        num_partitions=4,
+        pre_fn=_extract_batch,
+    )
+
+    def file_hashes(root):
+        out = {}
+        for name in sorted(os.listdir(root)):
+            if name.endswith(".parquet"):
+                with open(os.path.join(root, name), "rb") as f:
+                    out[name] = _hl.sha256(f.read()).hexdigest()
+        return out
+
+    assert file_hashes(dest) == file_hashes(ref)
+    assert rd.read_parquet(dest).count() == rd.read_parquet(seg_out).count()
+
+
+def test_compact_resume_skips_committed(seg_inputs, tmp_path):
+    from ocr_ray.state.sink import MANIFEST_DIR, compact_segments
+
+    seg_out = str(tmp_path / "seg2")
+    _run_segmented(seg_inputs, seg_out)
+    dest = str(tmp_path / "flat2")
+    compact_segments(seg_out, dest)
+    # drop one partition's manifest + file -> only that one is rebuilt
+    os.remove(os.path.join(dest, "part-00002.parquet"))
+    os.remove(os.path.join(dest, MANIFEST_DIR, "part-00002.json"))
+    mtime0 = os.path.getmtime(os.path.join(dest, "part-00000.parquet"))
+    compact_segments(seg_out, dest)
+    assert os.path.getmtime(os.path.join(dest, "part-00000.parquet")) == mtime0
+    assert os.path.exists(os.path.join(dest, "part-00002.parquet"))
