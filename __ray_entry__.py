@@ -13,6 +13,7 @@ here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -184,7 +185,7 @@ def entry() -> Any:
 # sf the DRIVER runs queries/oracles at; the extract-family oracle SQL reads
 # the deterministic transcripts fixture for this sf (regenerated on demand
 # at oracle_sql() build time so the embedded path exists when DuckDB runs).
-_DRIVER_SF = "/root/testdata/sf0.01"
+_DRIVER_SF = os.environ.get("GRAFT_DRIVER_SF", "/root/testdata/sf0.01")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
