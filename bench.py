@@ -257,6 +257,14 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         _consume(user_retention_cohorts(ev1m))
         qtimes["retention_1m_events"] = round(time.monotonic() - t0, 3)
+        from ocr_ray.ops.timeseries import user_trailing_hour_spend, user_twap
+
+        t0 = time.monotonic()
+        _consume(user_trailing_hour_spend(ev1m))
+        qtimes["trailing_hour_1m_events"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        _consume(user_twap(ev1m))
+        qtimes["twap_1m_events"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
     return {
