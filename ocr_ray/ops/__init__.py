@@ -82,6 +82,7 @@ from ocr_ray.ops.mlprep import (
     stratified_sample_docs,
     weighted_sample_orders,
 )
+from ocr_ray.ops.ann import EMBEDDING_NORM_STATS_SQL, embedding_norm_stats
 from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
 from ocr_ray.ops.search import (
@@ -204,6 +205,7 @@ REGISTRY: dict[str, tuple] = {
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),
     "orders_keyset_page": (orders_keyset_page, ORDERS_KEYSET_PAGE_SQL),
     "orders_evolved_rollup": (orders_evolved_rollup, None),  # SQL built per-sf
+    "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
 }
 
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY

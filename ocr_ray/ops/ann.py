@@ -600,3 +600,59 @@ s AS (
 SELECT vec_id, CAST(CASE {case} END AS BIGINT) AS cluster
 FROM (SELECT *, {g} AS g FROM s)
 """
+
+
+# ---------------------------------------------------------------------------
+# vector hygiene: per-vector norm / dimension stats (array-function family)
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_stats(sf_dir: str) -> "Dataset":
+    """Per vector: dimension count and quantized squared L2 norm — the
+    hygiene scan run before any ANN/cluster stage (zero vectors, truncated
+    rows, un-normalized batches all surface here).
+
+    Array math is zero-copy: the list column's values buffer reshapes into
+    one (n, dim) matrix per batch, one int64 GEMV for the norms. The gate
+    is exact because BOTH engines square the same floor(x*1e6) quantization
+    (the ``embedding_cluster_assign`` fixed-point trick; float->double is
+    IEEE-exact)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("embedding")))  # NULL vector -> dropped (SQL mirror)
+        col = t.column("embedding").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        sq = q * q
+        # ragged-safe segmented sum (fixed dim in the fixture, but the op
+        # must not assume it)
+        csum = np.concatenate(([0], np.cumsum(sq)))
+        norm2 = csum[offs[1:]] - csum[offs[:-1]]
+        dims = (offs[1:] - offs[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "dim": pa.array(dims),
+                "qnorm2": pa.array(norm2.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+EMBEDDING_NORM_STATS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(COALESCE(list_sum(list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))), 0) AS BIGINT) AS qnorm2
+FROM embeddings
+WHERE embedding IS NOT NULL
+"""

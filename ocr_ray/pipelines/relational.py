@@ -492,7 +492,12 @@ def users_no_purchase(sf_dir: str) -> pa.Table:
     """Anti-join via broadcast buyer set (small side — defensible at scale),
     then a DISTRIBUTED distinct (per-batch combiner + groupby) instead of a
     driver ``unique()`` over an unbounded-cardinality column. Only the final
-    (small) distinct result is collected."""
+    (small) distinct result is collected.
+
+    Three-valued NOT IN semantics (SQL): a NULL in the SUBQUERY makes the
+    predicate never-true — the whole result is empty; a NULL left key is
+    never "not in" anything — those rows drop. Both branches are mirrored
+    exactly (same rule the broadcast_join null-key fix enforces)."""
     from ray.data.aggregate import Count
 
     from ocr_ray.functions.joins import anti_join_filter
@@ -508,7 +513,12 @@ def users_no_purchase(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     ).unique("user_id")
-    rest = anti_join_filter(events.select_columns(["user_id"]), "user_id", buyers or [])
+    if any(b is None for b in buyers):
+        return pa.table({"user_id": pa.array([], pa.int64())})
+    left = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("user_id"))), batch_format="pyarrow"
+    )
+    rest = anti_join_filter(left, "user_id", buyers or [])
     distinct = (
         rest.map_batches(
             lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
@@ -1811,3 +1821,54 @@ ORDER BY revenue_c4 DESC, n_name
 """
 
 REGISTRY["q5_supplier_volume"] = (q5_supplier_volume, Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
+# calendar rollup — month-grain date functions
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly(sf_dir: str) -> Dataset:
+    """Orders per calendar (year, month) with exact cents totals — the
+    month-grain sibling of events_hourly, exercising calendar extraction
+    (hour/day rollups are pure epoch arithmetic; months are not).
+
+    pc.year/pc.month run vectorized per batch; partial pre-agg collapses
+    each batch to <= distinct-months rows before the tiny groupby."""
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_orderdate")))
+        t = pa.table(
+            {
+                "y": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "m": pc.cast(pc.month(t.column("o_orderdate")), pa.int64()),
+                "cents": pc.coalesce(
+                    to_cents(t.column("o_totalprice")), pa.scalar(0, pa.int64())
+                ),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["y", "m"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["y", "m", "n", "total_cents"])
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["y", "m"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(CAST(ROUND(o_totalprice*100) AS BIGINT), 0)) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderdate IS NOT NULL
+GROUP BY 1, 2
+"""
+
+REGISTRY["orders_monthly"] = (orders_monthly, ORDERS_MONTHLY_SQL)

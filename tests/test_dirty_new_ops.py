@@ -508,3 +508,66 @@ def test_twap_same_second_pairing(tmp_path, ray_session):
     # order by (s, event_id): e1 (1000c, hold 0s) -> e2 (2000c, hold 5s) -> e3
     assert got.twap_num.iloc[0] == 2000 * 5 and got.twap_den.iloc[0] == 5
     _compare(got, USER_TWAP_SQL, str(tmp_path))
+
+
+def test_users_no_purchase_three_valued(dirty):
+    """NOT IN semantics on dirty input: left NULL keys drop (never 'not
+    in'); here the buyer set has no NULL so the anti-join path runs."""
+    from ocr_ray.pipelines.relational import USERS_NO_PURCHASE_SQL, users_no_purchase
+
+    _compare(users_no_purchase(dirty), USERS_NO_PURCHASE_SQL, dirty)
+
+
+def test_users_no_purchase_null_in_subquery(tmp_path, ray_session):
+    """A NULL user on a PURCHASE row puts NULL in the NOT IN subquery —
+    SQL says the whole result is empty; the engine must mirror that."""
+    import duckdb
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * 3, pa.timestamp("us")),
+            "user_id": pa.array([7, None, 8], pa.int64()),
+            "event_type": pa.array(["view", "purchase", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ocr_ray.pipelines.relational import USERS_NO_PURCHASE_SQL, users_no_purchase
+
+    got = users_no_purchase(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = con.sql(USERS_NO_PURCHASE_SQL).df()
+    assert len(want) == 0 and got.num_rows == 0
+
+
+def test_orders_monthly_dirty(dirty):
+    """Calendar rollup: NULL dates excluded, NULL prices count with 0."""
+    from ocr_ray.pipelines.relational import ORDERS_MONTHLY_SQL, orders_monthly
+
+    _compare(orders_monthly(dirty), ORDERS_MONTHLY_SQL, dirty, tables=("orders",))
+
+
+def test_embedding_norm_stats_dirty(tmp_path, ray_session):
+    """Vector hygiene on nasty vectors: NULL vector dropped, empty list
+    gets (dim 0, qnorm2 0), negatives square exactly."""
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[0.5, -0.25], None, [], [1.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    from ocr_ray.ops.ann import EMBEDDING_NORM_STATS_SQL, embedding_norm_stats
+
+    _compare(
+        embedding_norm_stats(str(tmp_path)),
+        EMBEDDING_NORM_STATS_SQL,
+        str(tmp_path),
+        tables=("embeddings",),
+    )
