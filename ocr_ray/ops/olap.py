@@ -104,28 +104,30 @@ def orders_cube(sf_dir: str) -> Dataset:
             {
                 "o_orderstatus": t.column("o_orderstatus"),
                 "o_orderpriority": t.column("o_orderpriority"),
-                "cents": to_cents(t.column("o_totalprice")),
+                # COUNT(*) counts rows; arrow's count would skip NULL cents
+                "cents": pc.coalesce(to_cents(t.column("o_totalprice")), pa.scalar(0, pa.int64())),
+                "__one": pa.array([1] * t.num_rows, pa.int64()),
             }
         )
         g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
-            [("cents", "sum"), ("cents", "count")]
+            [("cents", "sum"), ("__one", "sum")]
         )
         return pa.table(
             {
                 "o_orderstatus": g.column("o_orderstatus"),
                 "o_orderpriority": g.column("o_orderpriority"),
                 "sum_price_cents": pc.cast(g.column("cents_sum"), pa.int64()),
-                "n_orders": pc.cast(g.column("cents_count"), pa.int64()),
+                "n_orders": pc.cast(g.column("__one_sum"), pa.int64()),
             }
         )
 
-    finest = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("sum_price_cents", alias_name="sum_price_cents"),
-        )
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    finest = null_safe_groupby_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
     )
     # the finest aggregate is tiny: collapse to one block and expand
     return finest.repartition(1).map_batches(
@@ -136,7 +138,7 @@ def orders_cube(sf_dir: str) -> Dataset:
 ORDERS_CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+       CAST(SUM(COALESCE(CAST(round(o_totalprice * 100) AS BIGINT), 0)) AS BIGINT) AS sum_price_cents
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -169,10 +171,12 @@ def orders_pivot(sf_dir: str) -> Dataset:
             }
         )
 
-    finest = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(Sum("n", alias_name="n"))
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    finest = null_safe_groupby_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        Sum("n", alias_name="n"),
     )
 
     def pivot(t: pa.Table) -> pa.Table:

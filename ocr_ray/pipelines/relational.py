@@ -92,7 +92,12 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
         )
 
     partial = ds.map_batches(prep, batch_format="pyarrow")
-    return partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    # NULL group keys are real groups in SQL; Ray's sort shuffle would crash
+    return null_safe_groupby_agg(
+        partial,
+        ["l_returnflag", "l_linestatus"],
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_cents", alias_name="sum_base_cents"),
         Sum("sum_disc_c4", alias_name="sum_disc_c4"),
@@ -225,7 +230,11 @@ def orders_by_nation(sf_dir: str) -> Dataset:
     cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     # pre-join the two small dims driver-side (both tiny), broadcast once
-    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]).select(
+    # pyarrow Table.join defaults to LEFT OUTER — SQL here is INNER (a
+    # customer with no nation match must drop, not carry a NULL n_name)
+    dim = cust.join(
+        nation, keys=["c_nationkey"], right_keys=["n_nationkey"], join_type="inner"
+    ).select(
         ["c_custkey", "n_name"]
     )
 
@@ -247,7 +256,11 @@ def orders_by_nation(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    return partial.groupby("n_name").aggregate(
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    return null_safe_groupby_agg(
+        partial,
+        ["n_name"],
         Sum("sum_total_cents", alias_name="sum_total_cents"),
         Sum("n_orders", alias_name="n_orders"),
     )
@@ -342,11 +355,14 @@ def distinct_segments(sf_dir: str) -> pa.Table:
     # (n_blocks x n_segments) rows. The final unique() is a bounded-
     # cardinality enum (5 values) — driver collection is the RESULT here.
     ds = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_mktsegment"])
-    vals = ds.map_batches(
+    rows = ds.map_batches(
         lambda t: pa.table({"c_mktsegment": pc.unique(t.column("c_mktsegment"))}),
         batch_format="pyarrow",
-    ).unique("c_mktsegment")
-    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+    ).take_all()  # bounded: n_blocks x n_segments combiner rows
+    vals = {r["c_mktsegment"] for r in rows}
+    # SQL DISTINCT keeps NULL as a value; Ray's unique() sort-crashes on it
+    ordered = ([None] if None in vals else []) + sorted(v for v in vals if v is not None)
+    return pa.table({"c_mktsegment": pa.array(ordered, pa.string())})
 
 
 DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
@@ -564,7 +580,8 @@ def top_orders_per_cust(sf_dir: str) -> Dataset:
         # coarse-key grouped_scan pattern), not one Python call per customer
         g = g.sort_values(["o_custkey", "price_cents", "o_orderkey"],
                           ascending=[True, False, True])
-        out = g.groupby("o_custkey", sort=False).head(2)
+        # dropna=False: SQL PARTITION BY groups NULL custkey as one partition
+        out = g.groupby("o_custkey", sort=False, dropna=False).head(2)
         return out[["o_custkey", "o_orderkey", "price_cents"]]
 
     return grouped_scan(prepped, "o_custkey", top2)
@@ -596,7 +613,16 @@ def events_sessions(sf_dir: str) -> Dataset:
 
     from ocr_ray.pipelines.conversation import grouped_scan
 
-    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    ).map_batches(
+        # sessionization is defined over valid observations: a NULL user or
+        # NULL ts has no position on any session timeline (SQL mirror WHERE)
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        ),
+        batch_format="pyarrow",
+    )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         # multi-user vectorized session scan (coarse-key grouped_scan):
@@ -631,6 +657,7 @@ WITH x AS (
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), y AS (
   SELECT user_id, ts,
@@ -860,8 +887,14 @@ def purchase_attribution(sf_dir: str) -> Dataset:
     events = rd.read_parquet(
         _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     ).map_batches(
+        # NULL user/ts rows can never satisfy the ASOF predicates
+        # (u = u AND ts >= ts are both NULL) — drop before merge_asof,
+        # which refuses null keys outright
         lambda t: t.filter(
-            pc.is_in(t.column("event_type"), value_set=pa.array(["click", "purchase"]))
+            pc.and_(
+                pc.is_in(t.column("event_type"), value_set=pa.array(["click", "purchase"])),
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+            )
         ),
         batch_format="pyarrow",
     )
@@ -876,29 +909,47 @@ def purchase_attribution(sf_dir: str) -> Dataset:
         if purchases.empty or clicks.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "click_event_id": pd.Series([], dtype="int64")})
+        right = clicks[["user_id", "event_id", "ts"]].rename(
+            columns={"event_id": "click_event_id"}
+        )
+        # a matched click whose event_id is NULL is still a match — use the
+        # (never-null) click ts as the match marker, not the projected id
+        right["click_ts"] = right["ts"]
         m = pd.merge_asof(
             purchases[["user_id", "event_id", "ts"]],
-            clicks[["user_id", "event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            right,
             on="ts",
             by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
-        m = m.dropna(subset=["click_event_id"])
+        m = m.dropna(subset=["click_ts"])
+        def _ids(col):
+            # plain int64 when possible (the driver's dtype check is strict);
+            # nullable Int64 only when a projected id is genuinely NULL —
+            # the join key is (user_id, ts), not the id
+            return col.astype("int64") if col.notna().all() else col.astype("Int64")
+
         return pd.DataFrame(
             {
-                "event_id": m["event_id"].astype("int64"),
-                "click_event_id": m["click_event_id"].astype("int64"),
+                "event_id": _ids(m["event_id"]),
+                "click_event_id": _ids(m["click_event_id"]),
             }
         )
 
     return grouped_scan(events, "user_id", asof)
 
 
+# the explicit NOT NULL guards pin the contract to valid observations:
+# DuckDB's ASOF JOIN binary-search matches a NULL-ts probe row to the
+# last click (NULLS-LAST sort artifact), which no ordering semantics
+# justify — both engines exclude unordered rows instead
 PURCHASE_ATTRIBUTION_SQL = """
 SELECT p.event_id, c.event_id AS click_event_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL) p
+ASOF JOIN (SELECT * FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
@@ -969,13 +1020,23 @@ def purchase_followups(sf_dir: str) -> Dataset:
     )
 
     def prep(t: pa.Table) -> pa.Table:
+        # NULL user/ts rows can satisfy neither side of the range predicate
+        # (equality and ts comparison are both NULL) — drop before the scan;
+        # merge_asof also refuses null keys
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
         return pa.table(
             {
                 "event_id": t.column("event_id"),
                 "user_id": t.column("user_id"),
                 "ts": t.column("ts"),
                 "event_type": t.column("event_type"),
-                "value_cents": to_cents(t.column("value")),
+                # NULL value follows with 0 (SQL SUM(COALESCE(cents, 0)));
+                # NaN would poison the running cumsum
+                "value_cents": pc.coalesce(
+                    to_cents(t.column("value")), pa.scalar(0, pa.int64())
+                ),
             }
         )
 
@@ -984,7 +1045,12 @@ def purchase_followups(sf_dir: str) -> Dataset:
         df["ucnt"] = df.groupby("user_id").cumcount() + 1
         df["ucum"] = df.groupby("user_id")["value_cents"].cumsum()
         right = df[["user_id", "ts", "ucnt", "ucum"]].sort_values("ts", kind="mergesort")
-        pur = df.loc[df["event_type"] == "purchase", ["event_id", "user_id", "ts"]].copy()
+        # NULL-id purchases would collapse into one SQL GROUP BY row; the
+        # contract keys the output on a real event_id
+        pur = df.loc[
+            (df["event_type"] == "purchase") & df["event_id"].notna(),
+            ["event_id", "user_id", "ts"],
+        ].copy()
         if pur.empty:
             return pd.DataFrame(
                 {
@@ -1027,12 +1093,13 @@ def purchase_followups(sf_dir: str) -> Dataset:
 
 PURCHASE_FOLLOWUPS_SQL = """
 SELECT p.event_id, p.user_id,
-  CAST(COUNT(e.event_id) AS BIGINT) AS n_follow,
-  CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) AS BIGINT) AS follow_value_cents
+  CAST(COUNT(e.user_id) AS BIGINT) AS n_follow,
+  CAST(COALESCE(SUM(COALESCE(CAST(ROUND(e.value * 100) AS BIGINT), 0)), 0) AS BIGINT) AS follow_value_cents
 FROM events p
 LEFT JOIN events e
   ON e.user_id = p.user_id AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase'
+  AND p.event_id IS NOT NULL AND p.user_id IS NOT NULL AND p.ts IS NOT NULL
 GROUP BY p.event_id, p.user_id
 """
 
@@ -1064,37 +1131,48 @@ def orders_rollup(sf_dir: str) -> pa.Table:
             out, ["o_orderpriority", "o_orderstatus"], ["revenue_cents"], "n_orders"
         )
 
-    leaf = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    leaf = null_safe_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_orders", alias_name="n_orders"),
     )
     lt = pa.Table.from_pandas(leaf.to_pandas(), preserve_index=False)  # tiny: |prio| x |status|
 
     def _roll(t: pa.Table, keys: list[str]) -> pa.Table:
+        # rolled-up dimensions become NULL, with GROUPING() flags set — the
+        # SQL-standard way to keep rollup rows distinct from genuine NULL
+        # key groups (coalesce-to-'ALL' would conflate them)
         tmp = t if keys else t.append_column("__g", pa.array([0] * t.num_rows, pa.int8()))
         g = tmp.group_by(keys or ["__g"]).aggregate(
             [("revenue_cents", "sum"), ("n_orders", "sum")]
         )
         n = g.num_rows
-        cols = {
-            k: (g.column(k) if k in keys else pa.array(["ALL"] * n, pa.string()))
-            for k in ("o_orderpriority", "o_orderstatus")
-        }
+        cols = {}
+        for k in ("o_orderpriority", "o_orderstatus"):
+            cols[k] = g.column(k) if k in keys else pa.nulls(n, pa.string())
+            cols["g_" + k[2:]] = pa.array([0 if k in keys else 1] * n, pa.int64())
         cols["revenue_cents"] = g.column("revenue_cents_sum")
         cols["n_orders"] = g.column("n_orders_sum")
         return pa.table(cols)
 
     lt = lt.select(["o_orderpriority", "o_orderstatus", "revenue_cents", "n_orders"])
-    return pa.concat_tables([lt, _roll(lt, ["o_orderpriority"]), _roll(lt, [])])
+    leaf_flags = lt.append_column(
+        "g_orderpriority", pa.array([0] * lt.num_rows, pa.int64())
+    ).append_column("g_orderstatus", pa.array([0] * lt.num_rows, pa.int64()))
+    order = ["o_orderpriority", "o_orderstatus", "g_orderpriority", "g_orderstatus", "revenue_cents", "n_orders"]
+    return pa.concat_tables(
+        [leaf_flags.select(order), _roll(lt, ["o_orderpriority"]).select(order), _roll(lt, []).select(order)]
+    )
 
 
 ORDERS_ROLLUP_SQL = """
-SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_orderstatus,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
@@ -1223,10 +1301,7 @@ def event_props_stats(sf_dir: str) -> Dataset:
         k = json_int_field(t.column("props"), "k")
         out = pa.table(
             {
-                # Ray's sort-based groupby cannot order a None key against
-                # strings (TypeError deep in the shuffle) — coalesce the
-                # group key; total output beats a crash on dirty input
-                "event_type": pc.coalesce(t.column("event_type"), pa.scalar("")),
+                "event_type": t.column("event_type"),
                 "n_with_k": pc.cast(pc.is_valid(k), pa.int64()),
                 "sum_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
                 "max_k": pc.coalesce(k, pa.scalar(0, pa.int64())),
@@ -1239,14 +1314,16 @@ def event_props_stats(sf_dir: str) -> Dataset:
 
     from ray.data.aggregate import Max
 
-    return (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Sum("n_with_k", alias_name="n_with_k"),
-            Sum("sum_k", alias_name="sum_k"),
-            Max("max_k", alias_name="max_k"),
-        )
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    # NULL event_type is a real SQL group; the null-safe encoding carries it
+    # through Ray's sort shuffle (which would otherwise TypeError)
+    return null_safe_groupby_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        Sum("n_with_k", alias_name="n_with_k"),
+        Sum("sum_k", alias_name="sum_k"),
+        Max("max_k", alias_name="max_k"),
     )
 
 
@@ -1532,7 +1609,13 @@ def order_rank_in_cust(sf_dir: str) -> Dataset:
         )
         cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
         n = len(cust)
-        starts = np.concatenate(([0], np.flatnonzero(cust[1:] != cust[:-1]) + 1))
+        # NULL custkey is ONE partition in SQL; a naive != sees NaN != NaN
+        # and would give every null row its own rank-1 group
+        import pandas as pd
+
+        isn = pd.isna(cust)
+        neq = (cust[1:] != cust[:-1]) & ~(isn[1:] & isn[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
         start_of = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
         rk = (np.arange(n) - start_of + 1).astype(np.int64)
         return pa.table(
@@ -1714,6 +1797,8 @@ def q5_supplier_volume(sf_dir: str) -> Dataset:
     reg = pq.read_table(_pq(sf_dir, "region"))
     asia_keys = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column("r_regionkey")
     nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=asia_keys.combine_chunks()))
+    # a NULL n_nationkey can never satisfy the equi-joins — drop driver-side
+    nat = nat.filter(pc.is_valid(nat.column("n_nationkey")))
     nation_name = {
         k: v for k, v in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
     }
