@@ -73,8 +73,11 @@ def broadcast_join(
 
 
 def semi_join_filter(ds: Dataset, col: str, keys) -> Dataset:
-    """Keep rows whose ``col`` is in the broadcast key set (no shuffle)."""
-    value_set = pa.array(sorted(set(keys)))
+    """Keep rows whose ``col`` is in the broadcast key set (no shuffle).
+
+    A NULL in ``keys`` is dropped: x IN (..., NULL) can never be TRUE via
+    the NULL member, and a NULL left key never matches (pc.is_in mirrors)."""
+    value_set = pa.array(sorted(k for k in set(keys) if k is not None))
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch.column(col), value_set=value_set))
@@ -85,7 +88,9 @@ def semi_join_filter(ds: Dataset, col: str, keys) -> Dataset:
 def anti_join_filter(ds: Dataset, col: str, keys) -> Dataset:
     """Drop rows whose ``col`` is in the broadcast key set (resume-manifest
     anti-join pattern, SURVEY.md §2.4)."""
-    value_set = pa.array(sorted(set(keys)))
+    # NULL members dropped; SQL NOT-IN-with-NULL-subquery (empty result) is
+    # the CALLER's branch to take (see users_no_purchase)
+    value_set = pa.array(sorted(k for k in set(keys) if k is not None))
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.filter(

@@ -22,6 +22,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -45,7 +46,12 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    t = t.filter(pa.compute.less(t.column("vec_id"), _N_QUERIES))
+    t = t.filter(
+        pa.compute.and_(
+            pa.compute.less(t.column("vec_id"), _N_QUERIES),
+            pa.compute.is_valid(t.column("embedding")),
+        )
+    )
     ids = t.column("vec_id").to_pylist()
     q = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     return q, ids
@@ -101,7 +107,16 @@ def ann_topk(sf_dir: str, k: int = _K):
     import functools
 
     ref = ray.put(_load_queries(sf_dir))
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        # similarity is defined over present vectors with a real id — NULLs
+        # have no geometry (SQL mirror filters identically)
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
+    )
     cand = ds.map_batches(
         _BruteScorer,
         fn_constructor_args=(ref, k),
@@ -141,12 +156,14 @@ def ann_topk_over(ds, *, n_queries: int = 64, k: int = 10):
 
 ANN_TOPK_SQL = """
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < 3 AND embedding IS NOT NULL
 ), s AS (
   SELECT q.query_id,
          e.vec_id,
          list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS raw_sim
   FROM embeddings e CROSS JOIN q
+  WHERE e.embedding IS NOT NULL AND e.vec_id IS NOT NULL
 )
 SELECT query_id, vec_id, ROUND(raw_sim, 6) AS sim
 FROM s

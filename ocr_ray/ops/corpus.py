@@ -250,7 +250,12 @@ def doc_top_terms(sf_dir: str, top_n: int = 3) -> Dataset:
     ``list_parent_indices`` (vectorized), tf via a LOCAL Arrow group_by per
     batch (pre-aggregation before the exchange), df via a distributed
     groupby over distinct (doc, term) rows."""
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        # tf/df are keyed on the doc id — NULL ids would collapse into one
+        # phantom doc in the SQL GROUP BY and be skipped by COUNT(DISTINCT)
+        lambda t: t.filter(pc.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
 
     def term_rows(t: pa.Table) -> pa.Table:
         toks = _token_lists(t).combine_chunks()
@@ -324,7 +329,7 @@ def doc_top_terms(sf_dir: str, top_n: int = 3) -> Dataset:
 DOC_TOP_TERMS_SQL = """
 WITH tr AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS term
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tr GROUP BY doc_id, term
@@ -372,6 +377,9 @@ def pack_sequences_over(
     from ocr_ray.functions.scalars import count_tokens
 
     def with_tokens(t: pa.Table) -> pa.Table:
+        # packing is an order over doc ids: a NULL id has no position (and
+        # several NULL-id docs would make the prefix sum order-ambiguous)
+        t = t.filter(pc.is_valid(t.column("doc_id")))
         n = count_tokens(pc.coalesce(t.column("text"), pa.scalar("")))
         return pa.table(
             {
@@ -416,7 +424,7 @@ WITH toks AS (
          CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
               ELSE len(regexp_extract_all(coalesce(text, ''), '\\S+')) END AS BIGINT)
            AS n_tokens
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT doc_id, n_tokens,
        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -447,7 +455,9 @@ def mixture_sample(sf_dir: str) -> Dataset:
             thr = _MIX_RATES.get(lang, 0)
             keep.append(
                 thr >= 0x100
-                or hashlib.md5(str(did).encode("ascii")).digest()[0] < thr
+                # NULL id: the SQL md5(CAST(NULL)) predicate is NULL -> drop
+                or (did is not None
+                    and hashlib.md5(str(did).encode("ascii")).digest()[0] < thr)
             )
         return t.filter(pa.array(keep))
 
@@ -485,6 +495,8 @@ def order_quantiles(sf_dir: str) -> Dataset:
     orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
 
     def cents(t: pa.Table) -> pa.Table:
+        # quantiles are defined over present values (SQL mirror filters)
+        t = t.filter(pc.is_valid(t.column("o_totalprice")))
         c = to_cents(t.column("o_totalprice"))
         return pa.table({"cents": c, "bucket": pc.divide(c, pa.scalar(_Q_BUCKET_CENTS))})
 
@@ -535,6 +547,7 @@ def order_quantiles(sf_dir: str) -> Dataset:
 ORDER_QUANTILES_SQL = f"""
 WITH c AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice IS NOT NULL
 ),
 r AS (
   SELECT cents, row_number() OVER (ORDER BY cents) AS rn, count(*) OVER () AS n
@@ -925,8 +938,9 @@ def cap_per_source(sf_dir: str, *, cap: int = _SOURCE_CAP) -> Dataset:
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source"])
 
     def pick(df):
-        df = df.sort_values(["source", "doc_id"])
-        rank = df.groupby("source").cumcount()
+        df = df.sort_values(["source", "doc_id"])  # NaN doc_id last = NULLS LAST
+        # dropna=False: NULL source is a real SQL partition
+        rank = df.groupby("source", dropna=False).cumcount()
         return df[rank < cap].drop(columns=["__part"])
 
     return grouped_scan(ds, "source", pick)

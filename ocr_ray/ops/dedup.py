@@ -1007,8 +1007,10 @@ def dedup_exact_docs(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def h(batch: pa.Table) -> pa.Table:
+        # NULL text is ONE group in SQL GROUP BY; the 4-char token cannot
+        # collide with a 64-hex digest
         hs = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            "NULL" if t is None else hashlib.sha256(t.encode("utf-8")).hexdigest()
             for t in batch.column("text").to_pylist()
         ]
         return pa.table({"h": pa.array(hs, pa.string()), "doc_id": batch.column("doc_id")})

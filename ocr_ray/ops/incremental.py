@@ -77,7 +77,9 @@ def merge_states(states: pd.DataFrame, key: str) -> pd.DataFrame:
     aggregation — associative, commutative, so base+delta, delta+base, or
     1000 shards all converge to the recompute result."""
     out = (
-        states.groupby(key, as_index=False)
+        # dropna=False: a NULL key is a real SQL group (arrow partials
+        # already carry it; pandas would silently drop it here)
+        states.groupby(key, as_index=False, dropna=False)
         .agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
         .sort_values(key)
         .reset_index(drop=True)

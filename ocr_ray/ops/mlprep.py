@@ -71,7 +71,11 @@ def split_train_test(sf_dir: str) -> Dataset:
     Embarrassingly parallel (one vectorized-ish pass, no shuffle); the
     assignment is a pure function of doc_id, so re-running over reshuffled
     or incrementally grown inputs never moves a previously assigned doc."""
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"]).map_batches(
+        # the split is a pure function of the id — a NULL id has no bucket
+        lambda t: t.filter(pc.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
 
     def assign(t: pa.Table) -> pa.Table:
         b = _md5_first_bytes(t.column("doc_id").to_pylist())
@@ -93,6 +97,7 @@ SELECT doc_id, lang,
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI:02x}' THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+WHERE doc_id IS NOT NULL
 """
 
 
@@ -113,7 +118,11 @@ def stratified_sample_docs(sf_dir: str, *, k: int = _STRATUM_K) -> Dataset:
     partials. The shuffle carries O(k x strata x blocks) rows, never the
     corpus; k and strata are constants, so driver/shuffle load is flat in
     corpus size."""
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"]).map_batches(
+        # hash order is a pure function of the id — a NULL id has no rank
+        lambda t: t.filter(pc.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -123,17 +132,27 @@ def stratified_sample_docs(sf_dir: str, *, k: int = _STRATUM_K) -> Dataset:
         df = pd.DataFrame(
             {"doc_id": ids, "lang": t.column("lang").to_pylist(), "h": h}
         )
-        df = df.sort_values(["lang", "h", "doc_id"]).groupby("lang", sort=False).head(k)
+        # dropna=False: NULL lang is a stratum in SQL PARTITION BY
+        df = (
+            df.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang", sort=False, dropna=False)
+            .head(k)
+        )
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final(g: pa.Table) -> pa.Table:
         g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")]).slice(0, k)
-        return g.select(["doc_id", "lang"])
+        return decode_null_keys(g, ["lang"]).select(["doc_id", "lang"])
 
-    return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(final, batch_format="pyarrow")
+    from ocr_ray.functions.nullsafe import decode_null_keys, encode_null_keys, grouping_keys
+
+    # NULL lang is a stratum (SQL PARTITION BY); encode so Ray's sort-based
+    # groupby can carry it
+    partials = docs.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda t: encode_null_keys(t, ["lang"]), batch_format="pyarrow"
+    )
+    return partials.groupby(grouping_keys(["lang"])).map_groups(
+        final, batch_format="pyarrow"
     )
 
 
@@ -144,7 +163,7 @@ SELECT doc_id, lang FROM (
              PARTITION BY lang
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
          ) AS rn
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rn <= {_STRATUM_K}
 """
 
@@ -219,7 +238,10 @@ def bloom_semi_events(sf_dir: str) -> Dataset:
     )
 
     def purchase_keys(t: pa.Table) -> pa.Table:
-        m = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        m = pc.and_(
+            pc.equal(t.column("event_type"), pa.scalar("purchase")),
+            pc.is_valid(t.column("user_id")),  # NULL adds no IN-set member
+        )
         u = pc.unique(t.filter(m).column("user_id"))
         return pa.table({"user_id": u})
 

@@ -226,6 +226,11 @@ def event_value_quantiles(sf_dir: str) -> Dataset:
     events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
+        # per-group quantiles are defined over present (group, value) pairs
+        # (SQL mirror filters identically)
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("event_type")), pc.is_valid(t.column("value")))
+        )
         c = to_cents(t.column("value"))
         return pa.table(
             {
@@ -304,6 +309,7 @@ def event_value_quantiles(sf_dir: str) -> Dataset:
 EVENT_VALUE_QUANTILES_SQL = f"""
 WITH c AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 r AS (
   SELECT event_type, cents,

@@ -67,7 +67,11 @@ def inverted_index(sf_dir: str) -> Dataset:
     each, never text."""
     from ocr_ray.pipelines.conversation import grouped_scan
 
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        # postings/stats are keyed on the doc id — NULL identifies nothing
+        lambda t: t.filter(pc.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
 
     def pairs(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -132,7 +136,7 @@ WITH pairs AS (
   SELECT DISTINCT token, doc_id FROM (
     SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token,
            doc_id
-    FROM documents)
+    FROM documents WHERE doc_id IS NOT NULL)
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
@@ -172,7 +176,11 @@ def bm25_topk(sf_dir: str, *, terms: tuple[str, ...] = _QUERY_TERMS) -> pa.Table
     (N, total_dl, df per term) fold from ONE wide partial row per batch
     (driver holds a handful of ints); scoring + per-batch partial top-k
     means the final reduce sees k rows per block, never the corpus."""
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        # postings/stats are keyed on the doc id — NULL identifies nothing
+        lambda t: t.filter(pc.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
     nt = len(terms)
     term_arr = pa.array(terms, pa.string())
 
@@ -312,7 +320,7 @@ def _bm25_sql(terms: tuple[str, ...] = _QUERY_TERMS) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 perdoc AS (
   SELECT doc_id, count(*) AS dl,
@@ -323,6 +331,7 @@ stats AS (
   SELECT d.doc_id, coalesce(t.dl, 0) AS dl,
          {tf_coal}
   FROM documents d LEFT JOIN perdoc t USING (doc_id)
+  WHERE d.doc_id IS NOT NULL
 ),
 g AS (
   SELECT count(*) AS n, sum(dl) AS total_dl,

@@ -357,9 +357,18 @@ def dedup_jaccard_exact(sf_dir: str, threshold_bp: int = _T_BP) -> Dataset:
     """queries() entry: survivors (min doc_id per component) of the EXACT
     word-3-gram Jaccard >= 0.7 dup graph over ``documents`` — guaranteed
     recall, hash-gated against the all-pairs DuckDB oracle."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).materialize()
+    ds = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        # dedup is keyed on the entity id — a NULL id identifies nothing
+        # (SQL mirror filters the same)
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("doc_id"))),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     pairs = jaccard_dup_pairs(ds, threshold_bp=threshold_bp)
     labels = propagate_min_labels(pairs)
     losers = _losers_from_labels(labels).union(
@@ -384,7 +393,7 @@ WITH RECURSIVE grams AS (
               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
     END AS s
   FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
-        FROM documents)
+        FROM documents WHERE doc_id IS NOT NULL)
 ),
 pairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b
@@ -407,7 +416,7 @@ labels AS (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id
 FROM documents d
 LEFT JOIN labels l ON d.doc_id = l.node
-WHERE l.node IS NULL OR l.label = d.doc_id
+WHERE d.doc_id IS NOT NULL AND (l.node IS NULL OR l.label = d.doc_id)
 """
 
 

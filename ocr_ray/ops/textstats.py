@@ -267,7 +267,15 @@ class Fingerprinter:
 
 
 def doc_fingerprints(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        # keyed on the entity id: a NULL doc_id identifies nothing (the SQL
+        # mirror filters identically; its GROUP BY would collapse all
+        # NULL-id docs into one)
+        lambda t: t.filter(pa.compute.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
     return ds.map_batches(
         Fingerprinter, batch_format="pyarrow", batch_size=256, concurrency=(1, 16), num_cpus=1
     )
@@ -281,7 +289,7 @@ DOC_FINGERPRINTS_SQL = f"""
 WITH d AS (
   SELECT doc_id,
          trim(regexp_replace(lower(coalesce(text, '')), '{_FP_WS_SQL}', ' ', 'g'), ' ') AS s
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 grams AS (
   SELECT doc_id, ng, i, substr(md5(substr(s, CAST(i AS INT), {_FP_K})), 1, 16) AS h
@@ -357,7 +365,15 @@ class RepetitionScorer:
 
 
 def repetition_stats(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        # keyed on the entity id: a NULL doc_id identifies nothing (the SQL
+        # mirror filters identically; its GROUP BY would collapse all
+        # NULL-id docs into one)
+        lambda t: t.filter(pa.compute.is_valid(t.column("doc_id"))),
+        batch_format="pyarrow",
+    )
     return ds.map_batches(
         RepetitionScorer, batch_format="pyarrow", batch_size=512, concurrency=(1, 16), num_cpus=1
     )
@@ -372,7 +388,7 @@ WITH d AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n]+'),
                      x -> x <> '') AS w
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 base AS (SELECT doc_id, w, len(w) AS nw FROM d),
 words AS (SELECT doc_id, unnest(w) AS tok FROM base WHERE nw > 0),

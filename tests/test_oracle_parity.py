@@ -47,6 +47,9 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.markdown import extract_markdown_sql
 
     _SQLS["extract_markdown"] = extract_markdown_sql(SF)
+    from ocr_ray.sources.evolving import orders_evolved_rollup_sql
+
+    _SQLS["orders_evolved_rollup"] = orders_evolved_rollup_sql(SF)
     from ocr_ray.sources.readers import csv_events_rollup_sql, jsonl_events_rollup_sql
 
     _SQLS["jsonl_events_rollup"] = jsonl_events_rollup_sql(SF)
