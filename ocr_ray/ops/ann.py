@@ -342,10 +342,22 @@ def ann_ivf_topk(sf_dir: str, k: int = _K, n_centroids: int = 16, nprobe: int = 
     # round of per-batch partials). 256-row sample here; at real scale the
     # same call takes a 10^6-row hash sample unchanged.
     q, qids = _load_queries(sf_dir)
-    sample = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    ).limit(256)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    sample = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("embedding"))),
+            batch_format="pyarrow",
+        )
+        .limit(256)
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
+    )
     return _ivf_pipeline(ds, sample, q, qids, k=k, n_centroids=n_centroids, nprobe=nprobe)
 
 
@@ -466,7 +478,14 @@ def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, max_hamming: int =
     clustered embeddings the same setting prunes far harder. Tighten
     ``max_hamming`` / raise ``n_planes`` as cluster structure allows."""
     q, qids = _load_queries(sf_dir)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
+    )
     return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, max_hamming=max_hamming)
 
 
@@ -541,7 +560,8 @@ def _cluster_centroids_q(sf_dir: str) -> np.ndarray:
 
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    ).slice(0, _CLUSTER_SAMPLE)
+    )
+    t = t.filter(pa.compute.is_valid(t.column("embedding"))).slice(0, _CLUSTER_SAMPLE)
     x = _emb_matrix(t.column("embedding"))
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     xn = x / np.where(norms == 0, 1.0, norms)
@@ -570,6 +590,11 @@ def embedding_cluster_assign(sf_dir: str) -> "rd.Dataset":
     ref = ray.put(cq)
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
     )
 
     def assign(t: pa.Table) -> pa.Table:
@@ -608,6 +633,7 @@ WITH q AS (
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS vq
   FROM read_parquet('{sf_dir}/embeddings.parquet')
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
 ),
 s AS (
   SELECT vec_id,

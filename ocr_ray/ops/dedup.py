@@ -1237,7 +1237,15 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
     traffic, not O(corpus)). Plane matrix is seeded + broadcast."""
     import os
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        # NULL vectors have no geometry; NULL ids identify nothing
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
+    )
     first = ds.take(1)
     dim = len(first[0]["embedding"])
     # plane matrix is dim x n_planes floats — small enough to ship in the

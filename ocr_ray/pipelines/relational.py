@@ -858,7 +858,9 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
-        regs = _hll_registers(t.column("user_id").to_pylist())
+        # COUNT(DISTINCT) ignores NULL — so does the sketch
+        ids = t.filter(pc.is_valid(t.column("user_id"))).column("user_id").to_pylist()
+        regs = _hll_registers(ids)
         return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.int64()))})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()

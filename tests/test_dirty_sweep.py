@@ -88,3 +88,29 @@ def test_hostile_parity(name, fn, sql, hostile_dir):
     w = want.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True).convert_dtypes()
     assert len(g) == len(w), f"{name}: rows {len(g)} != {len(w)}"
     assert g.astype(str).values.tolist() == w.astype(str).values.tolist(), f"{name}: values differ"
+
+
+def _rows_only():
+    from ocr_ray.ops import REGISTRY as OPS
+    from ocr_ray.pipelines.relational import REGISTRY as REL
+
+    out = []
+    for reg in (REL, OPS):
+        for name, (fn, sql) in reg.items():
+            if not sql:
+                out.append((name, fn))
+    return out
+
+_ROWS_ONLY = _rows_only()
+
+
+@pytest.mark.parametrize("name,fn", _ROWS_ONLY, ids=[c[0] for c in _ROWS_ONLY])
+def test_hostile_totality(name, fn, hostile_dir):
+    """Rows-only queries (no SQL oracle) must still be TOTAL on hostile
+    input: run to completion, no crash. (Several read side fixtures keyed
+    by sf_dir — those regenerate against the hostile dir and just need to
+    not explode.)"""
+    got = fn(hostile_dir)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    assert got is not None
