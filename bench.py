@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "events_value_dense_rank",
     "user_twap",
     "doc_bpe_token_counts",
+    "purchases_concurrent_events",
 ]
 
 

@@ -987,3 +987,125 @@ SELECT user_id,
        CAST(MAX(s) - MIN(s) AS BIGINT) AS twap_den
 FROM l GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# keyless time-window join (bucket-replication stream-stream join)
+# ---------------------------------------------------------------------------
+
+_CONC_W = 60_000_000     # ±60 s window
+_CONC_B = 120_000_000    # bucket width (>= window half-span x2)
+
+
+def purchases_concurrent_events(sf_dir: str) -> Dataset:
+    """Per purchase: how many events (ANY user — count includes the
+    purchase itself) happened within ±60 s — the keyless stream-stream
+    time join (load attribution, burst detection, co-occurrence counts).
+
+    There is no entity key to co-locate on, so the plan is the published
+    bucket-replication join: time is cut into buckets of twice the window
+    half-span, every right-side event ships (bucket, ts) TRIPLES to its
+    own and both neighbor buckets (3x replication of 16-byte pairs — the
+    text/payload never moves), probes go only to their home bucket, and
+    each co-located bucket answers its probes with two vectorized
+    searchsorted calls. Every (probe, event) pair is evaluated in exactly
+    one bucket, so counts are exact."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "ts", "event_type"]
+    )
+
+    def fan(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        home = us // _CONC_B
+        # right side: every valid-ts event, replicated to the 3 buckets a
+        # probe there could need it from
+        r_bucket = np.concatenate([home - 1, home, home + 1])
+        r_us = np.concatenate([us, us, us])
+        out = {
+            "bucket": pa.array(r_bucket),
+            "us": pa.array(r_us),
+            "event_id": pa.nulls(len(r_us), pa.int64()),
+            "probe": pa.array(np.zeros(len(r_us), np.int8())),
+        }
+        right = pa.table(out)
+        p = t.filter(
+            pc.and_(
+                pc.equal(t.column("event_type"), "purchase"),
+                pc.is_valid(t.column("event_id")),
+            )
+        )
+        pus = p.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        probes = pa.table(
+            {
+                "bucket": pa.array(pus // _CONC_B),
+                "us": pa.array(pus),
+                "event_id": p.column("event_id"),
+                "probe": pa.array(np.ones(len(pus), np.int8())),
+            }
+        )
+        return pa.concat_tables([right, probes])
+
+    fanned = events.map_batches(fan, batch_format="pyarrow")
+
+    def answer(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_concurrent": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by([("bucket", "ascending"), ("probe", "ascending"), ("us", "ascending")])
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        pr = t.column("probe").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(b)
+        starts = np.concatenate(([0], np.flatnonzero(b[1:] != b[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        out_id, out_n = [], []
+        for a, e in zip(starts, ends):
+            seg_pr = pr[a:e]
+            split = a + int(np.searchsorted(seg_pr, 1, side="left"))
+            rights = us[a:split]          # sorted (probe=0 first, us asc)
+            probes = us[split:e]
+            if len(probes) == 0:
+                continue
+            lo = np.searchsorted(rights, probes - _CONC_W, side="left")
+            hi = np.searchsorted(rights, probes + _CONC_W, side="right")
+            out_id.append(ids[split:e])
+            out_n.append((hi - lo).astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_concurrent": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "n_concurrent": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    return grouped_scan(fanned, "bucket", answer, batch_format="pyarrow").select_columns(
+        ["event_id", "n_concurrent"]
+    )
+
+
+PURCHASES_CONCURRENT_EVENTS_SQL = """
+WITH e AS (
+  SELECT ts FROM events WHERE ts IS NOT NULL
+), p AS (
+  SELECT event_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_concurrent
+FROM p JOIN e
+  ON e.ts >= p.ts - INTERVAL 1 MINUTE AND e.ts <= p.ts + INTERVAL 1 MINUTE
+GROUP BY p.event_id
+"""

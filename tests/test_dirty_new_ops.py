@@ -571,3 +571,48 @@ def test_embedding_norm_stats_dirty(tmp_path, ray_session):
         str(tmp_path),
         tables=("embeddings",),
     )
+
+
+def test_concurrent_events_dirty(dirty):
+    """Keyless time join on dirty rows: NULL ts never joins either side;
+    NULL-id purchases are not probes."""
+    from ocr_ray.ops.timeseries import (
+        PURCHASES_CONCURRENT_EVENTS_SQL,
+        purchases_concurrent_events,
+    )
+
+    _compare(
+        purchases_concurrent_events(dirty), PURCHASES_CONCURRENT_EVENTS_SQL, dirty
+    )
+
+
+def test_concurrent_events_bucket_boundary(tmp_path, ray_session):
+    """Events exactly AT the ±60 s bound are in (inclusive); 60 s + 1 us is
+    out — including neighbors that live in a DIFFERENT time bucket than
+    the probe (the replication path, not the home-bucket path)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 1, 59)  # 1 us below a 120 s bucket edge
+    rows = [
+        (1, base, "purchase"),                                  # probe
+        (2, base + dt.timedelta(seconds=60), "view"),           # inclusive, next bucket
+        (3, base - dt.timedelta(seconds=60), "view"),           # inclusive, same bucket
+        (4, base + dt.timedelta(seconds=60, microseconds=1), "view"),  # out
+        (5, base - dt.timedelta(seconds=60, microseconds=1), "view"),  # out
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([9, 1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from ocr_ray.ops.timeseries import purchases_concurrent_events
+
+    got = purchases_concurrent_events(str(tmp_path)).to_pandas()
+    assert len(got) == 1 and got.event_id.iloc[0] == 1
+    assert got.n_concurrent.iloc[0] == 3  # self + the two inclusive bounds
