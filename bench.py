@@ -266,6 +266,11 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         _consume(user_twap(ev1m))
         qtimes["twap_1m_events"] = round(time.monotonic() - t0, 3)
+        from ocr_ray.ops.timeseries import purchases_concurrent_events
+
+        t0 = time.monotonic()
+        _consume(purchases_concurrent_events(ev1m))
+        qtimes["concurrent_1m_events"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
     return {

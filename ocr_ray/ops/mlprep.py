@@ -554,10 +554,13 @@ def events_value_dense_rank(sf_dir: str) -> Dataset:
         vs, cm = ray.get(ref)
         v = t.column("v").to_numpy(zero_copy_only=False)
         idx = np.searchsorted(vs, v)
+        # RANK() with gaps: 1 + #rows strictly below = exclusive prefix + 1
+        excl = np.where(idx > 0, cm[np.maximum(idx - 1, 0)], 0)
         return pa.table(
             {
                 "event_id": t.column("event_id"),
                 "dense_rank": pa.array((idx + 1).astype(np.int64)),
+                "rank": pa.array((excl + 1).astype(np.int64)),
                 "cd_num": pa.array(cm[idx].astype(np.int64)),
                 "cd_den": pa.array(np.full(len(v), total, np.int64)),
             }
@@ -573,6 +576,7 @@ WITH p AS (
 )
 SELECT event_id,
        CAST(DENSE_RANK() OVER (ORDER BY v) AS BIGINT) AS dense_rank,
+       CAST(RANK() OVER (ORDER BY v) AS BIGINT) AS rank,
        CAST(COUNT(*) OVER (ORDER BY v) AS BIGINT) AS cd_num,
        CAST(COUNT(*) OVER () AS BIGINT) AS cd_den
 FROM p
