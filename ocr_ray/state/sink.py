@@ -767,3 +767,157 @@ def compact_segments(
     return pa.table(
         {k: pa.array([r.get(k) for r in sorted(rows, key=lambda r: r["partition_id"])]) for k in keys}
     )
+
+
+# ---------------------------------------------------------------------------
+# range-partitioned (sorted) table writer
+# ---------------------------------------------------------------------------
+
+
+def _range_finalize_one(
+    pid: int, *, frag_root: str, out_dir: str, key: str, sort_keys: list[str]
+) -> dict:
+    d = os.path.join(frag_root, f"part-{int(pid):05d}")
+    frags = sorted(os.listdir(d))
+    t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in frags])
+    t = t.drop_columns(["part_id"]).sort_by([(k, "ascending") for k in sort_keys])
+    data_path = os.path.join(out_dir, f"range-{int(pid):05d}.parquet")
+    tmp = data_path + f".tmp-{os.getpid()}"
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, **_PARQUET_OPTS)
+    payload = buf.getvalue()
+    with open(tmp, "wb") as f:
+        f.write(memoryview(payload))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, data_path)
+    kv = t.column(key)
+    manifest = {
+        "partition_id": int(pid),
+        "rows": t.num_rows,
+        "lo": kv[0].as_py() if t.num_rows else None,
+        "hi": kv[-1].as_py() if t.num_rows else None,
+        "checksum": hashlib.sha256(memoryview(payload)).hexdigest(),
+    }
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"range-{int(pid):05d}.json")
+    mtmp = mpath + f".tmp-{os.getpid()}"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, mpath)
+    return manifest
+
+
+def write_range_partitioned(
+    ds,
+    out_dir: str,
+    *,
+    key: str,
+    sort_keys: list[str] | None = None,
+    num_files: int = 16,
+    bucket_width: int = 1,
+) -> pa.Table:
+    """Write ``ds`` as a RANGE-partitioned sorted table: ``num_files``
+    Parquet files with disjoint, ordered key ranges, each internally sorted
+    — the clustered layout that makes predicate pruning work (a reader
+    with ``key BETWEEN a AND b`` opens only the files whose [lo, hi]
+    intersects; the z-order op is the multi-dimensional sibling).
+
+    Plan (no global sort): (1) a per-batch integer-bucket census folds to
+    the driver (O(distinct buckets), the order_quantiles histogram trick);
+    boundaries land on bucket edges at the equi-depth ranks. (2) one
+    fragment fan-out keyed by searchsorted(boundaries) — the existing
+    filesystem exchange, no Ray all-to-all. (3) per-file parallel merge +
+    sort + atomic commit with a (lo, hi, rows, sha256) manifest per file.
+    Rows with a NULL key are REFUSED (a sorted layout has no place for
+    them — callers route them to a separate spill first)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc_
+    import ray
+
+    sort_keys = sort_keys or [key]
+
+    def census(t: pa.Table) -> pa.Table:
+        if pc_.any(pc_.is_null(t.column(key))).as_py():
+            raise ValueError(f"write_range_partitioned: NULL {key!r} row has no range")
+        b = pc_.divide(pc_.cast(t.column(key), pa.int64()), pa.scalar(bucket_width))
+        g = pa.table({"b": b}).group_by("b").aggregate([([], "count_all")])
+        return g.rename_columns(["b", "n"])
+
+    import pandas as pd
+
+    frames = list(
+        ds.map_batches(census, batch_format="pyarrow").iter_batches(batch_format="pandas")
+    )
+    hist = (
+        pd.concat(frames).groupby("b", sort=True)["n"].sum()
+        if frames
+        else pd.Series(dtype=np.int64)
+    )
+    buckets = hist.index.to_numpy(np.int64)
+    counts = hist.to_numpy(np.int64)
+    total = int(counts.sum()) if len(counts) else 0
+    cum = np.cumsum(counts) if len(counts) else counts
+    # equi-depth boundaries on bucket edges: first bucket whose cumulative
+    # count reaches rank i * total / num_files starts file i
+    bounds = [buckets[0]] if len(buckets) else []
+    for i in range(1, num_files):
+        r = (i * total) // num_files
+        j = int(np.searchsorted(cum, r, side="right"))
+        if j < len(buckets) and (not bounds or buckets[j] > bounds[-1]):
+            bounds.append(buckets[j])
+    edges = np.asarray(bounds, dtype=np.int64)
+
+    frag_root = os.path.join(out_dir, "_frag")
+    shutil.rmtree(frag_root, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        b = pc_.divide(pc_.cast(t.column(key), pa.int64()), pa.scalar(bucket_width))
+        pid = np.maximum(
+            np.searchsorted(edges, b.to_numpy(zero_copy_only=False), side="right") - 1, 0
+        )
+        t = t.append_column("part_id", pa.array(pid.astype(np.int32)))
+        return _fanout_batch(t, frag_root=frag_root)
+
+    summaries = ds.map_batches(fanout, batch_format="pyarrow").take_all()
+    pending = sorted({r["part_id"] for r in summaries})
+    fin = ray.remote(_range_finalize_one)
+    rows = ray.get(
+        [
+            fin.remote(
+                pid, frag_root=frag_root, out_dir=out_dir, key=key, sort_keys=sort_keys
+            )
+            for pid in pending
+        ]
+    )
+    shutil.rmtree(frag_root, ignore_errors=True)
+    rows.sort(key=lambda m: m["partition_id"])
+    return pa.table(
+        {
+            "partition_id": pa.array([m["partition_id"] for m in rows], pa.int32()),
+            "rows": pa.array([m["rows"] for m in rows], pa.int64()),
+            "lo": pa.array([m["lo"] for m in rows]),
+            "hi": pa.array([m["hi"] for m in rows]),
+        }
+    )
+
+
+def prune_range_files(out_dir: str, lo, hi) -> list[str]:
+    """Files of a range-partitioned table whose [lo, hi] intersects the
+    query range — the reader-side pruning the layout exists for."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    keep = []
+    for name in sorted(os.listdir(mdir)):
+        if not name.startswith("range-"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        if m["rows"] and not (m["hi"] < lo or m["lo"] > hi):
+            keep.append(os.path.join(out_dir, f"range-{m['partition_id']:05d}.parquet"))
+    return keep
