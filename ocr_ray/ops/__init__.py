@@ -134,6 +134,7 @@ from ocr_ray.ops.timeseries import (
     user_retention_cohorts,
 )
 from ocr_ray.sources.evolving import orders_evolved_rollup
+from ocr_ray.state.sink import ORDERS_RANGE_LAYOUT_SQL, orders_range_layout
 from ocr_ray.ops.textstats import (
     DOC_BPE_TOKEN_COUNTS_SQL,
     DOC_FINGERPRINTS_SQL,
@@ -209,6 +210,7 @@ REGISTRY: dict[str, tuple] = {
     "orders_keyset_page": (orders_keyset_page, ORDERS_KEYSET_PAGE_SQL),
     "orders_evolved_rollup": (orders_evolved_rollup, None),  # SQL built per-sf
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
+    "orders_range_layout": (orders_range_layout, ORDERS_RANGE_LAYOUT_SQL),
 }
 
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY

@@ -921,3 +921,69 @@ def prune_range_files(out_dir: str, lo, hi) -> list[str]:
         if m["rows"] and not (m["hi"] < lo or m["lo"] > hi):
             keep.append(os.path.join(out_dir, f"range-{m['partition_id']:05d}.parquet"))
     return keep
+
+
+def orders_range_layout(sf_dir: str) -> pa.Table:
+    """queries() entry: the range-partitioned layout MANIFEST for orders
+    keyed by o_orderkey (8 files, 100-key census buckets) — the layout
+    decision itself is driver-verifiable (the SQL mirror recomputes the
+    same equi-depth bucket-edge boundaries and per-file lo/hi/rows)."""
+    import tempfile
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("o_orderkey"))),
+        batch_format="pyarrow",
+    )
+    out = tempfile.mkdtemp(prefix="ocr_ray_range_")
+    m = write_range_partitioned(
+        ds, out, key="o_orderkey", sort_keys=["o_orderkey"], num_files=8,
+        bucket_width=100,
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    return pa.table(
+        {
+            "partition_id": pc.cast(m.column("partition_id"), pa.int64()),
+            "rows": m.column("rows"),
+            "lo": pc.cast(m.column("lo"), pa.int64()),
+            "hi": pc.cast(m.column("hi"), pa.int64()),
+        }
+    )
+
+
+ORDERS_RANGE_LAYOUT_SQL = """
+WITH k AS (
+  SELECT o_orderkey AS key, o_orderkey // 100 AS b FROM orders
+  WHERE o_orderkey IS NOT NULL
+),
+h AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY b
+),
+c AS (
+  SELECT b, SUM(n) OVER (ORDER BY b) AS cum, SUM(n) OVER () AS total FROM h
+),
+bounds AS (  -- file i starts at the first bucket with cum > i*total/8
+  SELECT DISTINCT mb AS b FROM (
+    SELECT i.i, MIN(c.b) AS mb
+    FROM (SELECT unnest(range(1, 8)) AS i) i
+    JOIN c ON c.cum > (i.i * c.total) // 8
+    GROUP BY i.i
+    UNION ALL SELECT 0, MIN(b) FROM h
+  )
+),
+assigned AS (
+  SELECT k.key,
+         (SELECT COUNT(*) FROM bounds WHERE bounds.b <= k.b) - 1 AS pid
+  FROM k
+)
+SELECT CAST(pid AS BIGINT) AS partition_id,
+       CAST(COUNT(*) AS BIGINT) AS rows,
+       CAST(MIN(key) AS BIGINT) AS lo,
+       CAST(MAX(key) AS BIGINT) AS hi
+FROM assigned GROUP BY pid
+"""
