@@ -73,6 +73,24 @@ def _clean_corpus(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"])
 
 
+def _training_data_full(sf_dir: str):
+    """The COMPLETE composed pipeline incl. near-dup, split assignment and
+    the resumable sink; returns the per-(split, lang) mixture report."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.training_data import training_data_full
+
+    out = tempfile.mkdtemp(prefix="ocr_ray_tdf_")
+    try:
+        return training_data_full(rd.read_parquet(_transcripts_for(sf_dir)), out)
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _conversation_stats(sf_dir: str):
     """Per-conversation rollup (partial pre-agg + tiny groupby)."""
     import ray.data as rd
@@ -212,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,
+        "training_data_full": _training_data_full,
         "clean_corpus_plain": clean_corpus_plain,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,

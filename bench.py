@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "user_twap",
     "doc_bpe_token_counts",
     "purchases_concurrent_events",
+    "training_data_full",
 ]
 
 

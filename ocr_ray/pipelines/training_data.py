@@ -250,3 +250,69 @@ def clean_corpus(
         near_ckpt = os.path.join(checkpoint_dir, "near") if checkpoint_dir else None
         out = dedup_near_turns(out, checkpoint_dir=near_ckpt, winner_join=winner_join)
     return out
+
+
+def training_data_full(
+    transcripts: Dataset,
+    out_dir: str,
+    *,
+    min_chars: int = MIN_CHARS,
+    num_partitions: int = 16,
+) -> pa.Table:
+    """The COMPLETE training-data pipeline in one call:
+
+        extract -> quality gate -> lang-ID/token counts -> exact dedup
+        -> MinHash-LSH near-dup -> reproducible train/val/test split
+        -> resumable partitioned sink -> per-(split, lang) mixture report
+
+    Everything streams; the sink is the consumer (no driver materialization
+    of the corpus). Returns the mixture report — one row per (split,
+    lang_pred) with turn and token totals — which is what a data-mixing
+    run actually inspects before training."""
+    corpus = clean_corpus(transcripts, min_chars=min_chars, near_dedup=True)
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        uids = _uid_col(t)
+        b = [
+            hashlib.md5(u.encode("utf-8")).digest()[0]
+            for u in uids.to_pylist()
+        ]
+        split = pa.array(
+            ["train" if x < 0xCC else ("val" if x < 0xE6 else "test") for x in b],
+            pa.string(),
+        )
+        return t.append_column("split", split)
+
+    with_split = corpus.map_batches(assign_split, batch_format="pyarrow")
+
+    from ocr_ray.state.sink import write_partitioned
+
+    write_partitioned(with_split, out_dir, num_partitions=num_partitions, resume=False)
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    back = rd.read_parquet(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "split": t.column("split"),
+                "lang_pred": t.column("lang_pred"),
+                "n_turns": pa.array([1] * t.num_rows, pa.int64()),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+        g = t.group_by(["split", "lang_pred"]).aggregate(
+            [("n_turns", "sum"), ("n_tokens", "sum")]
+        )
+        return g.rename_columns(["split", "lang_pred", "n_turns", "n_tokens"])
+
+    report = (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang_pred"])
+        .aggregate(Sum("n_turns", alias_name="n_turns"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+    return pa.Table.from_pandas(report.to_pandas(), preserve_index=False).sort_by(
+        [("split", "ascending"), ("lang_pred", "ascending")]
+    )

@@ -92,3 +92,27 @@ def test_winner_reduce_paths_agree(monkeypatch):
     monkeypatch.setattr(TD, "_SINGLE_REDUCE_MAX_ROWS", 0)
     big_path = key(clean_corpus(ds).to_pandas())
     assert small_gate == big_path and len(small_gate) > 0
+
+
+def test_training_data_full_report(tmp_path, ray_session):
+    """Full composition: extract -> gate -> dedup -> near-dup -> split ->
+    sink -> mixture report. The report must reconcile exactly with the
+    committed corpus, and the split must be the reproducible md5 split."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.training_data import clean_corpus, training_data_full
+    from ocr_ray.sources.transcripts import ensure_transcripts
+
+    d = ensure_transcripts(300, seed=21)
+    out = str(tmp_path / "tdf")
+    rep = training_data_full(rd.read_parquet(d), out, num_partitions=4).to_pandas()
+    assert set(rep.split) <= {"train", "val", "test"}
+    # sink holds exactly the reported rows
+    back = rd.read_parquet(out)
+    assert back.count() == int(rep.n_turns.sum())
+    # corpus row count matches the standalone clean_corpus(near_dedup=True)
+    n_corpus = clean_corpus(rd.read_parquet(d), near_dedup=True).count()
+    assert int(rep.n_turns.sum()) == n_corpus
+    # train fraction ~80% (md5 uniformity, wide tolerance at this size)
+    frac = rep[rep.split == "train"].n_turns.sum() / rep.n_turns.sum()
+    assert 0.7 < frac < 0.9
