@@ -121,8 +121,10 @@ from ocr_ray.ops.timeseries import (
     OVERLAPPING_ORDER_WINDOWS_SQL,
     USER_TWAP_SQL,
     PURCHASES_CONCURRENT_EVENTS_SQL,
+    USER_CENTERED_SPEND_SQL,
     overlapping_order_windows,
     purchases_concurrent_events,
+    user_centered_spend,
     user_twap,
     EVENTS_NTILE_BY_TYPE_SQL,
     events_ntile,
@@ -204,6 +206,7 @@ REGISTRY: dict[str, tuple] = {
     "overlapping_order_windows": (overlapping_order_windows, OVERLAPPING_ORDER_WINDOWS_SQL),
     "user_twap": (user_twap, USER_TWAP_SQL),
     "purchases_concurrent_events": (purchases_concurrent_events, PURCHASES_CONCURRENT_EVENTS_SQL),
+    "user_centered_spend": (user_centered_spend, USER_CENTERED_SPEND_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),

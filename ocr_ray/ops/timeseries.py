@@ -1109,3 +1109,82 @@ FROM p JOIN e
   ON e.ts >= p.ts - INTERVAL 1 MINUTE AND e.ts <= p.ts + INTERVAL 1 MINUTE
 GROUP BY p.event_id
 """
+
+
+def user_centered_spend(sf_dir: str) -> Dataset:
+    """Per event: the user's spend over the CENTERED 3-row frame (ROWS
+    BETWEEN 1 PRECEDING AND 1 FOLLOWING, ordered by ts then event_id) —
+    the smoothing window; completes the frame-direction matrix (trailing
+    ROWS, trailing RANGE, and now FOLLOWING).
+
+    Same per-segment prefix-sum plan as the trailing frames; NULL values
+    contribute 0 (COALESCE mirrored in SQL — the frame always contains the
+    row itself, so the sum is never NULL)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id")))
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "v": pc.coalesce(to_cents(t.column("value")), pa.scalar(0, pa.int64())),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def centered(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "centered_cents": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        out = np.empty(n, dtype=np.int64)
+        for a, b in zip(starts, ends):
+            seg = v[a:b]
+            pref = np.concatenate(([0], np.cumsum(seg)))
+            i = np.arange(b - a)
+            lo = np.maximum(i - 1, 0)
+            hi = np.minimum(i + 1, b - a - 1)
+            out[a:b] = pref[hi + 1] - pref[lo]
+        return pa.table(
+            {"event_id": t.column("event_id"), "centered_cents": pa.array(out)}
+        )
+
+    return grouped_scan(pre, "user_id", centered, batch_format="pyarrow").select_columns(
+        ["event_id", "centered_cents"]
+    )
+
+
+USER_CENTERED_SPEND_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         COALESCE(CAST(ROUND(value*100) AS BIGINT), 0) AS v
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT event_id,
+       CAST(SUM(v) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+       ) AS BIGINT) AS centered_cents
+FROM p
+"""
