@@ -1959,3 +1959,121 @@ GROUP BY 1, 2
 """
 
 REGISTRY["orders_monthly"] = (orders_monthly, ORDERS_MONTHLY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-group distinct counts: exact (two-level dedup) + per-group HLL sketch
+# ---------------------------------------------------------------------------
+
+
+def distinct_users_per_type(sf_dir: str) -> Dataset:
+    """Exact COUNT(DISTINCT user_id) per event_type — the grouped-distinct
+    plan without driver sets: per-batch (type, user) dedup partials, one
+    dedup groupby over distinct pairs, then per-batch counts + a tiny
+    groupby(type). NULL users don't count (SQL); NULL type is a group
+    (null-safe keys through both shuffles)."""
+    from ocr_ray.functions.nullsafe import (
+        decode_null_keys,
+        encode_null_keys,
+        grouping_keys,
+    )
+    from ray.data.aggregate import Count
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return encode_null_keys(g, ["event_type"])
+
+    distinct_pairs = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby(grouping_keys(["event_type"]) + ["user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_users", pa.array([1] * t.num_rows, pa.int64()))
+        g = t.group_by(grouping_keys(["event_type"])).aggregate([("n_users", "sum")])
+        return g.rename_columns(grouping_keys(["event_type"]) + ["n_users"])
+
+    out = (
+        distinct_pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(grouping_keys(["event_type"]))
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return out.map_batches(
+        lambda t: decode_null_keys(t, ["event_type"]), batch_format="pyarrow"
+    )
+
+
+DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+REGISTRY["distinct_users_per_type"] = (
+    distinct_users_per_type,
+    DISTINCT_USERS_PER_TYPE_SQL,
+)
+
+
+def distinct_users_per_type_hll(sf_dir: str) -> Dataset:
+    """Approximate grouped distinct: one mergeable HLL sketch PER GROUP —
+    the sketch as a distributive aggregate, not a global (the 10^12-row
+    path where even the distinct (type, user) pair set is too hot to
+    shuffle). Per batch: registers per type; merge = per-register max in a
+    tiny map_groups over ~|types| rows. Accuracy pytest-bounded against
+    the exact gated sibling."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("event_type")))
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pylist(),
+                "user_id": t.column("user_id").to_pylist(),
+            }
+        )
+        rows_t, rows_r = [], []
+        for et, g in df.groupby("event_type"):
+            rows_t.append(et)
+            rows_r.append(_hll_registers(g["user_id"].tolist()).tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(rows_t, pa.string()),
+                "regs": pa.array(rows_r, pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        regs = np.max(
+            np.asarray(g.column("regs").to_pylist(), dtype=np.int64), axis=0
+        )
+        m = float(1 << _HLL_P)
+        est = 0.7213 / (1 + 1.079 / m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {
+                "event_type": pa.array([g.column("event_type")[0].as_py()]),
+                "n_users_approx": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+REGISTRY["distinct_users_per_type_hll"] = (distinct_users_per_type_hll, None)

@@ -616,3 +616,30 @@ def test_concurrent_events_bucket_boundary(tmp_path, ray_session):
     got = purchases_concurrent_events(str(tmp_path)).to_pandas()
     assert len(got) == 1 and got.event_id.iloc[0] == 1
     assert got.n_concurrent.iloc[0] == 3  # self + the two inclusive bounds
+
+
+def test_distinct_users_per_type_dirty(dirty):
+    """Grouped distinct: NULL users don't count; NULL type is a group."""
+    from ocr_ray.pipelines.relational import (
+        DISTINCT_USERS_PER_TYPE_SQL,
+        distinct_users_per_type,
+    )
+
+    _compare(distinct_users_per_type(dirty), DISTINCT_USERS_PER_TYPE_SQL, dirty)
+
+
+def test_grouped_hll_tracks_exact(ray_session):
+    """Per-group HLL within 5% of the exact sibling at sf0.01 (4096
+    registers; n per group is in the small-range-corrected regime)."""
+    from ocr_ray.pipelines.relational import (
+        distinct_users_per_type,
+        distinct_users_per_type_hll,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = distinct_users_per_type(sf).to_pandas().set_index("event_type")["n_users"]
+    approx = (
+        distinct_users_per_type_hll(sf).to_pandas().set_index("event_type")["n_users_approx"]
+    )
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, int(0.05 * n)), (et, n, approx[et])
