@@ -14,6 +14,8 @@ search     inverted index, integer fixed-point BM25 top-k
 timeseries gap-filled resample, LOCF forward fill, ordered funnel, NTILE
 dq         FK orphan audit, snapshot diff (CDC), keyset pagination
 incremental mergeable aggregate states: O(delta) refresh == full recompute
+stats      mergeable moments (variance/covariance integer numerators),
+           exact integer histogram, market-basket pair co-occurrence
 
 ``REGISTRY`` maps query name -> (callable(sf_dir), oracle_sql_or_None) and is
 merged into ``__ray_entry__.queries()``.
@@ -219,3 +221,23 @@ REGISTRY: dict[str, tuple] = {
 from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY
 
 REGISTRY.update(_OLAP_REGISTRY)
+
+from ocr_ray.ops.stats import (
+    EVENT_VALUE_MOMENTS_SQL,
+    EVENTS_VALUE_HISTOGRAM_SQL,
+    PART_PAIR_COUNTS_SQL,
+    PRICE_QTY_MOMENTS_SQL,
+    event_value_moments,
+    events_value_histogram,
+    part_pair_counts,
+    price_qty_moments,
+)
+
+REGISTRY.update(
+    {
+        "event_value_moments": (event_value_moments, EVENT_VALUE_MOMENTS_SQL),
+        "events_value_histogram": (events_value_histogram, EVENTS_VALUE_HISTOGRAM_SQL),
+        "price_qty_moments": (price_qty_moments, PRICE_QTY_MOMENTS_SQL),
+        "part_pair_counts": (part_pair_counts, PART_PAIR_COUNTS_SQL),
+    }
+)

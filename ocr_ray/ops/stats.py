@@ -1,0 +1,395 @@
+"""Statistical-aggregate operators: mergeable moments (variance / covariance
+numerators), exact integer histograms, and market-basket co-occurrence.
+
+These generalize the reference's per-run metric rollups (the extraction flow
+reports count/size summaries per batch — extract-data-from-pdf.ts:134-145's
+guard counters) to the distributive-statistics family a profiling pass over a
+100 TB corpus needs: every operator here reduces to per-batch integer partial
+states that merge associatively through ONE small groupby, so the shuffle
+carries a handful of int64s per group regardless of input width.
+
+Exactness contract: all moments are emitted as *integer numerators* of the
+textbook formulas (m2_num = n*Σx² − (Σx)², cov_num = n*Σxy − Σx·Σy) rather
+than floats — float variance depends on reduction order, which would break
+the order-insensitive value-hash gate vs DuckDB (and is why Welford exists).
+The consumer divides by n(n−1) at display time. Overflow bounds are
+documented per operator; inputs are scaled (cents vs whole dollars) so the
+numerators stay inside int64 at every tested scale, and the bound to watch
+at larger corpora is stated in each docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ocr_ray.functions.scalars import to_cents
+
+__all__ = [
+    "event_value_moments",
+    "events_value_histogram",
+    "price_qty_moments",
+    "part_pair_counts",
+    "EVENT_VALUE_MOMENTS_SQL",
+    "EVENTS_VALUE_HISTOGRAM_SQL",
+    "PRICE_QTY_MOMENTS_SQL",
+    "PART_PAIR_COUNTS_SQL",
+]
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# mergeable moments: per-(event_type, day) variance numerator
+# ---------------------------------------------------------------------------
+
+
+def event_value_moments(sf_dir: str) -> Dataset:
+    """Per-(event_type, day) count / sum / variance-numerator over event
+    value — the mergeable-moments pattern: each batch reduces to one
+    (n, Σc, Σc²) triple per group, the single shuffle moves three int64s
+    per (type, day), and the final map computes m2_num = n·Σc² − (Σc)².
+
+    Overflow bound (int64): with cents ≤ 10^5 per event, n·Σc² ≈ n²·10^10
+    stays under 2^63 for n ≤ ~10^4 rows per (type, day) group at one
+    cent-scale — the (type, day) key keeps groups bounded as the corpus
+    grows in TIME rather than in per-day density; a denser domain should
+    group finer (hour) or scale to whole dollars like price_qty_moments.
+    NULL value/ts rows are excluded (mirrored in SQL); NULL event_type is
+    a regular SQL group (null-safe keys through Ray's sort shuffle).
+    """
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("value")), pc.is_valid(t.column("ts"))))
+        c = to_cents(t.column("value"))
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.divide(pc.subtract(us, pc.if_else(pc.less(us, 0), 86_399_999_999, 0)), 86_400_000_000)
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "s": c,
+                "ss": pc.multiply(c, c),
+            }
+        ).group_by(["event_type", "day"]).aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "day", "n", "s", "ss"])
+
+    agg = null_safe_groupby_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        Sum("n", alias_name="n"),
+        Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n, s, ss = t.column("n"), t.column("s"), t.column("ss")
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": t.column("day"),
+                "n": n,
+                "sum_cents": s,
+                "m2_num": pc.subtract(pc.multiply(n, ss), pc.multiply(s, s)),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+EVENT_VALUE_MOMENTS_SQL = """
+WITH c AS (
+  -- FLOOR day bucket: DuckDB integer // truncates toward zero (pre-1970
+  -- would bucket up), so subtract the positive modulo first — exactly the
+  -- arithmetic the Ray side uses
+  SELECT event_type,
+         (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000))
+           // 86400000000 AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT) AS m2_num
+FROM c GROUP BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact integer histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BIN_CENTS = 5_000  # $50 buckets
+_HIST_MAX_BIN = 19  # everything >= $1000 clamps into the last bin
+
+
+def events_value_histogram(sf_dir: str) -> Dataset:
+    """Fixed-bin value histogram over events — the profiling primitive under
+    quantile/NTILE plans, exposed first-class. Binning is integer cents
+    floor-division (never float bucket math: a double boundary like 49.999…
+    would bin differently across engines), per-batch ``np.bincount``
+    partials, one tiny groupby over at most 20 rows per batch.
+    """
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        c = to_cents(t.column("value")).to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor_divide(c, _HIST_BIN_CENTS), _HIST_MAX_BIN)
+        b = np.maximum(b, 0)
+        cnt = np.bincount(b, minlength=_HIST_MAX_BIN + 1)
+        bins = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bin": pa.array(bins.astype(np.int64)), "n": pa.array(cnt[bins].astype(np.int64))}
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": t.column("bin"),
+                "lo_cents": pc.multiply(t.column("bin"), _HIST_BIN_CENTS),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT) // {_HIST_BIN_CENTS}, 0),
+               {_HIST_MAX_BIN}) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, bin * {_HIST_BIN_CENTS} AS lo_cents, CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# mergeable covariance / correlation numerators
+# ---------------------------------------------------------------------------
+
+
+def price_qty_moments(sf_dir: str) -> Dataset:
+    """Per-(returnflag, linestatus, ship-month) covariance/correlation state
+    between quantity and extended price — the two-variable moments sibling:
+    partial (n, Σx, Σy, Σxy, Σx², Σy²) per batch, one shuffle of six int64s
+    per group, integer numerators out (corr² = cov_num² / (sxx_num·syy_num)
+    at display time, exactly).
+
+    Scaling choice: y is whole DOLLARS (ROUND(price)), not cents — with
+    y ≤ 10^5 and x = quantity ≤ 10^2, n·Σy² ≈ n²·10^10 holds inside int64
+    up to n ≈ 10^4 rows per (flag, status, month) group; cents would cut
+    that bound 10^4×. The month key grows with the corpus timespan, keeping
+    per-group n roughly constant as total volume scales.
+    """
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("l_quantity")), pc.is_valid(t.column("l_extendedprice"))),
+                pc.is_valid(t.column("l_shipdate")),
+            )
+        )
+        x = pc.cast(pc.round(t.column("l_quantity"), round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(
+            pc.round(t.column("l_extendedprice"), round_mode="half_towards_infinity"), pa.int64()
+        )
+        month = pc.cast(
+            pc.add(pc.multiply(pc.year(t.column("l_shipdate")), 12), pc.month(t.column("l_shipdate"))),
+            pa.int64(),
+        )
+        g = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "month": month,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+            }
+        ).group_by(["l_returnflag", "l_linestatus", "month"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "month", "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    agg = null_safe_groupby_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus", "month"],
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        sx, sy = t.column("sx"), t.column("sy")
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "month": t.column("month"),
+                "n": n,
+                "sum_qty": sx,
+                "sum_price_usd": sy,
+                "cov_num": pc.subtract(pc.multiply(n, t.column("sxy")), pc.multiply(sx, sy)),
+                "sxx_num": pc.subtract(pc.multiply(n, t.column("sxx")), pc.multiply(sx, sx)),
+                "syy_num": pc.subtract(pc.multiply(n, t.column("syy")), pc.multiply(sy, sy)),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+PRICE_QTY_MOMENTS_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS month,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+)
+SELECT l_returnflag, l_linestatus, month, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_qty,
+       CAST(SUM(y) AS BIGINT) AS sum_price_usd,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS sxx_num,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS syy_num
+FROM c GROUP BY l_returnflag, l_linestatus, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence: top part pairs across orders
+# ---------------------------------------------------------------------------
+
+_PAIR_TOPK = 100
+
+
+def part_pair_counts(sf_dir: str) -> Dataset:
+    """Top co-purchased part pairs — frequent-itemset mining at k=2, the
+    association primitive of a recommendations pipeline.
+
+    Plan (shuffle budget: two small exchanges, never the raw rows):
+      1. per-batch DISTINCT (orderkey, partkey) shrink;
+      2. coarse-key ``grouped_scan`` by orderkey co-locates each order,
+         then pair expansion is vectorized over the whole partition —
+         one diagonal pass per offset d (d bounded by the max lines per
+         order, ≤ ~13 here) instead of per-order Python;
+      3. pairs are packed a<<32|b into one int64 (node ids < 2^31 —
+         asserted), per-partition np.unique census, ONE groupby over
+         (pair, n) partials;
+      4. per-block partial top-k then a driver merge of ≤ k rows per
+         block (k = 100): the global sort is never materialized.
+    Ties are total-ordered (n DESC, part_a, part_b) so LIMIT is stable.
+    """
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("l_orderkey")), pc.is_valid(t.column("l_partkey")))
+        )
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    def pairs_in_partition(df) -> "pa.Table":
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"]
+        )
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        assert pk.size == 0 or (pk.max() < 2**31 and pk.min() >= 0), "partkey must fit 31 bits"
+        a_all, b_all = [], []
+        d = 1
+        while True:
+            if d >= len(ok):
+                break
+            m = ok[:-d] == ok[d:]
+            if not m.any():
+                break
+            a_all.append(pk[:-d][m])
+            b_all.append(pk[d:][m])
+            d += 1
+        if not a_all:
+            import pandas as pd
+
+            return pd.DataFrame({"pair": np.array([], np.int64), "n": np.array([], np.int64)})
+        packed = (np.concatenate(a_all) << np.int64(32)) | np.concatenate(b_all)
+        uniq, cnt = np.unique(packed, return_counts=True)
+        import pandas as pd
+
+        return pd.DataFrame({"pair": uniq, "n": cnt.astype(np.int64)})
+
+    partials = grouped_scan(
+        li.map_batches(distinct_partial, batch_format="pyarrow"), "l_orderkey", pairs_in_partition
+    )
+    agg = partials.groupby("pair").aggregate(Sum("n", alias_name="n"))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"pair": t.column("pair").to_numpy(zero_copy_only=False),
+                           "n": t.column("n").to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["n", "pair"], ascending=[False, True]).head(_PAIR_TOPK)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import pandas as pd
+
+    rows = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    merged = pd.DataFrame(rows, columns=["pair", "n"])
+    top = merged.sort_values(["n", "pair"], ascending=[False, True]).head(_PAIR_TOPK)
+    pair = top["pair"].to_numpy(np.int64)
+    out = pa.table(
+        {
+            "part_a": pa.array((pair >> 32).astype(np.int64)),
+            "part_b": pa.array((pair & 0xFFFFFFFF).astype(np.int64)),
+            "n": pa.array(top["n"].to_numpy(np.int64)),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+PART_PAIR_COUNTS_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT {_PAIR_TOPK}
+"""
