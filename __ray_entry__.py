@@ -298,6 +298,9 @@ def oracle_sql() -> dict[str, str]:
 
         out["pagerank_graph"] = pagerank_graph_sql(_DRIVER_SF)
         out["connected_components_graph"] = connected_components_graph_sql(_DRIVER_SF)
+        from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
+
+        out["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(_DRIVER_SF)
     except ImportError:
         pass
     return out

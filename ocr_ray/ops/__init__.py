@@ -222,6 +222,10 @@ from ocr_ray.ops.olap import REGISTRY as _OLAP_REGISTRY
 
 REGISTRY.update(_OLAP_REGISTRY)
 
+from ocr_ray.ops.fuzzy import fuzzy_name_pairs, fuzzy_name_pairs_sql
+
+REGISTRY["fuzzy_name_pairs"] = (fuzzy_name_pairs, None)  # SQL built per-sf
+
 from ocr_ray.ops.stats import (
     EVENT_VALUE_MOMENTS_SQL,
     EVENTS_VALUE_HISTOGRAM_SQL,
