@@ -308,9 +308,9 @@ def part_pair_counts(sf_dir: str) -> Dataset:
          then pair expansion is vectorized over the whole partition —
          one diagonal pass per offset d (d bounded by the max lines per
          order, ≤ ~13 here) instead of per-order Python;
-      3. pairs are packed a<<32|b into one int64 (node ids < 2^31 —
-         asserted), per-partition np.unique census, ONE groupby over
-         (pair, n) partials;
+      3. per-partition pair census via lexsort + run-length count over the
+         (part_a, part_b) columns (no key-range contract — negative /
+         full-int64 keys are fine), ONE groupby over (pair, n) partials;
       4. per-block partial top-k then a driver merge of ≤ k rows per
          block (k = 100): the global sort is never materialized.
     Ties are total-ordered (n DESC, part_a, part_b) so LIMIT is stable.
@@ -331,7 +331,6 @@ def part_pair_counts(sf_dir: str) -> Dataset:
         )
         ok = df["l_orderkey"].to_numpy(np.int64)
         pk = df["l_partkey"].to_numpy(np.int64)
-        assert pk.size == 0 or (pk.max() < 2**31 and pk.min() >= 0), "partkey must fit 31 bits"
         a_all, b_all = [], []
         d = 1
         while True:
@@ -343,39 +342,46 @@ def part_pair_counts(sf_dir: str) -> Dataset:
             a_all.append(pk[:-d][m])
             b_all.append(pk[d:][m])
             d += 1
-        if not a_all:
-            import pandas as pd
-
-            return pd.DataFrame({"pair": np.array([], np.int64), "n": np.array([], np.int64)})
-        packed = (np.concatenate(a_all) << np.int64(32)) | np.concatenate(b_all)
-        uniq, cnt = np.unique(packed, return_counts=True)
         import pandas as pd
 
-        return pd.DataFrame({"pair": uniq, "n": cnt.astype(np.int64)})
+        if not a_all:
+            e = np.array([], np.int64)
+            return pd.DataFrame({"part_a": e, "part_b": e, "n": e})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        np.not_equal(a[1:], a[:-1], out=new[1:])
+        new[1:] |= b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a))).astype(np.int64)
+        return pd.DataFrame({"part_a": a[starts], "part_b": b[starts], "n": cnt})
 
     partials = grouped_scan(
         li.map_batches(distinct_partial, batch_format="pyarrow"), "l_orderkey", pairs_in_partition
     )
-    agg = partials.groupby("pair").aggregate(Sum("n", alias_name="n"))
+    agg = partials.groupby(["part_a", "part_b"]).aggregate(Sum("n", alias_name="n"))
 
     def topk_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = pd.DataFrame({"pair": t.column("pair").to_numpy(zero_copy_only=False),
-                           "n": t.column("n").to_numpy(zero_copy_only=False)})
-        df = df.sort_values(["n", "pair"], ascending=[False, True]).head(_PAIR_TOPK)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = t.select(["part_a", "part_b", "n"]).to_pandas()
+        df = df.sort_values(["n", "part_a", "part_b"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(_PAIR_TOPK), preserve_index=False)
 
     import pandas as pd
 
     rows = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
-    merged = pd.DataFrame(rows, columns=["pair", "n"])
-    top = merged.sort_values(["n", "pair"], ascending=[False, True]).head(_PAIR_TOPK)
-    pair = top["pair"].to_numpy(np.int64)
+    merged = pd.DataFrame(rows, columns=["part_a", "part_b", "n"])
+    top = merged.sort_values(["n", "part_a", "part_b"], ascending=[False, True, True]).head(
+        _PAIR_TOPK
+    )
     out = pa.table(
         {
-            "part_a": pa.array((pair >> 32).astype(np.int64)),
-            "part_b": pa.array((pair & 0xFFFFFFFF).astype(np.int64)),
+            "part_a": pa.array(top["part_a"].to_numpy(np.int64)),
+            "part_b": pa.array(top["part_b"].to_numpy(np.int64)),
             "n": pa.array(top["n"].to_numpy(np.int64)),
         }
     )

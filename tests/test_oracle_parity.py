@@ -61,6 +61,9 @@ def _rebind_extract_oracles():
 
     _SQLS["pagerank_graph"] = pagerank_graph_sql(SF)
     _SQLS["connected_components_graph"] = connected_components_graph_sql(SF)
+    from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
+
+    _SQLS["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
