@@ -294,10 +294,17 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.sources.readers import docs_schema_union_sql
 
         out["docs_schema_union"] = docs_schema_union_sql(_DRIVER_SF)
-        from ocr_ray.ops.graph import connected_components_graph_sql, pagerank_graph_sql
+        from ocr_ray.ops.graph import (
+            bfs_hops_graph_sql,
+            connected_components_graph_sql,
+            pagerank_graph_sql,
+            triangle_count_graph_sql,
+        )
 
         out["pagerank_graph"] = pagerank_graph_sql(_DRIVER_SF)
         out["connected_components_graph"] = connected_components_graph_sql(_DRIVER_SF)
+        out["triangle_count_graph"] = triangle_count_graph_sql(_DRIVER_SF)
+        out["bfs_hops_graph"] = bfs_hops_graph_sql(_DRIVER_SF)
         from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
 
         out["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(_DRIVER_SF)

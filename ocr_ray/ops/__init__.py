@@ -245,3 +245,12 @@ REGISTRY.update(
         "part_pair_counts": (part_pair_counts, PART_PAIR_COUNTS_SQL),
     }
 )
+
+from ocr_ray.ops.graph import bfs_hops_graph, triangle_count_graph
+
+REGISTRY.update(
+    {
+        "triangle_count_graph": (triangle_count_graph, None),  # SQL built per-sf
+        "bfs_hops_graph": (bfs_hops_graph, None),  # SQL built per-sf
+    }
+)

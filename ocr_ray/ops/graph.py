@@ -443,3 +443,339 @@ reach(node, r) AS (
 )
 SELECT node, CAST(MIN(r) AS BIGINT) AS label FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered wedge plan, O(m^1.5) candidate bound)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(edges: Dataset) -> Dataset:
+    """Distinct undirected edges as (a < b) int64 pairs; self-loops and NULL
+    endpoints dropped. One groupby dedup shuffle over 16-byte rows."""
+    from ocr_ray.ops.dedup import _coerce_schema
+
+    i64 = pa.int64()
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("src")), pc.is_valid(t.column("dst"))))
+        s, d = t.column("src"), t.column("dst")
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        out = pa.table({"a": pc.cast(a, i64), "b": pc.cast(b, i64)})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    canoned = edges.map_batches(canon, batch_format="pyarrow")
+    return _coerce_schema(
+        canoned.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"]),
+        pa.schema([("a", i64), ("b", i64)]),
+        parts=4,
+    )
+
+
+def _wedge_census(df) -> pa.Table:
+    """Per-partition wedge generator for grouped_scan (pandas frame in):
+    rows are oriented edges (src, dst) sorted here by (src, dst); within
+    each src-run every neighbor pair (w1 < w2 in id order) is emitted via
+    the offset-diagonal trick, then run-length-counted. Output (w1, w2, nw)
+    partials — 24-byte rows, never the adjacency itself."""
+    import pandas as pd
+
+    df = df.sort_values(["src", "dst"])
+    s = df["src"].to_numpy(np.int64)
+    d = df["dst"].to_numpy(np.int64)
+    a_l, b_l = [], []
+    k = 1
+    while k < len(s):
+        m = s[:-k] == s[k:]
+        if not m.any():
+            break
+        a_l.append(d[:-k][m])  # dst sorted within a src-run: w1 < w2
+        b_l.append(d[k:][m])
+        k += 1
+    if not a_l:
+        e = np.array([], np.int64)
+        return pa.table({"w1": pa.array(e), "w2": pa.array(e), "nw": pa.array(e)})
+    w1 = np.concatenate(a_l)
+    w2 = np.concatenate(b_l)
+    order = np.lexsort((w2, w1))
+    w1, w2 = w1[order], w2[order]
+    new = np.empty(len(w1), dtype=bool)
+    new[0] = True
+    np.not_equal(w1[1:], w1[:-1], out=new[1:])
+    new[1:] |= w2[1:] != w2[:-1]
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(w1))).astype(np.int64)
+    return pa.table(
+        {"w1": pa.array(w1[starts]), "w2": pa.array(w2[starts]), "nw": pa.array(cnt)}
+    )
+
+
+def triangle_count(edges: Dataset, *, local_edges_max: int = 30_000_000) -> Dataset:
+    """Exact triangle count over an (src, dst) edge Dataset, direction
+    ignored. Returns one row ``(n_triangles: int64)``.
+
+    Plan (the degree-ordered wedge algorithm — Schank/Wagner, the standard
+    MapReduce triangle plan):
+      1. canonicalize + dedup to undirected (a < b) edges;
+      2. per-node degree (one groupby over endpoints);
+      3. orient every edge from its lower-(degree, id) endpoint — each
+         node's oriented out-degree is O(sqrt(m)), so the wedge count is
+         bounded by O(m^1.5) REGARDLESS of hub skew (an unordered plan
+         explodes quadratically on a hot node);
+      4. co-locate oriented edges by src (coarse-key grouped_scan), emit
+         per-partition wedge-census partials (w1, w2, nw);
+      5. one groupby merges partials, a multi-key inner join against the
+         canonical edge list keeps wedges that close into triangles;
+         SUM(nw) is the answer.
+    All exchanges carry fixed-width int64 rows; nothing is driver-side
+    above the local tier. Below ``local_edges_max`` distinct edges the
+    identical algorithm runs in numpy on the driver (the pagerank/CC
+    size-gate pattern) — bit-identical by construction.
+    """
+    from ocr_ray.ops.dedup import _coerce_schema
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    i64 = pa.int64()
+
+    def one_row(n: int) -> Dataset:
+        return rd.from_arrow(pa.table({"n_triangles": pa.array([n], i64)}))
+
+    canon_lazy = _canonical_edges(edges)
+    if local_edges_max > 0:
+        local = _collect_edges_gated(
+            canon_lazy.rename_columns({"a": "src", "b": "dst"}), local_edges_max
+        )
+        if local is not None:
+            a, b = local
+            return one_row(_triangle_count_local(a, b))
+
+    canon = canon_lazy.materialize()
+    deg = _coerce_schema(
+        canon.select_columns(["a"])
+        .rename_columns({"a": "node"})
+        .union(canon.select_columns(["b"]).rename_columns({"b": "node"}))
+        .groupby("node")
+        .aggregate(Count(alias_name="deg")),
+        pa.schema([("node", i64), ("deg", i64)]),
+        parts=4,
+    )
+
+    from ocr_ray.functions.joins import hash_join
+
+    j = hash_join(canon, deg, on="a", right_on="node")
+    j = j.rename_columns({"deg": "deg_a"})
+    j = hash_join(j, deg, on="b", right_on="node").rename_columns({"deg": "deg_b"})
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b)),
+                "dst": pa.array(np.where(a_first, b, a)),
+            }
+        )
+
+    oriented = j.map_batches(orient, batch_format="pyarrow")
+    wedges = _coerce_schema(
+        grouped_scan(oriented, "src", _wedge_census)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("nw", alias_name="nw")),
+        pa.schema([("w1", i64), ("w2", i64), ("nw", i64)]),
+        parts=4,
+    )
+    # an all-empty census never passes through _coerce_schema's fix-up map
+    # (map_batches skips empty blocks), so its zero-column blocks would
+    # crash the multi-key join — and a triangle-free graph IS the answer 0
+    wedges = wedges.materialize()
+    if wedges.count() == 0:
+        return one_row(0)
+    closed = wedges.join(
+        canon, join_type="inner", num_partitions=4, on=("w1", "w2"), right_on=("a", "b")
+    )
+    total = closed.sum("nw") or 0
+    return one_row(int(total))
+
+
+def _triangle_count_local(a: np.ndarray, b: np.ndarray) -> int:
+    """Driver-tier triangle count over distinct canonical (a < b) edges —
+    the same degree-ordered wedge algorithm, numpy end-to-end."""
+    if len(a) == 0:
+        return 0
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    deg = np.bincount(ai, minlength=len(nodes)) + np.bincount(bi, minlength=len(nodes))
+    # orient low-(deg, id) -> high; ids here are positions in `nodes` (sorted,
+    # so position order == id order)
+    a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+    src = np.where(a_first, ai, bi)
+    dst = np.where(a_first, bi, ai)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    w1_l, w2_l = [], []
+    k = 1
+    while k < len(src):
+        m = src[:-k] == src[k:]
+        if not m.any():
+            break
+        w1_l.append(dst[:-k][m])
+        w2_l.append(dst[k:][m])
+        k += 1
+    if not w1_l:
+        return 0
+    w1 = np.concatenate(w1_l)
+    w2 = np.concatenate(w2_l)
+    # membership of (w1, w2) in the canonical edge set, via sorted packed keys
+    # (positions are < 2^32 by construction: they index `nodes`)
+    keys = np.sort((np.minimum(ai, bi).astype(np.uint64) << np.uint64(32)) | np.maximum(ai, bi).astype(np.uint64))
+    probe = (np.minimum(w1, w2).astype(np.uint64) << np.uint64(32)) | np.maximum(w1, w2).astype(np.uint64)
+    pos = np.searchsorted(keys, probe)
+    pos[pos >= len(keys)] = len(keys) - 1
+    return int((keys[pos] == probe).sum())
+
+
+def triangle_count_graph(sf_dir: str) -> Dataset:
+    """queries() entry: exact triangle count of the sf-scaled web-graph
+    fixture (direction ignored)."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return triangle_count(rd.read_parquet(path))
+
+
+def triangle_count_graph_sql(sf_dir: str) -> str:
+    """DuckDB mirror: canonical edge CTE + the textbook a<b<c three-way
+    self-join — an INDEPENDENT plan (no wedge census) for the same count."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return f"""
+WITH e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM read_parquet('{path}') WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops (bounded Bellman-Ford relaxation rounds)
+# ---------------------------------------------------------------------------
+
+_BFS_SOURCE = 0
+_BFS_MAX_HOPS = 6
+
+
+def bfs_hops(
+    edges: Dataset,
+    *,
+    source: int = _BFS_SOURCE,
+    max_hops: int = _BFS_MAX_HOPS,
+    local_edges_max: int = 30_000_000,
+) -> Dataset:
+    """Directed shortest hop-distance from ``source`` to every node
+    reachable within ``max_hops``: (node, dist). The directional complement
+    of connected components (min-label) — distance, not membership.
+
+    Each round r relaxes: dist'(v) = min(dist(v), min over in-edges (u,v)
+    of dist(u) + 1) — one hash join (edges x dists on src) plus one
+    groupby-Min per round, ranks materialized per round (checkpoint cadence,
+    same rationale as pagerank). After K rounds the result is EXACTLY the
+    <= K-hop shortest distance, matching the bounded recursive-CTE oracle.
+    Below the edge gate the identical relaxation runs locally in numpy."""
+    from ocr_ray.functions.joins import hash_join
+    from ocr_ray.ops.dedup import _coerce_schema
+    from ray.data.aggregate import Min
+
+    i64 = pa.int64()
+    if local_edges_max > 0:
+        local = _collect_edges_gated(edges, local_edges_max)
+        if local is not None:
+            src, dst = local
+            return _bfs_local(src, dst, source=source, max_hops=max_hops)
+
+    def drop_null_edges(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t.column("src")), pc.is_valid(t.column("dst")))
+        )
+
+    edges = edges.map_batches(drop_null_edges, batch_format="pyarrow")
+    dists = rd.from_arrow(
+        pa.table({"node": pa.array([source], i64), "dist": pa.array([0], i64)})
+    )
+    for _ in range(max_hops):
+        step = hash_join(edges, dists, on="src", right_on="node")
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pc.cast(t.column("dst"), i64),
+                    "dist": pc.add(t.column("dist"), pa.scalar(1, i64)),
+                }
+            )
+
+        dists = _coerce_schema(
+            dists.union(step.map_batches(relax, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist")),
+            pa.schema([("node", i64), ("dist", i64)]),
+            parts=4,
+        ).materialize()
+    return dists
+
+
+def _bfs_local(
+    src: np.ndarray, dst: np.ndarray, *, source: int, max_hops: int
+) -> Dataset:
+    """Driver-tier BFS levels over a deduped directed edge list."""
+    n_dist: dict[int, int] = {int(source): 0}
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    frontier = np.array([source], np.int64)
+    for r in range(1, max_hops + 1):
+        lo = np.searchsorted(src_s, frontier, side="left")
+        hi = np.searchsorted(src_s, frontier, side="right")
+        nxt = [dst_s[a:b] for a, b in zip(lo, hi) if b > a]
+        if not nxt:
+            break
+        cand = np.unique(np.concatenate(nxt))
+        fresh = np.array([v for v in cand if int(v) not in n_dist], np.int64)
+        for v in fresh:
+            n_dist[int(v)] = r
+        frontier = fresh
+        if frontier.size == 0:
+            break
+    nodes = np.fromiter(n_dist.keys(), np.int64, len(n_dist))
+    ds_ = np.fromiter(n_dist.values(), np.int64, len(n_dist))
+    o = np.argsort(nodes)
+    return rd.from_arrow(pa.table({"node": pa.array(nodes[o]), "dist": pa.array(ds_[o])}))
+
+
+def bfs_hops_graph(sf_dir: str) -> Dataset:
+    """queries() entry: <= 6-hop shortest distances from node 0 over the
+    sf-scaled web-graph fixture."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return bfs_hops(rd.read_parquet(path))
+
+
+def bfs_hops_graph_sql(sf_dir: str) -> str:
+    """Bounded recursive-CTE oracle: UNION-deduped (node, dist) frontier,
+    expansion stopped at max_hops, MIN(dist) per node."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM read_parquet('{path}')
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+),
+d(node, dist) AS (
+  SELECT CAST({_BFS_SOURCE} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node
+  WHERE d.dist < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node
+"""

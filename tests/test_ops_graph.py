@@ -103,3 +103,81 @@ class TestConnectedComponents:
         pairs2 = rd.read_parquet(path).rename_columns({"src": "a", "dst": "b"})
         dist = {r["node"]: r["label"] for r in propagate_min_labels(pairs2).take_all()}
         assert local == dist
+
+
+class TestTriangleCount:
+    def test_hand_computed(self):
+        """K4 minus one edge = 2 triangles; direction/duplicates ignored."""
+        from ocr_ray.ops.graph import triangle_count
+
+        # K4 on {0,1,2,3} without edge (2,3): triangles 012 and 013
+        src = [0, 0, 0, 1, 1, 1]  # includes a duplicate + a reversed edge
+        dst = [1, 2, 3, 2, 3, 0]
+        edges = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+        got = triangle_count(rd.from_arrow(edges)).take_all()
+        assert got == [{"n_triangles": 2}]
+
+    def test_tiers_identical(self):
+        """Local numpy tier == distributed wedge-join tier on a hubby graph."""
+        import numpy as np
+
+        from ocr_ray.ops.graph import triangle_count
+
+        rs = np.random.RandomState(11)
+        src = rs.randint(0, 80, size=600).astype("int64")
+        dst = rs.randint(0, 80, size=600).astype("int64")
+        edges = pa.table({"src": src, "dst": dst})
+        a = triangle_count(rd.from_arrow(edges)).take_all()
+        b = triangle_count(rd.from_arrow(edges), local_edges_max=0).take_all()
+        assert a == b
+        assert a[0]["n_triangles"] > 0
+
+    def test_empty_and_triangle_free(self):
+        from ocr_ray.ops.graph import triangle_count
+
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        assert triangle_count(rd.from_arrow(empty)).take_all() == [{"n_triangles": 0}]
+        # path graph 0-1-2-3: no triangles
+        path = pa.table(
+            {"src": pa.array([0, 1, 2], pa.int64()), "dst": pa.array([1, 2, 3], pa.int64())}
+        )
+        assert triangle_count(rd.from_arrow(path)).take_all() == [{"n_triangles": 0}]
+        assert triangle_count(rd.from_arrow(path), local_edges_max=0).take_all() == [
+            {"n_triangles": 0}
+        ]
+
+
+class TestBfsHops:
+    def test_hand_computed_levels(self):
+        """Chain with a shortcut: dist honors the SHORTEST path, direction
+        respected, unreachable nodes absent."""
+        from ocr_ray.ops.graph import bfs_hops
+
+        # 0->1->2->3, shortcut 0->3, disconnected 9->10, reverse-only 4->0
+        edges = pa.table(
+            {
+                "src": pa.array([0, 1, 2, 0, 9, 4], pa.int64()),
+                "dst": pa.array([1, 2, 3, 3, 10, 0], pa.int64()),
+            }
+        )
+        got = {r["node"]: r["dist"] for r in bfs_hops(rd.from_arrow(edges)).take_all()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+    def test_tiers_identical_and_hop_cap(self):
+        import numpy as np
+
+        from ocr_ray.ops.graph import bfs_hops
+
+        rs = np.random.RandomState(7)
+        src = rs.randint(0, 120, size=500).astype("int64")
+        dst = rs.randint(0, 120, size=500).astype("int64")
+        edges = pa.table({"src": src, "dst": dst})
+        a = {r["node"]: r["dist"] for r in bfs_hops(rd.from_arrow(edges), max_hops=3).take_all()}
+        b = {
+            r["node"]: r["dist"]
+            for r in bfs_hops(
+                rd.from_arrow(edges), max_hops=3, local_edges_max=0
+            ).take_all()
+        }
+        assert a == b
+        assert max(a.values()) <= 3 and a[0] == 0

@@ -57,10 +57,17 @@ def _rebind_extract_oracles():
     from ocr_ray.sources.readers import docs_schema_union_sql
 
     _SQLS["docs_schema_union"] = docs_schema_union_sql(SF)
-    from ocr_ray.ops.graph import connected_components_graph_sql, pagerank_graph_sql
+    from ocr_ray.ops.graph import (
+        bfs_hops_graph_sql,
+        connected_components_graph_sql,
+        pagerank_graph_sql,
+        triangle_count_graph_sql,
+    )
 
     _SQLS["pagerank_graph"] = pagerank_graph_sql(SF)
     _SQLS["connected_components_graph"] = connected_components_graph_sql(SF)
+    _SQLS["triangle_count_graph"] = triangle_count_graph_sql(SF)
+    _SQLS["bfs_hops_graph"] = bfs_hops_graph_sql(SF)
     from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
 
     _SQLS["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(SF)
