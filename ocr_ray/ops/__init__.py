@@ -254,3 +254,17 @@ REGISTRY.update(
         "bfs_hops_graph": (bfs_hops_graph, None),  # SQL built per-sf
     }
 )
+
+from ocr_ray.ops.timeseries import (
+    CUST_ORDER_INTERVALS_SQL,
+    EVENT_TYPE_TRANSITIONS_SQL,
+    cust_order_intervals,
+    event_type_transitions,
+)
+
+REGISTRY.update(
+    {
+        "event_type_transitions": (event_type_transitions, EVENT_TYPE_TRANSITIONS_SQL),
+        "cust_order_intervals": (cust_order_intervals, CUST_ORDER_INTERVALS_SQL),
+    }
+)

@@ -509,3 +509,98 @@ SELECT user_id, event_type AS top_type, n FROM (
 """
 
 REGISTRY["user_top_event_type"] = (user_top_event_type, USER_TOP_EVENT_TYPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (dominance frontier)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_block(t: pa.Table) -> pa.Table:
+    """Exact 2D skyline of one block, minimizing (cents, day). x dominates y
+    iff x.cents <= y.cents AND x.day <= y.day AND at least one is strict —
+    equal points never dominate each other, so duplicates of a frontier
+    point all survive (NOT EXISTS semantics). Vectorized: sort by (cents,
+    day), a row is dominated iff some strictly-cheaper group has min-day
+    <= its day, or a same-cents row has a strictly smaller day."""
+    if t.num_rows == 0:
+        return t
+    p = t.column("cents").to_numpy(zero_copy_only=False)
+    d = t.column("day").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, p))
+    p_s, d_s = p[order], d[order]
+    new_p = np.empty(len(p_s), dtype=bool)
+    new_p[0] = True
+    np.not_equal(p_s[1:], p_s[:-1], out=new_p[1:])
+    gidx = np.cumsum(new_p) - 1  # group index per row
+    gstart = np.flatnonzero(new_p)
+    gmin = d_s[gstart]  # day sorted within a cents-group: first = min
+    prev_gmin = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(gmin)[:-1])
+    )
+    dominated = (prev_gmin[gidx] <= d_s) | (d_s > gmin[gidx])
+    keep_idx = order[~dominated]
+    return t.take(pa.array(np.sort(keep_idx)))
+
+
+def pareto_orders(sf_dir: str) -> Dataset:
+    """Skyline query: orders on the (price, date) Pareto frontier — no other
+    order is both cheaper-or-equal and earlier-or-equal with one strict.
+    The multi-objective "best deals" primitive (top-k can't express it).
+
+    Plan: skylines COMPOSE — a globally non-dominated point is non-dominated
+    in its block, so a per-block vectorized prune (zero shuffle, drops ~all
+    rows) followed by one exact pass over the union of block frontiers is
+    exact. The final pass runs on a single co-located block; 2D frontiers
+    are tiny in practice (worst case — perfectly anti-correlated objectives
+    — the frontier IS the dataset, and any exact engine must materialize
+    it; recurse the merge if a domain ever hits that).
+
+    NULL price/date rows are excluded (SQL: a NULL objective can never be
+    compared, mirrored with IS NOT NULL)."""
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("o_totalprice")), pc.is_valid(t.column("o_orderdate"))
+            )
+        )
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000  # numpy // floors, matching the SQL formula
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": to_cents(t.column("o_totalprice")),
+                "day": pa.array(day),
+            }
+        )
+
+    pts = orders.map_batches(prep, batch_format="pyarrow")
+    pruned = pts.map_batches(_skyline_block, batch_format="pyarrow", batch_size=None)
+    return pruned.repartition(1).map_batches(
+        _skyline_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+PARETO_ORDERS_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST((epoch_us(o_orderdate)
+               - ((epoch_us(o_orderdate) % 86400000000 + 86400000000) % 86400000000))
+              // 86400000000 AS BIGINT) AS day
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+)
+SELECT o_orderkey, cents, day FROM t o
+WHERE NOT EXISTS (
+  SELECT 1 FROM t x
+  WHERE x.cents <= o.cents AND x.day <= o.day
+    AND (x.cents < o.cents OR x.day < o.day)
+)
+"""
+
+REGISTRY["pareto_orders"] = (pareto_orders, PARETO_ORDERS_SQL)

@@ -1188,3 +1188,157 @@ SELECT event_id,
        ) AS BIGINT) AS centered_cents
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition census over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+def event_type_transitions(sf_dir: str) -> Dataset:
+    """Count of each (prev_type -> event_type) transition across all
+    per-user event sequences — the first-order Markov census behind
+    session-path analysis and next-event models.
+
+    Determinism under ties: rows are ordered by (ts, event_id, event_type)
+    within a user. Any rows still tied after that are IDENTICAL in every
+    column the census reads, so the pair multiset — and the counts — are
+    order-invariant, NULL-riddled input included (the SQL mirror uses the
+    same ORDER BY). First-row-of-user pairs are excluded by row position
+    (rn > 1), NOT by prev IS NOT NULL — a genuinely NULL previous type is
+    a real transition into a NULL-type census cell.
+
+    Plan: coarse-key grouped scan by user (one pandas pass per PARTITION,
+    boundary-masked), per-partition census partials, one null-safe groupby
+    over (prev_type, event_type) rows — the shuffle carries distinct census
+    cells, never events."""
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+    from ocr_ray.pipelines.conversation import grouped_scan
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def census(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["ts", "event_id", "event_type"], na_position="last")
+        # stable user grouping that treats NaN user ids as one group
+        codes, _ = pd.factorize(df["user_id"], use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        df = df.iloc[order]
+        codes = codes[order]
+        cur = df["event_type"].to_numpy()
+        prev = np.roll(cur, 1)
+        same_user = np.zeros(len(codes), dtype=bool)
+        if len(codes) > 1:
+            same_user[1:] = codes[1:] == codes[:-1]
+        part = pd.DataFrame({"prev_type": prev[same_user], "event_type": cur[same_user]})
+        g = (
+            part.groupby(["prev_type", "event_type"], dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        def as_str(col: pd.Series) -> pa.Array:
+            # NULL types surface as NaN floats in pandas object columns
+            return pa.array([None if pd.isna(v) else v for v in col], pa.string())
+
+        return pa.table(
+            {
+                "prev_type": as_str(g["prev_type"]),
+                "event_type": as_str(g["event_type"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = grouped_scan(events, "user_id", census)
+    return null_safe_groupby_agg(
+        partials, ["prev_type", "event_type"], Sum("n", alias_name="n")
+    )
+
+
+EVENT_TYPE_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id, event_type
+         ) AS prev_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id, event_type
+         ) AS rn
+  FROM events
+)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE rn > 1
+GROUP BY prev_type, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 validity intervals from an append-only change log
+# ---------------------------------------------------------------------------
+
+
+def cust_order_intervals(sf_dir: str) -> Dataset:
+    """Slowly-changing-dimension (type 2) build: each customer's orders as
+    a validity interval table — valid_from = the order's date, valid_to =
+    the NEXT order's date, with the warehouse-standard high-date sentinel
+    (9999-12-31) marking each customer's current row (a total column also
+    keeps interval predicates sargable — no COALESCE at query time). The
+    standard change-log -> dimension-history transform of a loader.
+
+    Determinism under ties: per-customer order is (valid_from, o_orderkey,
+    cents); rows still tied are identical in every emitted column, so the
+    output multiset is order-invariant. NULL custkey is one partition, NULL
+    dates sort last (both engines' default)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "valid_from": t.column("o_orderdate"),
+                "cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def intervals(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["valid_from", "o_orderkey", "cents"], na_position="last")
+        codes, _ = pd.factorize(df["o_custkey"], use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        df = df.iloc[order]
+        codes = codes[order]
+        vf = df["valid_from"].to_numpy()
+        vt = np.roll(vf, -1)
+        last_of_user = np.ones(len(codes), dtype=bool)
+        if len(codes) > 1:
+            last_of_user[:-1] = codes[:-1] != codes[1:]
+        vt = vt.copy()
+        # sentinel for last-of-customer AND for a NULL next-date (COALESCE)
+        vt[last_of_user | pd.isna(vt)] = np.datetime64("9999-12-31T00:00:00", "us")
+        out = df[["o_orderkey", "o_custkey", "cents"]].copy()
+        out["valid_from"] = vf
+        out["valid_to"] = vt
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_scan(orders.map_batches(prep, batch_format="pyarrow"), "o_custkey", intervals)
+
+
+CUST_ORDER_INTERVALS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       o_orderdate AS valid_from,
+       COALESCE(
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         ),
+         TIMESTAMP '9999-12-31 00:00:00'
+       ) AS valid_to
+FROM orders
+"""

@@ -458,3 +458,124 @@ class TestZOrder:
         assert files_touched(z, user_box) < files
         # and the hour box still prunes under z-order
         assert files_touched(z, hour_box) < files
+
+
+class TestParetoSkyline:
+    def test_planted_frontier(self, tmp_path):
+        """Known 2D frontier: dominated points drop, equal frontier
+        duplicates BOTH survive, ties on one axis handled."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.olap import pareto_orders
+
+        ts = lambda d: np.datetime64(f"1995-01-{d:02d}", "us")
+        # (key, price, day): frontier = {1 (10,1), 2 (10,1) dup, 3 (5,3)};
+        # 4 (10,2) dominated by 1; 5 (12,1) dominated by 1; 6 (5,4) dominated by 3
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "o_totalprice": pa.array([0.10, 0.10, 0.05, 0.10, 0.12, 0.05]),
+                "o_orderdate": pa.array([ts(1), ts(1), ts(3), ts(2), ts(1), ts(4)]),
+            }
+        )
+        d = tmp_path / "sfx"
+        d.mkdir()
+        pq.write_table(t, str(d / "orders.parquet"))
+        got = sorted(r["o_orderkey"] for r in pareto_orders(str(d)).take_all())
+        assert got == [1, 2, 3]
+
+    def test_block_prune_composes(self, tmp_path):
+        """Frontier is identical whether computed in one block or pruned
+        across many small blocks first (skyline composition)."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.olap import pareto_orders
+
+        rs = np.random.RandomState(2)
+        n = 5000
+        base = np.datetime64("1994-01-01", "us")
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_totalprice": pa.array(rs.uniform(1, 1000, n).round(2)),
+                "o_orderdate": pa.array(base + rs.randint(0, 2000, n) * np.timedelta64(86400_000_000, "us")),
+            }
+        )
+        d = tmp_path / "sfy"
+        d.mkdir()
+        pq.write_table(t, str(d / "orders.parquet"))
+        got = {r["o_orderkey"] for r in pareto_orders(str(d)).take_all()}
+        # brute-force oracle
+        p = t.column("o_totalprice").to_numpy()
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy() // 86400_000_000
+        want = set()
+        for i in range(n):
+            dom = (cents <= cents[i]) & (day <= day[i]) & ((cents < cents[i]) | (day < day[i]))
+            if not dom.any():
+                want.add(i)
+        assert got == want and len(got) > 0
+
+
+class TestTransitions:
+    def test_planted_chains(self, tmp_path):
+        """Per-user sequences: boundary pairs excluded, counts exact."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.timeseries import event_type_transitions
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = [
+            # user 1: a -> b -> a
+            (1, 1, 0, "a"), (2, 1, 1, "b"), (3, 1, 2, "a"),
+            # user 2: a -> b
+            (4, 2, 0, "a"), (5, 2, 1, "b"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([base + np.timedelta64(r[2], "s") for r in rows]),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array([""] * len(rows)),
+            }
+        )
+        d = tmp_path / "sft"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = {
+            (r["prev_type"], r["event_type"]): r["n"]
+            for r in event_type_transitions(str(d)).take_all()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+class TestScd2Intervals:
+    def test_planted_history(self, tmp_path):
+        """Three orders chain valid_from/valid_to; current row gets the
+        9999-12-31 sentinel; single-order customer is immediately current."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.timeseries import cust_order_intervals
+
+        def ts(s):
+            return np.datetime64(s, "us")
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 20], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderdate": pa.array([ts("1995-01-01"), ts("1995-02-01"), ts("1995-03-01"), ts("1996-01-01")]),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+        d = tmp_path / "sfs"
+        d.mkdir()
+        pq.write_table(t, str(d / "orders.parquet"))
+        got = {r["o_orderkey"]: r for r in cust_order_intervals(str(d)).take_all()}
+        hi = ts("9999-12-31")
+        assert got[10]["valid_to"] == ts("1995-02-01")
+        assert got[11]["valid_to"] == ts("1995-03-01")
+        assert got[12]["valid_to"] == hi
+        assert got[20]["valid_from"] == ts("1996-01-01") and got[20]["valid_to"] == hi
