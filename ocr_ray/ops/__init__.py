@@ -268,3 +268,13 @@ REGISTRY.update(
         "cust_order_intervals": (cust_order_intervals, CUST_ORDER_INTERVALS_SQL),
     }
 )
+
+from ocr_ray.ops.timeseries import (
+    ACTIVE_USERS_TRAILING_7D_SQL,
+    active_users_trailing_7d,
+)
+
+REGISTRY["active_users_trailing_7d"] = (
+    active_users_trailing_7d,
+    ACTIVE_USERS_TRAILING_7D_SQL,
+)

@@ -1342,3 +1342,74 @@ SELECT o_orderkey, o_custkey,
        ) AS valid_to
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct: trailing-7-day active users per day
+# ---------------------------------------------------------------------------
+
+_TRAIL_WINDOW_DAYS = 7
+
+
+def active_users_trailing_7d(sf_dir: str) -> Dataset:
+    """Exact COUNT(DISTINCT user) over a trailing 7-day window per day —
+    the windowed-distinct aggregate SQL window functions cannot express
+    (no DISTINCT in OVER clauses) and engines usually approximate.
+
+    Plan: distinct (user, day) pairs per batch, each pair EXPANDED to the
+    <= 7 output days it covers (day .. day+6) — turning the sliding
+    window into a plain grouped distinct: dedup groupby over (user,
+    cover_day), per-batch count partials, tiny groupby(day). The shuffle
+    carries at most 7x the distinct (user, day) pairs — rows the size of
+    two int64s — never raw events; cost scales with the window length,
+    not the event count. NULL users/timestamps are excluded (SQL mirror
+    identical); output days run to max(day)+6, the full span the
+    expansion defines."""
+    from ray.data.aggregate import Count, Sum
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY  # numpy // floors (pre-1970-safe)
+        p = pa.table({"user_id": t.column("user_id"), "day": pa.array(day)})
+        p = p.group_by(["user_id", "day"]).aggregate([])
+        u = p.column("user_id").to_numpy(zero_copy_only=False)
+        d = p.column("day").to_numpy(zero_copy_only=False)
+        cov_u = np.repeat(u, _TRAIL_WINDOW_DAYS)
+        cov_d = np.repeat(d, _TRAIL_WINDOW_DAYS) + np.tile(
+            np.arange(_TRAIL_WINDOW_DAYS, dtype=np.int64), len(d)
+        )
+        exp = pa.table({"user_id": pa.array(cov_u), "day": pa.array(cov_d)})
+        return exp.group_by(["user_id", "day"]).aggregate([])
+
+    distinct_cov = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_users", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.group_by(["day"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["day", "n_users"])
+
+    return (
+        distinct_cov.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+ACTIVE_USERS_TRAILING_7D_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000))
+              // 86400000000 AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cov AS (SELECT user_id, day + g.i AS day FROM p CROSS JOIN range(7) AS g(i))
+SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cov GROUP BY day
+"""

@@ -987,3 +987,136 @@ SELECT CAST(pid AS BIGINT) AS partition_id,
        CAST(MAX(key) AS BIGINT) AS hi
 FROM assigned GROUP BY pid
 """
+
+
+# ---------------------------------------------------------------------------
+# key deletion (right-to-be-forgotten maintenance pass)
+# ---------------------------------------------------------------------------
+
+
+def _delete_partition_group(
+    group: pa.Table, *, out_dir: str, num_partitions: int
+) -> pa.Table:
+    """map_groups fn over the ROUTED KEY dataset: one group = the delete
+    keys landing in one partition. Rewrites (or removes) that partition's
+    file; untouched partitions are never opened."""
+    pid = int(group.column("part_id")[0].as_py())
+    empty_row = pa.table(
+        {
+            "partition_id": pa.array([pid], pa.int32()),
+            "rows_deleted": pa.array([0], pa.int64()),
+            "file_removed": pa.array([False], pa.bool_()),
+        }
+    )
+    data_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+    mpath = os.path.join(out_dir, MANIFEST_DIR, f"part-{pid:05d}.json")
+    if not os.path.exists(data_path):
+        return empty_row  # keys routed to a never-committed partition
+    old = pq.read_table(data_path)
+    keys = pc.cast(group.column("conv_id"), pa.string()).combine_chunks()
+    keep = pc.invert(pc.is_in(pc.cast(old.column("conv_id"), pa.string()), value_set=keys))
+    kept = old.filter(keep)
+    n_del = old.num_rows - kept.num_rows
+    if n_del == 0:
+        return empty_row
+    tag = ""
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            tag = json.load(f).get("input_tag", "")
+    if kept.num_rows == 0:
+        # a from-scratch write of the remaining rows would not create this
+        # partition at all — remove manifest FIRST (a crash in between
+        # leaves data-without-manifest, the protocol's "uncommitted" state,
+        # and a rerun of the same delete converges)
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        os.remove(data_path)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "rows_deleted": pa.array([n_del], pa.int64()),
+                "file_removed": pa.array([True], pa.bool_()),
+            }
+        )
+    kept = kept.append_column("part_id", pa.array([pid] * kept.num_rows, pa.int32()))
+    write_partition_group(
+        kept, out_dir=out_dir, input_tag=tag, num_partitions=num_partitions
+    )
+    return pa.table(
+        {
+            "partition_id": pa.array([pid], pa.int32()),
+            "rows_deleted": pa.array([n_del], pa.int64()),
+            "file_removed": pa.array([False], pa.bool_()),
+        }
+    )
+
+
+def delete_keys_partitioned(
+    conv_ids,
+    out_dir: str,
+    *,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """DELETE every row of the given ``conv_id`` keys from a committed
+    partitioned table — the right-to-be-forgotten / takedown maintenance
+    pass a training-data store must run (the reference's sheet upsert
+    replaces rows; regulation also requires removing them). Completes the
+    sink lifecycle: write -> segment -> upsert -> compact -> DELETE.
+
+    Scale shape: the KEY set (a deletion request batch) is routed by the
+    table's own crc32 partitioning and processed one task per TOUCHED
+    partition — cost scales with the keys' partition spread, never table
+    size, and the key Dataset is never driver-materialized. Each touched
+    partition is rewritten through the standard atomic commit protocol
+    (same sort, same encoder), so the result is byte-identical to a
+    from-scratch write of the surviving rows; a partition left empty is
+    removed entirely (matching the from-scratch layout). The original
+    ``input_tag`` is preserved so resume/upsert validation still works.
+
+    ``conv_ids`` may be a Dataset with a ``conv_id`` column or any iterable
+    of ids."""
+    if not isinstance(conv_ids, Dataset):
+        import ray.data as _rd
+
+        ids = list(conv_ids)
+        if not ids:
+            return pa.table({"partition_id": pa.array([], pa.int32())})
+        conv_ids = _rd.from_arrow(
+            pa.table({"conv_id": pa.array([str(c) for c in ids], pa.string())})
+        )
+    done = committed_partitions(out_dir)
+    committed_np = {m.get("num_partitions") for m in done.values()} - {None}
+    if num_partitions is None:
+        if len(committed_np) != 1:
+            raise ValueError(
+                f"cannot infer num_partitions from manifests ({sorted(committed_np)}); "
+                "pass it explicitly"
+            )
+        num_partitions = committed_np.pop()
+    elif committed_np - {num_partitions}:
+        raise ValueError(
+            f"delete mismatch: {out_dir} committed with num_partitions="
+            f"{sorted(committed_np)}, keys routed with {num_partitions}"
+        )
+    n_parts = int(num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("conv_id")))
+        g = t.select(["conv_id"]).group_by(["conv_id"]).aggregate([])
+        return _add_part_id(g, n_parts)
+
+    out = (
+        conv_ids.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(
+            lambda g: _delete_partition_group(
+                g, out_dir=out_dir, num_partitions=n_parts
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    rows = out.take_all()  # tiny: one row per touched partition
+    rows.sort(key=lambda r: r["partition_id"])
+    if not rows:
+        return pa.table({"partition_id": pa.array([], pa.int32())})
+    return pa.table({k: [r[k] for r in rows] for k in rows[0]})

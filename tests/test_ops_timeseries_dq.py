@@ -579,3 +579,34 @@ class TestScd2Intervals:
         assert got[11]["valid_to"] == ts("1995-03-01")
         assert got[12]["valid_to"] == hi
         assert got[20]["valid_from"] == ts("1996-01-01") and got[20]["valid_to"] == hi
+
+
+class TestRollingDistinct:
+    def test_planted_window(self, tmp_path):
+        """Hand-checkable trailing-7d distinct: user 1 on days 0 and 3,
+        user 2 on day 3 — day 3 sees both, day 9 only user-1's day-3 echo
+        is gone (window [3..9] still has day 3)."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.timeseries import active_users_trailing_7d
+
+        base = np.datetime64("1970-01-01T00:00:00", "us")
+        day = lambda d: base + np.timedelta64(d * 86400, "s")
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([day(0), day(0), day(3), day(3)]),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                "value": pa.array([0.0] * 4),
+                "props": pa.array([""] * 4),
+            }
+        )
+        d = tmp_path / "sfr"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = {r["day"]: r["n_users"] for r in active_users_trailing_7d(str(d)).take_all()}
+        # user1 covers days 0-6 (from day0) and 3-9 (from day3) => 0-9
+        # user2 covers days 3-9
+        want = {dd: (2 if 3 <= dd <= 9 else 1) for dd in range(0, 10)}
+        assert got == want

@@ -374,3 +374,109 @@ def test_compact_resume_skips_committed(seg_inputs, tmp_path):
     compact_segments(seg_out, dest)
     assert os.path.getmtime(os.path.join(dest, "part-00000.parquet")) == mtime0
     assert os.path.exists(os.path.join(dest, "part-00002.parquet"))
+
+
+class TestDeleteKeysPartitioned:
+    """Right-to-be-forgotten pass: only touched partitions rewritten,
+    byte-identical to a from-scratch write of the survivors, emptied
+    partitions removed entirely."""
+
+    @staticmethod
+    def _table(rows):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    def test_delete_byte_identity_and_pruning(self, tmp_path):
+        import hashlib
+        import os
+
+        import ray.data as rd
+
+        from ocr_ray.state.sink import (
+            committed_partitions,
+            delete_keys_partitioned,
+            write_partitioned,
+        )
+
+        base = [(f"c{i}", j, f"v-{i}-{j}") for i in range(12) for j in range(2)]
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table(base)), out, num_partitions=4)
+        before = {p: m["checksum"] for p, m in committed_partitions(out).items()}
+
+        victims = ["c0", "c7", "nosuch"]
+        m = delete_keys_partitioned(victims, out)
+        rows_deleted = sum(m.column("rows_deleted").to_pylist())
+        assert rows_deleted == 4  # 2 turns x 2 real conversations
+        touched = {
+            p
+            for p, n in zip(
+                m.column("partition_id").to_pylist(), m.column("rows_deleted").to_pylist()
+            )
+            if n > 0
+        }
+
+        survivors = [r for r in base if r[0] not in victims]
+        got = rd.read_parquet(out).to_pandas()
+        assert sorted(map(tuple, got.values.tolist())) == sorted(
+            (r[0], r[1], r[2]) for r in survivors
+        )
+
+        # untouched partitions bit-identical; touched byte-identical to a
+        # from-scratch write of the survivors
+        out2 = str(tmp_path / "fresh")
+        write_partitioned(rd.from_arrow(self._table(survivors)), out2, num_partitions=4)
+        after = committed_partitions(out)
+        for p, m2 in after.items():
+            if p not in touched:
+                assert m2["checksum"] == before[p]
+            f1 = os.path.join(out, f"part-{p:05d}.parquet")
+            f2 = os.path.join(out2, f"part-{p:05d}.parquet")
+            h = lambda fp: hashlib.sha256(open(fp, "rb").read()).hexdigest()
+            assert h(f1) == h(f2)
+        assert set(after) == set(committed_partitions(out2))
+
+    def test_delete_empties_whole_partition(self, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from ocr_ray.state.sink import (
+            committed_partitions,
+            delete_keys_partitioned,
+            write_partitioned,
+        )
+
+        rows = [("a", 0, "x"), ("a", 1, "y"), ("b", 0, "z")]
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table(rows)), out, num_partitions=2)
+        from ocr_ray.state.sink import partition_of
+
+        # delete every conversation in a's partition
+        pa_ = partition_of("a", 2)
+        victims = [c for c in ("a", "b") if partition_of(c, 2) == pa_]
+        m = delete_keys_partitioned(victims, out)
+        assert any(m.column("file_removed").to_pylist())
+        assert not os.path.exists(os.path.join(out, f"part-{pa_:05d}.parquet"))
+        assert pa_ not in committed_partitions(out)
+        # idempotent rerun: nothing left to delete
+        m2 = delete_keys_partitioned(victims, out, num_partitions=2)
+        assert sum(m2.column("rows_deleted").to_pylist() or [0]) == 0
+
+    def test_delete_refuses_partition_remap(self, tmp_path):
+        import pytest
+        import ray.data as rd
+
+        from ocr_ray.state.sink import delete_keys_partitioned, write_partitioned
+
+        rows = [("a", 0, "x"), ("b", 0, "y")]
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table(rows)), out, num_partitions=4)
+        with pytest.raises(ValueError, match="delete mismatch"):
+            delete_keys_partitioned(["a"], out, num_partitions=8)
