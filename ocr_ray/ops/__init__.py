@@ -278,3 +278,7 @@ REGISTRY["active_users_trailing_7d"] = (
     active_users_trailing_7d,
     ACTIVE_USERS_TRAILING_7D_SQL,
 )
+
+from ocr_ray.ops.dq import ORDERKEY_ISLANDS_SQL, orderkey_islands
+
+REGISTRY["orderkey_islands"] = (orderkey_islands, ORDERKEY_ISLANDS_SQL)

@@ -429,3 +429,118 @@ FROM (
   FROM events
 )
 """.replace("{umask}", str((1 << _Z_BITS) - 1))
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: key-sequence completeness audit
+# ---------------------------------------------------------------------------
+
+
+def orderkey_islands(sf_dir: str) -> Dataset:
+    """Maximal runs of consecutive o_orderkey values — the gaps-and-islands
+    audit that tells an ingest whether a monotonically assigned key space
+    arrived complete (every gap is a lost-batch suspect).
+
+    Plan: distinct keys (one dedup shuffle, keys only), then island
+    BOUNDARIES via two keys-only anti-joins — a key starts an island iff
+    key-1 is absent, ends one iff key+1 is absent (no global sort, no
+    window). The boundary sets have one row per ISLAND; they are paired
+    rank-to-rank in a single co-located block (n-th start matches n-th end
+    — boundaries strictly interleave). At 10^9 islands the pairing block
+    itself would need the range-chunked rank machinery of
+    ``events_global_rank``; for audit-shaped outputs the boundary set is
+    assumed block-sized (documented, not silently capped — the pairing
+    task OOMs loudly, it never truncates)."""
+    from ray.data.aggregate import Count
+
+    from ocr_ray.ops.dedup import _coerce_schema
+
+    keys = _coerce_schema(
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("o_orderkey")))
+            .group_by(["o_orderkey"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .rename_columns({"o_orderkey": "key"}),
+        pa.schema([("key", pa.int64())]),
+        parts=4,
+    ).materialize()
+
+    def shift(delta: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"probe": pc.add(t.column("key"), pa.scalar(delta, pa.int64()))}
+            )
+
+        return f
+
+    import ray.data as _rd
+
+    n_parts = 4
+    starts = keys.join(
+        keys.map_batches(shift(1), batch_format="pyarrow"),
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=("key",),
+        right_on=("probe",),
+    )
+    ends = keys.join(
+        keys.map_batches(shift(-1), batch_format="pyarrow"),
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=("key",),
+        right_on=("probe",),
+    )
+
+    def tag(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t.column("key"),
+                    "is_start": pa.array(
+                        np.full(t.num_rows, name == "s", dtype=bool)
+                    ),
+                }
+            )
+
+        return f
+
+    both = starts.map_batches(tag("s"), batch_format="pyarrow").union(
+        ends.map_batches(tag("e"), batch_format="pyarrow")
+    )
+
+    def pair(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"island_start": e, "island_end": e, "n_keys": e})
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        s = t.column("is_start").to_numpy(zero_copy_only=False)
+        st = np.sort(k[s])
+        en = np.sort(k[~s])
+        assert len(st) == len(en), "island boundaries must interleave"
+        return pa.table(
+            {
+                "island_start": pa.array(st),
+                "island_end": pa.array(en),
+                "n_keys": pa.array(en - st + 1),
+            }
+        )
+
+    return both.repartition(1).map_batches(pair, batch_format="pyarrow", batch_size=None)
+
+
+ORDERKEY_ISLANDS_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL
+),
+g AS (SELECT key, key - row_number() OVER (ORDER BY key) AS grp FROM k)
+SELECT CAST(MIN(key) AS BIGINT) AS island_start,
+       CAST(MAX(key) AS BIGINT) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM g GROUP BY grp
+"""

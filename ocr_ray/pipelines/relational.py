@@ -2077,3 +2077,105 @@ def distinct_users_per_type_hll(sf_dir: str) -> Dataset:
 
 
 REGISTRY["distinct_users_per_type_hll"] = (distinct_users_per_type_hll, None)
+
+
+def order_share_of_cust(sf_dir: str) -> Dataset:
+    """Each order's share of its customer's lifetime spend, in basis points
+    — the ratio-to-report window (``SUM() OVER (PARTITION BY)`` joined back
+    to row granularity) the window matrix lacked.
+
+    Plan: per-batch partial sums -> one tiny null-safe groupby(custkey) for
+    the partition totals, then a hash join of orders against the totals on
+    the ENCODED key pair (so a NULL custkey partition gets its total too,
+    like the SQL window). Integer bp = cents * 10000 // total is exact and
+    reduction-order independent; NULL cents rows keep a NULL share, an
+    all-zero partition yields NULL (NULLIF-mirrored)."""
+    from ocr_ray.functions.nullsafe import encode_null_keys, grouping_keys
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+        return encode_null_keys(t, ["o_custkey"])
+
+    enc = orders.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(grouping_keys(["o_custkey"])).aggregate([("cents", "sum")])
+        return g.rename_columns(grouping_keys(["o_custkey"]) + ["total"])
+
+    from ocr_ray.ops.dedup import _coerce_schema
+
+    totals = _coerce_schema(
+        enc.map_batches(partial, batch_format="pyarrow")
+        .groupby(grouping_keys(["o_custkey"]))
+        .aggregate(Sum("total", alias_name="total")),
+        pa.schema(
+            [
+                ("__n_o_custkey", pa.int8()),
+                ("o_custkey", pa.int64()),
+                ("total", pa.int64()),
+            ]
+        ),
+        parts=4,
+    )
+    keys = tuple(grouping_keys(["o_custkey"]))
+    joined = enc.join(
+        totals, join_type="inner", num_partitions=8, on=keys, right_on=keys
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = t.column("total").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bp = np.floor(cents * 10000.0 / total)
+        valid = ~(np.isnan(bp) | np.isinf(bp))
+        # exact integer recompute where defined (float only located NULLs)
+        ci = t.column("cents").to_numpy(zero_copy_only=False)
+        ti = t.column("total").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(cents), np.int64)
+        if valid.any():
+            # DuckDB's BIGINT // TRUNCATES toward zero (-7 // 2 = -3);
+            # numpy floors — mirror trunc explicitly for negative inputs
+            num = ci[valid].astype(np.int64) * 10000
+            den = ti[valid].astype(np.int64)
+            q = np.abs(num) // np.abs(den)
+            out[valid] = np.where((num < 0) ^ (den < 0), -q, q)
+        from ocr_ray.functions.nullsafe import decode_null_keys
+
+        res = pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "__n_o_custkey": t.column("__n_o_custkey"),
+                "cents": t.column("cents"),
+                "share_bp": pa.array(
+                    [int(v) if ok else None for v, ok in zip(out, valid)], pa.int64()
+                ),
+            }
+        )
+        return decode_null_keys(res, ["o_custkey"])
+
+    return joined.map_batches(share, batch_format="pyarrow")
+
+
+ORDER_SHARE_OF_CUST_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000
+            // NULLIF(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      OVER (PARTITION BY o_custkey), 0) AS BIGINT) AS share_bp
+FROM orders
+"""
+
+REGISTRY["order_share_of_cust"] = (order_share_of_cust, ORDER_SHARE_OF_CUST_SQL)

@@ -610,3 +610,31 @@ class TestRollingDistinct:
         # user2 covers days 3-9
         want = {dd: (2 if 3 <= dd <= 9 else 1) for dd in range(0, 10)}
         assert got == want
+
+
+class TestIslands:
+    def test_planted_gaps(self, tmp_path):
+        """Closed-form islands: keys {1,2,3, 7, 9,10} -> three islands."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.dq import orderkey_islands
+
+        keys = [1, 2, 3, 7, 9, 10, 10]  # dup key must not split an island
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([1] * len(keys), pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(keys)),
+                "o_totalprice": pa.array([1.0] * len(keys)),
+                "o_orderdate": pa.array([np.datetime64("1995-01-01", "us")] * len(keys)),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(keys)),
+            }
+        )
+        d = tmp_path / "sfi"
+        d.mkdir()
+        pq.write_table(t, str(d / "orders.parquet"))
+        got = sorted(
+            (r["island_start"], r["island_end"], r["n_keys"])
+            for r in orderkey_islands(str(d)).take_all()
+        )
+        assert got == [(1, 3, 3), (7, 7, 1), (9, 10, 2)]
