@@ -273,6 +273,25 @@ def run_bench() -> dict:
         _consume(purchases_concurrent_events(ev1m))
         qtimes["concurrent_1m_events"] = round(time.monotonic() - t0, 3)
 
+        # graph analytics at volume (same 1M-node fixture): degree-ordered
+        # wedge triangle count and 6-hop BFS, both via the local tier gate
+        from ocr_ray.ops.graph import bfs_hops, triangle_count
+
+        t0 = time.monotonic()
+        _ = triangle_count(scaled_read_parquet(g1m)).take_all()
+        qtimes["triangles_1m_nodes"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        _ = bfs_hops(scaled_read_parquet(g1m)).count()
+        qtimes["bfs_1m_nodes"] = round(time.monotonic() - t0, 3)
+
+        # rolling windowed distinct at volume (7x cover expansion of the
+        # distinct (user, day) pairs through one dedup shuffle)
+        from ocr_ray.ops.timeseries import active_users_trailing_7d
+
+        t0 = time.monotonic()
+        _consume(active_users_trailing_7d(ev1m))
+        qtimes["active7d_1m_events"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "extraction pipeline wall time (transcripts -> extracted, partitioned sink)",
