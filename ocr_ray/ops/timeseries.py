@@ -1356,16 +1356,18 @@ def active_users_trailing_7d(sf_dir: str) -> Dataset:
     the windowed-distinct aggregate SQL window functions cannot express
     (no DISTINCT in OVER clauses) and engines usually approximate.
 
-    Plan: distinct (user, day) pairs per batch, each pair EXPANDED to the
-    <= 7 output days it covers (day .. day+6) — turning the sliding
-    window into a plain grouped distinct: dedup groupby over (user,
-    cover_day), per-batch count partials, tiny groupby(day). The shuffle
-    carries at most 7x the distinct (user, day) pairs — rows the size of
-    two int64s — never raw events; cost scales with the window length,
-    not the event count. NULL users/timestamps are excluded (SQL mirror
-    identical); output days run to max(day)+6, the full span the
-    expansion defines."""
-    from ray.data.aggregate import Count, Sum
+    Plan: distinct (user, day) pairs per batch, ONE coarse-key shuffle
+    co-locating each user, then the <= 7-day cover expansion AND the
+    per-user cover dedup both run locally in the partition — each user
+    contributes exactly one count to each day it covers, so the partition
+    emits (day, n) census partials and a tiny groupby(day) finishes. The
+    only corpus-sized exchange carries the distinct (user, day) pairs
+    (two int64s each), never raw events and never the 7x expansion; cost
+    scales with active pairs, not event count or window length. NULL
+    users/timestamps are excluded (SQL mirror identical); output days run
+    to max(day)+6, the full span the window defines."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+    from ray.data.aggregate import Sum
 
     events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
@@ -1374,32 +1376,39 @@ def active_users_trailing_7d(sf_dir: str) -> Dataset:
         us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = us // _US_PER_DAY  # numpy // floors (pre-1970-safe)
         p = pa.table({"user_id": t.column("user_id"), "day": pa.array(day)})
-        p = p.group_by(["user_id", "day"]).aggregate([])
-        u = p.column("user_id").to_numpy(zero_copy_only=False)
-        d = p.column("day").to_numpy(zero_copy_only=False)
+        return p.group_by(["user_id", "day"]).aggregate([])
+
+    def cover_census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"day": e, "n_users": e})
+        # cross-batch dedup of this partition's (user, day) pairs, then
+        # expand each to its cover days and dedup per user — both local
+        g = t.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
         cov_u = np.repeat(u, _TRAIL_WINDOW_DAYS)
         cov_d = np.repeat(d, _TRAIL_WINDOW_DAYS) + np.tile(
             np.arange(_TRAIL_WINDOW_DAYS, dtype=np.int64), len(d)
         )
-        exp = pa.table({"user_id": pa.array(cov_u), "day": pa.array(cov_d)})
-        return exp.group_by(["user_id", "day"]).aggregate([])
+        order = np.lexsort((cov_d, cov_u))
+        cu, cd = cov_u[order], cov_d[order]
+        first = np.empty(len(cu), dtype=bool)
+        first[0] = True
+        np.not_equal(cu[1:], cu[:-1], out=first[1:])
+        first[1:] |= cd[1:] != cd[:-1]
+        days, counts = np.unique(cd[first], return_counts=True)
+        return pa.table(
+            {"day": pa.array(days), "n_users": pa.array(counts.astype(np.int64))}
+        )
 
-    distinct_cov = (
-        events.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_c"))
+    partials = grouped_scan(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        "user_id",
+        cover_census,
+        batch_format="pyarrow",
     )
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        t = t.append_column("n_users", pa.array(np.ones(t.num_rows, np.int64)))
-        g = t.group_by(["day"]).aggregate([("n_users", "sum")])
-        return g.rename_columns(["day", "n_users"])
-
-    return (
-        distinct_cov.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Sum("n_users", alias_name="n_users"))
-    )
+    return partials.groupby("day").aggregate(Sum("n_users", alias_name="n_users"))
 
 
 ACTIVE_USERS_TRAILING_7D_SQL = """
