@@ -282,3 +282,7 @@ REGISTRY["active_users_trailing_7d"] = (
 from ocr_ray.ops.dq import ORDERKEY_ISLANDS_SQL, orderkey_islands
 
 REGISTRY["orderkey_islands"] = (orderkey_islands, ORDERKEY_ISLANDS_SQL)
+
+from ocr_ray.ops.timeseries import USER_LONGEST_STREAK_SQL, user_longest_streak
+
+REGISTRY["user_longest_streak"] = (user_longest_streak, USER_LONGEST_STREAK_SQL)

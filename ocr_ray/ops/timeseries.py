@@ -1422,3 +1422,79 @@ cov AS (SELECT user_id, day + g.i AS day FROM p CROSS JOIN range(7) AS g(i))
 SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM cov GROUP BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+
+def user_longest_streak(sf_dir: str) -> Dataset:
+    """Each user's longest run of consecutive active days — gaps-and-islands
+    applied PER ENTITY (the engagement metric behind retention features).
+
+    Plan: distinct (user, day) pairs per batch, one coarse-key shuffle
+    co-locating each user, then a fully vectorized run-length scan per
+    partition (runs break where the user changes or the day step != 1) and
+    a per-user max — no window node, no per-user Python. NULL users/ts are
+    excluded (SQL identical)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+    from ray.data.aggregate import Max
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        p = pa.table({"user_id": t.column("user_id"), "day": pa.array(day)})
+        return p.group_by(["user_id", "day"]).aggregate([])
+
+    def streaks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"user_id": e, "streak": e})
+        g = t.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        brk = np.empty(len(u), dtype=bool)
+        brk[0] = True
+        np.not_equal(u[1:], u[:-1], out=brk[1:])
+        brk[1:] |= (d[1:] - d[:-1]) != 1
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[np.flatnonzero(brk)]
+        # per-user max over this partition's runs (user is fully co-located)
+        uu, inv = np.unique(run_user, return_inverse=True)
+        best = np.zeros(len(uu), np.int64)
+        np.maximum.at(best, inv, run_len)
+        return pa.table({"user_id": pa.array(uu), "streak": pa.array(best)})
+
+    partials = grouped_scan(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        "user_id",
+        streaks,
+        batch_format="pyarrow",
+    )
+    return partials.groupby("user_id").aggregate(Max("streak", alias_name="streak"))
+
+
+USER_LONGEST_STREAK_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000))
+              // 86400000000 AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM p
+),
+runs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY user_id, grp
+)
+SELECT user_id, MAX(len) AS streak FROM runs GROUP BY user_id
+"""

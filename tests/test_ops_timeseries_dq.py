@@ -638,3 +638,30 @@ class TestIslands:
             for r in orderkey_islands(str(d)).take_all()
         )
         assert got == [(1, 3, 3), (7, 7, 1), (9, 10, 2)]
+
+
+class TestLongestStreak:
+    def test_planted_streaks(self, tmp_path):
+        """User 1: days {0,1,2, 5,6} -> streak 3; user 2: {10} -> 1."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.timeseries import user_longest_streak
+
+        base = np.datetime64("1970-01-01T12:00:00", "us")  # mid-day: floor-safe
+        day = lambda d: base + np.timedelta64(d * 86400, "s")
+        days_u1 = [0, 1, 2, 5, 6, 1]  # dup day must not extend a streak
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(len(days_u1) + 1)), pa.int64()),
+                "user_id": pa.array([1] * len(days_u1) + [2], pa.int64()),
+                "ts": pa.array([day(d) for d in days_u1] + [day(10)]),
+                "event_type": pa.array(["a"] * (len(days_u1) + 1), pa.string()),
+                "value": pa.array([0.0] * (len(days_u1) + 1)),
+                "props": pa.array([""] * (len(days_u1) + 1)),
+            }
+        )
+        d = tmp_path / "sfk"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = {r["user_id"]: r["streak"] for r in user_longest_streak(str(d)).take_all()}
+        assert got == {1: 3, 2: 1}
