@@ -70,6 +70,17 @@ QUERY_NAMES = [
     "doc_bpe_token_counts",
     "purchases_concurrent_events",
     "training_data_full",
+    "part_pair_counts",
+    "fuzzy_name_pairs",
+    "event_type_transitions",
+    "cust_order_intervals",
+    "active_users_trailing_7d",
+    "user_longest_streak",
+    "pareto_orders",
+    "orderkey_islands",
+    "order_share_of_cust",
+    "triangle_count_graph",
+    "bfs_hops_graph",
 ]
 
 

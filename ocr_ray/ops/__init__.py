@@ -286,3 +286,7 @@ REGISTRY["orderkey_islands"] = (orderkey_islands, ORDERKEY_ISLANDS_SQL)
 from ocr_ray.ops.timeseries import USER_LONGEST_STREAK_SQL, user_longest_streak
 
 REGISTRY["user_longest_streak"] = (user_longest_streak, USER_LONGEST_STREAK_SQL)
+
+from ocr_ray.ops.ann import EMBEDDING_QUANTIZE_SQL, embedding_quantize
+
+REGISTRY["embedding_quantize"] = (embedding_quantize, EMBEDDING_QUANTIZE_SQL)

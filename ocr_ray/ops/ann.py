@@ -699,3 +699,101 @@ SELECT vec_id,
 FROM embeddings
 WHERE embedding IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 affine quantization (embedding compression)
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(sf_dir: str) -> "Dataset":
+    """Per-dimension affine int8 quantization of the embedding table — the
+    4x compression pass a vector store runs before serving ANN at scale.
+    Output is EXPLODED (vec_id, dim_idx, q8) scalar rows so the gate is
+    column-exact.
+
+    Two streaming passes: (1) per-batch per-dim min/max partials -> one
+    tiny groupby(dim) -> the (dim, lo, span) table broadcasts at driver
+    (O(dim) ints); (2) per-batch quantize q8 = (xq - lo) * 255 // span in
+    the same floor(x*1e6) fixed point both engines share — all operands
+    non-negative, so floor == trunc and the mirror is exact. A constant
+    dimension (span 0) quantizes to 0 (CASE-mirrored). NULL vectors drop;
+    dim_idx is 1-based (generate_subscripts parity)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def explode_fp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("embedding")))
+        col = t.column("embedding").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(offs):
+            vals = vals[offs[0] : offs[-1]]  # offsets are absolute (sliced arrays)
+        xq = np.floor(vals * 1_000_000.0).astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        vid = np.repeat(t.column("vec_id").to_numpy(zero_copy_only=False), lens)
+        total = int(lens.sum())
+        dim_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            offs[:-1] - offs[0], lens
+        ) + 1  # 1-based, ragged-safe within the batch
+        # offsets are absolute into the chunk's values buffer; rebase
+        return pa.table(
+            {"vec_id": pa.array(vid), "dim_idx": pa.array(dim_idx), "xq": pa.array(xq)}
+        )
+
+    def rng_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dim_idx"]).aggregate([("xq", "min"), ("xq", "max")])
+        return g.rename_columns(["dim_idx", "mn", "mx"])
+
+    ex = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        explode_fp, batch_format="pyarrow"
+    )
+    rng = (
+        ex.map_batches(rng_partial, batch_format="pyarrow")
+        .groupby("dim_idx")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+    )  # O(dim) rows on the driver
+    dims = rng["dim_idx"].to_numpy()
+    lo = np.zeros(int(dims.max()) + 1 if len(dims) else 1, np.int64)
+    span = np.zeros_like(lo)
+    lo[dims] = rng["mn"].to_numpy()
+    span[dims] = rng["mx"].to_numpy() - rng["mn"].to_numpy()
+    import ray as _ray
+
+    lo_ref, span_ref = _ray.put(lo), _ray.put(span)
+
+    def quantize(t: pa.Table, _lo=lo_ref, _span=span_ref) -> pa.Table:
+        L = _ray.get(_lo)
+        S = _ray.get(_span)
+        di = t.column("dim_idx").to_numpy(zero_copy_only=False)
+        xq = t.column("xq").to_numpy(zero_copy_only=False)
+        s = S[di]
+        q8 = np.where(s == 0, 0, (xq - L[di]) * 255 // np.maximum(s, 1))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "dim_idx": t.column("dim_idx"),
+                "q8": pa.array(q8.astype(np.int64)),
+            }
+        )
+
+    return ex.map_batches(quantize, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+rng AS (SELECT dim_idx, MIN(xq) AS mn, MAX(xq) AS mx FROM ex GROUP BY dim_idx)
+SELECT e.vec_id, CAST(e.dim_idx AS BIGINT) AS dim_idx,
+       CAST(CASE WHEN r.mx = r.mn THEN 0
+            ELSE (e.xq - r.mn) * 255 // (r.mx - r.mn) END AS BIGINT) AS q8
+FROM ex e JOIN rng r USING (dim_idx)
+"""
