@@ -111,6 +111,7 @@ def auto_join(
     right_on: str | None = None,
     how: str = "inner",
     broadcast_max_bytes: int = _BROADCAST_JOIN_MAX_BYTES,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Cost-based join: broadcast the right side when it fits, else shuffle.
 
@@ -120,13 +121,23 @@ def auto_join(
     aggregator pool, ~3-5 s on this box for a join that then takes
     milliseconds), otherwise both sides go through ``hash_join``. At real
     scale a planner would use catalog stats instead of a materialize; the
-    switch point is what matters."""
+    switch point is what matters.
+
+    ``right_schema``: Ray 2.49 drops 0-row blocks at materialize, so a
+    LEGITIMATELY empty small side arrives with no schema at all and the
+    pandas merge would KeyError on the join key. Callers whose small side
+    can be empty (e.g. a HAVING filter that kills every group) pass the
+    expected schema; the empty broadcast frame is then typed and the join
+    degrades to the correct empty (inner) / pass-through (left) result."""
     small = small.materialize()
-    size = small.size_bytes() or (broadcast_max_bytes + 1)
+    size = small.size_bytes()
+    if size is None:  # unknown -> assume big; 0 (legitimately empty) broadcasts
+        size = broadcast_max_bytes + 1
     if size <= broadcast_max_bytes:
-        return broadcast_join(
-            big, small.to_pandas(), left_on=on, right_on=right_on, how=how
-        )
+        df = small.to_pandas()
+        if df.shape[1] == 0 and right_schema is not None:
+            df = right_schema.empty_table().to_pandas()
+        return broadcast_join(big, df, left_on=on, right_on=right_on, how=how)
     return hash_join(big, small, on=on, right_on=right_on, how=how)
 
 

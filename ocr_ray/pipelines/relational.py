@@ -2179,3 +2179,401 @@ FROM orders
 """
 
 REGISTRY["order_share_of_cust"] = (order_share_of_cust, ORDER_SHARE_OF_CUST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (HAVING over a fact-side aggregate + two joins)
+# ---------------------------------------------------------------------------
+
+
+def q18_large_orders(sf_dir: str) -> Dataset:
+    """TPC-H Q18: orders whose total line quantity exceeds a threshold,
+    resolved to their customer — the HAVING-over-aggregate shape composed
+    with joins.
+
+    Scale plan: lineitem (the only fact table) is combined per batch to one
+    row per l_orderkey BEFORE the shuffle groupby (lineitem is clustered by
+    orderkey, so the shuffle moves ~1 row per order); the HAVING filter
+    runs on the grouped output and shrinks it ~50×, and only the survivors
+    join orders/customer (``auto_join`` broadcasts them while they fit,
+    hash-shuffles beyond 64 MB). NULL quantities/orderkeys are excluded up
+    front and mirrored in the oracle (a NULL-key group could never survive
+    the inner join; a NULL quantity never contributes to SUM)."""
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda t: _partial_groupby(
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "sum_qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                }
+            ).filter(
+                pc.and_(
+                    pc.is_valid(t.column("l_orderkey")),
+                    pc.is_valid(t.column("l_quantity")),
+                )
+            ),
+            ["l_orderkey"],
+            ["sum_qty"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+    big = (
+        line.groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("sum_qty"), pa.scalar(150))),
+            batch_format="pyarrow",
+        )
+    )
+    from ocr_ray.functions.joins import auto_join
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "total_cents": to_cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(
+        orders,
+        big,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        # the HAVING filter can legitimately kill every group; the schema
+        # keeps the broadcast frame typed so the join degrades to empty
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]),
+    )
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    # the merge keeps the LEFT key column (o_custkey == c_custkey after the
+    # inner join); project it under the oracle's output name
+    return auto_join(joined, cust, on="o_custkey", right_on="c_custkey").map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": t.column("total_cents"),
+                "sum_qty": t.column("sum_qty"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q18_SQL = """
+SELECT o_custkey AS c_custkey, c_name, o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+REGISTRY["q18_large_orders"] = (q18_large_orders, Q18_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item revenue per customer (fact pre-agg → join → re-agg)
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q10: revenue lost to returned items, per customer with their
+    nation resolved — aggregate → join → re-aggregate → two dimension joins.
+
+    Scale plan: the returnflag filter + per-batch (l_orderkey, revenue)
+    combine run at the read, so the order join moves one row per returned
+    order; revenue is re-combined per o_custkey before the customer join
+    (the join input is ≤ |customers| rows per block); nation (25 rows) is a
+    driver-side broadcast. The non-null price/discount contract is explicit
+    in both engines so SUM's null-skip semantics cannot diverge."""
+    from ocr_ray.functions.joins import auto_join, broadcast_join
+
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: _partial_groupby(
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "revenue_c4": discounted_c4(
+                        t.column("l_extendedprice"), t.column("l_discount")
+                    ),
+                }
+            ).filter(
+                pc.and_(
+                    pc.and_(
+                        pc.fill_null(
+                            pc.equal(t.column("l_returnflag"), "R"), False
+                        ),
+                        pc.is_valid(t.column("l_orderkey")),
+                    ),
+                    pc.and_(
+                        pc.is_valid(t.column("l_extendedprice")),
+                        pc.is_valid(t.column("l_discount")),
+                    ),
+                )
+            ),
+            ["l_orderkey"],
+            ["revenue_c4"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    per_order = auto_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    per_cust = (
+        per_order.map_batches(
+            lambda t: _partial_groupby(
+                t.select(["o_custkey", "revenue_c4"]).filter(
+                    pc.is_valid(t.column("o_custkey"))
+                ),
+                ["o_custkey"],
+                ["revenue_c4"],
+                None,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "acctbal_cents": to_cents(t.column("c_acctbal")),
+                "c_nationkey": t.column("c_nationkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    return broadcast_join(
+        joined, nat, left_on="c_nationkey", right_on="n_nationkey"
+    ).map_batches(
+        # the customer join kept the LEFT key (o_custkey == c_custkey)
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "n_name": t.column("n_name"),
+                "acctbal_cents": t.column("acctbal_cents"),
+                "revenue_c4": t.column("revenue_c4"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       rev.revenue_c4
+FROM (SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND o_custkey IS NOT NULL
+      GROUP BY o_custkey) rev
+JOIN customer ON rev.o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+REGISTRY["q10_returned_revenue"] = (q10_returned_revenue, Q10_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue share (CASE aggregation to a single global ratio)
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14: share of revenue from PROMO parts, in basis points — the
+    conditional (CASE) aggregation collapsing to one row.
+
+    Scale plan: part's (key → is-promo) map is broadcast once and applied
+    per batch; each batch folds to two int64 partial sums + a row count, so
+    the driver fold is O(#blocks). The ratio is exact integer math with
+    DuckDB's truncate-toward-zero ``//`` mirrored; an empty filtered input
+    yields the SQL aggregate's single all-NULL row."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.joins import broadcast_join
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t.column("l_extendedprice")),
+                pc.is_valid(t.column("l_discount")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(line, part, left_on="l_partkey", right_on="p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = discounted_c4(t.column("l_extendedprice"), t.column("l_discount"))
+        promo = pc.fill_null(pc.equal(t.column("p_type"), "PROMO"), False)
+        promo_rev = pc.if_else(promo, rev, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "promo_c4": pa.array([pc.sum(promo_rev).as_py() or 0], pa.int64()),
+                "total_c4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        # SQL aggregates over zero rows: one row, NULL sums
+        return pa.table(
+            {
+                "promo_c4": pa.array([None], pa.int64()),
+                "total_c4": pa.array([None], pa.int64()),
+                "promo_bp": pa.array([None], pa.int64()),
+            }
+        )
+    promo = sum(r["promo_c4"] for r in parts)
+    total = sum(r["total_c4"] for r in parts)
+    if total == 0:
+        bp = None
+    else:
+        # DuckDB BIGINT // truncates toward zero; Python // floors — mirror
+        q = abs(promo * 10000) // abs(total)
+        bp = -q if (promo < 0) != (total < 0) else q
+    return pa.table(
+        {
+            "promo_c4": pa.array([promo], pa.int64()),
+            "total_c4": pa.array([total], pa.int64()),
+            "promo_bp": pa.array([bp], pa.int64()),
+        }
+    )
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_c4,
+       CAST(SUM(rev) AS BIGINT) AS total_c4,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 10000
+            // NULLIF(SUM(rev), 0) AS BIGINT) AS promo_bp
+FROM (SELECT p_type,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)
+"""
+
+REGISTRY["q14_promo_share"] = (q14_promo_share, Q14_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive multi-attribute predicate (three-valued OR of brackets)
+# ---------------------------------------------------------------------------
+
+
+def q19_bracket_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19: revenue under an OR of three (brand, size, quantity)
+    brackets — the disjunctive-predicate shape where three-valued logic
+    actually bites (a NULL in any leg must poison only its conjunct, and a
+    WHERE-NULL row drops).
+
+    Scale plan: part attributes broadcast once (dimension side), the
+    disjunction evaluated vectorized per batch with Kleene kernels (exact
+    SQL semantics), each batch folding to two scalars — no shuffle at all."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.joins import broadcast_join
+
+    part = pq.read_table(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(line, part, left_on="l_partkey", right_on="p_partkey")
+
+    _BRACKETS = (
+        ("Brand#12", 15, 1.0, 15.0),
+        ("Brand#23", 20, 10.0, 25.0),
+        ("Brand#3", 25, 20.0, 35.0),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand, size, qty = t.column("p_brand"), t.column("p_size"), t.column("l_quantity")
+        keep = None
+        for b, smax, qlo, qhi in _BRACKETS:
+            leg = pc.and_kleene(
+                pc.and_kleene(
+                    pc.equal(brand, b),
+                    pc.and_kleene(
+                        pc.greater_equal(size, pa.scalar(1)),
+                        pc.less_equal(size, pa.scalar(smax)),
+                    ),
+                ),
+                pc.and_kleene(
+                    pc.greater_equal(qty, pa.scalar(qlo)),
+                    pc.less_equal(qty, pa.scalar(qhi)),
+                ),
+            )
+            keep = leg if keep is None else pc.or_kleene(keep, leg)
+        t = t.filter(keep)  # NULL predicate rows drop, like SQL WHERE
+        rev = discounted_c4(t.column("l_extendedprice"), t.column("l_discount"))
+        s = pc.sum(rev)
+        return pa.table(
+            {
+                "revenue_c4": pa.array([s.as_py()], pa.int64()),
+                "n_valid": pa.array([len(rev) - rev.null_count], pa.int64()),
+                "n_lines": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    n_valid = sum(r["n_valid"] for r in parts)
+    rev = sum(r["revenue_c4"] or 0 for r in parts) if n_valid else None
+    return pa.table(
+        {
+            "revenue_c4": pa.array([rev], pa.int64()),
+            "n_lines": pa.array([sum(r["n_lines"] for r in parts)], pa.int64()),
+        }
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+REGISTRY["q19_bracket_revenue"] = (q19_bracket_revenue, Q19_SQL)
