@@ -290,3 +290,11 @@ REGISTRY["user_longest_streak"] = (user_longest_streak, USER_LONGEST_STREAK_SQL)
 from ocr_ray.ops.ann import EMBEDDING_QUANTIZE_SQL, embedding_quantize
 
 REGISTRY["embedding_quantize"] = (embedding_quantize, EMBEDDING_QUANTIZE_SQL)
+
+from ocr_ray.ops.corpus import DUP_NGRAM_SPANS_SQL, dup_ngram_spans
+
+REGISTRY["dup_ngram_spans"] = (dup_ngram_spans, DUP_NGRAM_SPANS_SQL)
+
+from ocr_ray.ops.scrub import ANONYMIZE_CUSTOMERS_SQL, anonymize_customers
+
+REGISTRY["anonymize_customers"] = (anonymize_customers, ANONYMIZE_CUSTOMERS_SQL)

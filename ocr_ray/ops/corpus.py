@@ -1118,3 +1118,160 @@ def order_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"q_bp": np.array(out_q, np.int64), "cents_est": np.array(out_est, np.int64)}
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated n-gram spans (exact substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+# 5-word spans, split/joined on single spaces so gram text == the original
+# substring (string_split(text, ' ') convention shared with explode_doc_words)
+_DUP_GRAM_N = 5
+# odd 64-bit rolling-combine multipliers (wraparound is fine: phase 2
+# recounts the actual gram STRINGS, collisions only add candidates)
+_GRAM_MULTS = tuple(
+    np.uint64(m)
+    for m in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5, 1)
+)
+
+
+def _doc_gram_hashes(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """Vectorized per-batch gram hashing. Returns (gram_hash, row_of_gram,
+    word_start_of_gram, flat_words): one uint64 rolling hash per valid gram
+    START position (grams never cross a document boundary). No Python
+    touches a word — split, hash and the 5-term combine are all columnar."""
+    parts = pc.split_pattern(t.column("text"), " ").combine_chunks()
+    flat = parts.flatten()
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    n_flat = int(offs[-1])
+    e = np.array([], np.int64)
+    if n_flat < _DUP_GRAM_N:
+        return np.array([], np.uint64), e, e, flat
+    wh = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    k = _DUP_GRAM_N
+    gh = np.zeros(n_flat - k + 1, np.uint64)
+    for j in range(k):
+        gh += wh[j : n_flat - k + 1 + j] * _GRAM_MULTS[j]
+    # valid gram starts for row r: offs[r] .. offs[r+1]-k (inclusive)
+    starts = np.arange(n_flat - k + 1)
+    row_of = np.searchsorted(offs, starts, side="right") - 1
+    valid = starts + k <= offs[row_of + 1]
+    return gh[valid], row_of[valid], starts[valid], flat
+
+
+def dup_ngram_spans(sf_dir: str) -> Dataset:
+    """Per-document count of DISTINCT 5-word spans that also occur in at
+    least one OTHER document — the cross-document exact-substring
+    duplication signal (the span-level sibling of exact/MinHash doc dedup;
+    boilerplate paragraphs, licence blocks and templated intros light up
+    here long before whole documents collide).
+
+    Exact two-phase plan (gram STRINGS never transit the census shuffle,
+    the ``strip_common_lines`` recipe applied to spans):
+      1. hash census: per batch, one uint64 rolling hash per gram start —
+         split/hash/combine fully vectorized — deduped per document, then
+         (hash, n_docs) partials through a tiny groupby. A document is one
+         row, so summing per-batch doc-distinct partials IS the global
+         distinct-document count.
+      2. exact resolve: hashes seen in >=2 documents (a SUPERSET of true
+         dup spans — collisions only add candidates) are broadcast sorted;
+         each batch rebuilds the actual gram strings at candidate
+         positions only, and the candidate (doc_id, gram) pairs — tiny by
+         construction — go through gram-census -> semi-join -> per-doc
+         count, all distributed (no driver pair set at any corpus size).
+    """
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("text")))
+        )
+
+    docs = docs.map_batches(keep, batch_format="pyarrow")
+
+    def hash_census(t: pa.Table) -> pa.Table:
+        gh, row_of, _, _ = _doc_gram_hashes(t)  # noqa: F841 (word starts unused here)
+        if len(gh) == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        per_doc = [
+            np.unique(gh[row_of == r]) for r in np.unique(row_of)
+        ]
+        u, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        return pa.table(
+            {"h": pa.array(u.view(np.int64)), "n": pa.array(c.astype(np.int64))}
+        )
+
+    cand_rows = (
+        docs.map_batches(hash_census, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr="n >= 2")
+        .select_columns(["h"])
+        .take_all()
+    )
+    cand = np.sort(np.array([r["h"] for r in cand_rows], np.int64).view(np.uint64))
+    cand_ref = ray.put(cand)
+
+    def candidate_pairs(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+        )
+        if len(cand) == 0:
+            return empty
+        gh, row_of, word_start, flat = _doc_gram_hashes(t)
+        if len(gh) == 0:
+            return empty
+        pos = np.searchsorted(cand, gh)
+        pos[pos == len(cand)] = 0
+        hit = cand[pos] == gh
+        if not hit.any():
+            return empty
+        # rebuild gram STRINGS at hit positions only (rare by construction)
+        ids_col = t.column("doc_id")
+        out_ids, out_grams = [], []
+        for r in np.unique(row_of[hit]):
+            sel = word_start[hit & (row_of == r)]
+            did = ids_col[int(r)].as_py()
+            seen = set()
+            for w0 in sel:
+                g = " ".join(
+                    flat[int(w0) + j].as_py() for j in range(_DUP_GRAM_N)
+                )
+                if g not in seen:
+                    seen.add(g)
+                    out_ids.append(did)
+                    out_grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "gram": pa.array(out_grams, pa.string())}
+        )
+
+    pairs = docs.map_batches(candidate_pairs, batch_format="pyarrow")
+
+    # one co-located pass per gram replaces census+semi-join: a gram's
+    # (doc_id) rows are already distinct, so group size == distinct docs
+    # (and a sparse hash-aggregate's zero-column empty partitions never
+    # reach a Dataset.join, which chokes on them)
+    def keep_cross_doc(g: pa.Table) -> pa.Table:
+        if g.num_rows >= 2:
+            return pa.table({"doc_id": g.column("doc_id")})
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+
+    per_doc = pairs.groupby("gram").map_groups(keep_cross_doc, batch_format="pyarrow")
+    return per_doc.groupby("doc_id").aggregate(Count(alias_name="n_dup_grams"))
+
+
+DUP_NGRAM_SPANS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) t
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM g JOIN d USING (gram) GROUP BY g.doc_id
+"""

@@ -144,3 +144,114 @@ def scrub_docs_sql(sf_dir: str) -> str:
     return (
         f"SELECT doc_id, t AS clean_text, {', '.join(carried)} FROM ({sql})"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def anonymize_customers(sf_dir: str, *, k: int = _K_ANON) -> Dataset:
+    """k-anonymity pass over the customer quasi-identifiers
+    (c_nationkey, c_mktsegment): rows whose QI group has fewer than ``k``
+    members get BOTH identifiers suppressed to NULL — the standard
+    re-identification guard a privacy-preserving corpus release runs after
+    PII scrubbing (generalize-or-suppress; this op is the suppress leg).
+
+    Scale plan: the QI census is bounded by the QI DOMAIN (|nations| x
+    |segments| + null combos), not the row count — per-batch partial
+    counts on null-ENCODED keys shrink each batch to <= domain rows, the
+    global groupby output is tiny, and the (group -> count) table is
+    broadcast once via ``ray.put`` and pandas-merged per batch (no NaN-key
+    ambiguity: keys are (value-filled, is-null) pairs). A NULL QI value is
+    a real partition, exactly like SQL's ``COUNT(*) OVER (PARTITION BY)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "k_nat": pc.fill_null(pc.cast(t.column("c_nationkey"), pa.int64()), 0),
+                "n_nat": pc.cast(pc.is_null(t.column("c_nationkey")), pa.int8()),
+                "k_seg": pc.fill_null(t.column("c_mktsegment"), ""),
+                "n_seg": pc.cast(pc.is_null(t.column("c_mktsegment")), pa.int8()),
+            }
+        )
+
+    enc = cust.map_batches(encode, batch_format="pyarrow")
+    keys = ["k_nat", "n_nat", "k_seg", "n_seg"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.select(keys + ["__one"]).group_by(keys).aggregate([("__one", "sum")])
+        return g.rename_columns(keys + ["cnt"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    census_rows = (
+        enc.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    census = pd.DataFrame(census_rows) if census_rows else pd.DataFrame(
+        {c: [] for c in keys + ["cnt"]}
+    )
+    ref = ray.put(census)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        cen = ray.get(ref)
+        out = df.merge(cen, how="left", on=keys)
+        ok = out["cnt"].to_numpy() >= k
+        res = pd.DataFrame(
+            {
+                "c_custkey": out["c_custkey"],
+                "suppressed": ~ok,
+                # numeric QI suppresses to a typed SENTINEL (-1), not NULL:
+                # the gate's value compare is NaN-hostile, and a sentinel
+                # keeps the column int32 end to end (CASE ... ELSE -1)
+                "c_nationkey_anon": out["c_nationkey"].where(ok, other=-1),
+                "c_mktsegment_anon": out["c_mktsegment"].where(ok, other=None),
+            }
+        )
+        return res
+
+    def restore_types(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "suppressed": pc.cast(t.column("suppressed"), pa.bool_()),
+                "c_nationkey_anon": pc.cast(t.column("c_nationkey_anon"), pa.int32()),
+                "c_mktsegment_anon": t.column("c_mktsegment_anon"),
+            }
+        )
+
+    return enc.map_batches(apply, batch_format="pandas").map_batches(
+        restore_types, batch_format="pyarrow"
+    )
+
+
+ANONYMIZE_CUSTOMERS_SQL = """
+SELECT c_custkey,
+       cnt < 5 AS suppressed,
+       CASE WHEN cnt >= 5 THEN c_nationkey ELSE -1 END AS c_nationkey_anon,
+       CASE WHEN cnt >= 5 THEN c_mktsegment END AS c_mktsegment_anon
+FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+             COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cnt
+      FROM customer) t
+"""

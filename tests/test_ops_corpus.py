@@ -257,3 +257,49 @@ class TestQualityGate:
         assert len(out) >= 250  # ties at the median are kept -> at least half
         med = min(r["stop_bp"] for r in out)
         assert all(r["stop_bp"] >= med for r in out)
+
+
+class TestDupNgramSpans:
+    def test_planted_shared_spans(self, ray_session, tmp_path):
+        from ocr_ray.ops.corpus import dup_ngram_spans
+
+        # docs 1 and 2 share one 5-word span; doc 3 shares nothing; doc 4
+        # repeats the shared span TWICE (distinct-gram count still 1); doc 5
+        # is under 5 words
+        texts = {
+            1: "the quick brown fox jumps over a lazy dog",
+            2: "intro words the quick brown fox jumps and more",
+            3: "entirely different content with no overlap at all",
+            4: "the quick brown fox jumps padding the quick brown fox jumps",
+            5: "too few words",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": [texts[k] for k in sorted(texts)],
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = {r["doc_id"]: r["n_dup_grams"] for r in dup_ngram_spans(str(tmp_path)).take_all()}
+        # the shared span "the quick brown fox jumps" appears in docs 1,2,4
+        assert got == {1: 1, 2: 1, 4: 1}
+
+    def test_within_doc_repeat_is_not_cross_doc(self, ray_session, tmp_path):
+        from ocr_ray.ops.corpus import dup_ngram_spans
+
+        # a span repeated only WITHIN one doc must not count
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": [
+                        "one two three four five one two three four five",
+                        "six seven eight nine ten eleven",
+                    ],
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        assert dup_ngram_spans(str(tmp_path)).take_all() == []

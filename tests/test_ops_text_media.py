@@ -223,3 +223,32 @@ class TestMarkdown:
         t = pa.table({"doc_id": pa.array([0], pa.int64()), "md": pa.array(["* item one\n* item two"])})
         out = extract_markdown_batch(t)
         assert out.column("main_text").to_pylist() == ["item one\nitem two"]
+
+
+class TestAnonymizeCustomers:
+    def test_small_groups_suppressed(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.scrub import anonymize_customers
+
+        # group (1, 'A') has 5 members (kept), (2, 'B') has 4 (suppressed),
+        # and one row carries a NULL segment (its own partition of size 1)
+        nat = [1] * 5 + [2] * 4 + [3]
+        seg = ["A"] * 5 + ["B"] * 4 + [None]
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(range(10), pa.int64()),
+                    "c_nationkey": pa.array(nat, pa.int32()),
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        rows = {r["c_custkey"]: r for r in anonymize_customers(str(tmp_path)).take_all()}
+        assert all(not rows[i]["suppressed"] for i in range(5))
+        assert all(rows[i]["suppressed"] for i in range(5, 10))
+        assert rows[0]["c_nationkey_anon"] == 1 and rows[0]["c_mktsegment_anon"] == "A"
+        assert rows[5]["c_nationkey_anon"] == -1 and rows[5]["c_mktsegment_anon"] is None
+        assert rows[9]["c_nationkey_anon"] == -1  # NULL-segment singleton suppressed
