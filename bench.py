@@ -81,6 +81,12 @@ QUERY_NAMES = [
     "order_share_of_cust",
     "triangle_count_graph",
     "bfs_hops_graph",
+    "q18_large_orders",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q19_bracket_revenue",
+    "dup_ngram_spans",
+    "anonymize_customers",
 ]
 
 
@@ -257,6 +263,16 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         _consume(pack_sequences_over(big))
         qtimes["pack_sequences_100k"] = round(time.monotonic() - t0, 3)
+
+        # cross-doc duplicated-span census at volume (the planted near-dup
+        # clusters in bigdocs make the candidate set genuinely non-trivial)
+        from ocr_ray.ops.corpus import dup_ngram_spans_over
+
+        t0 = time.monotonic()
+        _consume(
+            dup_ngram_spans_over(scaled_read_parquet(docs100k, columns=["doc_id", "text"]))
+        )
+        qtimes["dup_ngram_100k"] = round(time.monotonic() - t0, 3)
 
         # timeseries family at volume (1M events, 5k users + one hot user):
         # one coarse-key shuffle each; the gapfill output is the DENSE series

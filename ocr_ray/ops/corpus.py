@@ -722,6 +722,32 @@ def vocab_topk_cms_over(docs: Dataset, top_k: int = _VOCAB_K) -> pa.Table:
 _COMMON_LINE_K = 50  # a line occurring >= K times corpus-wide is boilerplate
 
 
+def _sum_partials_gated(partials: Dataset, key: str, gate_rows: int = 20_000_000):
+    """Size-gated driver combine of (key, n) per-batch partials (the
+    repo's local-solve pattern): Ray's hash Aggregate runs at ~170k
+    rows/s on high-cardinality keys (measured: 47 s over 8M census rows)
+    while a driver-side pandas groupby over the same partials takes
+    seconds — ruinous fixed cost when the useful output is a candidate
+    set. Returns None above the gate; the caller then runs the
+    distributed groupby (the 100 TB path, where the shuffle amortizes)."""
+    import pandas as pd
+
+    # batch_size=None yields WHOLE blocks (the default 4096-row re-slicing
+    # alone cost 51 s pulling an 8M-row census); the combine itself is one
+    # C++ arrow group_by over the concatenated partials.
+    tables, total = [], 0
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        tables.append(b)
+        total += b.num_rows
+        if total > gate_rows:
+            return None
+    if not tables:
+        return pd.DataFrame({key: [], "n": []})
+    t = pa.concat_tables(tables)
+    g = t.group_by([key]).aggregate([("n", "sum")]).rename_columns([key, "n"])
+    return g.to_pandas()
+
+
 def strip_common_lines(sf_dir: str, *, min_count: int = _COMMON_LINE_K) -> Dataset:
     """Remove corpus-common lines (page numbers, blank runs, repeated
     headers/footers) from every turn — the paragraph-level dedup step of the
@@ -779,25 +805,6 @@ def strip_common_lines_over(ds: Dataset, *, min_count: int = _COMMON_LINE_K) -> 
         h = _line_hash(parts.flatten())
         uniq, cnt = np.unique(h, return_counts=True)
         return pa.table({"h": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
-
-    def _sum_partials_gated(partials: Dataset, key: str, gate_rows: int = 20_000_000):
-        """Size-gated driver combine of (key, n) per-batch partials (the
-        repo's local-solve pattern): Ray's Aggregate costs ~20 s of fixed
-        sort-shuffle overhead regardless of byte volume — ruinous when the
-        useful output is a few hundred heavy hitters. Returns None above
-        the gate; the caller then runs the distributed groupby (the 100 TB
-        path, where the fixed cost amortizes)."""
-        import pandas as pd
-
-        frames, total = [], 0
-        for b in partials.iter_batches(batch_format="pandas"):
-            frames.append(b)
-            total += len(b)
-            if total > gate_rows:
-                return None
-        if not frames:
-            return pd.DataFrame({key: [], "n": []})
-        return pd.concat(frames).groupby(key, sort=False)["n"].sum().reset_index()
 
     texts = ds.select_columns(["text"])
     hash_partials = texts.map_batches(hash_census, batch_format="pyarrow")
@@ -1181,7 +1188,13 @@ def dup_ngram_spans(sf_dir: str) -> Dataset:
          construction — go through gram-census -> semi-join -> per-doc
          count, all distributed (no driver pair set at any corpus size).
     """
-    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dup_ngram_spans_over(
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    )
+
+
+def dup_ngram_spans_over(docs: Dataset) -> Dataset:
+    """See ``dup_ngram_spans``; operates on any (doc_id, text) Dataset."""
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(
@@ -1194,23 +1207,33 @@ def dup_ngram_spans(sf_dir: str) -> Dataset:
         gh, row_of, _, _ = _doc_gram_hashes(t)  # noqa: F841 (word starts unused here)
         if len(gh) == 0:
             return pa.table({"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
-        per_doc = [
-            np.unique(gh[row_of == r]) for r in np.unique(row_of)
-        ]
-        u, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        # distinct (row, hash) in one lexsort (row_of is already row-major,
+        # so this is one in-row sort); a per-row `gh[row_of == r]` loop
+        # would rescan the whole batch per document
+        order = np.lexsort((gh, row_of))
+        r_s, g_s = row_of[order], gh[order]
+        first = np.empty(len(g_s), dtype=bool)
+        first[0] = True
+        first[1:] = (r_s[1:] != r_s[:-1]) | (g_s[1:] != g_s[:-1])
+        u, c = np.unique(g_s[first], return_counts=True)
         return pa.table(
             {"h": pa.array(u.view(np.int64)), "n": pa.array(c.astype(np.int64))}
         )
 
-    cand_rows = (
-        docs.map_batches(hash_census, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("n", alias_name="n"))
-        .filter(expr="n >= 2")
-        .select_columns(["h"])
-        .take_all()
-    )
-    cand = np.sort(np.array([r["h"] for r in cand_rows], np.int64).view(np.uint64))
+    hash_partials = docs.map_batches(hash_census, batch_format="pyarrow")
+    local = _sum_partials_gated(hash_partials, "h")
+    if local is None:  # above the gate: the distributed census (100 TB path)
+        cand_rows = (
+            hash_partials.groupby("h")
+            .aggregate(Sum("n", alias_name="n"))
+            .filter(expr="n >= 2")
+            .select_columns(["h"])
+            .take_all()
+        )
+        cand_i64 = np.array([r["h"] for r in cand_rows], np.int64)
+    else:
+        cand_i64 = local.loc[local["n"] >= 2, "h"].to_numpy(np.int64)
+    cand = np.sort(cand_i64.view(np.uint64))
     cand_ref = ray.put(cand)
 
     def candidate_pairs(t: pa.Table) -> pa.Table:
@@ -1228,38 +1251,72 @@ def dup_ngram_spans(sf_dir: str) -> Dataset:
         hit = cand[pos] == gh
         if not hit.any():
             return empty
-        # rebuild gram STRINGS at hit positions only (rare by construction)
-        ids_col = t.column("doc_id")
-        out_ids, out_grams = [], []
-        for r in np.unique(row_of[hit]):
-            sel = word_start[hit & (row_of == r)]
-            did = ids_col[int(r)].as_py()
-            seen = set()
-            for w0 in sel:
-                g = " ".join(
-                    flat[int(w0) + j].as_py() for j in range(_DUP_GRAM_N)
-                )
-                if g not in seen:
-                    seen.add(g)
-                    out_ids.append(did)
-                    out_grams.append(g)
-        return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()), "gram": pa.array(out_grams, pa.string())}
+        # rebuild gram STRINGS at hit positions only, fully vectorized:
+        # 5 shifted takes + one binary_join (a per-hit ``.as_py()`` join
+        # loop measured ~40 s of the 100k-doc bench row)
+        sel = np.flatnonzero(hit)
+        w0 = word_start[sel]
+        cols = [flat.take(pa.array(w0 + j)) for j in range(_DUP_GRAM_N)]
+        grams = pc.binary_join_element_wise(*cols, " ")
+        ids = t.column("doc_id").take(pa.array(row_of[sel]))
+        return (
+            pa.table({"doc_id": ids, "gram": grams})
+            .group_by(["doc_id", "gram"])  # distinct per (doc, gram)
+            .aggregate([])
         )
 
     pairs = docs.map_batches(candidate_pairs, batch_format="pyarrow")
 
-    # one co-located pass per gram replaces census+semi-join: a gram's
-    # (doc_id) rows are already distinct, so group size == distinct docs
-    # (and a sparse hash-aggregate's zero-column empty partitions never
-    # reach a Dataset.join, which chokes on them)
-    def keep_cross_doc(g: pa.Table) -> pa.Table:
-        if g.num_rows >= 2:
-            return pa.table({"doc_id": g.column("doc_id")})
-        return pa.table({"doc_id": pa.array([], pa.int64())})
+    # co-locate pairs by gram through the filesystem exchange and resolve
+    # each partition with ONE vectorized run-length scan (sort by gram,
+    # runs of length >= 2 are cross-doc dups since (doc, gram) pairs are
+    # distinct) — per-GROUP Python here would cost ~0.3 ms x |candidate
+    # grams| (minutes at the 100k-doc bench); per-PARTITION arrow is flat.
+    # Each gram lives in exactly one partition, so per-partition partial
+    # (doc_id, n) counts sum to the exact per-doc distinct-dup-gram count.
+    from ocr_ray.pipelines.conversation import grouped_scan_fs
 
-    per_doc = pairs.groupby("gram").map_groups(keep_cross_doc, batch_format="pyarrow")
-    return per_doc.groupby("doc_id").aggregate(Count(alias_name="n_dup_grams"))
+    def part_scan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by("gram")
+        g = t.column("gram").combine_chunks()
+        n = len(g)
+        neq = pc.not_equal(g.slice(1), g.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], neq]))
+        run_len = np.diff(np.concatenate([starts, [n]]))
+        keep = np.repeat(run_len >= 2, run_len)
+        if not keep.any():
+            return empty
+        kept = t.filter(pa.array(keep)).select(["doc_id"])
+        p = kept.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return p.rename_columns(["doc_id", "n"])
+
+    partials = grouped_scan_fs(
+        pairs,
+        "gram",
+        part_scan,
+        empty_result=pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        ),
+    )
+    if partials.count() == 0:
+        return rd.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("n_dup_grams", pa.int64())]).empty_table()
+        )
+    return (
+        partials.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("doc_id"), "n": pc.cast(t.column("n"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_dup_grams"))
+    )
 
 
 DUP_NGRAM_SPANS_SQL = """

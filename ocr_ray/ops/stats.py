@@ -362,18 +362,52 @@ def part_pair_counts(sf_dir: str) -> Dataset:
     partials = grouped_scan(
         li.map_batches(distinct_partial, batch_format="pyarrow"), "l_orderkey", pairs_in_partition
     )
-    agg = partials.groupby(["part_a", "part_b"]).aggregate(Sum("n", alias_name="n"))
 
-    def topk_partial(t: pa.Table) -> pa.Table:
+    # pair-count combine WITHOUT Ray's hash aggregate: 1.2M near-distinct
+    # (part_a, part_b) groups cost the multi-key Aggregate ~190 s at sf0.1
+    # (measured — it dominated the whole query); a coarse-key exchange on
+    # hash(pair) followed by ONE lexsort + run-length sum per partition is
+    # exact (a pair lives in exactly one partition, so per-partition sums
+    # are its global count) and runs in seconds. Per-partition top-k then
+    # bounds the driver merge at k rows per partition.
+    _PAIR_PARTS = 64
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("part_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("part_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) ^ b * np.uint64(0xC2B2AE3D27D4EB4F)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(_PAIR_PARTS)).astype(np.int32))
+        )
+
+    def census_topk(g: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = t.select(["part_a", "part_b", "n"]).to_pandas()
-        df = df.sort_values(["n", "part_a", "part_b"], ascending=[False, True, True])
-        return pa.Table.from_pandas(df.head(_PAIR_TOPK), preserve_index=False)
+        df = g.select(["part_a", "part_b", "n"]).to_pandas()
+        a = df["part_a"].to_numpy(np.int64)
+        b = df["part_b"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        new = np.empty(len(a), dtype=bool)
+        if len(a):
+            new[0] = True
+            np.not_equal(a[1:], a[:-1], out=new[1:])
+            new[1:] |= b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(n, starts) if len(starts) else np.array([], np.int64)
+        out = pd.DataFrame({"part_a": a[starts], "part_b": b[starts], "n": sums})
+        out = out.sort_values(["n", "part_a", "part_b"], ascending=[False, True, True])
+        return pa.Table.from_pandas(out.head(_PAIR_TOPK), preserve_index=False)
 
     import pandas as pd
 
-    rows = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    rows = (
+        partials.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(census_topk, batch_format="pyarrow")
+        .take_all()
+    )
     merged = pd.DataFrame(rows, columns=["part_a", "part_b", "n"])
     top = merged.sort_values(["n", "part_a", "part_b"], ascending=[False, True, True]).head(
         _PAIR_TOPK

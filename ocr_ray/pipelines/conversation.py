@@ -117,6 +117,7 @@ def grouped_scan_fs(
     *,
     num_parts: int = 64,
     scratch_root: str | None = None,
+    empty_result: pa.Table | None = None,
 ) -> Dataset:
     """``grouped_scan`` with a FILESYSTEM exchange instead of Ray's sort
     shuffle — for PAYLOAD-HEAVY grouped scans.
@@ -154,6 +155,11 @@ def grouped_scan_fs(
 
     summaries = ds.map_batches(fan, batch_format="pyarrow").take_all()
     pending = sorted({r["part_id"] for r in summaries})
+    if not pending and empty_result is not None:
+        # an all-empty input writes no fragments; hand back a TYPED empty
+        # (from_arrow_refs([]) would yield a schema-less dataset)
+        shutil.rmtree(frag_root, ignore_errors=True)
+        return rd.from_arrow(empty_result)
 
     def assemble(pid: int) -> pa.Table:
         import pyarrow.parquet as pq_
