@@ -149,7 +149,7 @@ def run_bench() -> dict:
     # rule's efficiency criterion concerns the job, not process startup).
     import ray.data as rd
 
-    _ = sum(b.num_rows for b in rd.read_parquet(inp).iter_batches(batch_format="pyarrow"))
+    _ = sum(b.num_rows for b in rd.read_parquet(inp).iter_batches(batch_format="pyarrow", batch_size=None))
     import glob as _glob
 
     warm_file = sorted(_glob.glob(os.path.join(inp, "*.parquet")))[0]

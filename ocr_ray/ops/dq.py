@@ -88,7 +88,7 @@ def _orphan_count(child: Dataset, parent: Dataset, key: str, prime: int):
         pk = np.concatenate(
             [
                 b.column("pk").drop_null().to_numpy(zero_copy_only=False)
-                for b in parent.iter_batches(batch_format="pyarrow")
+                for b in parent.iter_batches(batch_format="pyarrow", batch_size=None)
             ]
             or [np.zeros(0, np.int64)]
         )

@@ -293,7 +293,7 @@ def _pagerank_broadcast(edges: Dataset, deg: Dataset, nodes: Dataset, *, iters: 
 
         inbound = np.zeros(n, np.int64)
         for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_format="pyarrow", batch_size=None
         ):
             np.add.at(
                 inbound,

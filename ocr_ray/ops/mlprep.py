@@ -255,7 +255,7 @@ def bloom_semi_events(sf_dir: str) -> Dataset:
 
     bitmap = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
     for b in keys_partial.map_batches(bit_positions, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         pos = b.column("pos").to_numpy(zero_copy_only=False)
         np.bitwise_or.at(
