@@ -2220,14 +2220,40 @@ def q18_large_orders(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    big = (
-        line.groupby("l_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t.column("sum_qty"), pa.scalar(150))),
-            batch_format="pyarrow",
-        )
+    # the per-order sums are a high-cardinality census (~1 row per order
+    # after the map-side combine): below the row gate the partials fold on
+    # the driver (Ray's hash Aggregate costs ~170k rows/s on such keys);
+    # above it, the distributed groupby is the 100 TB path
+    import numpy as np
+
+    from ocr_ray.ops.corpus import _sum_partials_gated
+
+    local = _sum_partials_gated(
+        line.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "n"]), batch_format="pyarrow"
+        ),
+        "l_orderkey",
     )
+    if local is None:
+        big = (
+            line.groupby("l_orderkey")
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t.column("sum_qty"), pa.scalar(150))),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        big = rd.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        local.loc[local["n"] > 150, "l_orderkey"].to_numpy(np.int64)
+                    ),
+                    "sum_qty": pa.array(local.loc[local["n"] > 150, "n"].to_numpy(np.int64)),
+                }
+            )
+        )
     from ocr_ray.functions.joins import auto_join
 
     orders = rd.read_parquet(
