@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "q19_bracket_revenue",
     "dup_ngram_spans",
     "anonymize_customers",
+    "purchase_next_click",
 ]
 
 

@@ -956,6 +956,88 @@ ASOF JOIN (SELECT * FROM events
 """
 
 
+def purchase_next_click(sf_dir: str) -> Dataset:
+    """FORWARD as-of: for each purchase, the wait (µs) until the user's
+    NEXT click at-or-after it — the other direction of the as-of matrix
+    (``purchase_attribution`` is backward). Emitting the exact integer gap
+    instead of a click id makes tie semantics trivial (several clicks at
+    the same minimal future ts share one gap).
+
+    Same plan shape: coarse-key grouped scan by user, ONE vectorized
+    ``merge_asof(direction='forward')`` per partition. Purchases with no
+    future click drop (inner semantics, mirrored); NULL user/ts/event_id
+    rows are excluded in both engines (a NULL can satisfy neither the
+    equi- nor the range predicate, and SQL's GROUP BY event_id would fuse
+    multiple NULL-id purchases into one row)."""
+    import pandas as pd
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_in(
+                        t.column("event_type"), value_set=pa.array(["click", "purchase"])
+                    ),
+                    pc.is_valid(t.column("event_id")),
+                ),
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    def asof_fwd(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "wait_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if purchases.empty or clicks.empty:
+            return empty
+        right = clicks[["user_id", "ts"]].copy()
+        right["click_ts"] = right["ts"]
+        m = pd.merge_asof(
+            purchases[["user_id", "event_id", "ts"]],
+            right,
+            on="ts",
+            by="user_id",
+            direction="forward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["click_ts"])
+        if m.empty:
+            return empty
+        # resolution-proof µs math (pandas may carry ns OR µs ticks)
+        import numpy as np
+
+        wait = m["click_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) - m[
+            "ts"
+        ].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"), "wait_us": wait}
+        )
+
+    return grouped_scan(events, "user_id", asof_fwd)
+
+
+PURCHASE_NEXT_CLICK_SQL = """
+SELECT p.event_id,
+       CAST(MIN(epoch_us(c.ts) - epoch_us(p.ts)) AS BIGINT) AS wait_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase'
+      AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL) p
+JOIN (SELECT * FROM events WHERE event_type = 'click'
+      AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL) c
+  ON p.user_id = c.user_id AND c.ts >= p.ts
+GROUP BY p.event_id
+"""
+
 # ---------------------------------------------------------------------------
 # events_sample — deterministic-seed sampling (rows-only: sampling is
 # implementation-defined, so no SQL oracle; determinism tested in pytest)
@@ -1343,6 +1425,7 @@ GROUP BY event_type
 """
 
 REGISTRY["event_props_stats"] = (event_props_stats, EVENT_PROPS_STATS_SQL)
+REGISTRY["purchase_next_click"] = (purchase_next_click, PURCHASE_NEXT_CLICK_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,39 @@ def test_latest_event_null_ts_not_preferred(tmp_path):
     got = latest_event_per_user(d)
     got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
     _compare(got, LATEST_EVENT_PER_USER_SQL, d)
+
+
+def test_auto_join_empty_small_side_with_schema(ray_session):
+    """A legitimately-empty small side (HAVING killed every group) must
+    broadcast a TYPED empty frame, not crash the join (Ray 2.49 drops
+    0-row blocks at materialize, so the schema must come from the caller)."""
+    from ocr_ray.functions.joins import auto_join
+
+    big = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([10, 20, 30], pa.int64())})
+    )
+    empty_small = rd.from_arrow(
+        pa.table({"rk": pa.array([9], pa.int64()), "w": pa.array([9], pa.int64())})
+    ).filter(lambda r: False)
+    out = auto_join(
+        big,
+        empty_small,
+        on="k",
+        right_on="rk",
+        right_schema=pa.schema([("rk", pa.int64()), ("w", pa.int64())]),
+    )
+    assert out.count() == 0  # inner join vs empty -> empty, no crash
+
+
+def test_sum_partials_gated_paths(ray_session):
+    """Both sides of the census gate: the driver combine sums partials
+    exactly, and crossing the row gate returns None (distributed path)."""
+    from ocr_ray.ops.corpus import _sum_partials_gated
+
+    t = pa.table(
+        {"h": pa.array([1, 2, 1, 3, 2, 1], pa.int64()), "n": pa.array([1] * 6, pa.int64())}
+    )
+    local = _sum_partials_gated(rd.from_arrow(t), "h")
+    got = dict(zip(local["h"], local["n"]))
+    assert got == {1: 3, 2: 2, 3: 1}
+    assert _sum_partials_gated(rd.from_arrow(t), "h", gate_rows=3) is None
