@@ -384,6 +384,38 @@ def committed_segments(out_dir: str) -> dict[int, dict]:
     return out
 
 
+def read_segments(out_dir: str, *, upto: int | None = None, columns: list[str] | None = None):
+    """Snapshot-isolated read over a ``write_segmented`` table: only
+    segments with a COMMITTED manifest are visible, optionally truncated
+    to ``upto`` (inclusive) — the time-travel read completing the sink
+    lifecycle (write → segment → upsert → compact → delete → READ AS OF).
+
+    A crashed producer leaves partial ``seg-*`` directories with data
+    files but no segment manifest; a plain ``read_parquet(out_dir)``
+    would see those torn rows, this reader never does. Point-in-time
+    audits (``upto=k``) replay exactly the state after segment ``k``
+    committed, byte-stable across clean and resumed producers."""
+    import ray.data as rd
+
+    import glob
+
+    done = committed_segments(out_dir)
+    sids = sorted(s for s in done if upto is None or s <= upto)
+    files = [
+        f
+        for sid in sids
+        for f in sorted(
+            glob.glob(os.path.join(out_dir, f"seg-{sid:04d}", "part-*.parquet"))
+        )
+    ]
+    if not files:
+        raise FileNotFoundError(
+            f"no committed segments in {out_dir}"
+            + (f" at or before segment {upto}" if upto is not None else "")
+        )
+    return rd.read_parquet(files, columns=columns)
+
+
 def _commit_segment(
     out_dir: str, num_partitions: int, sid: int, seg_paths: list[str],
     seg_tag: str, handle: "_SinkHandle",

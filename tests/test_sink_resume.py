@@ -480,3 +480,44 @@ class TestDeleteKeysPartitioned:
         write_partitioned(rd.from_arrow(self._table(rows)), out, num_partitions=4)
         with pytest.raises(ValueError, match="delete mismatch"):
             delete_keys_partitioned(["a"], out, num_partitions=8)
+
+
+class TestReadSegments:
+    def test_time_travel_and_torn_segment_invisible(
+        self, ray_session, seg_inputs, tmp_path
+    ):
+        import ray.data as rd
+
+        from ocr_ray.state.sink import committed_segments, read_segments
+
+        out = str(tmp_path / "seg_tt")
+        _run_segmented(seg_inputs, out)
+        done = committed_segments(out)
+        assert sorted(done) == [0, 1, 2]
+
+        full = read_segments(out).count()
+        upto0 = read_segments(out, upto=0).count()
+        upto1 = read_segments(out, upto=1).count()
+        assert 0 < upto0 < upto1 < full
+        # as-of replays exactly the committed prefix
+        import glob as _glob
+        seg0_rows = rd.read_parquet(
+            sorted(_glob.glob(os.path.join(out, "seg-0000", "part-*.parquet")))
+        ).count()
+        assert upto0 == seg0_rows
+
+        # a torn (uncommitted) segment dir: data present, no manifest —
+        # plain read_parquet sees its rows, the snapshot reader never does
+        torn = os.path.join(out, "seg-0003")
+        os.makedirs(torn, exist_ok=True)
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.table({"conv_id": ["torn"], "turn_idx": [0]}),
+            os.path.join(torn, "part-00000.parquet"),
+        )
+        assert read_segments(out).count() == full
+        assert read_segments(out, upto=99).count() == full
+
+        with pytest.raises(FileNotFoundError):
+            read_segments(str(tmp_path / "nothing_here"))
