@@ -2686,3 +2686,377 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 REGISTRY["q19_bracket_revenue"] = (q19_bracket_revenue, Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (LEFT JOIN + count-of-counts)
+# ---------------------------------------------------------------------------
+
+
+def q13_order_distribution(sf_dir: str) -> Dataset:
+    """TPC-H Q13: how many customers placed 0, 1, 2, ... orders — the
+    LEFT-JOIN-then-histogram shape (a count whose zero bucket only exists
+    because of the outer join).
+
+    Scale plan: orders reduce to a per-custkey census with a per-batch
+    combiner (shuffle carries one (custkey, n) row per customer); the
+    left join against customer keys is keys-only traffic either way
+    (``auto_join`` broadcasts the census while it fits, hash-shuffles at
+    scale); the final count-of-counts is a tiny second census (c_count
+    cardinality is O(max orders per customer)). Nothing wider than two
+    int64 columns ever moves.
+
+    NULL semantics (mirrored in the oracle): NULL c_custkey rows would all
+    collapse into ONE SQL group — a statement about grouping, not about
+    customers — so both sides exclude them; NULL o_custkey never matches a
+    key; COUNT(o_orderkey) skips NULL orderkeys, so those rows are dropped
+    before the census."""
+    from ocr_ray.functions.joins import auto_join
+
+    def _order_census(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.and_(pc.is_valid(t.column("o_custkey")), pc.is_valid(t.column("o_orderkey")))
+        )
+        ones = pa.table(
+            {
+                "o_custkey": keep.column("o_custkey"),
+                "n_orders": pa.array([1] * keep.num_rows, pa.int64()),
+            }
+        )
+        return _partial_groupby(ones, ["o_custkey"], ["n_orders"], None)
+
+    counts = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"]
+    ).map_batches(_order_census, batch_format="pyarrow")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("c_custkey"))), batch_format="pyarrow"
+    )
+    per_cust = auto_join(
+        cust,
+        counts.groupby("o_custkey").aggregate(Sum("n_orders", alias_name="n_orders")),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="left",
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]),
+    )
+    hist = per_cust.map_batches(
+        lambda t: _partial_groupby(
+            pa.table(
+                {
+                    "c_count": pc.fill_null(
+                        pc.cast(t.column("n_orders"), pa.int64()), pa.scalar(0, pa.int64())
+                    ),
+                    "custdist": pa.array([1] * t.num_rows, pa.int64()),
+                }
+            ),
+            ["c_count"],
+            ["custdist"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+    return hist.groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+
+
+Q13_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey IS NOT NULL
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+REGISTRY["q13_order_distribution"] = (q13_order_distribution, Q13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue (correlated per-part AVG subquery)
+# ---------------------------------------------------------------------------
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of the average quantity for their part — the correlated-aggregate-
+    subquery pattern (the inner query re-reads the same fact table).
+
+    Exactness: ``qty < 0.2 * avg`` is evaluated as the integer cross-
+    multiplication ``5 * qty * cnt < sum_qty`` (avg = sum/cnt), so both
+    engines compare exact int64s — no float division anywhere. Overflow
+    bound: 5·qty·cnt ≤ 5·50·(lines per part) — safe until a single part
+    has ~10^16 lines.
+
+    Scale plan: the per-part (sum, cnt) census is map-side combined (one
+    row per partkey through the shuffle); the filtered part list (one
+    brand) and the census both join lineitem via ``auto_join`` (broadcast
+    at test scale, hash-shuffle at 100 TB — the census is keys+two-int64s
+    either way). The final reduce is a single global (sum, count) fold of
+    per-batch partials. NULL partkeys/quantities drop before the census
+    (they can never satisfy the inner join / the comparison), mirrored in
+    the oracle's WHERE."""
+    from ocr_ray.functions.joins import auto_join
+
+    def _qty_census(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.and_(pc.is_valid(t.column("l_partkey")), pc.is_valid(t.column("l_quantity")))
+        )
+        proj = pa.table(
+            {
+                "l_partkey": keep.column("l_partkey"),
+                "sum_qty": pc.cast(keep.column("l_quantity"), pa.int64()),
+                "cnt_qty": pa.array([1] * keep.num_rows, pa.int64()),
+            }
+        )
+        return _partial_groupby(proj, ["l_partkey"], ["sum_qty", "cnt_qty"], None)
+
+    census = (
+        rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+        .map_batches(_qty_census, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("cnt_qty", alias_name="cnt_qty"))
+    )
+    brand_parts = rd.read_parquet(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.filter(
+                    pc.and_(
+                        pc.equal(t.column("p_brand"), "Brand#4"),
+                        pc.is_valid(t.column("p_partkey")),
+                    )
+                ).column("p_partkey")
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(t.column("l_partkey")), pc.is_valid(t.column("l_quantity"))
+                ),
+                pc.is_valid(t.column("l_extendedprice")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(
+        line,
+        brand_parts,
+        on="l_partkey",
+        right_on="p_partkey",
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+    joined = auto_join(
+        joined,
+        census,
+        on="l_partkey",
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("sum_qty", pa.int64()), ("cnt_qty", pa.int64())]
+        ),
+    )
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        lhs = pc.multiply(pc.multiply(pa.scalar(5, pa.int64()), qty), t.column("cnt_qty"))
+        keep = t.filter(pc.less(lhs, t.column("sum_qty")))
+        cents = to_cents(keep.column("l_extendedprice"))
+        s = pc.sum(cents)
+        return pa.table(
+            {
+                "sum_cents": pa.array([s.as_py()], pa.int64()),
+                "n_lines": pa.array([keep.num_rows], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(_reduce, batch_format="pyarrow").take_all()
+    n = sum(r["n_lines"] for r in parts)
+    s = sum(r["sum_cents"] or 0 for r in parts) if n else None
+    return pa.table(
+        {
+            "sum_cents": pa.array([s], pa.int64()),
+            "n_lines": pa.array([n], pa.int64()),
+        }
+    )
+
+
+Q17_SQL = """
+WITH census AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           COUNT(*) AS cnt_qty
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN census USING (l_partkey)
+WHERE p_brand = 'Brand#4'
+  AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND 5 * CAST(l_quantity AS BIGINT) * cnt_qty < sum_qty
+"""
+
+REGISTRY["q17_small_qty_revenue"] = (q17_small_qty_revenue, Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — rich inactive customers (global scalar subquery + anti-join)
+# ---------------------------------------------------------------------------
+
+
+def q22_rich_inactive(sf_dir: str) -> Dataset:
+    """TPC-H Q22 shape: customers with above-average (positive) balance who
+    never placed an URGENT order, rolled up by market segment — composes a
+    GLOBAL scalar aggregate subquery (broadcast one (sum, count) pair), a
+    NOT IN anti-join, and a final small-key rollup. (The classic Q22 keys
+    the anti-join on "no orders at all"; this corpus gives every customer
+    ~10 orders, so the urgent-priority variant keeps the result non-empty
+    while exercising the identical plan.)
+
+    Exactness: ``bal > AVG(bal WHERE bal > 0)`` is the integer cross-
+    multiplication ``bal_cents * n_pos > sum_pos_cents`` — the (n, Σ)
+    pair is folded exactly on the driver from per-batch int64 partials
+    (two numbers, not data) and compared per row in int64. Overflow: the
+    per-row product bal_cents·n_pos needs |bal_cents|·n_pos < 2^63 — at
+    10^6-cent balances that allows ~9·10^12 customers.
+
+    NULL semantics (mirrored): NULL acctbal fails both predicates; NULL
+    c_custkey rows drop (NULL is never NOT IN anything); NULL o_custkey
+    subquery keys are excluded in BOTH engines (a NULL in a NOT IN
+    subquery would empty the result — the oracle filters them, so the
+    plan does too); NULL mktsegment is a regular group (nullsafe keys)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ocr_ray.functions.joins import anti_join_filter
+    from ocr_ray.functions.nullsafe import decode_null_keys, encode_null_keys
+
+    cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+
+    def _pos_partial(t: pa.Table) -> pa.Table:
+        cents = to_cents(t.column("c_acctbal"))
+        pos = pc.and_(pc.is_valid(cents), pc.greater(cents, pa.scalar(0, pa.int64())))
+        kept = cents.filter(pos)
+        s = pc.sum(kept)
+        return pa.table(
+            {
+                "s": pa.array([s.as_py() or 0], pa.int64()),
+                "n": pa.array([len(kept)], pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=cust_cols)
+    stats = cust.map_batches(_pos_partial, batch_format="pyarrow").take_all()
+    n_pos = sum(r["n"] for r in stats)
+    sum_pos = sum(r["s"] for r in stats)
+
+    out_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("n_custs", pa.int64()), ("bal_cents", pa.int64())]
+    )
+    if n_pos == 0:
+        # AVG over zero rows is NULL -> the comparison is never true
+        return rd.from_arrow(out_schema.empty_table())
+
+    buyers = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.unique(
+                        t.filter(
+                            pc.and_(
+                                pc.is_valid(t.column("o_custkey")),
+                                pc.equal(t.column("o_orderpriority"), "1-URGENT"),
+                            )
+                        ).column("o_custkey")
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+
+    def _gate(t: pa.Table) -> pa.Table:
+        cents = to_cents(t.column("c_acctbal"))
+        rich = pc.greater(
+            pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_pos, pa.int64()),
+        )
+        keep = pc.and_(
+            pc.and_(pc.fill_null(rich, False), pc.is_valid(t.column("c_custkey"))),
+            pc.is_valid(cents),
+        )
+        kept = t.filter(keep)
+        proj = pa.table(
+            {
+                "c_custkey": kept.column("c_custkey"),
+                "c_mktsegment": kept.column("c_mktsegment"),
+                "n_custs": pa.array([1] * kept.num_rows, pa.int64()),
+                "bal_cents": to_cents(kept.column("c_acctbal")),
+            }
+        )
+        return proj
+
+    rich = cust.map_batches(_gate, batch_format="pyarrow")
+    inactive = anti_join_filter(rich, "c_custkey", buyers or [])
+    partials = inactive.map_batches(
+        lambda t: encode_null_keys(
+            _partial_groupby(
+                t.drop_columns(["c_custkey"]), ["c_mktsegment"], ["n_custs", "bal_cents"], None
+            ),
+            ["c_mktsegment"],
+        )
+        if t.num_rows
+        else encode_null_keys(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_custs": pa.array([], pa.int64()),
+                    "bal_cents": pa.array([], pa.int64()),
+                }
+            ),
+            ["c_mktsegment"],
+        ),
+        batch_format="pyarrow",
+    )
+    grouped = partials.groupby(["c_mktsegment", "__n_c_mktsegment"]).aggregate(
+        _Sum("n_custs", alias_name="n_custs"), _Sum("bal_cents", alias_name="bal_cents")
+    )
+    out = grouped.map_batches(
+        lambda t: decode_null_keys(t, ["c_mktsegment"]), batch_format="pyarrow"
+    )
+    # every rich customer may have ordered: a legitimately-empty rollup
+    # yields ZERO blocks in Ray 2.49 — union one typed 0-row block
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+Q22_SQL = """
+WITH pos AS (
+    SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_pos,
+           COUNT(*) AS n_pos
+    FROM customer
+    WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer, pos
+WHERE c_custkey IS NOT NULL
+  AND c_acctbal IS NOT NULL
+  AND CAST(ROUND(c_acctbal*100) AS BIGINT) * n_pos > sum_pos
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+REGISTRY["q22_rich_inactive"] = (q22_rich_inactive, Q22_SQL)
