@@ -228,10 +228,12 @@ REGISTRY["fuzzy_name_pairs"] = (fuzzy_name_pairs, None)  # SQL built per-sf
 
 from ocr_ray.ops.stats import (
     EVENT_VALUE_MOMENTS_SQL,
+    EVENT_VALUE_OUTLIERS_SQL,
     EVENTS_VALUE_HISTOGRAM_SQL,
     PART_PAIR_COUNTS_SQL,
     PRICE_QTY_MOMENTS_SQL,
     event_value_moments,
+    event_value_outliers,
     events_value_histogram,
     part_pair_counts,
     price_qty_moments,
@@ -243,6 +245,7 @@ REGISTRY.update(
         "events_value_histogram": (events_value_histogram, EVENTS_VALUE_HISTOGRAM_SQL),
         "price_qty_moments": (price_qty_moments, PRICE_QTY_MOMENTS_SQL),
         "part_pair_counts": (part_pair_counts, PART_PAIR_COUNTS_SQL),
+        "event_value_outliers": (event_value_outliers, EVENT_VALUE_OUTLIERS_SQL),
     }
 )
 

@@ -31,6 +31,8 @@ from ocr_ray.functions.scalars import to_cents
 
 __all__ = [
     "event_value_moments",
+    "event_value_outliers",
+    "EVENT_VALUE_OUTLIERS_SQL",
     "events_value_histogram",
     "price_qty_moments",
     "part_pair_counts",
@@ -432,4 +434,102 @@ FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 ORDER BY n DESC, part_a, part_b
 LIMIT {_PAIR_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact z-score outliers: global-moment broadcast gate
+# ---------------------------------------------------------------------------
+
+
+def event_value_outliers(sf_dir: str) -> Dataset:
+    """Events whose value sits more than 3 population standard deviations
+    from the mean — the anomaly-flagging pass of a data-quality sweep,
+    with the z-test evaluated EXACTLY in integers (no float mean/stddev
+    in either engine).
+
+    Algebra: with μ = Σc/n and σ² = (n·Σc² − (Σc)²)/n², the test
+    |x − μ| > 3σ multiplies through by n to (n·x − Σc)² > 9·(n·Σc² − (Σc)²). The
+    left side is a per-row int64; the right side is one corpus constant.
+    Per-row we compare |n·x − Σc| against T = isqrt(RHS) (exact integer
+    floor square root — for non-negative integers L > √R ⟺ L > isqrt(R)),
+    so the hot loop is one multiply + one compare per row.
+
+    Scale plan: pass 1 folds (n, Σc, Σc²) from per-batch int64 partials
+    into exact Python ints on the driver (three numbers per batch, not
+    data); pass 2 re-streams with the two broadcast constants. Overflow
+    bounds: per-batch Σc² needs |cents| ≤ ~3·10^9 at 10^5-row batches;
+    the per-row product n·x and T both stay inside int64 for n ≤ ~10^9
+    rows at cent-scale dispersion — past that, rescale to whole dollars
+    (the DuckDB mirror is HUGEINT throughout and has no such bound).
+
+    NULL semantics (mirrored): NULL event_id / value rows are excluded
+    from BOTH the population moments and the output."""
+    import math
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("value")))
+        )
+        return pa.table(
+            {
+                "event_id": keep.column("event_id"),
+                "value_cents": to_cents(keep.column("value")),
+            }
+        )
+
+    v = events.map_batches(prep, batch_format="pyarrow")
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t.column("value_cents").to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "s1": pa.array([int(c.sum())], pa.int64()),
+                "s2": pa.array([int((c * c).sum())], pa.int64()),
+            }
+        )
+
+    parts = v.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    out_schema = pa.schema([("event_id", pa.int64()), ("value_cents", pa.int64())])
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    s1 = sum(int(r["s1"]) for r in parts)
+    s2 = sum(int(r["s2"]) for r in parts)
+    rhs = 9 * (n * s2 - s1 * s1)  # exact, arbitrary precision
+    thresh = math.isqrt(rhs) if rhs >= 0 else -1
+
+    def gate(t: pa.Table) -> pa.Table:
+        dev = pc.abs(
+            pc.subtract(
+                pc.multiply(t.column("value_cents"), pa.scalar(n, pa.int64())),
+                pa.scalar(s1, pa.int64()),
+            )
+        )
+        return t.filter(pc.greater(dev, pa.scalar(thresh, pa.int64())))
+
+    return v.map_batches(gate, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table())
+    )
+
+
+EVENT_VALUE_OUTLIERS_SQL = """
+WITH v AS (
+    SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_id IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(value_cents AS HUGEINT)) AS s1,
+           SUM(CAST(value_cents AS HUGEINT) * CAST(value_cents AS HUGEINT)) AS s2
+    FROM v
+)
+SELECT event_id, value_cents
+FROM v, s
+WHERE (n * CAST(value_cents AS HUGEINT) - s1) * (n * CAST(value_cents AS HUGEINT) - s1)
+      > 9 * (n * s2 - s1 * s1)
 """

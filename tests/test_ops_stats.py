@@ -156,3 +156,50 @@ class TestDirtyParity:
         # order 2 has {10, 20}; NULL orderkey/partkey rows drop
         _compare(got, PART_PAIR_COUNTS_SQL, dirty)
         assert got.iloc[0][["part_a", "part_b", "n"]].tolist() == [10, 20, 2]
+
+
+class TestEventValueOutliers:
+    def test_planted_outlier_flagged(self, ray_session, tmp_path):
+        """A tight cluster plus one extreme value: exactly the extreme row
+        survives the 3-sigma integer gate (closed form: for 99 values at
+        100 cents and one at 10_000 cents, the planted point is ~9.9 sigma
+        out and no cluster point is past 3)."""
+        from ocr_ray.ops.stats import event_value_outliers
+
+        n = 100
+        vals = [1.00] * (n - 1) + [100.00]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([dt.datetime(2024, 1, 1)] * n),
+                "user_id": pa.array([7] * n, pa.int64()),
+                "event_type": pa.array(["x"] * n),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = event_value_outliers(str(tmp_path)).to_pandas()
+        assert got["event_id"].tolist() == [n - 1]
+        assert got["value_cents"].tolist() == [10_000]
+
+    def test_clean_parity(self, ray_session):
+        from ocr_ray.ops.stats import EVENT_VALUE_OUTLIERS_SQL, event_value_outliers
+
+        got = event_value_outliers(SF)
+        _compare(got, EVENT_VALUE_OUTLIERS_SQL, SF, tables=("events",))
+
+    def test_zero_variance_flags_nothing(self, ray_session, tmp_path):
+        """All-identical values: RHS = 0 and every |n*x - s1| = 0 — the
+        strict > keeps the result empty in both engines (no div-by-zero
+        anywhere because sigma never materializes)."""
+        from ocr_ray.ops.stats import event_value_outliers
+
+        t = pa.table(
+            {
+                "event_id": pa.array(range(10), pa.int64()),
+                "value": pa.array([5.0] * 10, pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        assert event_value_outliers(str(tmp_path)).count() == 0
