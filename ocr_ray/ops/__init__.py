@@ -294,6 +294,27 @@ from ocr_ray.ops.ann import EMBEDDING_QUANTIZE_SQL, embedding_quantize
 
 REGISTRY["embedding_quantize"] = (embedding_quantize, EMBEDDING_QUANTIZE_SQL)
 
+from ocr_ray.ops.ann import LABEL_CENTROIDS_SQL, label_centroids
+
+REGISTRY["label_centroids"] = (label_centroids, LABEL_CENTROIDS_SQL)
+
+from ocr_ray.ops.dq import PROFILE_ORDERS_SQL, profile_orders
+
+REGISTRY["profile_orders"] = (profile_orders, PROFILE_ORDERS_SQL)
+
+from ocr_ray.ops.timeseries import (
+    EVENTS_DEBOUNCE_SQL,
+    USER_ROLLING_MEDIAN_SPEND_SQL,
+    events_debounce,
+    user_rolling_median_spend,
+)
+
+REGISTRY["user_rolling_median_spend"] = (
+    user_rolling_median_spend,
+    USER_ROLLING_MEDIAN_SPEND_SQL,
+)
+REGISTRY["events_debounce"] = (events_debounce, EVENTS_DEBOUNCE_SQL)
+
 from ocr_ray.ops.corpus import DUP_NGRAM_SPANS_SQL, dup_ngram_spans
 
 REGISTRY["dup_ngram_spans"] = (dup_ngram_spans, DUP_NGRAM_SPANS_SQL)

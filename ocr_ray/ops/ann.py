@@ -797,3 +797,113 @@ SELECT e.vec_id, CAST(e.dim_idx AS BIGINT) AS dim_idx,
             ELSE (e.xq - r.mn) * 255 // (r.mx - r.mn) END AS BIGINT) AS q8
 FROM ex e JOIN rng r USING (dim_idx)
 """
+
+
+# ---------------------------------------------------------------------------
+# per-label element-wise vector aggregate (grouped centroid numerators)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(sf_dir: str) -> "rd.Dataset":
+    """Per-(label, dimension) element-wise sum + count over the embedding
+    column — the grouped-centroid numerator pass (class prototypes,
+    cluster means, per-language embedding drift all reduce to this
+    aggregate). Exact: both engines sum the same floor(x*1e6) fixed-point
+    quantization, so value hashes are reduction-order independent.
+
+    Plan: per batch the list column's values buffer reshapes zero-copy and
+    folds into (label, dim) partial rows with ``np.add.at`` on int64 (no
+    float accumulation) — at most labels_in_batch x dim rows leave each
+    batch, so the shuffle carries partials bounded by group cardinality,
+    never vectors. The final ``groupby`` is null-safe (SQL GROUP BY keeps
+    a NULL-label group) and tiny (|labels| x dim groups). Ragged rows are
+    handled positionally (a short vector simply contributes to fewer
+    dims); NULL *elements* inside a vector are out of contract (the
+    fixture has none — NULL whole-vector cells are dropped, mirrored).
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("embedding")))
+        out_schema = pa.schema(
+            [("label", pa.int32()), ("dim_idx", pa.int64()),
+             ("n_vecs", pa.int64()), ("sum_q", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        emb = t.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # slice-offset safe
+        vals = np.asarray(emb.flatten(), dtype=np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        # 1-indexed dim to match the embedding_quantize convention
+        dim = np.arange(len(vals), dtype=np.int64) - offs[:-1][parent] + 1
+        # null-safe label codes: (is_null, filled) packed injectively
+        lab = t.column("label")
+        lab_null = pc.is_null(lab).to_numpy(zero_copy_only=False)
+        lab_fill = pc.fill_null(lab, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        key_row = lab_null.astype(np.int64) * (1 << 34) + (lab_fill + (1 << 31))
+        codes, inv = np.unique(key_row, return_inverse=True)
+        d_max = int(lens.max()) if len(lens) else 0
+        bins = len(codes) * d_max
+        keyv = inv[parent] * d_max + (dim - 1)
+        sums = np.zeros(bins, dtype=np.int64)
+        np.add.at(sums, keyv, q)
+        counts = np.bincount(keyv, minlength=bins)
+        nz = np.flatnonzero(counts)
+        code_of = nz // d_max
+        out_lab = (codes[code_of] & ((1 << 34) - 1)) - (1 << 31)
+        out_null = codes[code_of] >= (1 << 34)
+        return pa.table(
+            {
+                "label": pa.array(
+                    [None if m else int(v) for v, m in zip(out_lab, out_null)],
+                    pa.int32(),
+                ),
+                "dim_idx": pa.array(nz % d_max + 1, pa.int64()),
+                "n_vecs": pa.array(counts[nz].astype(np.int64)),
+                "sum_q": pa.array(sums[nz]),
+            }
+        )
+
+    agg = null_safe_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["label", "dim_idx"],
+        Sum("n_vecs", alias_name="n_vecs"),
+        Sum("sum_q", alias_name="sum_q"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(t.column("label"), pa.int64()),
+                "dim_idx": t.column("dim_idx"),
+                "n_vecs": t.column("n_vecs"),
+                "sum_q": t.column("sum_q"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(xq) AS BIGINT) AS sum_q
+FROM ex GROUP BY 1, 2
+"""

@@ -544,3 +544,88 @@ SELECT CAST(MIN(key) AS BIGINT) AS island_start,
        CAST(COUNT(*) AS BIGINT) AS n_keys
 FROM g GROUP BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# table profiling (per-column null/distinct census — the "describe" pass)
+# ---------------------------------------------------------------------------
+
+
+def profile_table(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
+    """Per-column data profile: row count, NULL count, exact distinct count
+    — the first pass any ingestion pipeline runs over an unknown table
+    (schema drift, key-candidate discovery, join-cardinality planning).
+
+    Scale plan, per column:
+    * n_rows / n_null fold from per-batch partials (two ints per batch to
+      the driver — never data);
+    * n_distinct is the exact two-level dedup plan: ``pc.unique`` inside
+      each batch first, so the one ``groupby`` shuffles only the
+      batch-distinct keys (bounded by batch size, tiny for low-cardinality
+      columns), then counts groups. NULLs are excluded (SQL
+      COUNT(DISTINCT) semantics). Reads are single-column pruned.
+    Timestamp keys dedup on their int64 microsecond view (injective);
+    float keys normalize -0.0 to +0.0 first (SQL DISTINCT treats them
+    equal). NaN payloads are out of contract (none in any fixture; NaN
+    identity under Ray's sort shuffle differs from SQL's)."""
+
+    def uniq_fn(c: str):
+        def f(t: pa.Table) -> pa.Table:
+            col = t.column(c).combine_chunks()
+            col = col.drop_null()
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
+            elif pa.types.is_floating(col.type):
+                col = pc.add(col, 0.0)  # -0.0 -> +0.0
+            return pa.table({"v": pc.unique(col)})
+
+        return f
+
+    rows = []
+    for c in columns:
+        ds = rd.read_parquet(_pq(sf_dir, table), columns=[c])
+
+        def stats(t: pa.Table, _c=c) -> pa.Table:
+            return pa.table(
+                {
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "nn": pa.array([t.column(_c).null_count], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(stats, batch_format="pyarrow").take_all()
+        n_rows = sum(int(r["n"]) for r in parts)
+        n_null = sum(int(r["nn"]) for r in parts)
+        n_distinct = (
+            rd.read_parquet(_pq(sf_dir, table), columns=[c])
+            .map_batches(uniq_fn(c), batch_format="pyarrow")
+            .groupby("v")
+            .count()
+            .count()
+        )
+        rows.append((c, n_rows, n_null, int(n_distinct)))
+
+    out = pd.DataFrame(rows, columns=["col_name", "n_rows", "n_null", "n_distinct"])
+    return out.astype({"n_rows": "int64", "n_null": "int64", "n_distinct": "int64"})
+
+
+_PROFILE_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def profile_orders(sf_dir: str) -> pd.DataFrame:
+    return profile_table(sf_dir, "orders", _PROFILE_ORDERS_COLS)
+
+
+PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"""
+    for c in _PROFILE_ORDERS_COLS
+)

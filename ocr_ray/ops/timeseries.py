@@ -1498,3 +1498,165 @@ runs AS (
 )
 SELECT user_id, MAX(len) AS streak FROM runs GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling order-statistic window — trailing 5-order discrete median
+# ---------------------------------------------------------------------------
+
+
+def user_rolling_median_spend(sf_dir: str) -> Dataset:
+    """Per-row rolling DISCRETE MEDIAN (``quantile_disc(0.5)`` over ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) of each customer's order totals in
+    (o_orderdate, o_orderkey) order — the order-statistic member of the
+    window family (robust spend baseline for anomaly scoring; the SUM/AVG
+    frames can't see through one huge order, the median can).
+
+    Plan: co-locate by customer via ``grouped_scan`` (coarse-key
+    partitions); inside each frame the window never exceeds 5 rows, so the
+    scan builds an (n, 5) lag matrix with an int64-max sentinel outside the
+    frame, one vectorized row-sort, and picks index (k-1)//2 — DuckDB's
+    quantile_disc convention for q=0.5 (lower median), pytest-pinned. No
+    per-group Python, exact integer cents throughout.
+
+    Non-null contract (mirrored in SQL): rows with NULL o_custkey /
+    o_orderkey / o_orderdate / o_totalprice are excluded — the window is
+    keyed and ordered on all four, and SQL's in-window NULL-skip semantics
+    (quantile over a shrunken frame) has no stable vectorized equivalent.
+    """
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("o_orderkey")), pc.is_valid(t.column("o_custkey"))),
+            pc.and_(pc.is_valid(t.column("o_orderdate")), pc.is_valid(t.column("o_totalprice"))),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    _W = 5
+    _SENT = np.iinfo(np.int64).max
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        n = len(df)
+        v = df["cents"].to_numpy(dtype=np.int64)
+        cust = df["o_custkey"].to_numpy(dtype=np.int64)
+        idx = np.arange(n)
+        first = np.r_[True, cust[1:] != cust[:-1]] if n else np.zeros(0, bool)
+        seg_start = np.maximum.accumulate(np.where(first, idx, 0))
+        offs = idx - seg_start
+        k = np.minimum(offs + 1, _W)
+        M = np.full((n, _W), _SENT, dtype=np.int64)
+        for j in range(_W):
+            if n > j:
+                M[j:, j] = v[: n - j]
+            M[offs < j, j] = _SENT
+        M.sort(axis=1)
+        med_v = M[idx, (k - 1) // 2] if n else np.zeros(0, np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_custkey": cust,
+                "cents": v,
+                "med5_cents": med_v,
+            }
+        )
+
+    pre = orders.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "o_custkey", med)
+
+
+USER_ROLLING_MEDIAN_SPEND_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents, o_orderdate
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+)
+SELECT o_orderkey, o_custkey, cents,
+       CAST(quantile_disc(cents, 0.5) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med5_cents
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-stream debounce (coalesce repeated signals per (user, type))
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = _US_PER_DAY  # collapse repeats within 1 day (domain-tunable)
+
+
+def events_debounce(sf_dir: str) -> Dataset:
+    """Stream-cleaning debounce: within each (user_id, event_type), keep an
+    event only if it is the first or arrives more than ``_DEBOUNCE_US``
+    after the PREVIOUS ARRIVAL (lag-based gap, not chained-kept-state —
+    the SQL-expressible variant; a chained debounce is order-dependent on
+    its own output and has no window equivalent). This is the
+    repeated-signal collapse pass of telemetry ingestion.
+
+    Plan: co-locate by user via ``grouped_scan``; one sort per coarse
+    partition on (user, type, ts, event_id) — a total order, so results
+    are partitioning-independent — then a vectorized neighbor-gap scan in
+    int64 microseconds. Non-null contract mirrored in SQL: NULL in any of
+    the four columns excludes the row (keys and order both need it)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("user_id"))),
+            pc.and_(pc.is_valid(t.column("event_type")), pc.is_valid(t.column("ts"))),
+        )
+        return t.filter(m)
+
+    def deb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        n = len(df)
+        if n == 0:
+            return df[["event_id", "user_id", "event_type", "ts"]]
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        et = df["event_type"].to_numpy()
+        same = np.r_[False, (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        keep = (~same) | (gap > _DEBOUNCE_US)
+        return df.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "user_id", deb)
+
+
+EVENTS_DEBOUNCE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS prev_ts
+  FROM e
+)
+SELECT event_id, user_id, event_type, ts FROM l
+WHERE prev_ts IS NULL OR date_diff('microsecond', prev_ts, ts) > {_DEBOUNCE_US}
+"""
