@@ -315,6 +315,10 @@ REGISTRY["user_rolling_median_spend"] = (
 )
 REGISTRY["events_debounce"] = (events_debounce, EVENTS_DEBOUNCE_SQL)
 
+from ocr_ray.ops.timeseries import SESSION_PATHS_SQL, session_paths
+
+REGISTRY["session_paths"] = (session_paths, SESSION_PATHS_SQL)
+
 from ocr_ray.ops.corpus import DUP_NGRAM_SPANS_SQL, dup_ngram_spans
 
 REGISTRY["dup_ngram_spans"] = (dup_ngram_spans, DUP_NGRAM_SPANS_SQL)

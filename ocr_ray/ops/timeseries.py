@@ -1660,3 +1660,121 @@ l AS (
 SELECT event_id, user_id, event_type, ts FROM l
 WHERE prev_ts IS NULL OR date_diff('microsecond', prev_ts, ts) > {_DEBOUNCE_US}
 """
+
+
+# ---------------------------------------------------------------------------
+# session path census (sequence mining: top event-type journeys)
+# ---------------------------------------------------------------------------
+
+_PATH_MAX_STEPS = 8
+_PATH_TOP_K = 20
+
+
+def session_paths(sf_dir: str) -> pd.DataFrame:
+    """Top-``_PATH_TOP_K`` most common session JOURNEYS: each session's
+    first ``_PATH_MAX_STEPS`` event types joined with '>' (sessionization =
+    the ``events_sessions`` rule, gap > 1h splits), counted corpus-wide —
+    the product-analytics "top paths" report, and the sequence-census
+    shape the transition matrix (``event_type_transitions``) can't see
+    (whole journeys, not adjacent pairs).
+
+    Plan: one coarse-key ``grouped_scan`` co-locates each user; inside a
+    partition the session scan is vectorized (cumsum breaks, rank-in-
+    session via running first-index) and paths materialize with ZERO
+    per-session Python — a ListArray wrap over the kept rows +
+    ``pc.binary_join`` (the conv_texts trick). Each partition emits its
+    local (path, n) census; one tiny ``groupby(path)`` folds partials and
+    a per-block local top-k bounds the driver merge to k rows per block.
+    Ties at the cut are deterministic: (n DESC, path ASC), mirrored.
+
+    Non-null contract (mirrored): rows with NULL user_id / ts / event_id /
+    event_type are excluded — all four key or order the scan."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("event_type"))),
+        )
+        return t.filter(m)
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > 3_600_000_000)
+        idx = np.arange(n)
+        first_idx = np.maximum.accumulate(np.where(new, idx, 0))
+        rn = idx - first_idx
+        keep = rn < _PATH_MAX_STEPS
+        sess = np.cumsum(new)[keep]
+        et = g["event_type"].to_numpy()[keep]
+        starts = np.flatnonzero(np.r_[True, sess[1:] != sess[:-1]])
+        offsets = np.r_[starts, len(sess)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(et, pa.string())
+        )
+        paths = pc.binary_join(lists, ">")
+        vc = pa.table({"path": paths}).group_by(["path"]).aggregate([([], "count_all")])
+        return pd.DataFrame(
+            {"path": vc.column("path").to_pandas(),
+             "n": vc.column("count_all").to_pandas().astype("int64")}
+        )
+
+    partials = grouped_scan(events.map_batches(prep, batch_format="pyarrow"),
+                            "user_id", census)
+    folded = partials.groupby("path").aggregate(Sum("n", alias_name="n_sessions"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("n_sessions", "descending"), ("path", "ascending")]
+        )
+        return t.take(order[:_PATH_TOP_K])
+
+    blocks = folded.map_batches(local_topk, batch_format="pyarrow").take_all()
+    top = sorted(blocks, key=lambda r: (-int(r["n_sessions"]), r["path"]))[:_PATH_TOP_K]
+    return pd.DataFrame(
+        {"path": [r["path"] for r in top],
+         "n_sessions": np.array([r["n_sessions"] for r in top], np.int64)}
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                               ORDER BY ts, event_id) AS rn
+  FROM y
+), p AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= {_PATH_MAX_STEPS} GROUP BY user_id, sess_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP_K}
+"""

@@ -161,3 +161,33 @@ class TestDebounce:
         sf = _write(tmp_path, "events", t)
         got = events_debounce(sf).to_pandas()["event_id"].tolist()
         assert sorted(got) == [1, 2]  # different types never debounce each other
+
+
+class TestSessionPaths:
+    def test_truncation_and_split(self, tmp_path, ray_session):
+        """10-event session truncates to the first 8 steps; a >1h gap
+        starts a new session."""
+        from ocr_ray.ops.timeseries import session_paths
+
+        base = pd.Timestamp("2024-01-01").value // 1000
+        m = 60_000_000  # one minute in us
+        # user 1: 10 events one minute apart (one session)
+        ts1 = [base + i * m for i in range(10)]
+        et1 = [f"t{i}" for i in range(10)]
+        # user 2: two events 2h apart (two single-step sessions)
+        ts2 = [base, base + 7_200_000_000]
+        et2 = ["a", "b"]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(1, 13), pa.int64()),
+                "user_id": pa.array([1] * 10 + [2, 2], pa.int64()),
+                "event_type": pa.array(et1 + et2),
+                "ts": pa.array(np.array(ts1 + ts2, np.int64), pa.timestamp("us")),
+            }
+        )
+        sf = _write(tmp_path, "events", t)
+        got = session_paths(sf)
+        paths = dict(zip(got["path"], got["n_sessions"]))
+        assert paths[">".join(f"t{i}" for i in range(8))] == 1  # truncated at 8
+        assert paths["a"] == 1 and paths["b"] == 1  # gap split sessions
+        assert len(got) == 3
