@@ -3060,3 +3060,102 @@ GROUP BY c_mktsegment
 """
 
 REGISTRY["q22_rich_inactive"] = (q22_rich_inactive, Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority counts under a correlated EXISTS (semi-join + census)
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q4 shape: orders in a 3-month window that have at least one
+    lineitem shipped AFTER the order date, counted per priority — the
+    correlated-EXISTS semi-join (the inner predicate references the outer
+    row, so it cannot be pre-filtered on the fact side alone).
+
+    Plan: the window filter shrinks orders to ~4% (one quarter of a
+    ~6-year span); that slice joins lineitem via ``auto_join`` (broadcast
+    while it fits, hash-shuffle at scale) so the correlated predicate
+    ``l_shipdate > o_orderdate`` is evaluated vectorized per batch.
+    EXISTS-not-COUNT semantics come from a two-level distinct on
+    (orderkey, priority): per-batch dedup partials, one dedup groupby over
+    distinct pairs (cardinality <= qualifying orders, tiny), then a
+    per-batch census + final Sum. Rows never carry more than two key
+    columns through any exchange.
+
+    NULL semantics (oracle mirrors): NULL o_orderdate fails the window
+    filter; NULL keys never join; NULL l_shipdate makes the predicate
+    NULL -> not EXISTS; NULL o_orderpriority is a real group (the dedup
+    and census groupbys are null-safe)."""
+    from ocr_ray.functions.joins import auto_join
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    lo = pa.scalar(pa.array(["1996-07-01"]).cast(pa.timestamp("us"))[0].as_py())
+    hi = pa.scalar(pa.array(["1996-10-01"]).cast(pa.timestamp("us"))[0].as_py())
+
+    ords = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t.column("o_orderdate"), lo),
+                    pc.less(t.column("o_orderdate"), hi),
+                ),
+                pc.is_valid(t.column("o_orderkey")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("l_orderkey")), pc.is_valid(t.column("l_shipdate")))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(li, ords, on="l_orderkey", right_on="o_orderkey", how="inner")
+
+    def qualifying_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), t.column("o_orderdate")))
+        return t.select(["l_orderkey", "o_orderpriority"]).group_by(
+            ["l_orderkey", "o_orderpriority"]
+        ).aggregate([])
+
+    distinct = null_safe_groupby_agg(
+        joined.map_batches(qualifying_pairs, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderpriority"],
+        Count(alias_name="__n"),
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        ones = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "order_count": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+        return _partial_groupby(ones, ["o_orderpriority"], ["order_count"], None)
+
+    return null_safe_groupby_agg(
+        distinct.map_batches(census, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        Sum("order_count", alias_name="order_count"),
+    )
+
+
+Q4_SQL = """
+WITH q AS (
+    SELECT DISTINCT o_orderkey, o_orderpriority
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_shipdate > o_orderdate
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM q
+GROUP BY o_orderpriority
+"""
+
+REGISTRY["q4_order_priority"] = (q4_order_priority, Q4_SQL)
