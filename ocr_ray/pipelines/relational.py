@@ -3159,3 +3159,500 @@ GROUP BY o_orderpriority
 """
 
 REGISTRY["q4_order_priority"] = (q4_order_priority, Q4_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q7 — two-nation shipping volume by year (multi-dim join + calendar group)
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(sf_dir: str) -> Dataset:
+    """TPC-H Q7 shape: revenue shipped between two specific nations
+    (supplier in one, customer in the other, both directions) grouped by
+    (supp_nation, cust_nation, ship year).
+
+    Scale plan: both dimension chains collapse driver-side to the two
+    nation keys; supplier and customer filtered to those keys are tiny and
+    broadcast via ``auto_join`` (hash-shuffle automatically above the
+    threshold). lineitem is the only fact: filtered to the 2-year ship
+    window, revenue computed per batch, combined to one row per
+    (l_orderkey, s_nationkey, year) BEFORE the orderkey join. The final
+    groupby carries <= 2 x 2 x years rows per block. Nation names are
+    attached from the driver map after aggregation.
+
+    NULL semantics (oracle mirrors): NULL l_shipdate fails the window
+    filter; NULL join keys never match; the (supp != cust) filter is
+    vacuous after both sides are pinned to the two keys but is kept
+    vectorized for parity with the SQL predicate."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.joins import auto_join
+
+    nat_a, nat_b = "NATION_3", "NATION_7"
+    nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nat = nat.filter(
+        pc.and_(
+            pc.is_in(nat.column("n_name"), value_set=pa.array([nat_a, nat_b])),
+            pc.is_valid(nat.column("n_nationkey")),
+        )
+    )
+    name_of = {
+        k: v
+        for k, v in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+    keys32 = pa.array(sorted(name_of), pa.int32())
+
+    lo = pa.array(["1996-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+    hi = pa.array(["1998-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+
+    supp = rd.read_parquet(
+        _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=keys32)),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=keys32)),
+        batch_format="pyarrow",
+    )
+    cust_schema = pa.schema(
+        [pa.field("c_custkey", pa.int64()), pa.field("c_nationkey", pa.int32())]
+    )
+    supp_schema = pa.schema(
+        [pa.field("s_suppkey", pa.int64()), pa.field("s_nationkey", pa.int32())]
+    )
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = auto_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", right_schema=cust_schema
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(t.column("l_shipdate"), pa.scalar(hi)),
+            )
+        )
+        t = t.append_column(
+            "revenue_c4", discounted_c4(t.column("l_extendedprice"), t.column("l_discount"))
+        ).append_column("l_year", pc.year(t.column("l_shipdate")))
+        return _partial_groupby(
+            t.select(["l_orderkey", "l_suppkey", "l_year", "revenue_c4"]),
+            ["l_orderkey", "l_suppkey", "l_year"],
+            ["revenue_c4"],
+            None,
+        )
+
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    line = auto_join(
+        line, supp, on="l_suppkey", right_on="s_suppkey", right_schema=supp_schema
+    ).map_batches(
+        lambda t: _partial_groupby(
+            t.select(["l_orderkey", "s_nationkey", "l_year", "revenue_c4"]),
+            ["l_orderkey", "s_nationkey", "l_year"],
+            ["revenue_c4"],
+            None,
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders_schema = pa.schema(
+        [pa.field("o_orderkey", pa.int64()), pa.field("c_nationkey", pa.int32())]
+    )
+    joined = auto_join(
+        line, orders, on="l_orderkey", right_on="o_orderkey", right_schema=orders_schema
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey")))
+        return _partial_groupby(
+            t.select(["s_nationkey", "c_nationkey", "l_year", "revenue_c4"]),
+            ["s_nationkey", "c_nationkey", "l_year"],
+            ["revenue_c4"],
+            None,
+        )
+
+    agg = (
+        joined.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "l_year"])
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+
+    def name_it(t: pa.Table) -> pa.Table:
+        sn = pa.array([name_of[k] for k in t.column("s_nationkey").to_pylist()], pa.string())
+        cn = pa.array([name_of[k] for k in t.column("c_nationkey").to_pylist()], pa.string())
+        return pa.table(
+            {
+                "supp_nation": sn,
+                "cust_nation": cn,
+                "l_year": t.column("l_year"),
+                "revenue_c4": t.column("revenue_c4"),
+            }
+        )
+
+    return agg.map_batches(name_it, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+REGISTRY["q7_nation_volume"] = (q7_nation_volume, Q7_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top-revenue supplier(s): scalar-MAX subquery over a derived view
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(sf_dir: str) -> Dataset:
+    """TPC-H Q15 shape: revenue per supplier over one quarter, then the
+    supplier(s) whose revenue EQUALS the global maximum — the
+    "= (SELECT MAX(...))" tie-preserving selection (top-k with k=1 would
+    drop ties; this keeps them).
+
+    Scale plan: lineitem filtered to the quarter and pre-combined per batch
+    to one row per supplier, so the revenue groupby's shuffle carries
+    O(suppliers) rows per block. The global max is a tree-reduced scalar
+    ``Dataset.aggregate(Max)`` over the (small) revenue table — never a
+    driver sort. Winners are filtered vectorized and named via
+    ``auto_join`` against supplier (broadcast at dimension size).
+
+    NULL semantics (oracle mirrors): a NULL l_suppkey forms a revenue
+    group (null-safe groupby) and PARTICIPATES in the scalar MAX — if the
+    NULL group holds the max, the inner join against supplier drops it and
+    the result is empty, exactly like SQL. NULL revenue sums (all-NULL
+    groups) are skipped by MAX in both engines; an all-NULL max yields an
+    empty result."""
+    from ray.data.aggregate import Max
+
+    from ocr_ray.functions.joins import auto_join
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    lo = pa.array(["1996-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+    hi = pa.array(["1996-04-01"]).cast(pa.timestamp("us"))[0].as_py()
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(t.column("l_shipdate"), pa.scalar(hi)),
+            )
+        )
+        t = t.append_column(
+            "total_revenue_c4",
+            discounted_c4(t.column("l_extendedprice"), t.column("l_discount")),
+        )
+        return _partial_groupby(
+            t.select(["l_suppkey", "total_revenue_c4"]), ["l_suppkey"], ["total_revenue_c4"], None
+        )
+
+    rev = null_safe_groupby_agg(
+        rd.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(prep, batch_format="pyarrow"),
+        ["l_suppkey"],
+        Sum("total_revenue_c4", alias_name="total_revenue_c4"),
+    ).materialize()
+
+    max_rev = rev.aggregate(Max("total_revenue_c4", alias_name="m"))["m"]
+    out_schema = pa.schema(
+        [
+            pa.field("s_suppkey", pa.int64()),
+            pa.field("s_name", pa.string()),
+            pa.field("total_revenue_c4", pa.int64()),
+        ]
+    )
+    if max_rev is None:
+        return rd.from_arrow(out_schema.empty_table())
+
+    winners = rev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("total_revenue_c4"), pa.scalar(max_rev))),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    named = auto_join(winners, supp, on="l_suppkey", right_on="s_suppkey")
+    return named.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "s_name": t.column("s_name"),
+                "total_revenue_c4": t.column("total_revenue_c4"),
+            }
+        ).cast(out_schema),
+        batch_format="pyarrow",
+    ).sort("s_suppkey")
+
+
+Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+               AS total_revenue_c4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c4
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+REGISTRY["q15_top_supplier"] = (q15_top_supplier, Q15_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers who kept finished orders waiting (sole-late census)
+# ---------------------------------------------------------------------------
+
+
+def q21_late_sole_supplier(sf_dir: str) -> Dataset:
+    """TPC-H Q21 shape adapted to this schema (no l_commitdate /
+    l_receiptdate in the fixture): for finished orders ('F') supplied by
+    MORE THAN ONE supplier, find the orders where EXACTLY ONE supplier was
+    late (shipped > 60 days after the order date) and count, per supplier,
+    how many orders they alone delayed — the EXISTS + NOT-EXISTS
+    double-correlated self-join of the original, expressed as a per-order
+    census.
+
+    Scale plan: the orderkey-correlated logic runs inside ONE coarse-key
+    ``grouped_scan`` (hash(l_orderkey) into partitions, numpy lexsort +
+    run-length inside) — NOT a (orderkey, suppkey) hash groupby, whose
+    group cardinality ~ row count puts it in the ~170k rows/s census class
+    (BASELINE rule). The scan's shuffle carries 24-byte key rows only
+    (orderkey, suppkey, late); the supplier attribution census that
+    follows is O(suppliers) and tiny, and names arrive via ``auto_join``.
+
+    NULL semantics (oracle mirrors): non-null l_suppkey contract (WHERE in
+    the SQL); NULL l_orderkey never joins orders; a NULL l_shipdate or
+    o_orderdate makes the lateness predicate NULL -> not late (CASE gives
+    0)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.functions.joins import auto_join
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    sixty_days_us = 60 * 86_400_000_000
+
+    ords = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderstatus"), "F")
+        ).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("l_suppkey"))),
+        batch_format="pyarrow",
+    )
+    joined = auto_join(line, ords, on="l_orderkey", right_on="o_orderkey")
+
+    def slim(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.fill_null(
+                pc.greater(
+                    pc.cast(t.column("l_shipdate"), pa.int64()),
+                    pc.add(pc.cast(t.column("o_orderdate"), pa.int64()), sixty_days_us),
+                ),
+                False,
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "late": late,
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"l_suppkey": np.array([], np.int64)})
+        o = df["l_orderkey"].to_numpy(np.int64)
+        s = df["l_suppkey"].to_numpy(np.int64)
+        late = df["late"].to_numpy(np.int64)
+        order = np.lexsort((s, o))
+        o, s, late = o[order], s[order], late[order]
+        new_pair = np.ones(len(o), bool)
+        new_pair[1:] = (o[1:] != o[:-1]) | (s[1:] != s[:-1])
+        # max(late) per (order, supplier) pair via run boundaries
+        starts = np.flatnonzero(new_pair)
+        pair_late = np.maximum.reduceat(late, starts)
+        pair_o, pair_s = o[starts], s[starts]
+        new_ord = np.ones(len(pair_o), bool)
+        new_ord[1:] = pair_o[1:] != pair_o[:-1]
+        ostarts = np.flatnonzero(new_ord)
+        ns = np.diff(np.append(ostarts, len(pair_o)))
+        nlate = np.add.reduceat(pair_late, ostarts)
+        qual = (ns > 1) & (nlate == 1)
+        # the single late supplier of each qualifying order
+        oid = np.cumsum(new_ord) - 1
+        late_supp = np.zeros(len(ostarts), np.int64)
+        m = pair_late == 1
+        late_supp[oid[m]] = pair_s[m]
+        return pd.DataFrame({"l_suppkey": late_supp[qual]})
+
+    waits = grouped_scan(
+        joined.map_batches(slim, batch_format="pyarrow"), "l_orderkey", scan
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.append_column("numwait", pa.array([1] * t.num_rows, pa.int64()))
+        return _partial_groupby(t, ["l_suppkey"], ["numwait"], None)
+
+    per_supp = (
+        waits.map_batches(census, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    supp = rd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    named = auto_join(per_supp, supp, on="l_suppkey", right_on="s_suppkey")
+    return (
+        named.map_batches(
+            lambda t: pa.table(
+                {
+                    "s_suppkey": t.column("l_suppkey"),
+                    "s_name": t.column("s_name"),
+                    "numwait": t.column("numwait"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["numwait", "s_suppkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+WITH j AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND l_suppkey IS NOT NULL
+    GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+    SELECT l_orderkey, COUNT(*) AS ns, SUM(late) AS nlate,
+           MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+    FROM j GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_supp
+WHERE ns > 1 AND nlate = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+REGISTRY["q21_late_sole_supplier"] = (q21_late_sole_supplier, Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# LEAD-window gap census — inter-event wait distribution
+# ---------------------------------------------------------------------------
+
+
+def user_event_gap_census(sf_dir: str) -> Dataset:
+    """Distribution of per-user inter-event gaps: LEAD(ts) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id), gap bucketed to whole
+    minutes (capped at 120) and counted — the wait-time histogram an
+    engagement pipeline derives from the LEAD window.
+
+    Scale plan: the LEAD is evaluated inside one coarse-key
+    ``grouped_scan`` (all of a user's events co-located, numpy lexsort +
+    shifted diff — no per-user map_groups); each partition emits ONE
+    bincount partial (<= 121 rows), so the final groupby is constant-size.
+    All math is integer microseconds: `gap_us // 60e6` floors identically
+    in numpy and DuckDB for the non-negative gaps a sorted partition
+    produces.
+
+    NULL semantics (oracle mirrors): NULL user_id / ts / event_id rows are
+    out of contract and dropped in both engines (WHERE clause); the last
+    event per user has no LEAD and contributes nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+                pc.is_valid(t.column("event_id")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"gap_min": np.array([], np.int64), "n": np.array([], np.int64)}
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same_user = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same_user]
+        buckets = np.minimum(gaps // 60_000_000, 120)
+        counts = np.bincount(buckets, minlength=121)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"gap_min": nz.astype(np.int64), "n": counts[nz].astype(np.int64)})
+
+    partials = grouped_scan(ev, "user_id", scan)
+    return partials.groupby("gap_min").aggregate(Sum("n", alias_name="n")).sort("gap_min")
+
+
+USER_EVENT_GAP_CENSUS_SQL = """
+WITH g AS (
+    SELECT user_id, ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT LEAST(CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) // 60000000, 120) AS gap_min,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g
+WHERE nxt IS NOT NULL
+GROUP BY 1
+ORDER BY gap_min
+"""
+
+REGISTRY["user_event_gap_census"] = (user_event_gap_census, USER_EVENT_GAP_CENSUS_SQL)
