@@ -3656,3 +3656,391 @@ ORDER BY gap_min
 """
 
 REGISTRY["user_event_gap_census"] = (user_event_gap_census, USER_EVENT_GAP_CENSUS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# survivorship merge — per-entity golden record (last non-null per column)
+# ---------------------------------------------------------------------------
+
+
+def user_golden_record(sf_dir: str) -> Dataset:
+    """Golden-record survivorship: one row per user carrying, for EACH
+    column independently, the most recent NON-NULL value in (ts, event_id)
+    order — the MDM merge rule (LAST_VALUE IGNORE NULLS at entity grain)
+    that consolidates duplicate/partial records into one canonical row.
+
+    Scale plan: one coarse-key ``grouped_scan`` co-locates each user's
+    events; inside the partition one numeric lexsort orders all users at
+    once and each column's survivor is picked via a vectorized
+    max-valid-index reduceat (index of the last non-null row per user
+    segment) — no per-user Python, no per-column re-sort. Output is one
+    row per user; nothing else shuffles.
+
+    NULL semantics (oracle mirrors): NULL user_id / ts / event_id rows are
+    out of contract (dropped in both engines); a user whose values are all
+    NULL in some column gets NULL there — the marker row survives."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type", "value", "props"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+                pc.is_valid(t.column("event_id")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "last_type": pd.array([], dtype=object),
+                    "last_value": np.array([], np.float64),
+                    "last_props": pd.array([], dtype=object),
+                    "last_ts": np.array([], "datetime64[us]"),
+                }
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        df = df.iloc[order].reset_index(drop=True)
+        u, ts = u[order], ts[order]
+        new_u = np.ones(len(u), bool)
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(u)) - 1
+        idx = np.arange(len(u), dtype=np.int64)
+
+        def survivor(col: str):
+            valid = df[col].notna().to_numpy()
+            vidx = np.where(valid, idx, np.int64(-1))
+            last = np.maximum.reduceat(vidx, starts)
+            vals = df[col].iloc[np.maximum(last, 0)].reset_index(drop=True)
+            return vals.where(last >= 0, other=None)
+
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "last_type": survivor("event_type"),
+                "last_value": survivor("value").astype(np.float64),
+                "last_props": survivor("props"),
+                "last_ts": ts[ends].astype("datetime64[us]"),
+            }
+        )
+
+    return grouped_scan(ev, "user_id", scan).sort("user_id")
+
+
+USER_GOLDEN_RECORD_SQL = """
+SELECT user_id,
+       last(event_type ORDER BY ts, event_id)
+           FILTER (WHERE event_type IS NOT NULL) AS last_type,
+       last(value ORDER BY ts, event_id)
+           FILTER (WHERE value IS NOT NULL) AS last_value,
+       last(props ORDER BY ts, event_id)
+           FILTER (WHERE props IS NOT NULL) AS last_props,
+       max(ts) AS last_ts
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+REGISTRY["user_golden_record"] = (user_golden_record, USER_GOLDEN_RECORD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# audience overlap — distinct-user intersection per event-type pair
+# ---------------------------------------------------------------------------
+
+
+def event_type_user_overlap(sf_dir: str) -> Dataset:
+    """Audience-overlap matrix: for every unordered pair of event types,
+    the number of DISTINCT users who performed both — the reach-overlap /
+    co-occurrence-at-entity-grain census (a self-join of distinct
+    (type, user) pairs in SQL, which at scale would square the fact
+    table).
+
+    Scale plan: per-batch (type, user) dedup shrinks blocks first; one
+    coarse-key ``grouped_scan`` on user co-locates each user's types,
+    where an in-partition lexsort + run-length dedup makes the pair
+    expansion exact; pairs are emitted via the vectorized
+    repeat/offset-arithmetic construction (no per-user Python) and
+    collapsed to a <= T^2-row census partial per partition before the
+    tiny final groupby. User ids never pair with each other — only the
+    bounded type vocabulary does.
+
+    NULL semantics (oracle mirrors): NULL event_type / user_id rows are
+    excluded by both engines (a NULL type cannot satisfy the < ordering;
+    the contract is explicit in the WHERE)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    ev = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("event_type")))
+        )
+        .group_by(["user_id", "event_type"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "type_a": pd.array([], dtype=object),
+                "type_b": pd.array([], dtype=object),
+                "n_users": np.array([], np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        codes, uniques = pd.factorize(df["event_type"], sort=True)
+        order = np.lexsort((codes, u))
+        u, codes = u[order], codes[order]
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (codes[1:] != codes[:-1])
+        u, codes = u[keep], codes[keep]
+        new_u = np.ones(len(u), bool)
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(u))
+        seg_end_of = np.repeat(ends, np.diff(np.append(starts, len(u))))
+        idx = np.arange(len(u), dtype=np.int64)
+        reps = seg_end_of - idx - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(idx, reps)
+        base = np.repeat(np.cumsum(reps) - reps, reps)
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - base)
+        t_count = len(uniques)
+        pair_code = codes[a_idx] * t_count + codes[b_idx]
+        counts = np.bincount(pair_code, minlength=t_count * t_count)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "type_a": uniques[nz // t_count],
+                "type_b": uniques[nz % t_count],
+                "n_users": counts[nz].astype(np.int64),
+            }
+        )
+
+    partials = grouped_scan(ev, "user_id", scan)
+    return (
+        partials.groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["type_a", "type_b"])
+    )
+
+
+EVENT_TYPE_USER_OVERLAP_SQL = """
+WITH d AS (
+    SELECT DISTINCT event_type, user_id
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY type_a, type_b
+"""
+
+REGISTRY["event_type_user_overlap"] = (event_type_user_overlap, EVENT_TYPE_USER_OVERLAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# period-over-period — month-over-month revenue delta (LAG over aggregate)
+# ---------------------------------------------------------------------------
+
+
+def orders_mom_delta(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue movement: the monthly rollup plus a LAG
+    window over it (delta vs the previous calendar month) — the
+    period-over-period report every BI layer derives from a time rollup.
+
+    Scale plan: the rollup is the distributed part (per-batch partial
+    pre-agg, shuffle carries one row per (year, month) per block); the LAG
+    then runs on a BOUNDED table (one row per calendar month — a century
+    is 1,200 rows), so the final shift happens driver-side on the
+    collected rollup: a deliberate, documented small-result finish, same
+    class as the metrics sidecar. A NULL-month group cannot exist (NULL
+    dates are out of contract in both engines).
+    """
+    from ocr_ray.functions.scalars import to_cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_orderdate")))
+        t = pa.table(
+            {
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "o_month": pc.cast(pc.month(t.column("o_orderdate")), pa.int64()),
+                "total_cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+        return _partial_groupby(t, ["o_year", "o_month"], ["total_cents"], None)
+
+    rollup = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "o_month"])
+        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    )
+    import ray as _ray
+
+    tbls = [t for t in (_ray.get(r) for r in rollup.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return pa.schema(
+            [
+                pa.field("o_year", pa.int64()),
+                pa.field("o_month", pa.int64()),
+                pa.field("total_cents", pa.int64()),
+                pa.field("delta_cents", pa.int64()),
+            ]
+        ).empty_table()
+    t = pa.concat_tables(tbls)
+    order = pc.sort_indices(
+        t, sort_keys=[("o_year", "ascending"), ("o_month", "ascending")]
+    )
+    t = t.take(order)
+    # null-propagating LAG delta: an all-NULL month's total is NULL in both
+    # engines; subtract keeps that NULL and COALESCE(…, 0) mirrors the SQL
+    totals = pc.cast(t.column("total_cents"), pa.int64()).combine_chunks()
+    prev = pa.concat_arrays(
+        [pa.array([None], pa.int64()), totals.slice(0, max(len(totals) - 1, 0))]
+    )
+    delta_col = pc.fill_null(pc.subtract(totals, prev), pa.scalar(0, pa.int64()))
+    return pa.table(
+        {
+            "o_year": t.column("o_year"),
+            "o_month": t.column("o_month"),
+            "total_cents": t.column("total_cents"),
+            "delta_cents": delta_col,
+        }
+    )
+
+
+ORDERS_MOM_DELTA_SQL = """
+WITH m AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT o_year, o_month, total_cents,
+       COALESCE(total_cents - lag(total_cents) OVER (ORDER BY o_year, o_month),
+                0) AS delta_cents
+FROM m
+ORDER BY o_year, o_month
+"""
+
+REGISTRY["orders_mom_delta"] = (orders_mom_delta, ORDERS_MOM_DELTA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics — rows-per-key histogram in log2 buckets
+# ---------------------------------------------------------------------------
+
+
+def key_skew_report(sf_dir: str) -> Dataset:
+    """Skew diagnostic: the distribution of rows-per-user in log2 buckets
+    (bucket k holds keys with 2^k..2^(k+1)-1 rows) plus the row mass each
+    bucket carries — the report that tells a pipeline author whether a
+    groupby key needs salting BEFORE the shuffle burns a node.
+
+    Scale plan: per-user counts never form a user-cardinality hash
+    aggregate (the ~170k rows/s census class); instead per-batch (user, 1)
+    partials go through ONE coarse-key grouped scan where a lexsort
+    run-length sums each user's count, buckets it via exact integer
+    power-of-two searchsorted (no float log2 — a 2^k-1 count must not
+    round up), and emits a <= 63-row bincount partial. The final groupby
+    is constant-size.
+
+    NULL semantics (oracle mirrors): NULL user_id rows are out of the
+    diagnostic's contract (WHERE in both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    def batch_census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        t = t.append_column("n", pa.array([1] * t.num_rows, pa.int64()))
+        return _partial_groupby(t, ["user_id"], ["n"], None)
+
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"]).map_batches(
+        batch_census, batch_format="pyarrow"
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "log2_rows": np.array([], np.int64),
+                "n_keys": np.array([], np.int64),
+                "n_rows": np.array([], np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, n = u[order], n[order]
+        new_u = np.ones(len(u), bool)
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        per_key = np.add.reduceat(n, starts)
+        pows = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+        bucket = np.searchsorted(pows, per_key, side="right") - 1
+        n_keys = np.bincount(bucket, minlength=63)
+        n_rows = np.bincount(bucket, weights=per_key, minlength=63).astype(np.int64)
+        nz = np.flatnonzero(n_keys)
+        return pd.DataFrame(
+            {
+                "log2_rows": nz.astype(np.int64),
+                "n_keys": n_keys[nz].astype(np.int64),
+                "n_rows": n_rows[nz],
+            }
+        )
+
+    partials = grouped_scan(ev, "user_id", scan)
+    return (
+        partials.groupby("log2_rows")
+        .aggregate(Sum("n_keys", alias_name="n_keys"), Sum("n_rows", alias_name="n_rows"))
+        .sort("log2_rows")
+    )
+
+
+KEY_SKEW_REPORT_SQL = """
+WITH c AS (
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+)
+SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS log2_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM c
+GROUP BY 1
+ORDER BY log2_rows
+"""
+
+REGISTRY["key_skew_report"] = (key_skew_report, KEY_SKEW_REPORT_SQL)
