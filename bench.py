@@ -88,6 +88,13 @@ QUERY_NAMES = [
     "dup_ngram_spans",
     "anonymize_customers",
     "purchase_next_click",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q21_late_sole_supplier",
+    "user_event_gap_census",
+    "event_type_user_overlap",
+    "user_golden_record",
+    "key_skew_report",
 ]
 
 
