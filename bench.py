@@ -95,6 +95,13 @@ QUERY_NAMES = [
     "event_type_user_overlap",
     "user_golden_record",
     "key_skew_report",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
 ]
 
 

@@ -4044,3 +4044,10 @@ ORDER BY log2_rows
 """
 
 REGISTRY["key_skew_report"] = (key_skew_report, KEY_SKEW_REPORT_SQL)
+
+
+# --- TPC-H q2/q8/q9/q11/q12/q16/q20 (adapted shapes) live in their own
+# module; merging here keeps one REGISTRY for __ray_entry__ and the sweeps.
+from ocr_ray.pipelines.tpch_more import REGISTRY as _TPCH_MORE_REGISTRY  # noqa: E402
+
+REGISTRY.update(_TPCH_MORE_REGISTRY)

@@ -1,0 +1,860 @@
+"""TPC-H query shapes q2/q8/q9/q11/q12/q16/q20, adapted to the testdata
+schema (no partsupp table, no l_shipmode/l_commitdate columns — each query
+keeps its canonical PLAN SHAPE and swaps the missing relation for the
+lineitem-derived equivalent; see each docstring).
+
+Completes the 22-query TPC-H sweep together with ``relational.py``
+(q1/q3/q4/q5/q6/q7/q10/q13/q14/q15/q17/q18/q19/q21/q22). Same contract as
+every other gated query: an idiomatic Ray Data plan next to the ANSI-SQL
+oracle string, column names identical, exact integer money math so results
+are reduction-order independent, NULL semantics mirrored three-valued
+(hostile-sweep tested like the rest of the registry).
+
+Reference semantics: generalizes the tabular-extraction product of
+/root/reference (src/ai/flows/extract-data-from-pdf.ts) into the relational
+layer a 100 TB corpus warehouse needs; the queries themselves are the
+public TPC-H specification re-planned Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min, Sum
+
+from ocr_ray.functions.joins import auto_join
+from ocr_ray.functions.nullsafe import (
+    decode_null_keys,
+    encode_null_keys,
+    grouping_keys,
+)
+from ocr_ray.functions.scalars import discounted_c4, to_cents
+
+REGISTRY: dict = {}
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _partial(batch: pa.Table, keys: list[str], aggs: list[tuple[str, str]]) -> pa.Table:
+    """Per-batch combiner: group_by + rename arrow's ``<col>_<agg>`` back."""
+    g = batch.group_by(keys).aggregate(aggs)
+    rename = {f"{c}_{a}": c for c, a in aggs}
+    return g.rename_columns([rename.get(n, n) for n in g.column_names])
+
+
+def _ts(s: str):
+    return pa.array([s]).cast(pa.timestamp("us"))[0].as_py()
+
+
+def _region_nation_keys(sf_dir: str, r_name: str) -> pa.Array:
+    """n_nationkey values of one region — driver-resolved (25 + 5 rows)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_pq(sf_dir, "nation"))
+    reg = pq.read_table(_pq(sf_dir, "region"))
+    rkeys = reg.filter(pc.equal(reg.column("r_name"), r_name)).column("r_regionkey")
+    nat = nat.filter(pc.is_in(nat.column("n_regionkey"), value_set=rkeys.combine_chunks()))
+    nat = nat.filter(pc.is_valid(nat.column("n_nationkey")))
+    return nat.column("n_nationkey").combine_chunks()
+
+
+def _supplier_keys_in(sf_dir: str, nation_keys: pa.Array) -> pa.Array:
+    """s_suppkey values whose nation is in the given key set (driver-side —
+    supplier is a dimension here; the 100 TB path swaps this for an
+    auto_join without changing the downstream plan)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup.column("s_nationkey"), value_set=nation_keys))
+    sup = sup.filter(pc.is_valid(sup.column("s_suppkey")))
+    return sup.column("s_suppkey").combine_chunks()
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(sf_dir: str) -> Dataset:
+    """TPC-H Q8 (national market share): per order-year, NATION_2's share of
+    ECONOMY-part volume sold to ASIA customers — numerator and denominator
+    as exact int64 c4 sums (the ratio is the oracle reader's division; exact
+    integers gate bit-for-bit where a float share would not).
+
+    Scale plan: part/supplier/nation/region resolve driver-side (dimensions);
+    lineitem — the fact — is filtered to qualifying parts + existing
+    suppliers per batch (broadcast ``is_in``), tagged with the
+    nation-of-interest flag, then pre-combined per batch to one row per
+    l_orderkey BEFORE the orderkey join; orders⋈customer goes through
+    ``auto_join`` (broadcast under the byte gate, hash-shuffle above). The
+    final groupby carries ≤ |years| rows per block."""
+    import pyarrow.parquet as pq
+
+    asia = _region_nation_keys(sf_dir, "ASIA")
+    sup = pq.read_table(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_valid(sup.column("s_suppkey")))
+    supp_all = sup.column("s_suppkey").combine_chunks()
+    nat = pq.read_table(_pq(sf_dir, "nation"))
+    n2 = nat.filter(pc.equal(nat.column("n_name"), "NATION_2")).column("n_nationkey")
+    supp_n2 = sup.filter(
+        pc.is_in(sup.column("s_nationkey"), value_set=n2.combine_chunks())
+    ).column("s_suppkey").combine_chunks()
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pkeys = part.filter(pc.equal(part.column("p_type"), "ECONOMY"))
+    pkeys = pkeys.filter(pc.is_valid(pkeys.column("p_partkey")))
+    pkeys = pkeys.column("p_partkey").combine_chunks()
+
+    lo, hi = _ts("1995-01-01"), _ts("1996-12-31")
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=asia)),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                pc.less_equal(t.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = auto_join(orders, cust, on="o_custkey", right_on="c_custkey").map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "o_year": pc.year(t.column("o_orderdate"))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t.column("l_partkey"), value_set=pkeys),
+                pc.is_in(t.column("l_suppkey"), value_set=supp_all),
+            )
+        )
+        vol = discounted_c4(t.column("l_extendedprice"), t.column("l_discount"))
+        vol = pc.fill_null(vol, 0)  # SQL SUM skips NULL; 0 is the identity
+        flag = pc.is_in(t.column("l_suppkey"), value_set=supp_n2)
+        nvol = pc.if_else(flag, vol, pa.scalar(0, pa.int64()))
+        return _partial(
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "nation_volume_c4": nvol,
+                    "total_volume_c4": vol,
+                }
+            ),
+            ["l_orderkey"],
+            [("nation_volume_c4", "sum"), ("total_volume_c4", "sum")],
+        )
+
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+
+    joined = auto_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+    per_year = (
+        joined.map_batches(
+            lambda t: _partial(
+                t.select(["o_year", "nation_volume_c4", "total_volume_c4"]),
+                ["o_year"],
+                [("nation_volume_c4", "sum"), ("total_volume_c4", "sum")],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_volume_c4", alias_name="nation_volume_c4"),
+            Sum("total_volume_c4", alias_name="total_volume_c4"),
+        )
+    )
+    return per_year
+
+
+Q8_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS nation_volume_c4,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_volume_c4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1
+"""
+
+REGISTRY["q8_market_share"] = (q8_market_share, Q8_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+def q9_profit_by_nation(sf_dir: str) -> Dataset:
+    """TPC-H Q9 (profit by supplier nation × order year) for parts named
+    '%rod%' — adapted: profit = discounted revenue (the schema has no
+    ps_supplycost to subtract).
+
+    Scale plan: the part-name predicate resolves to a broadcast key set;
+    supplier→nation-name resolves to a driver map (both dimensions).
+    lineitem pre-combines per batch to one row per (l_orderkey, n_name)
+    before the orders join, so the only shuffle join moves order-grain rows;
+    the (n_name, o_year) groupby is null-safe (a NULL o_orderdate survives
+    the inner joins and SQL keeps the NULL-year group)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    pkeys = part.filter(
+        pc.match_substring(pc.fill_null(part.column("p_name"), ""), "rod")
+    )
+    pkeys = pkeys.filter(pc.is_valid(pkeys.column("p_partkey")))
+    pkeys = pkeys.column("p_partkey").combine_chunks()
+
+    sup = pq.read_table(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nat_name = {
+        k: v
+        for k, v in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+        if k is not None
+    }
+    supp_nation = {
+        s: nat_name[n]
+        for s, n in zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist())
+        if s is not None and n in nat_name
+    }
+    import numpy as np
+
+    sorted_sk = sorted(supp_nation)
+    supp_keys = pa.array(sorted_sk, pa.int64())
+    sk_np = np.asarray(sorted_sk, dtype=np.int64)
+    sk_names = pa.array([supp_nation[k] for k in sorted_sk], pa.string())
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t.column("l_partkey"), value_set=pkeys),
+                pc.is_in(t.column("l_suppkey"), value_set=supp_keys),
+            )
+        )
+        profit = pc.fill_null(
+            discounted_c4(t.column("l_extendedprice"), t.column("l_discount")), 0
+        )
+        # vectorized suppkey -> nation-name attach (fact-table grain: no
+        # per-row Python) — searchsorted into the broadcast key array
+        sk_idx = np.searchsorted(
+            sk_np, t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        )
+        names = sk_names.take(pa.array(sk_idx, pa.int64()))
+        return _partial(
+            pa.table(
+                {"l_orderkey": t.column("l_orderkey"), "n_name": names, "profit_c4": profit}
+            ),
+            ["l_orderkey", "n_name"],
+            [("profit_c4", "sum")],
+        )
+
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = auto_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "o_year": pc.year(t.column("o_orderdate")),
+                "profit_c4": t.column("profit_c4"),
+            }
+        )
+        t = encode_null_keys(t, ["o_year"])
+        return _partial(t, grouping_keys(["o_year"]) + ["n_name"], [("profit_c4", "sum")])
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby(grouping_keys(["o_year"]) + ["n_name"])
+        .aggregate(Sum("profit_c4", alias_name="profit_c4"))
+    )
+    return out.map_batches(lambda t: decode_null_keys(t, ["o_year"]), batch_format="pyarrow")
+
+
+Q9_SQL = """
+SELECT n_name,
+       EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS profit_c4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%rod%'
+GROUP BY 1, 2
+"""
+
+REGISTRY["q9_profit_by_nation"] = (q9_profit_by_nation, Q9_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay bands × order priority
+# ---------------------------------------------------------------------------
+
+
+def q12_ship_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q12 (shipmode × priority census) adapted: the schema has no
+    l_shipmode, so lines band by SHIPPING DELAY instead — '1-fast'
+    (< 30 days after the order date), '2-medium' (< 90), '3-slow' (≥ 90) —
+    counting urgent (1-URGENT / 2-HIGH) vs other orders per band.
+
+    The banding compares raw timestamps against offset thresholds (no
+    division — immune to trunc-vs-floor divergence); NULL dates are
+    WHERE-dropped in both engines. lineitem pre-combines per batch to one
+    row per l_orderkey × band before the orderkey join."""
+    day_us = 86_400_000_000
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("o_orderdate"))),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("l_shipdate"))),
+        batch_format="pyarrow",
+    )
+
+    joined = auto_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        order = pc.cast(t.column("o_orderdate"), pa.int64())
+        delay = pc.subtract(ship, order)
+        band = pc.if_else(
+            pc.less(delay, pa.scalar(30 * day_us, pa.int64())),
+            pa.scalar("1-fast"),
+            pc.if_else(
+                pc.less(delay, pa.scalar(90 * day_us, pa.int64())),
+                pa.scalar("2-medium"),
+                pa.scalar("3-slow"),
+            ),
+        )
+        high = pc.fill_null(
+            pc.is_in(
+                t.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ),
+            False,
+        )
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return _partial(
+            pa.table(
+                {
+                    "ship_band": band,
+                    "high_count": pc.if_else(high, one, zero),
+                    "low_count": pc.if_else(high, zero, one),
+                }
+            ),
+            ["ship_band"],
+            [("high_count", "sum"), ("low_count", "sum")],
+        )
+
+    return (
+        joined.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("ship_band")
+        .aggregate(
+            Sum("high_count", alias_name="high_count"),
+            Sum("low_count", alias_name="low_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY THEN '1-fast'
+            WHEN l_shipdate < o_orderdate + INTERVAL 90 DAY THEN '2-medium'
+            ELSE '3-slow' END AS ship_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+GROUP BY 1
+"""
+
+REGISTRY["q12_ship_priority"] = (q12_ship_priority, Q12_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (correlated-MIN join-back)
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(sf_dir: str) -> Dataset:
+    """TPC-H Q2 (min-cost supplier) adapted: cost(part, supplier) :=
+    MIN(l_extendedprice) in cents observed in lineitem (no partsupp table);
+    for every LARGE part, the EUROPE suppliers achieving the part's minimum
+    cost. The canonical correlated-scalar-subquery shape: aggregate → derive
+    per-key MIN → join back on the key → filter equality.
+
+    Scale plan: part predicate + supplier region + supplier detail map are
+    driver-resolved dimensions; (part, supplier) costs pre-combine per batch
+    (min is distributive) before ONE groupby; the per-part MIN result joins
+    back through ``auto_join`` (broadcast at test scale, hash-shuffle when
+    parts outgrow the gate). No LIMIT: the gate compares full content."""
+    import pyarrow.parquet as pq
+
+    europe = _region_nation_keys(sf_dir, "EUROPE")
+    supp_eu = _supplier_keys_in(sf_dir, europe)
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pkeys = part.filter(pc.equal(part.column("p_type"), "LARGE"))
+    pkeys = pkeys.filter(pc.is_valid(pkeys.column("p_partkey")))
+    pkeys = pkeys.column("p_partkey").combine_chunks()
+
+    sup = pq.read_table(
+        _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
+    )
+    nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nat_name = {
+        k: v
+        for k, v in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+        if k is not None
+    }
+    supp_detail = {
+        s: (b, n, nat_name.get(k))
+        for s, b, n, k in zip(
+            sup.column("s_suppkey").to_pylist(),
+            sup.column("s_acctbal").to_pylist(),
+            sup.column("s_name").to_pylist(),
+            sup.column("s_nationkey").to_pylist(),
+        )
+        if s is not None
+    }
+
+    def cost_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t.column("l_partkey"), value_set=pkeys),
+                pc.is_in(t.column("l_suppkey"), value_set=supp_eu),
+            )
+        )
+        return _partial(
+            pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "cost_c": to_cents(t.column("l_extendedprice")),
+                }
+            ),
+            ["l_partkey", "l_suppkey"],
+            [("cost_c", "min")],
+        )
+
+    costs = (
+        rd.read_parquet(
+            _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+        )
+        .map_batches(cost_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("cost_c", alias_name="cost_c"))
+    )
+
+    mins = (
+        costs.map_batches(
+            lambda t: _partial(
+                t.select(["l_partkey", "cost_c"]).rename_columns(["l_partkey", "min_c"]),
+                ["l_partkey"],
+                [("min_c", "min")],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Min("min_c", alias_name="min_c"))
+    )
+
+    matched = auto_join(costs, mins, on="l_partkey").map_batches(
+        lambda t: t.filter(pc.equal(t.column("cost_c"), t.column("min_c"))),
+        batch_format="pyarrow",
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        det = [supp_detail[s] for s in t.column("l_suppkey").to_pylist()]
+        return pa.table(
+            {
+                "s_acctbal": pa.array([d[0] for d in det], pa.float64()),
+                "s_name": pa.array([d[1] for d in det], pa.string()),
+                "n_name": pa.array([d[2] for d in det], pa.string()),
+                "p_partkey": t.column("l_partkey"),
+                "s_suppkey": t.column("l_suppkey"),
+                "cost_c": t.column("cost_c"),
+            }
+        )
+
+    return matched.map_batches(attach, batch_format="pyarrow")
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+  GROUP BY 1, 2
+), mins AS (
+  SELECT l_partkey, MIN(cost_c) AS min_c FROM cost GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, cost.l_partkey AS p_partkey, s_suppkey, cost_c
+FROM cost
+JOIN mins USING (l_partkey)
+JOIN supplier ON cost.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE cost_c = min_c
+"""
+
+REGISTRY["q2_min_cost_supplier"] = (q2_min_cost_supplier, Q2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts (group HAVING vs global scalar)
+# ---------------------------------------------------------------------------
+
+
+def q11_important_parts(sf_dir: str) -> Dataset:
+    """TPC-H Q11 (important stock) adapted: per-part revenue from ASIA
+    suppliers, keeping parts whose value exceeds 2× the average part value —
+    the grouped-aggregate-vs-global-scalar HAVING shape. The threshold is a
+    mean multiple (not a fixed fraction) so the predicate is scale-invariant.
+
+    Scale plan: supplier set resolves driver-side; per-part cents pre-combine
+    per batch before ONE groupby; the per-part aggregate (bounded by |part|,
+    orders of magnitude below lineitem) is pinned once and scanned twice —
+    once to fold the two global scalars (count, sum), once to filter. The
+    comparison is exact int64: value_c * n_parts > 2 * total_c."""
+    asia = _region_nation_keys(sf_dir, "ASIA")
+    supp_asia = _supplier_keys_in(sf_dir, asia)
+
+    def val_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t.column("l_suppkey"), value_set=supp_asia),
+                pc.is_valid(t.column("l_partkey")),
+            )
+        )
+        return _partial(
+            pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "value_c": pc.fill_null(to_cents(t.column("l_extendedprice")), 0),
+                }
+            ),
+            ["l_partkey"],
+            [("value_c", "sum")],
+        )
+
+    per_part = (
+        rd.read_parquet(
+            _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+        )
+        .map_batches(val_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c", alias_name="value_c"))
+        .materialize()  # bounded by |part|; scanned twice (scalars + filter)
+    )
+
+    n_parts = per_part.count()
+    total_c = per_part.sum("value_c") or 0
+
+    return per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t.column("value_c"), pa.scalar(int(n_parts), pa.int64())),
+                pa.scalar(2 * int(total_c), pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND l_partkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+FROM v
+WHERE value_c * (SELECT COUNT(*) FROM v) > 2 * (SELECT SUM(value_c) FROM v)
+"""
+
+REGISTRY["q11_important_parts"] = (q11_important_parts, Q11_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count per part attribute (grouped distinct + NOT IN)
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_counts(sf_dir: str) -> Dataset:
+    """TPC-H Q16 (supplier count by part attribute) adapted: the
+    part↔supplier relation comes from lineitem (no partsupp); suppliers
+    with s_acctbal < 2000 are the 'complaints' exclusion, applied NOT-IN
+    style with an explicitly non-NULL subquery (three-valued semantics
+    mirrored). Excludes Brand#19 / PROMO parts like the canonical
+    brand/type exclusion.
+
+    Scale plan: the exclusion set and qualifying part attributes resolve
+    driver-side (dimensions); lineitem dedups (partkey, suppkey) per batch,
+    then ONE groupby dedups globally; attributes attach map-side after the
+    dedup so the distinct-count groupby shuffles one small row per
+    (brand, type, size, suppkey)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_acctbal"])
+    bad = sup.filter(
+        pc.and_(
+            pc.less(sup.column("s_acctbal"), pa.scalar(2000.0)),
+            pc.is_valid(sup.column("s_suppkey")),
+        )
+    ).column("s_suppkey").combine_chunks()
+
+    part = pq.read_table(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.not_equal(part.column("p_brand"), "Brand#19"),
+            pc.not_equal(part.column("p_type"), "PROMO"),
+        ),
+        pc.and_(pc.is_valid(part.column("p_size")), pc.is_valid(part.column("p_partkey"))),
+    )
+    part = part.filter(keep)
+    attr = {
+        k: (b, t_, s)
+        for k, b, t_, s in zip(
+            part.column("p_partkey").to_pylist(),
+            part.column("p_brand").to_pylist(),
+            part.column("p_type").to_pylist(),
+            part.column("p_size").to_pylist(),
+        )
+    }
+    pkeys = part.column("p_partkey").combine_chunks()
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_in(t.column("l_partkey"), value_set=pkeys),
+                    pc.is_valid(t.column("l_suppkey")),
+                ),
+                pc.invert(pc.is_in(t.column("l_suppkey"), value_set=bad)),
+            )
+        )
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = (
+        rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+        .map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def attach_dedup(t: pa.Table) -> pa.Table:
+        at = [attr[k] for k in t.column("l_partkey").to_pylist()]
+        g = pa.table(
+            {
+                "p_brand": pa.array([a[0] for a in at], pa.string()),
+                "p_type": pa.array([a[1] for a in at], pa.string()),
+                "p_size": pa.array([a[2] for a in at], pa.int32()),
+                "l_suppkey": t.column("l_suppkey"),
+            }
+        )
+        return g.group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+
+    distinct = (
+        pairs.map_batches(attach_dedup, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("supplier_cnt", pa.array([1] * t.num_rows, pa.int64()))
+        return _partial(
+            t.select(["p_brand", "p_type", "p_size", "supplier_cnt"]),
+            ["p_brand", "p_type", "p_size"],
+            [("supplier_cnt", "sum")],
+        )
+
+    out = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+    # Ray's sort-groupby promotes the int32 key to int64; restore the
+    # source dtype so the schema gates
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("p_size"),
+            "p_size",
+            pc.cast(t.column("p_size"), pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#19'
+  AND p_type <> 'PROMO'
+  AND p_size IS NOT NULL
+  AND l_suppkey IS NOT NULL
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier
+      WHERE s_acctbal < 2000 AND s_suppkey IS NOT NULL)
+GROUP BY 1, 2, 3
+"""
+
+REGISTRY["q16_supplier_counts"] = (q16_supplier_counts, Q16_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess shipped volume (nested IN over a HAVING)
+# ---------------------------------------------------------------------------
+
+
+def q20_excess_suppliers(sf_dir: str) -> Dataset:
+    """TPC-H Q20 (suppliers with excess stock) adapted: ASIA suppliers who
+    shipped more than 100 units of 'cold…' parts during 1996 — the nested
+    IN-over-grouped-HAVING shape (no partsupp availqty; the volume sum IS
+    the quantity measure).
+
+    Scale plan: part keys + region nations resolve driver-side; lineitem
+    pre-combines qty per (suppkey) per batch before ONE groupby; the winner
+    set (bounded by |supplier|) flows into the supplier scan through
+    ``auto_join`` (broadcast at test scale)."""
+    import pyarrow.parquet as pq
+
+    asia = _region_nation_keys(sf_dir, "ASIA")
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    pkeys = part.filter(
+        pc.starts_with(pc.fill_null(part.column("p_name"), ""), "cold")
+    )
+    pkeys = pkeys.filter(pc.is_valid(pkeys.column("p_partkey")))
+    pkeys = pkeys.column("p_partkey").combine_chunks()
+
+    lo, hi = _ts("1996-01-01"), _ts("1997-01-01")
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_in(t.column("l_partkey"), value_set=pkeys),
+                    pc.is_valid(t.column("l_suppkey")),
+                ),
+                pc.and_(
+                    pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)),
+                ),
+            )
+        )
+        return _partial(
+            pa.table(
+                {
+                    "l_suppkey": t.column("l_suppkey"),
+                    "qty": pc.fill_null(pc.cast(t.column("l_quantity"), pa.int64()), 0),
+                }
+            ),
+            ["l_suppkey"],
+            [("qty", "sum")],
+        )
+
+    winners = (
+        rd.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("qty"), pa.scalar(100, pa.int64()))).select(
+                ["l_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    supplier = rd.read_parquet(
+        _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=asia)).select(
+            ["s_suppkey", "s_name"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    return auto_join(
+        supplier,
+        winners,
+        on="s_suppkey",
+        right_on="l_suppkey",
+        right_schema=pa.schema([pa.field("l_suppkey", pa.int64())]),
+    ).select_columns(["s_suppkey", "s_name"])
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'cold%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_suppkey IS NOT NULL
+    GROUP BY 1
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 100)
+"""
+
+REGISTRY["q20_excess_suppliers"] = (q20_excess_suppliers, Q20_SQL)
