@@ -102,6 +102,9 @@ QUERY_NAMES = [
     "q12_ship_priority",
     "q16_supplier_counts",
     "q20_excess_suppliers",
+    "events_exact_k_sample",
+    "dedup_incremental_docs",
+    "order_percentile_cont",
 ]
 
 

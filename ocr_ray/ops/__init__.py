@@ -326,3 +326,15 @@ REGISTRY["dup_ngram_spans"] = (dup_ngram_spans, DUP_NGRAM_SPANS_SQL)
 from ocr_ray.ops.scrub import ANONYMIZE_CUSTOMERS_SQL, anonymize_customers
 
 REGISTRY["anonymize_customers"] = (anonymize_customers, ANONYMIZE_CUSTOMERS_SQL)
+
+from ocr_ray.ops.mlprep import EVENTS_EXACT_K_SAMPLE_SQL, events_exact_k_sample
+from ocr_ray.ops.dedup import DEDUP_INCREMENTAL_SQL, dedup_incremental_docs
+from ocr_ray.ops.corpus import ORDER_PERCENTILE_CONT_SQL, order_percentile_cont
+
+REGISTRY.update(
+    {
+        "events_exact_k_sample": (events_exact_k_sample, EVENTS_EXACT_K_SAMPLE_SQL),
+        "dedup_incremental_docs": (dedup_incremental_docs, DEDUP_INCREMENTAL_SQL),
+        "order_percentile_cont": (order_percentile_cont, ORDER_PERCENTILE_CONT_SQL),
+    }
+)

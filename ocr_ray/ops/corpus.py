@@ -1332,3 +1332,126 @@ d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
 FROM g JOIN d USING (gram) GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# interpolated percentiles (PERCENTILE_CONT) — exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+_PCONT_BP = (2500, 5000, 7500, 9000)
+
+
+def order_percentile_cont(sf_dir: str) -> pa.Table:
+    """PERCENTILE_CONT(p) of order totals with EXACT integer interpolation:
+    rank index RN = (n-1)*p in units of 1e-4 splits into whole part
+    (the lower neighbor's 1-based rank - 1) and fractional part f, and the
+    interpolated value is reported as ``value_e4 = lo*(10^4 - f) + hi*f``
+    (units of 1e-4 cents) — bit-exact in any engine, where a float
+    lo+(hi-lo)*frac could diverge in the last ulp and break the hash gate.
+
+    Same two-pass bucket-histogram plan as ``order_quantiles`` (no global
+    sort): pass 1 histograms cents into $10k buckets; both neighbor ranks
+    of every percentile map to (bucket, local rank) targets; pass 2 sorts
+    only rank-bearing buckets. Driver folds <= 2*|percentiles| rows."""
+    import ray
+
+    from ocr_ray.functions.scalars import to_cents
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_totalprice")))
+        c = to_cents(t.column("o_totalprice"))
+        return pa.table({"cents": c, "bucket": pc.divide(c, pa.scalar(_Q_BUCKET_CENTS))})
+
+    vals = orders.map_batches(cents, batch_format="pyarrow").materialize()
+    hist = vals.groupby("bucket").aggregate(Count(alias_name="c")).take_all()
+    hist.sort(key=lambda r: r["bucket"])
+    n = sum(r["c"] for r in hist)
+    if n == 0:
+        return pa.table(
+            {"q_bp": pa.array([], pa.int64()), "value_e4": pa.array([], pa.int64())}
+        )
+
+    # each percentile needs the values at 1-based ranks lo_rn and
+    # min(lo_rn+1, n); map every needed rank to (bucket, local rank)
+    needed: dict[int, list[tuple[int, int, int]]] = {}  # bucket -> [(q_bp, which, local_rk)]
+    fracs: dict[int, int] = {}
+    for q_bp in _PCONT_BP:
+        rn_e4 = (n - 1) * q_bp
+        lo_rn = rn_e4 // 10_000 + 1
+        fracs[q_bp] = rn_e4 % 10_000
+        for which, rk in ((0, lo_rn), (1, min(lo_rn + 1, n))):
+            cum = 0
+            for r in hist:
+                if cum + r["c"] >= rk:
+                    needed.setdefault(r["bucket"], []).append((q_bp, which, rk - cum))
+                    break
+                cum += r["c"]
+    ref = ray.put(needed)
+
+    def pick(g: pa.Table) -> pa.Table:
+        want = ray.get(ref).get(g.column("bucket")[0].as_py(), [])
+        if not want:
+            return pa.table(
+                {
+                    "q_bp": pa.array([], pa.int64()),
+                    "which": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        srt = np.sort(g.column("cents").to_numpy())
+        return pa.table(
+            {
+                "q_bp": pa.array([q for q, _, _ in want], pa.int64()),
+                "which": pa.array([w for _, w, _ in want], pa.int64()),
+                "cents": pa.array([int(srt[rk - 1]) for _, _, rk in want], pa.int64()),
+            }
+        )
+
+    target_buckets = pa.array(sorted(needed), pa.int64())
+    picked = (
+        vals.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=target_buckets)),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    by_q: dict[int, dict[int, int]] = {}
+    for r in picked:
+        by_q.setdefault(r["q_bp"], {})[r["which"]] = r["cents"]
+    rows = []
+    for q_bp in _PCONT_BP:
+        lo, hi = by_q[q_bp][0], by_q[q_bp][1]
+        f = fracs[q_bp]
+        rows.append((q_bp, lo * (10_000 - f) + hi * f))
+    return pa.table(
+        {
+            "q_bp": pa.array([r[0] for r in rows], pa.int64()),
+            "value_e4": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDER_PERCENTILE_CONT_SQL = f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+t AS (
+  SELECT CAST(q_bp AS BIGINT) AS q_bp,
+         ((cnt - 1) * CAST(q_bp AS BIGINT)) // 10000 + 1 AS lo_rn,
+         ((cnt - 1) * CAST(q_bp AS BIGINT)) % 10000 AS f,
+         cnt
+  FROM (VALUES {", ".join(f"({q})" for q in _PCONT_BP)}) AS qs(q_bp), n
+)
+SELECT q_bp,
+       CAST((SELECT c FROM o WHERE rn = t.lo_rn) * (10000 - t.f)
+          + (SELECT c FROM o WHERE rn = least(t.lo_rn + 1, t.cnt)) * t.f AS BIGINT) AS value_e4
+FROM t
+WHERE cnt > 0
+"""

@@ -1329,3 +1329,78 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
     return surv.map_batches(
         lambda t: pa.table({"vec_id": t.column("doc_id")}), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — a DELTA batch against already-committed corpus state
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental_docs(sf_dir: str) -> Dataset:
+    """Incremental exact dedup: new (delta) documents deduped against an
+    already-ingested corpus — the O(delta) maintenance shape a checkpointed
+    10^12-row pipeline runs per ingest segment, instead of re-deduping the
+    world. Here the committed state is modeled as the even-id half of
+    ``documents`` and the delta as the odd-id half (parity via ``id & 1``,
+    two's-complement-identical in Arrow and DuckDB for negative ids).
+
+    Plan: the corpus side reduces to DISTINCT text digests (32-byte keys,
+    text never leaves its block); the delta side picks MIN(doc_id) per
+    digest (first-writer-wins inside the batch) in one digest-keyed
+    groupby; survivors = delta winners anti-joined against corpus digests
+    (size-gated: broadcast ``is_in`` under the byte budget, keys-only
+    left_anti hash join above it). NULL-text rows never survive (SQL
+    NOT-IN three-valued semantics, mirrored by an early filter)."""
+    from ray.data.aggregate import Min
+
+    from ocr_ray.functions.joins import anti_join_ds, anti_join_filter
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def halves(t: pa.Table, want_odd: bool) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("text")))
+        )
+        parity = pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64()))
+        t = t.filter(pc.equal(parity, pa.scalar(1 if want_odd else 0, pa.int64())))
+        hs = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t.column("doc_id")})
+
+    corpus_h = (
+        docs.map_batches(lambda t: halves(t, False).group_by("h").aggregate([]), batch_format="pyarrow")
+    )
+    delta = (
+        docs.map_batches(lambda t: halves(t, True), batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+    # size gate: corpus digests fit the broadcast budget at test scale; the
+    # keys-only left_anti hash join is the above-gate path (10^12-row state)
+    pinned = corpus_h.materialize()
+    if pinned.size_bytes() <= 64 * 1024 * 1024:
+        keys = [r["h"] for r in pinned.take_all()]
+        surv = anti_join_filter(delta, "h", keys)
+    else:
+        surv = anti_join_ds(delta, pinned, on="h")
+    return surv.select_columns(["doc_id"])
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h
+  FROM documents
+  WHERE (doc_id & 1) = 0 AND text IS NOT NULL
+), delta AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+  FROM documents
+  WHERE (doc_id & 1) = 1 AND text IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM delta
+WHERE h NOT IN (SELECT h FROM corpus)
+"""

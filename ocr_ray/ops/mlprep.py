@@ -581,3 +581,72 @@ SELECT event_id,
        CAST(COUNT(*) OVER () AS BIGINT) AS cd_den
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-k deterministic uniform sample (md5-key global top-k)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 100
+
+
+def events_exact_k_sample(sf_dir: str, k: int = _SAMPLE_K) -> pa.Table:
+    """EXACTLY-k uniform sample of events with NO RNG state: every row's
+    sort key is the md5 prefix of its id, the sample is the global k
+    smallest keys — any worker, rerun, shard order, or the SQL oracle
+    draws the identical sample (the Bernoulli siblings draw ~k; this is
+    the fixed-budget variant a mixture pipeline needs).
+
+    Scale plan: per block keep only the k smallest (np.lexsort on the
+    8-byte key prefix with id tie-break — bounded output per block,
+    exactly the keyset-pagination reduce), then one driver fold of
+    <= k x blocks candidate rows. Nothing shuffles; at 10^12 rows the
+    driver folds k x n_blocks ~ 10^5 tiny rows."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_id")))
+        ids = t.column("event_id").to_pylist()
+        keys = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode("ascii")).digest()[:8], "big")
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), keys))[:k]
+        return t.append_column("_sk", pa.array(keys, pa.uint64())).take(
+            pa.array(order, pa.int64())
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    parts = [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
+    if not parts:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    order = np.lexsort(
+        (
+            t.column("event_id").to_numpy(zero_copy_only=False),
+            t.column("_sk").to_numpy(zero_copy_only=False),
+        )
+    )[:k]
+    return t.take(pa.array(order, pa.int64())).drop_columns(["_sk"])
+
+
+EVENTS_EXACT_K_SAMPLE_SQL = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id IS NOT NULL
+ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 16), event_id
+LIMIT {_SAMPLE_K}
+"""

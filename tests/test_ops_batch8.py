@@ -1,0 +1,123 @@
+"""Planted-edge tests for the session-7 continuation op batch:
+events_exact_k_sample (exactly-k, shard-order invariance),
+dedup_incremental_docs (delta-vs-state semantics, negative-id parity),
+order_percentile_cont (interpolation arithmetic pinned against closed
+forms, n=1 and frac=0 edges)."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(dirpath, name, table: pa.Table):
+    pq.write_table(table, str(dirpath / f"{name}.parquet"))
+    return str(dirpath)
+
+
+class TestExactKSample:
+    def test_exactly_k_and_deterministic(self, tmp_path, ray_session):
+        from ocr_ray.ops.mlprep import events_exact_k_sample
+
+        n = 500
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(n)), pa.int64()),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["t"] * n, pa.string()),
+                "value": pa.array([float(i) for i in range(n)], pa.float64()),
+            }
+        )
+        sf = _write(tmp_path, "events", t)
+        got = events_exact_k_sample(sf, k=10)
+        assert got.num_rows == 10
+        # closed form: the 10 ids with the smallest md5-prefix keys
+        keyed = sorted(
+            range(n),
+            key=lambda i: (hashlib.md5(str(i).encode()).digest()[:8], i),
+        )[:10]
+        assert sorted(got.column("event_id").to_pylist()) == sorted(keyed)
+        # rerun is identical (no RNG state)
+        again = events_exact_k_sample(sf, k=10)
+        assert got.column("event_id").to_pylist() == again.column("event_id").to_pylist()
+
+    def test_k_larger_than_input(self, tmp_path, ray_session):
+        from ocr_ray.ops.mlprep import events_exact_k_sample
+
+        t = pa.table(
+            {
+                "event_id": pa.array([5, None, 6], pa.int64()),
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "event_type": pa.array(["a", "b", "c"], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+        sf = _write(tmp_path, "events", t)
+        got = events_exact_k_sample(sf, k=100)
+        # NULL id has no key; the two keyed rows both sampled
+        assert sorted(got.column("event_id").to_pylist()) == [5, 6]
+
+
+class TestDedupIncremental:
+    def test_delta_vs_state(self, tmp_path, ray_session):
+        from ocr_ray.ops.dedup import dedup_incremental_docs
+
+        # corpus (even ids): texts A, B.  delta (odd ids): A (dup of state),
+        # C twice (intra-delta dup -> min id wins), NULL text (never survives)
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 2, 1, 3, 5, 7], pa.int64()),
+                "text": pa.array(["A", "B", "A", "C", "C", None], pa.string()),
+            }
+        )
+        sf = _write(tmp_path, "documents", t)
+        got = sorted(dedup_incremental_docs(sf).to_pandas()["doc_id"].tolist())
+        assert got == [3]
+
+    def test_negative_id_parity(self, tmp_path, ray_session):
+        from ocr_ray.ops.dedup import dedup_incremental_docs
+
+        # -3 & 1 == 1 (two's complement): negative odd ids are delta
+        t = pa.table(
+            {
+                "doc_id": pa.array([-4, -3], pa.int64()),
+                "text": pa.array(["X", "Y"], pa.string()),
+            }
+        )
+        sf = _write(tmp_path, "documents", t)
+        got = dedup_incremental_docs(sf).to_pandas()["doc_id"].tolist()
+        assert got == [-3]
+
+
+class TestPercentileCont:
+    def _sf(self, tmp_path, prices):
+        t = pa.table({"o_totalprice": pa.array(prices, pa.float64())})
+        return _write(tmp_path, "orders", t)
+
+    def test_interpolation_closed_form(self, tmp_path, ray_session):
+        from ocr_ray.ops.corpus import order_percentile_cont
+
+        # cents 100, 200, 300, 400 -> p25: RN=(3)*2500=7500 -> lo rank 1,
+        # f=7500: 100*(2500) + 200*7500 = 1_750_000 (== 175 cents * 1e4)
+        sf = self._sf(tmp_path, [1.0, 2.0, 3.0, 4.0])
+        got = {
+            r["q_bp"]: r["value_e4"] for r in order_percentile_cont(sf).to_pylist()
+        }
+        assert got[2500] == 100 * 2500 + 200 * 7500
+        assert got[5000] == 200 * 5000 + 300 * 5000  # midpoint of 200,300
+        assert got[7500] == 300 * 7500 + 400 * 2500
+        assert got[9000] == 300 * 3000 + 400 * 7000  # RN=2.7e4: lo=300 f=7000
+
+    def test_single_row_and_frac_zero(self, tmp_path, ray_session):
+        from ocr_ray.ops.corpus import order_percentile_cont
+
+        sf = self._sf(tmp_path, [5.0])
+        got = {r["q_bp"]: r["value_e4"] for r in order_percentile_cont(sf).to_pylist()}
+        # n=1: every percentile is the single value (500 cents * 1e4)
+        assert all(v == 500 * 10_000 for v in got.values())
+
+    def test_empty(self, tmp_path, ray_session):
+        from ocr_ray.ops.corpus import order_percentile_cont
+
+        sf = self._sf(tmp_path, [])
+        assert order_percentile_cont(sf).num_rows == 0
