@@ -105,6 +105,8 @@ QUERY_NAMES = [
     "events_exact_k_sample",
     "dedup_incremental_docs",
     "order_percentile_cont",
+    "user_value_trend",
+    "events_props_k_stats",
 ]
 
 

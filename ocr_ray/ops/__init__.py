@@ -338,3 +338,17 @@ REGISTRY.update(
         "order_percentile_cont": (order_percentile_cont, ORDER_PERCENTILE_CONT_SQL),
     }
 )
+
+from ocr_ray.ops.stats import (
+    EVENTS_PROPS_K_STATS_SQL,
+    USER_VALUE_TREND_SQL,
+    events_props_k_stats,
+    user_value_trend,
+)
+
+REGISTRY.update(
+    {
+        "user_value_trend": (user_value_trend, USER_VALUE_TREND_SQL),
+        "events_props_k_stats": (events_props_k_stats, EVENTS_PROPS_K_STATS_SQL),
+    }
+)

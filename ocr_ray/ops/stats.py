@@ -533,3 +533,178 @@ FROM v, s
 WHERE (n * CAST(value_cents AS HUGEINT) - s1) * (n * CAST(value_cents AS HUGEINT) - s1)
       > 9 * (n * s2 - s1 * s1)
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS trend — per-user value drift as exact integer rationals
+# ---------------------------------------------------------------------------
+
+_TREND_BASE_US = 1_704_067_200_000_000  # 2024-01-01 (rebase keeps x^2 small)
+
+
+def user_value_trend(sf_dir: str) -> Dataset:
+    """Per-user OLS slope of event value (cents) against event time
+    (minutes since 2024-01-01) as an EXACT integer rational —
+    slope = slope_num / slope_den with slope_num = n·Σxy − Σx·Σy and
+    slope_den = n·Σx² − (Σx)² — the drift detector of a quality-monitoring
+    pipeline, reduction-order independent because every partial is an
+    integer sum.
+
+    Mergeable-moments plan (one shuffle of five int64s per user): each
+    batch reduces to (n, Σx, Σy, Σxy, Σx²) per user. Overflow bound: with
+    x ≤ 10^5 minutes and cents ≤ 10^5, n·Σx² ≈ n²·10^10 holds to n ≈ 10^4
+    rows per user; a longer time axis should rebase/coarsen x (the
+    constant above is the lever). NULL ts/value/user rows are excluded
+    (mirrored in SQL: x and y are NON NULL by the WHERE)."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("value")), pc.is_valid(t.column("ts"))),
+                pc.is_valid(t.column("user_id")),
+            )
+        )
+        y = to_cents(t.column("value"))
+        us = pc.cast(t.column("ts"), pa.int64())
+        # fixture timestamps are all >= the base, so trunc == floor
+        x = pc.divide(pc.subtract(us, pa.scalar(_TREND_BASE_US, pa.int64())), 60_000_000)
+        g = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+            }
+        ).group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns(["user_id", "n", "sx", "sy", "sxy", "sxx"])
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n, sx, sy, sxy, sxx = (t.column(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n": n,
+                "slope_num": pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy)),
+                "slope_den": pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+USER_VALUE_TREND_SQL = """
+WITH p AS (
+  SELECT user_id,
+         (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+         CAST(ROUND(value*100) AS BIGINT) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM p
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction rollup (the M5 parse surface, distributed)
+# ---------------------------------------------------------------------------
+
+
+def events_props_k_stats(sf_dir: str) -> Dataset:
+    """Parse the JSON ``props`` payload per event, extract the integer
+    field ``k``, and roll up (count, sum, min, max) per event_type — the
+    semi-structured-column path every telemetry pipeline needs.
+
+    The parse is genuinely per-row work (like the extraction kernel); the
+    partial aggregation keeps the shuffle at one 4-int64 row per type per
+    batch. Semantics mirrored with DuckDB's json functions: invalid/NULL
+    JSON yields NULL k (json_valid guard), integer-valued strings cast,
+    booleans/floats do not. NULL event_type is a regular SQL group."""
+    import json
+
+    from ray.data.aggregate import Max, Min
+
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract_k(s):
+        if s is None:
+            return None
+        try:
+            v = json.loads(s)
+        except (ValueError, TypeError):
+            return None
+        if not isinstance(v, dict):
+            return None
+        k = v.get("k")
+        if isinstance(k, bool):
+            return None  # json 'true' does not TRY_CAST to BIGINT
+        if isinstance(k, int):
+            return k
+        if isinstance(k, str):
+            try:
+                return int(k)  # mirrors TRY_CAST('12' AS BIGINT)
+            except ValueError:
+                return None
+        return None
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pa.array(
+            [extract_k(s) for s in t.column("props").to_pylist()], pa.int64()
+        )
+        t = pa.table({"event_type": t.column("event_type"), "k": ks}).filter(
+            pc.is_valid(ks)
+        )
+        t = t.append_column("n_k", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.group_by(["event_type"]).aggregate(
+            [("n_k", "sum"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n_k", "sum_k", "min_k", "max_k"])
+
+    return null_safe_groupby_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        Sum("n_k", alias_name="n_k"),
+        Sum("sum_k", alias_name="sum_k"),
+        Min("min_k", alias_name="min_k"),
+        Max("max_k", alias_name="max_k"),
+    )
+
+
+EVENTS_PROPS_K_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""

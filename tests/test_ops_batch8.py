@@ -121,3 +121,74 @@ class TestPercentileCont:
 
         sf = self._sf(tmp_path, [])
         assert order_percentile_cont(sf).num_rows == 0
+
+
+class TestUserValueTrend:
+    def test_closed_form_slope(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import _TREND_BASE_US, user_value_trend
+
+        # user 1: y = 100 + 50*x cents at x = 0,1,2 minutes -> exact slope
+        # num/den reduces to 50/1 (num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2)
+        base = _TREND_BASE_US
+        ts = pa.array(
+            [base, base + 60_000_000, base + 120_000_000, base + 60_000_000],
+            pa.timestamp("us"),
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": ts,
+                "value": pa.array([1.00, 1.50, 2.00, 9.99], pa.float64()),
+            }
+        )
+        sf = _write(tmp_path, "events", t)
+        got = user_value_trend(sf).to_pandas().set_index("user_id")
+        # x=(0,1,2), y=(100,150,200): Sx=3 Sy=450 Sxy=550 Sxx=5
+        assert got.loc[1, "slope_num"] == 3 * 550 - 3 * 450  # 300
+        assert got.loc[1, "slope_den"] == 3 * 5 - 9  # 6 -> slope 50/1
+        assert got.loc[2, "slope_den"] == 0  # single point: undefined slope
+
+    def test_null_rows_excluded(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import _TREND_BASE_US, user_value_trend
+
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, None], pa.int64()),
+                "ts": pa.array([_TREND_BASE_US, None, _TREND_BASE_US], pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+        sf = _write(tmp_path, "events", t)
+        got = user_value_trend(sf).to_pandas()
+        assert got["n"].tolist() == [1]
+
+
+class TestPropsKStats:
+    def test_json_edge_semantics(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import events_props_k_stats
+
+        props = pa.array(
+            [
+                '{"k": 3}',
+                '{"k": -2}',
+                '{"k": "7"}',  # string-int casts (TRY_CAST mirror)
+                '{"k": true}',  # bool does not
+                '{"k": 1.5}',  # float does not
+                '{"x": 1}',  # missing key
+                None,
+                '{"k": 10}',
+            ],
+            pa.string(),
+        )
+        t = pa.table(
+            {
+                "event_type": pa.array(["a"] * 7 + [None], pa.string()),
+                "props": props,
+            }
+        )
+        sf = _write(tmp_path, "events", t)
+        got = events_props_k_stats(sf).to_pandas()
+        a = got[got["event_type"] == "a"].iloc[0]
+        assert (a["n_k"], a["sum_k"], a["min_k"], a["max_k"]) == (3, 8, -2, 7)
+        nul = got[got["event_type"].isna()].iloc[0]
+        assert (nul["n_k"], nul["sum_k"]) == (1, 10)  # NULL type is a group
