@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "order_percentile_cont",
     "user_value_trend",
     "events_props_k_stats",
+    "orders_partition_checksums",
 ]
 
 

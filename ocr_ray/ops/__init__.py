@@ -352,3 +352,10 @@ REGISTRY.update(
         "events_props_k_stats": (events_props_k_stats, EVENTS_PROPS_K_STATS_SQL),
     }
 )
+
+from ocr_ray.ops.dq import ORDERS_PARTITION_CHECKSUMS_SQL, orders_partition_checksums
+
+REGISTRY["orders_partition_checksums"] = (
+    orders_partition_checksums,
+    ORDERS_PARTITION_CHECKSUMS_SQL,
+)

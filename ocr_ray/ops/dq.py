@@ -629,3 +629,106 @@ PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"""
     for c in _PROFILE_ORDERS_COLS
 )
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy partition checksums (order-independent table fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def orders_partition_checksums(sf_dir: str) -> pa.Table:
+    """Order-independent checksum of the orders table PER hash bucket —
+    the anti-entropy primitive of replication/backfill verification: two
+    replicas (or a table before/after a migration) agree iff every
+    bucket's checksum agrees, and a disagreement names the bucket to
+    re-sync — no row-level diff of the 10^12-row table.
+
+    Each row canonicalizes to a '|'-joined string of NULL-tokened integer/
+    string fields (floats go through exact cents — engine float formatting
+    never enters the hash), hashes to a uint64 (md5 upper half, mirroring
+    DuckDB's md5_number_lower), and XOR-folds into its bucket. XOR is
+    commutative+associative, so any shard order / parallelism yields the
+    identical checksum; caveat (standard for XOR sums): a row duplicated
+    an EVEN number of times cancels out — pair with a per-bucket COUNT
+    (emitted here) to close that hole. Partials are one (bucket, xor, n)
+    row per batch; the driver folds <= 17 x n_blocks tiny rows."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    NULL_TOK = "\x00"
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = to_cents(t.column("o_totalprice"))
+        keys = t.column("o_orderkey").to_pylist()
+        rows = zip(
+            keys,
+            t.column("o_orderstatus").to_pylist(),
+            t.column("o_orderpriority").to_pylist(),
+            cents.to_pylist(),
+        )
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        "|".join(
+                            NULL_TOK if v is None else str(v) for v in (k, s, p, c)
+                        ).encode("utf-8")
+                    ).digest()[8:16],
+                    "little",
+                )
+                for k, s, p, c in rows
+            ),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        buckets = [None if k is None else k & 15 for k in keys]
+        acc: dict = {}
+        for b, h in zip(buckets, hs):
+            prev_x, prev_n = acc.get(b, (np.uint64(0), 0))
+            acc[b] = (prev_x ^ h, prev_n + 1)
+        items = sorted(acc.items(), key=lambda kv: (kv[0] is None, kv[0]))
+        return pa.table(
+            {
+                "bucket": pa.array([b for b, _ in items], pa.int64()),
+                "checksum": pa.array([int(x) for b, (x, _) in items], pa.uint64()),
+                "n_rows": pa.array([n for b, (_, n) in items], pa.int64()),
+            }
+        )
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    acc: dict = {}
+    for p in parts:
+        for b, x, n in zip(
+            p.column("bucket").to_pylist(),
+            p.column("checksum").to_pylist(),
+            p.column("n_rows").to_pylist(),
+        ):
+            prev_x, prev_n = acc.get(b, (0, 0))
+            acc[b] = (prev_x ^ x, prev_n + n)
+    items = sorted(acc.items(), key=lambda kv: (kv[0] is None, kv[0]))
+    return pa.table(
+        {
+            "bucket": pa.array([b for b, _ in items], pa.int64()),
+            "checksum": pa.array([x for b, (x, _) in items], pa.uint64()),
+            "n_rows": pa.array([n for b, (_, n) in items], pa.int64()),
+        }
+    )
+
+
+ORDERS_PARTITION_CHECKSUMS_SQL = """
+SELECT o_orderkey & 15 AS bucket,
+       bit_xor(md5_number_lower(concat_ws('|',
+         COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+         COALESCE(o_orderstatus, chr(0)),
+         COALESCE(o_orderpriority, chr(0)),
+         COALESCE(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), chr(0))
+       ))) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY 1
+"""

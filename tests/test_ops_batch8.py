@@ -192,3 +192,41 @@ class TestPropsKStats:
         assert (a["n_k"], a["sum_k"], a["min_k"], a["max_k"]) == (3, 8, -2, 7)
         nul = got[got["event_type"].isna()].iloc[0]
         assert (nul["n_k"], nul["sum_k"]) == (1, 10)  # NULL type is a group
+
+
+class TestPartitionChecksums:
+    def _sf(self, tmp_path, keys, status):
+        tmp_path.mkdir(parents=True, exist_ok=True)
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_orderstatus": pa.array(status, pa.string()),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(keys), pa.string()),
+                "o_totalprice": pa.array([10.0 + k for k in keys], pa.float64()),
+            }
+        )
+        return _write(tmp_path, "orders", t)
+
+    def test_mutation_flips_exactly_its_bucket(self, tmp_path, ray_session):
+        from ocr_ray.ops.dq import orders_partition_checksums
+
+        keys = list(range(64))
+        a = orders_partition_checksums(self._sf(tmp_path / "a", keys, ["O"] * 64))
+        mutated = ["O"] * 64
+        mutated[37] = "F"  # key 37 -> bucket 37 & 15 == 5
+        b = orders_partition_checksums(self._sf(tmp_path / "b", keys, mutated))
+        ca = dict(zip(a.column("bucket").to_pylist(), a.column("checksum").to_pylist()))
+        cb = dict(zip(b.column("bucket").to_pylist(), b.column("checksum").to_pylist()))
+        diff = [k for k in ca if ca[k] != cb[k]]
+        assert diff == [5]
+        assert a.column("n_rows").to_pylist() == b.column("n_rows").to_pylist()
+
+    def test_order_independence(self, tmp_path, ray_session):
+        from ocr_ray.ops.dq import orders_partition_checksums
+
+        keys = list(range(40))
+        a = orders_partition_checksums(self._sf(tmp_path / "fwd", keys, ["O"] * 40))
+        b = orders_partition_checksums(
+            self._sf(tmp_path / "rev", keys[::-1], ["O"] * 40)
+        )
+        assert a.to_pylist() == b.to_pylist()
