@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "user_value_trend",
     "events_props_k_stats",
     "orders_partition_checksums",
+    "event_value_percentile_cont",
 ]
 
 

@@ -604,3 +604,152 @@ WHERE NOT EXISTS (
 """
 
 REGISTRY["pareto_orders"] = (pareto_orders, PARETO_ORDERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-group interpolated percentiles (PERCENTILE_CONT with PARTITION BY)
+# ---------------------------------------------------------------------------
+
+
+def event_value_percentile_cont(sf_dir: str) -> pa.Table:
+    """PERCENTILE_CONT per event_type with EXACT integer interpolation
+    (same e4 convention as ``corpus.order_percentile_cont``): per group,
+    rank index RN = (n-1)*q in 1e-4 units splits into the lower neighbor's
+    rank and fraction f, and ``value_e4 = lo*(10^4 - f) + hi*f`` — the
+    PARTITION BY variant completing the quantile matrix (global discrete /
+    global interpolated / per-group discrete / per-group interpolated).
+
+    Same per-group bucket-histogram plan as ``event_value_quantiles``:
+    both neighbor ranks of every (group, percentile) map to
+    (group, bucket, local rank) targets; only rank-bearing (group, bucket)
+    cells are sorted; the driver folds <= 2*|groups|*|percentiles| rows."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("event_type")), pc.is_valid(t.column("value")))
+        )
+        c = to_cents(t.column("value"))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": c,
+                "bucket": pc.divide(c, pa.scalar(_EVQ_BUCKET_CENTS)),
+            }
+        )
+
+    vals = events.map_batches(cents, batch_format="pyarrow").materialize()
+    hist = (
+        vals.groupby(["event_type", "bucket"]).aggregate(Count(alias_name="c")).take_all()
+    )
+    hist.sort(key=lambda r: (r["event_type"], r["bucket"]))
+    by_g: dict[str, list] = {}
+    for r in hist:
+        by_g.setdefault(r["event_type"], []).append(r)
+
+    targets: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+    fracs: dict[tuple[str, int], int] = {}
+    for g, rows_g in by_g.items():
+        n = sum(r["c"] for r in rows_g)
+        for q_bp in _EVQ_BP:
+            rn_e4 = (n - 1) * q_bp
+            fracs[(g, q_bp)] = rn_e4 % 10_000
+            lo_rn = rn_e4 // 10_000 + 1
+            for which, rk in ((0, lo_rn), (1, min(lo_rn + 1, n))):
+                cum = 0
+                for r in rows_g:
+                    if cum + r["c"] >= rk:
+                        targets.setdefault((g, r["bucket"]), []).append((q_bp, which, rk - cum))
+                        break
+                    cum += r["c"]
+    ref = ray.put(targets)
+
+    def pick(g: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        key = (g.column("event_type")[0].as_py(), g.column("bucket")[0].as_py())
+        wanted = t.get(key, [])
+        if not wanted:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "q_bp": pa.array([], pa.int64()),
+                    "which": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        srt = np.sort(g.column("cents").to_numpy())
+        return pa.table(
+            {
+                "event_type": pa.array([key[0]] * len(wanted), pa.string()),
+                "q_bp": pa.array([q for q, _, _ in wanted], pa.int64()),
+                "which": pa.array([w for _, w, _ in wanted], pa.int64()),
+                "cents": pa.array([int(srt[rk - 1]) for _, _, rk in wanted], pa.int64()),
+            }
+        )
+
+    tkeys = set(targets)
+
+    def only_targets(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [
+                (g, b) in tkeys
+                for g, b in zip(
+                    t.column("event_type").to_pylist(), t.column("bucket").to_pylist()
+                )
+            ],
+            pa.bool_(),
+        )
+        return t.filter(keep)
+
+    picked = (
+        vals.map_batches(only_targets, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .map_groups(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    by_q: dict[tuple[str, int], dict[int, int]] = {}
+    for r in picked:
+        by_q.setdefault((r["event_type"], r["q_bp"]), {})[r["which"]] = r["cents"]
+    out_g, out_q, out_v = [], [], []
+    for (g, q_bp), d in sorted(by_q.items()):
+        f = fracs[(g, q_bp)]
+        out_g.append(g)
+        out_q.append(q_bp)
+        out_v.append(d[0] * (10_000 - f) + d[1] * f)
+    return pa.table(
+        {
+            "event_type": pa.array(out_g, pa.string()),
+            "q_bp": pa.array(out_q, pa.int64()),
+            "value_e4": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+EVENT_VALUE_PERCENTILE_CONT_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+o AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+  FROM c
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+t AS (
+  SELECT n.event_type, CAST(q_bp AS BIGINT) AS q_bp,
+         ((cnt - 1) * CAST(q_bp AS BIGINT)) // 10000 + 1 AS lo_rn,
+         ((cnt - 1) * CAST(q_bp AS BIGINT)) % 10000 AS f,
+         cnt
+  FROM (VALUES {", ".join(f"({q})" for q in _EVQ_BP)}) AS qs(q_bp), n
+)
+SELECT t.event_type, t.q_bp,
+       CAST((SELECT cents FROM o WHERE o.event_type = t.event_type AND o.rn = t.lo_rn) * (10000 - t.f)
+          + (SELECT cents FROM o WHERE o.event_type = t.event_type AND o.rn = least(t.lo_rn + 1, t.cnt)) * t.f AS BIGINT) AS value_e4
+FROM t
+"""
+
+REGISTRY["event_value_percentile_cont"] = (
+    event_value_percentile_cont,
+    EVENT_VALUE_PERCENTILE_CONT_SQL,
+)
