@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "events_props_k_stats",
     "orders_partition_checksums",
     "event_value_percentile_cont",
+    "cust_merged_windows",
 ]
 
 

@@ -359,3 +359,7 @@ REGISTRY["orders_partition_checksums"] = (
     orders_partition_checksums,
     ORDERS_PARTITION_CHECKSUMS_SQL,
 )
+
+from ocr_ray.ops.timeseries import CUST_MERGED_WINDOWS_SQL, cust_merged_windows
+
+REGISTRY["cust_merged_windows"] = (cust_merged_windows, CUST_MERGED_WINDOWS_SQL)

@@ -1778,3 +1778,113 @@ FROM p GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {_PATH_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing — merge overlapping validity windows per entity
+# ---------------------------------------------------------------------------
+
+
+def cust_merged_windows(sf_dir: str) -> Dataset:
+    """Coalesce each customer's overlapping 30-day order windows into
+    maximal merged intervals (islands in continuous time) — the interval
+    union every entitlement/coverage/session system needs: n overlapping
+    service windows become one [min start, max end] row with the order
+    count and cents total they cover.
+
+    Plan: co-locate by customer (``grouped_scan`` — one Python call per
+    coarse partition, not per customer), sort within the segment, and the
+    classic cummax sweep marks island breaks (start > running max of prior
+    ends; closed intervals, touch = merge) — all vectorized pandas/numpy;
+    only (customer, island) aggregate rows leave the scan. Tie safety: a
+    tied start implies an identical (start, end) pair here (end is
+    derived), so island assignment is input-order invariant. NULL
+    custkey/orderdate rows are WHERE-dropped in both engines; an
+    all-NULL-price island reports a NULL total (min_count=1 mirror of SQL
+    SUM)."""
+    import pandas as pd
+
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    day_us = 86_400_000_000
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("o_custkey")), pc.is_valid(t.column("o_orderdate")))
+        )
+        s = pc.cast(t.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "s": s,
+                "e": pc.add(s, pa.scalar(30 * day_us, pa.int64())),
+                "c": to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "s"], kind="mergesort").reset_index(drop=True)
+        prev_max = df.groupby("o_custkey", sort=False)["e"].cummax().shift()
+        first = ~df["o_custkey"].eq(df["o_custkey"].shift())
+        brk = first | (df["s"] > prev_max.fillna(-(2**62)))
+        df["island"] = brk.cumsum()
+        g = df.groupby(["o_custkey", "island"], sort=False)
+        out = pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].first(),
+                "island_start": g["s"].min(),
+                "island_end": g["e"].max(),
+                "n_orders": g["s"].size().astype("int64"),
+                "total_c": g["c"].sum(min_count=1),
+            }
+        ).reset_index(drop=True)
+        return out
+
+    merged = grouped_scan(orders.map_batches(prep, batch_format="pyarrow"), "o_custkey", scan)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tc = t.column("total_c")
+        if pa.types.is_floating(tc.type):
+            # pandas carries an all-NULL-cents island as NaN float — restore
+            # the SQL NULL before the exact-integer cast
+            tc = pc.if_else(pc.is_nan(tc), pa.scalar(None, tc.type), tc)
+        tc = pc.cast(tc, pa.int64())
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "island_start": pc.cast(t.column("island_start"), pa.timestamp("us")),
+                "island_end": pc.cast(t.column("island_end"), pa.timestamp("us")),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+                "total_c": tc,
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+CUST_MERGED_WINDOWS_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY o_custkey ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM w
+),
+g AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT o_custkey, MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(c) AS BIGINT) AS total_c
+FROM g
+GROUP BY o_custkey, island
+"""

@@ -230,3 +230,53 @@ class TestPartitionChecksums:
             self._sf(tmp_path / "rev", keys[::-1], ["O"] * 40)
         )
         assert a.to_pylist() == b.to_pylist()
+
+
+class TestMergedWindows:
+    def test_coalescing_closed_form(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import cust_merged_windows
+
+        day = 86_400_000_000
+        base = 1_700_000_000_000_000
+        # cust 1: days 0, 10, 50 -> windows [0,30],[10,40],[50,80]: two islands
+        # cust 2: day 5 alone
+        ts = pa.array(
+            [base, base + 10 * day, base + 50 * day, base + 5 * day],
+            pa.timestamp("us"),
+        )
+        t = pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderdate": ts,
+                "o_totalprice": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = (
+            cust_merged_windows(str(tmp_path))
+            .to_pandas()
+            .sort_values(["o_custkey", "island_start"])
+            .reset_index(drop=True)
+        )
+        assert got["n_orders"].tolist() == [2, 1, 1]
+        assert got["total_c"].tolist() == [300, 400, 800]
+        spans = (got["island_end"] - got["island_start"]).dt.days.tolist()
+        assert spans == [40, 30, 30]  # first island merged two windows
+
+    def test_touching_windows_merge(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import cust_merged_windows
+
+        day = 86_400_000_000
+        base = 1_700_000_000_000_000
+        # second window starts EXACTLY at the first's end (closed: merge)
+        ts = pa.array([base, base + 30 * day], pa.timestamp("us"))
+        t = pa.table(
+            {
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderdate": ts,
+                "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = cust_merged_windows(str(tmp_path)).to_pandas()
+        assert len(got) == 1 and got["n_orders"][0] == 2
