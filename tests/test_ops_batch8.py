@@ -280,3 +280,18 @@ class TestMergedWindows:
         pq.write_table(t, str(tmp_path / "orders.parquet"))
         got = cust_merged_windows(str(tmp_path)).to_pandas()
         assert len(got) == 1 and got["n_orders"][0] == 2
+
+
+class TestQ16TierParity:
+    def test_local_and_distributed_tiers_identical(self, ray_session):
+        from ocr_ray.pipelines.tpch_more import q16_supplier_counts
+
+        sf = "/root/testdata/sf0.001"
+        local = q16_supplier_counts(sf)  # under the 20M gate
+        dist = q16_supplier_counts(sf, local_gate_rows=0)  # force shuffle plan
+        keys = ["p_brand", "p_type", "p_size"]
+        a = local.to_pandas() if hasattr(local, "to_pandas") else local
+        b = dist.to_pandas()
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys).reset_index(drop=True)[a.columns]
+        assert a.astype(str).values.tolist() == b.astype(str).values.tolist()
