@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "orders_partition_checksums",
     "event_value_percentile_cont",
     "cust_merged_windows",
+    "orders_price_reconciliation",
 ]
 
 

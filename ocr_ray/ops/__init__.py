@@ -363,3 +363,13 @@ REGISTRY["orders_partition_checksums"] = (
 from ocr_ray.ops.timeseries import CUST_MERGED_WINDOWS_SQL, cust_merged_windows
 
 REGISTRY["cust_merged_windows"] = (cust_merged_windows, CUST_MERGED_WINDOWS_SQL)
+
+from ocr_ray.ops.dq import (
+    ORDERS_PRICE_RECONCILIATION_SQL,
+    orders_price_reconciliation,
+)
+
+REGISTRY["orders_price_reconciliation"] = (
+    orders_price_reconciliation,
+    ORDERS_PRICE_RECONCILIATION_SQL,
+)

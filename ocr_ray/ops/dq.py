@@ -732,3 +732,120 @@ SELECT o_orderkey & 15 AS bucket,
 FROM orders
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# fact-to-fact reconciliation: order header totals vs lineitem sums
+# ---------------------------------------------------------------------------
+
+
+def orders_price_reconciliation(sf_dir: str) -> Dataset:
+    """Reconcile every order header's total against the SUM of its line
+    items — the cross-table consistency audit (billing vs ledger, header
+    vs detail) that runs after any backfill. Emits a census:
+    ``match`` (header == exact cents sum), ``mismatch``, ``no_lines``
+    (header with no/NULL line sum), ``null_price`` (NULL header total).
+
+    Plan: lineitem pre-combines cents per l_orderkey per batch, ONE
+    groupby reduces to order grain, and the header LEFT-joins that
+    aggregate through ``auto_join`` (broadcast under the gate, hash
+    shuffle above); classification is a vectorized CASE and only
+    (status, count) partials reach the final tiny groupby. The pandas
+    join lane turns absent/NULL int sums into NaN floats — the
+    nan-or-null mask restores SQL three-valued classification."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.joins import auto_join
+
+    line = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("l_orderkey")))
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "line_total_c": to_cents(t.column("l_extendedprice")),
+            }
+        ).group_by(["l_orderkey"]).aggregate([("line_total_c", "sum")])
+        return g.rename_columns(["l_orderkey", "line_total_c"])
+
+    line_agg = (
+        line.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("line_total_c", alias_name="line_total_c"))
+    )
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_total_c": to_cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = auto_join(orders, line_agg, on="o_orderkey", right_on="l_orderkey", how="left")
+
+    def _nullish(col):
+        m = pc.is_null(col)
+        if pa.types.is_floating(col.type):
+            # is_nan(NULL) is NULL — fill it, is_null already covers the row
+            m = pc.or_(m, pc.fill_null(pc.is_nan(col), False))
+        return m
+
+    def classify(t: pa.Table) -> pa.Table:
+        lt, ot = t.column("line_total_c"), t.column("o_total_c")
+        no_lines = _nullish(lt)
+        null_price = _nullish(ot)
+        # compare in float64 (exact for cent magnitudes); masked rows never
+        # reach the equality branch
+        eq = pc.equal(
+            pc.cast(pc.fill_null(ot, 0), pa.float64()),
+            pc.cast(pc.fill_null(lt, 0), pa.float64()),
+        )
+        status = pc.if_else(
+            no_lines,
+            pa.scalar("no_lines"),
+            pc.if_else(
+                null_price,
+                pa.scalar("null_price"),
+                pc.if_else(eq, pa.scalar("match"), pa.scalar("mismatch")),
+            ),
+        )
+        g = pa.table(
+            {
+                "recon_status": status,
+                "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ).group_by(["recon_status"]).aggregate([("n_orders", "sum")])
+        return g.rename_columns(["recon_status", "n_orders"])
+
+    return (
+        joined.map_batches(classify, batch_format="pyarrow")
+        .groupby("recon_status")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+ORDERS_PRICE_RECONCILIATION_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS line_total_c
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT CASE WHEN line_total_c IS NULL THEN 'no_lines'
+            WHEN o_total_c IS NULL THEN 'null_price'
+            WHEN o_total_c = line_total_c THEN 'match'
+            ELSE 'mismatch' END AS recon_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS o_total_c FROM orders) o
+LEFT JOIN l ON o_orderkey = l_orderkey
+GROUP BY 1
+"""

@@ -295,3 +295,28 @@ class TestQ16TierParity:
         a = a.sort_values(keys).reset_index(drop=True)
         b = b.sort_values(keys).reset_index(drop=True)[a.columns]
         assert a.astype(str).values.tolist() == b.astype(str).values.tolist()
+
+
+class TestPriceReconciliation:
+    def test_all_four_statuses(self, tmp_path, ray_session):
+        from ocr_ray.ops.dq import orders_price_reconciliation
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                # 1: matches (1.00+2.00), 2: mismatches, 3: no lines,
+                # 4: NULL header price (has lines)
+                "o_totalprice": pa.array([3.0, 9.0, 5.0, None], pa.float64()),
+            }
+        )
+        line = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 4], pa.int64()),
+                "l_extendedprice": pa.array([1.0, 2.0, 1.0, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+        got = orders_price_reconciliation(str(tmp_path)).to_pandas()
+        census = dict(zip(got["recon_status"], got["n_orders"]))
+        assert census == {"match": 1, "mismatch": 1, "no_lines": 1, "null_price": 1}
