@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "event_value_percentile_cont",
     "cust_merged_windows",
     "orders_price_reconciliation",
+    "events_time_rollup",
 ]
 
 

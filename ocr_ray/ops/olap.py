@@ -753,3 +753,111 @@ REGISTRY["event_value_percentile_cont"] = (
     event_value_percentile_cont,
     EVENT_VALUE_PERCENTILE_CONT_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP over a drill-down hierarchy (type -> day)
+# ---------------------------------------------------------------------------
+
+
+def events_time_rollup(sf_dir: str) -> Dataset:
+    """ROLLUP(event_type, day): event count + exact cents total at each
+    drill-down level — (type, day), (type), grand total — the hierarchical
+    report sibling of ``orders_cube`` (CUBE materializes every subset;
+    ROLLUP only the prefix chain, the shape time-hierarchy dashboards
+    ask for).
+
+    Same plan as the cube: ONE corpus shuffle to the finest (type, day)
+    aggregate (per-batch partials, null-safe keys — a NULL ts is a genuine
+    NULL-day group, distinct from the rolled-up NULL), then the three
+    prefix levels expand from the finest block (counts/sums re-aggregate
+    exactly)."""
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.divide(
+            pc.subtract(us, pc.if_else(pc.less(us, 0), 86_399_999_999, 0)),
+            86_400_000_000,
+        )
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "cents": pc.coalesce(to_cents(t.column("value")), pa.scalar(0, pa.int64())),
+                "__one": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        ).group_by(["event_type", "day"]).aggregate([("cents", "sum"), ("__one", "sum")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "day": g.column("day"),
+                "value_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+                "n_events": pc.cast(g.column("__one_sum"), pa.int64()),
+            }
+        )
+
+    finest = null_safe_groupby_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+    def rollup_expand(t: pa.Table) -> pa.Table:
+        levels = []
+        for keys in (["event_type", "day"], ["event_type"], []):
+            if keys:
+                g = t.group_by(keys).aggregate(
+                    [("n_events", "sum"), ("value_cents", "sum")]
+                )
+                cols = {k: g.column(k) for k in keys}
+                n = g.num_rows
+                if "day" not in keys:
+                    cols["day"] = pa.nulls(n, pa.int64())
+            else:
+                cols = {
+                    "event_type": pa.nulls(1, pa.string()),
+                    "day": pa.nulls(1, pa.int64()),
+                }
+                g = None
+            levels.append(
+                pa.table(
+                    {
+                        "event_type": cols["event_type"],
+                        "day": cols["day"],
+                        "n_events": pc.cast(
+                            g.column("n_events_sum"), pa.int64()
+                        )
+                        if g is not None
+                        else pa.array(
+                            [pc.sum(t.column("n_events")).as_py() or 0], pa.int64()
+                        ),
+                        "value_cents": pc.cast(
+                            g.column("value_cents_sum"), pa.int64()
+                        )
+                        if g is not None
+                        else pa.array(
+                            [pc.sum(t.column("value_cents")).as_py() or 0], pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(levels)
+
+    return finest.repartition(1).map_batches(
+        rollup_expand, batch_format="pyarrow", batch_size=None
+    )
+
+
+EVENTS_TIME_ROLLUP_SQL = """
+SELECT event_type, day,
+       count(*) AS n_events,
+       CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS value_cents
+FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+REGISTRY["events_time_rollup"] = (events_time_rollup, EVENTS_TIME_ROLLUP_SQL)

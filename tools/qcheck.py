@@ -28,7 +28,9 @@ for name, fn in qs.items():
     ok_schema = list(g.columns) == list(w.columns) and all(str(g[c].dtype)==str(w[c].dtype) for c in g.columns)
     g = g.sort_values(list(g.columns)).reset_index(drop=True)
     w = w.sort_values(list(w.columns)).reset_index(drop=True)
-    ok = ok_schema and len(g)==len(w) and all((g[c].values == w[c].values).all() for c in g.columns)
+    # astype(str) comparison is NaN-aware (NaN == NaN under ==, never True,
+    # would false-fail NULL-bearing float columns like rolled-up ROLLUP keys)
+    ok = ok_schema and len(g)==len(w) and g.astype(str).values.tolist() == w.astype(str).values.tolist()
     print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(g)}/{len(w)} schema_ok={ok_schema}")
     if not ok:
         fails += 1
