@@ -308,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
 
         out["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(_DRIVER_SF)
+        from ocr_ray.ops.fuzzy import fuzzy_name_clusters_sql
+
+        out["fuzzy_name_clusters"] = fuzzy_name_clusters_sql(_DRIVER_SF)
     except ImportError:
         pass
     return out

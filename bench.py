@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "cust_merged_windows",
     "orders_price_reconciliation",
     "events_time_rollup",
+    "fuzzy_name_clusters",
 ]
 
 

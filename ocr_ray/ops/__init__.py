@@ -373,3 +373,7 @@ REGISTRY["orders_price_reconciliation"] = (
     orders_price_reconciliation,
     ORDERS_PRICE_RECONCILIATION_SQL,
 )
+
+from ocr_ray.ops.fuzzy import fuzzy_name_clusters
+
+REGISTRY["fuzzy_name_clusters"] = (fuzzy_name_clusters, None)  # SQL built per-sf

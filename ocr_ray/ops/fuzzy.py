@@ -288,3 +288,69 @@ FROM t a JOIN t b
  AND length(a.name) - length(b.name) BETWEEN -1 AND 1
  AND levenshtein(a.name, b.name) <= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# entity resolution end-to-end: fuzzy pairs -> transitive clusters
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_clusters(sf_dir: str) -> "Dataset":
+    """Entity resolution composed end-to-end: the ED<=1 blocking self-join
+    (deletion-neighborhood signatures, guaranteed recall) feeds the
+    size-gated min-label component machinery — every matched name gets a
+    cluster id (the component's minimum id). Singletons (no ED<=1
+    neighbor) are not emitted; the caller left-joins them back as their
+    own cluster (mirrored: the SQL closure also starts from pair
+    endpoints).
+
+    Both stages are the already-gated primitives (`fuzzy_name_pairs`,
+    `connected_components_graph`); this entry gates their COMPOSITION —
+    transitive closure over fuzzy matches is where entity resolution
+    earns its keep (A~B, B~C clusters A,B,C even when A!~C)."""
+    from ocr_ray.ops.dedup import propagate_min_labels
+
+    path = ensure_names(_n_names_for_sf(sf_dir))
+    pairs = fuzzy_name_pairs_over(rd.read_parquet(path))
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.cast(t.column("id_a"), pa.int64()),
+                "b": pc.cast(t.column("id_b"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = propagate_min_labels(edges)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pc.cast(t.column("node"), pa.int64()),
+                "cluster": pc.cast(t.column("label"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def fuzzy_name_clusters_sql(sf_dir: str) -> str:
+    """Recursive-CTE closure over the banded levenshtein join."""
+    path = ensure_names(_n_names_for_sf(sf_dir))
+    return f"""
+WITH RECURSIVE t AS (SELECT id, name FROM read_parquet('{path}')),
+e AS (
+  SELECT a.id AS a, b.id AS b
+  FROM t a JOIN t b
+    ON a.id < b.id
+   AND length(a.name) - length(b.name) BETWEEN -1 AND 1
+   AND levenshtein(a.name, b.name) <= 1
+),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT CAST(node AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""

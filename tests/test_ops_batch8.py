@@ -320,3 +320,34 @@ class TestPriceReconciliation:
         got = orders_price_reconciliation(str(tmp_path)).to_pandas()
         census = dict(zip(got["recon_status"], got["n_orders"]))
         assert census == {"match": 1, "mismatch": 1, "no_lines": 1, "null_price": 1}
+
+
+class TestFuzzyClusters:
+    def test_transitive_closure(self, tmp_path, ray_session):
+        """A~B and B~C (each ED 1) cluster together even though ED(A,C)=2."""
+        import ray.data as rd
+
+        from ocr_ray.ops.dedup import propagate_min_labels
+        from ocr_ray.ops.fuzzy import fuzzy_name_pairs_over
+
+        names = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 9], pa.int64()),
+                "name": pa.array(["smith", "smiths", "smithss", "jones"], pa.string()),
+            }
+        )
+        pairs = fuzzy_name_pairs_over(rd.from_arrow(names))
+        import pyarrow.compute as pc_
+
+        edges = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pc_.cast(t.column("id_a"), pa.int64()),
+                    "b": pc_.cast(t.column("id_b"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = propagate_min_labels(edges).to_pandas()
+        lab = dict(zip(out["node"], out["label"]))
+        assert lab == {1: 1, 2: 1, 3: 1}  # transitive; 9 (no match) absent
