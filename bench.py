@@ -232,6 +232,13 @@ def run_bench() -> dict:
             scaled_read_parquet(docs100k, columns=["doc_id", "text"])
         ).count()
         qtimes["dedup_minhash_100k"] = round(time.monotonic() - t0, 3)
+        from ocr_ray.ops.dedup import dedup_incremental_over
+
+        t0 = time.monotonic()
+        _ = dedup_incremental_over(
+            scaled_read_parquet(docs100k, columns=["doc_id", "text"])
+        ).count()
+        qtimes["dedup_incremental_100k"] = round(time.monotonic() - t0, 3)
         vecs200k = ensure_bigvecs(200_000, dim=64, seed=11)
         vec_ds = scaled_read_parquet(vecs200k)
         t0 = time.monotonic()

@@ -1337,6 +1337,12 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, n_planes: int = 12
 
 
 def dedup_incremental_docs(sf_dir: str) -> Dataset:
+    """queries() entry — see ``dedup_incremental_over``."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return dedup_incremental_over(docs)
+
+
+def dedup_incremental_over(docs: Dataset) -> Dataset:
     """Incremental exact dedup: new (delta) documents deduped against an
     already-ingested corpus — the O(delta) maintenance shape a checkpointed
     10^12-row pipeline runs per ingest segment, instead of re-deduping the
@@ -1354,8 +1360,6 @@ def dedup_incremental_docs(sf_dir: str) -> Dataset:
     from ray.data.aggregate import Min
 
     from ocr_ray.functions.joins import anti_join_ds, anti_join_filter
-
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def halves(t: pa.Table, want_odd: bool) -> pa.Table:
         t = t.filter(
