@@ -68,9 +68,10 @@ def _rebind_extract_oracles():
     _SQLS["connected_components_graph"] = connected_components_graph_sql(SF)
     _SQLS["triangle_count_graph"] = triangle_count_graph_sql(SF)
     _SQLS["bfs_hops_graph"] = bfs_hops_graph_sql(SF)
-    from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
+    from ocr_ray.ops.fuzzy import fuzzy_name_clusters_sql, fuzzy_name_pairs_sql
 
     _SQLS["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(SF)
+    _SQLS["fuzzy_name_clusters"] = fuzzy_name_clusters_sql(SF)
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
@@ -89,7 +90,9 @@ def test_query_matches_oracle(name, con):
     w = w.sort_values(list(w.columns)).reset_index(drop=True)
     for c in g.columns:
         assert str(g[c].dtype) == str(w[c].dtype), (c, g[c].dtype, w[c].dtype)
-        assert (g[c].values == w[c].values).all(), c
+        # astype(str) is NaN-aware: == would false-fail NULL-bearing float
+        # columns (e.g. rolled-up ROLLUP keys), since NaN != NaN
+        assert (g[c].astype(str).values == w[c].astype(str).values).all(), c
 
 
 def test_rows_only_queries_run():
