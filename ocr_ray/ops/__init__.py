@@ -377,3 +377,7 @@ REGISTRY["orders_price_reconciliation"] = (
 from ocr_ray.ops.fuzzy import fuzzy_name_clusters
 
 REGISTRY["fuzzy_name_clusters"] = (fuzzy_name_clusters, None)  # SQL built per-sf
+
+from ocr_ray.ops.corpus import LM_SCORE_DOCS_SQL, lm_score_docs
+
+REGISTRY["lm_score_docs"] = (lm_score_docs, LM_SCORE_DOCS_SQL)

@@ -1455,3 +1455,133 @@ SELECT q_bp,
 FROM t
 WHERE cnt > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal score (the CCNet/KenLM-style perplexity quality gate)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB_K = 1000  # broadcast vocabulary size (top tokens by count)
+_LM_SUR_CAP = 1_000_000  # surprisal ceiling; also the OOV surrogate
+
+
+def _token_census_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (token, n) partial counts — the vocab_topk partial, shared
+    so the LM census and the vocabulary op stay byte-identical."""
+    toks = _token_lists(t).combine_chunks()
+    flat = toks.flatten()
+    flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+    vc = flat.value_counts()
+    return pa.table(
+        {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def lm_score_docs(sf_dir: str, *, vocab_k: int = _LM_VOCAB_K, cap: int = _LM_SUR_CAP) -> Dataset:
+    """Per-doc unigram language-model surprisal score — the deterministic
+    integer analog of the CCNet/KenLM perplexity filter used to rank
+    training documents by how 'ordinary' their vocabulary is (Wenzek et
+    al., CCNet, 2019). Low mean surprisal = common/boilerplate-leaning
+    vocabulary; high = rare-token-dense (noise, non-language, OOV-heavy).
+
+    Plan (two streaming passes over text, one tiny broadcast):
+      1. token census: per-batch Arrow value_counts partials ->
+         groupby(token).sum — shuffle carries distinct tokens per batch.
+      2. the top-``vocab_k`` census rows (count desc, token asc — a total
+         order) plus the corpus token total fold to the driver (bounded by
+         ``vocab_k``), become a token -> surprisal dict, and broadcast once
+         via ``ray.put``.
+      3. scoring pass: tokenize per batch (same Arrow kernel as the
+         census), map tokens through the dict at C speed (pandas hash
+         map), per-row sums via one cumsum + offset subtraction.
+
+    Surprisal is the capped integer rational ``min(total // n, cap)`` (the
+    BM25 idf-surrogate trick): exact in both engines at any reduction
+    order, no float log. OOV tokens (outside the top-``vocab_k``) take
+    ``cap``. Output: (doc_id, n_tokens, sur_total, mean_sur) for every
+    non-null-id document; zero-token docs score 0 (id-keyed op: doc_id is
+    the documents key per TESTDATA.md, non-null contract mirrored in SQL)."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return lm_score_docs_over(docs, vocab_k=vocab_k, cap=cap)
+
+
+def lm_score_docs_over(
+    docs: Dataset, *, vocab_k: int = _LM_VOCAB_K, cap: int = _LM_SUR_CAP
+) -> Dataset:
+    def _nonnull_id(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("doc_id")))
+
+    docs = docs.map_batches(_nonnull_id, batch_format="pyarrow")
+    census = (
+        docs.map_batches(_token_census_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # reused twice: total fold + top-V; rows = distinct tokens
+    )
+    total = int(census.aggregate(Sum("n", alias_name="t"))["t"] or 0)
+    top = (
+        census.sort(["n", "token"], descending=[True, False]).limit(vocab_k).take_all()
+    )
+    sur_map = {r["token"]: min(total // int(r["n"]), cap) for r in top}
+    ref = ray.put(sur_map)
+
+    class Score:
+        def __init__(self):
+            self.sur = ray.get(ref)  # shared once per worker process
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lists = _token_lists(t).combine_chunks()
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            flat = lists.flatten()
+            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = (
+                pd.Series(flat.to_pandas())
+                .map(self.sur)
+                .fillna(cap)
+                .to_numpy(np.int64)
+            )
+            cs = np.concatenate(([0], np.cumsum(vals)))
+            tot = cs[offs[1:]] - cs[offs[:-1]]
+            sizes = offs[1:] - offs[:-1]
+            mean = np.where(sizes > 0, tot // np.maximum(sizes, 1), 0)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_tokens": pa.array(sizes, pa.int64()),
+                    "sur_total": pa.array(tot, pa.int64()),
+                    "mean_sur": pa.array(mean, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+LM_SCORE_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+  ORDER BY n DESC, token ASC LIMIT {_LM_VOCAB_K}
+),
+scored AS (
+  SELECT tk.doc_id,
+         LEAST(COALESCE((SELECT t FROM tot) // v.n, {_LM_SUR_CAP}), {_LM_SUR_CAP}) AS sur
+  FROM toks tk LEFT JOIN vocab v USING (token)
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(sur) AS BIGINT) AS sur_total
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.sur_total, 0) AS sur_total,
+       CASE WHEN p.n_tokens IS NULL THEN 0 ELSE p.sur_total // p.n_tokens END AS mean_sur
+FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+LEFT JOIN per p USING (doc_id)
+"""

@@ -303,3 +303,36 @@ class TestDupNgramSpans:
             tmp_path / "documents.parquet",
         )
         assert dup_ngram_spans(str(tmp_path)).take_all() == []
+
+
+class TestLmScore:
+    def test_planted_surprisal_ordering(self, ray_session, tmp_path):
+        """Common-vocabulary docs score a LOWER mean surprisal than a
+        rare-token doc; OOV-only docs hit the cap; empty docs score 0."""
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.corpus import lm_score_docs
+
+        d = tmp_path / "lm_sf"
+        d.mkdir()
+        # "the" appears 40x (very common); doc 2 is one-off junk tokens
+        common = "the " * 20
+        pq_.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": [common, common, "zzqx wvut kjhg", ""],
+                }
+            ),
+            d / "documents.parquet",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in lm_score_docs(str(d), vocab_k=1, cap=1000).take_all()
+        }
+        assert got[3] == {"doc_id": 3, "n_tokens": 0, "sur_total": 0, "mean_sur": 0}
+        # total=43 tokens; "the" n=40 -> sur = 43//40 = 1
+        assert got[0]["mean_sur"] == 1 and got[0]["n_tokens"] == 20
+        # doc 2's tokens are outside vocab_k=1 -> capped surrogate
+        assert got[2]["mean_sur"] == 1000 and got[2]["sur_total"] == 3000
+        assert got[0]["mean_sur"] < got[2]["mean_sur"]
