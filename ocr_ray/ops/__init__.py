@@ -381,3 +381,13 @@ REGISTRY["fuzzy_name_clusters"] = (fuzzy_name_clusters, None)  # SQL built per-s
 from ocr_ray.ops.corpus import LM_SCORE_DOCS_SQL, lm_score_docs
 
 REGISTRY["lm_score_docs"] = (lm_score_docs, LM_SCORE_DOCS_SQL)
+
+from ocr_ray.ops.timeseries import (
+    PURCHASE_LINEAR_ATTRIBUTION_SQL,
+    purchase_linear_attribution,
+)
+
+REGISTRY["purchase_linear_attribution"] = (
+    purchase_linear_attribution,
+    PURCHASE_LINEAR_ATTRIBUTION_SQL,
+)

@@ -1888,3 +1888,149 @@ SELECT o_custkey, MIN(s) AS island_start, MAX(e) AS island_end,
 FROM g
 GROUP BY o_custkey, island
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-touch (linear) attribution — interval-stabbing credit assignment
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+_ATTR_SCALE = 1_000_000
+
+
+def purchase_linear_attribution(sf_dir: str) -> Dataset:
+    """Linear multi-touch attribution: every purchase's cents are split
+    EQUALLY across the same user's clicks in the trailing hour
+    (pts - 1h < cts <= pts) — the many-to-many sibling of the last-touch
+    as-of ``purchase_attribution``. Output per credited click:
+    (event_id, touches, credit_e6) where credit is the exact integer
+    ``cents * 1e6 // k`` summed over covering purchases (// truncates
+    toward zero in DuckDB — mirrored for hostile negative values).
+
+    Plan: one coarse-key grouped scan on user_id. Per user segment the
+    purchase windows are stabbed against the sorted click timestamps with
+    two vectorized ``searchsorted`` calls, and per-click credit falls out
+    of a difference array + cumsum (O(n log n) per user, no pair
+    expansion — a purchase covering 10^4 clicks adds 2 array writes, not
+    10^4 rows). Id-keyed contract: NULL event_id/user_id/ts rows drop
+    (NULL pid would fuse distinct purchases into one SQL count partition)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_p = pc.fill_null(pc.equal(t.column("event_type"), "purchase"), False)
+        is_c = pc.fill_null(pc.equal(t.column("event_type"), "click"), False)
+        keep = pc.and_(
+            pc.and_(pc.or_(is_p, is_c), pc.is_valid(t.column("event_id"))),
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+        )
+        # purchases additionally need a value to credit
+        keep = pc.and_(keep, pc.or_(is_c, pc.is_valid(t.column("value"))))
+        t = t.filter(keep)
+        is_p2 = pc.equal(t.column("event_type"), "purchase")
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "is_p": is_p2,
+                "us": t.column("ts").cast(pa.int64()),
+                "cents": to_cents(
+                    pc.if_else(is_p2, t.column("value"), pa.scalar(0.0))
+                ),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "touches": pa.array([], pa.int64()),
+            "credit_e6": pa.array([], pa.int64()),
+        }
+    )
+
+    def attribute(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        t = t.sort_by(
+            [("user_id", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        isp = t.column("is_p").to_numpy(zero_copy_only=False).astype(bool)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        n = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        out_id, out_touch, out_credit = [], [], []
+        for s, e in zip(starts, ends):
+            seg_p = isp[s:e]
+            c_ts, c_id = us[s:e][~seg_p], eid[s:e][~seg_p]
+            p_ts, p_cents = us[s:e][seg_p], cents[s:e][seg_p]
+            if len(c_ts) == 0 or len(p_ts) == 0:
+                continue
+            lo = np.searchsorted(c_ts, p_ts - _ATTR_WINDOW_US, side="right")
+            hi = np.searchsorted(c_ts, p_ts, side="right")
+            k = hi - lo
+            m = k > 0
+            if not m.any():
+                continue
+            pc_m = p_cents[m]
+            # DuckDB BIGINT // truncates toward zero; numpy // floors
+            credit = np.sign(pc_m) * (np.abs(pc_m) * _ATTR_SCALE // k[m])
+            d = np.zeros(len(c_ts) + 1, np.int64)
+            dt = np.zeros(len(c_ts) + 1, np.int64)
+            np.add.at(d, lo[m], credit)
+            np.add.at(d, hi[m], -credit)
+            np.add.at(dt, lo[m], 1)
+            np.add.at(dt, hi[m], -1)
+            cr = np.cumsum(d[:-1])
+            tc = np.cumsum(dt[:-1])
+            sel = tc > 0
+            if sel.any():
+                out_id.append(c_id[sel])
+                out_touch.append(tc[sel])
+                out_credit.append(cr[sel])
+        if not out_id:
+            return _empty
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "touches": pa.array(np.concatenate(out_touch), pa.int64()),
+                "credit_e6": pa.array(np.concatenate(out_credit), pa.int64()),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", attribute, batch_format="pyarrow")
+
+
+PURCHASE_LINEAR_ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id AS u, ts AS pts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+    AND user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT event_id AS cid, user_id AS u, ts AS cts FROM events
+  WHERE event_type = 'click' AND event_id IS NOT NULL
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+pairs AS (
+  SELECT c.cid, p.pid, p.cents,
+         count(*) OVER (PARTITION BY p.pid) AS k
+  FROM p JOIN c ON c.u = p.u
+   AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 1 HOUR
+)
+SELECT cid AS event_id,
+       CAST(count(*) AS BIGINT) AS touches,
+       CAST(sum(cents * {_ATTR_SCALE} // k) AS BIGINT) AS credit_e6
+FROM pairs GROUP BY cid
+"""

@@ -665,3 +665,41 @@ class TestLongestStreak:
         pq.write_table(t, str(d / "events.parquet"))
         got = {r["user_id"]: r["streak"] for r in user_longest_streak(str(d)).take_all()}
         assert got == {1: 3, 2: 1}
+
+
+class TestLinearAttribution:
+    def test_window_boundaries_and_split(self, tmp_path, ray_session):
+        """Click AT the purchase ts is credited; click exactly 1h before is
+        NOT (strict lower bound); two covered clicks split the cents."""
+        base = dt.datetime(2024, 6, 1, 12, 0, 0)
+        rows = [
+            # (event_id, type, ts, value)
+            (1, "click", base - dt.timedelta(hours=1), 0.0),     # excluded: == pts-1h
+            (2, "click", base - dt.timedelta(minutes=30), 0.0),  # covered
+            (3, "click", base, 0.0),                              # covered: == pts
+            (4, "purchase", base, 10.01),                         # 1001 cents
+            (5, "click", base + dt.timedelta(seconds=1), 0.0),   # after -> excluded
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([7] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[3] for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        from ocr_ray.ops.timeseries import purchase_linear_attribution
+
+        out = (
+            purchase_linear_attribution(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out.event_id.tolist() == [2, 3]
+        assert out.touches.tolist() == [1, 1]
+        # 1001 cents * 1e6 // 2 touches = 500_500_000 each (truncating split)
+        assert out.credit_e6.tolist() == [500_500_000, 500_500_000]
