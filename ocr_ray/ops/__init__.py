@@ -391,3 +391,17 @@ REGISTRY["purchase_linear_attribution"] = (
     purchase_linear_attribution,
     PURCHASE_LINEAR_ATTRIBUTION_SQL,
 )
+
+from ocr_ray.ops.corpus import COLLOCATIONS_PMI_SQL, collocations_pmi
+
+REGISTRY["collocations_pmi"] = (collocations_pmi, COLLOCATIONS_PMI_SQL)
+
+from ocr_ray.ops.stats import (
+    EVENT_VALUE_OUTLIERS_MAD_SQL,
+    event_value_outliers_mad,
+)
+
+REGISTRY["event_value_outliers_mad"] = (
+    event_value_outliers_mad,
+    EVENT_VALUE_OUTLIERS_MAD_SQL,
+)

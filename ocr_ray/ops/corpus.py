@@ -1585,3 +1585,141 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
 LEFT JOIN per p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (adjacent-bigram lift — the PMI census, integer-exact)
+# ---------------------------------------------------------------------------
+
+_COLLOC_MIN_SUPPORT = 5
+_COLLOC_TOP_K = 50
+_COLLOC_SCALE = 1_000_000
+
+
+def collocations_pmi(
+    sf_dir: str,
+    *,
+    min_support: int = _COLLOC_MIN_SUPPORT,
+    top_k: int = _COLLOC_TOP_K,
+) -> pa.Table:
+    """Top-``top_k`` adjacent-word collocations by integer LIFT — the
+    pointwise-mutual-information census of corpus phrase mining
+    (lift = P(ab) / (P(a)·P(b)), scaled e6 and computed as the exact
+    rational ``n_ab * T * 1e6 // (n_a * n_b)`` in arbitrary-precision ints
+    on the Ray side and HUGEINT in DuckDB — no float log, identical bits).
+
+    Plan: (1) bigram census — per-batch vectorized shifted-take +
+    binary_join bigram build, Arrow value_counts partials, groupby-sum
+    (shuffle carries distinct bigrams per batch); (2) support gate
+    ``n_ab >= min_support`` INSIDE the stream, so only heavy hitters
+    (bounded by corpus_tokens / min_support) reach the driver; (3) unigram
+    census probe restricted to candidate endpoint words via broadcast
+    ``is_in`` (probe traffic scales with candidates, not vocabulary);
+    (4) exact integer lift + (lift desc, bigram asc) top-k."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+    return collocations_pmi_over(docs, min_support=min_support, top_k=top_k)
+
+
+def _bigram_census_partial(t: pa.Table) -> pa.Table:
+    lists = _token_lists(t).combine_chunks()
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    total = len(flat)
+    empty = pa.table(
+        {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if total < 2:
+        return empty
+    valid = np.ones(total - 1, dtype=bool)
+    # pair (j, j+1) straddles two docs iff j+1 is a doc start
+    doc_starts = offs[1:-1]
+    inv = doc_starts - 1
+    inv = inv[(inv >= 0) & (inv < total - 1)]
+    valid[inv] = False
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return empty
+    left = flat.take(pa.array(idx, pa.int64()))
+    right = flat.take(pa.array(idx + 1, pa.int64()))
+    big = pc.binary_join_element_wise(left, right, " ")
+    vc = big.value_counts()
+    return pa.table(
+        {"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def collocations_pmi_over(
+    docs: Dataset, *, min_support: int = _COLLOC_MIN_SUPPORT, top_k: int = _COLLOC_TOP_K
+) -> pa.Table:
+    out_schema = pa.schema(
+        [("bigram", pa.string()), ("n_ab", pa.int64()), ("lift_e6", pa.int64())]
+    )
+    cand_rows = (
+        docs.map_batches(_bigram_census_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n_ab"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_ab"), min_support)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    uni = (
+        docs.map_batches(_token_census_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = int(uni.aggregate(Sum("n", alias_name="t"))["t"] or 0)
+    if not cand_rows or total == 0:
+        return out_schema.empty_table()
+    words = sorted({w for r in cand_rows for w in r["bigram"].split(" ")})
+    wset = pa.array(words, pa.string())
+    word_rows = uni.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("token"), value_set=wset)),
+        batch_format="pyarrow",
+    ).take_all()
+    n_of = {r["token"]: int(r["n"]) for r in word_rows}
+    scored = []
+    for r in cand_rows:
+        a, b = r["bigram"].split(" ", 1)
+        n_ab = int(r["n_ab"])
+        lift = (n_ab * total * _COLLOC_SCALE) // (n_of[a] * n_of[b])
+        scored.append((r["bigram"], n_ab, lift))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    scored = scored[:top_k]
+    return pa.table(
+        {
+            "bigram": pa.array([s[0] for s in scored], pa.string()),
+            "n_ab": pa.array([s[1] for s in scored], pa.int64()),
+            "lift_e6": pa.array([s[2] for s in scored], pa.int64()),
+        }
+    )
+
+
+COLLOCATIONS_PMI_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS bigram
+  FROM toks
+),
+uni AS (SELECT unnest(t) AS token FROM toks),
+bc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM big
+  GROUP BY bigram HAVING count(*) >= {_COLLOC_MIN_SUPPORT}
+),
+uc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY token),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM uni)
+SELECT bigram, n_ab,
+       CAST((CAST(n_ab AS HUGEINT) * (SELECT t FROM tot) * {_COLLOC_SCALE})
+            // (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS lift_e6
+FROM bc
+JOIN uc ua ON ua.token = split_part(bc.bigram, ' ', 1)
+JOIN uc ub ON ub.token = split_part(bc.bigram, ' ', 2)
+ORDER BY lift_e6 DESC, bigram ASC
+LIMIT {_COLLOC_TOP_K}
+"""

@@ -708,3 +708,139 @@ FROM (
 WHERE k IS NOT NULL
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median absolute deviation (the 3-sigma op's robust sibling)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3  # flag |x - median| > K * MAD
+_MAD_BUCKET = 10_000  # $100-wide rank-histogram buckets
+
+
+def _rank_element_cents(v: Dataset, col: str, rank: int) -> int:
+    """Exact value at ascending ``rank`` (1-based) of an int64 column via
+    the bucket-histogram two-pass plan (no global sort): per-batch bucket
+    counts fold to a tiny driver table (buckets = value range / width);
+    only the one target bucket's rows are pulled and sorted."""
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = t.column(col).to_numpy()
+        b, n = np.unique(c // _MAD_BUCKET, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(b, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    rows = sorted(
+        (
+            (r["bucket"], r["n"])
+            for r in v.map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        ),
+    )
+    cum = 0
+    target = None
+    for b, n in rows:
+        if cum + n >= rank:
+            target, rank_in = b, rank - cum
+            break
+        cum += n
+    assert target is not None, "rank beyond population"
+    in_bucket = np.sort(
+        np.concatenate(
+            [
+                t.column(col).to_numpy()
+                for t in v.map_batches(
+                    lambda t: t.filter(
+                        pc.equal(
+                            pa.array(
+                                t.column(col).to_numpy() // _MAD_BUCKET, pa.int64()
+                            ),
+                            pa.scalar(int(target)),
+                        )
+                    ),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    return int(in_bucket[rank_in - 1])
+
+
+def event_value_outliers_mad(sf_dir: str) -> Dataset:
+    """Events whose value deviates from the MEDIAN by more than
+    ``_MAD_K`` × the median absolute deviation — the robust sibling of
+    ``event_value_outliers``: a handful of extreme values inflates the
+    3-sigma gate's σ and hides real anomalies; the MAD gate is
+    breakdown-resistant and stays exact in integers.
+
+    Median = the lower median (ascending rank (n-1)//2 + 1 — mirrored in
+    SQL via row_number, NOT DuckDB's interpolating median()). Four
+    streaming passes (two rank-histogram quantiles over cents and over
+    |c - med|) plus the final gate pass; the driver only ever holds bucket
+    histograms and one bucket's values. NULL event_id / value rows are
+    excluded everywhere (mirrored)."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("value")))
+        )
+        return pa.table(
+            {
+                "event_id": keep.column("event_id"),
+                "value_cents": to_cents(keep.column("value")),
+            }
+        )
+
+    v = events.map_batches(prep, batch_format="pyarrow").materialize()
+    out_schema = pa.schema([("event_id", pa.int64()), ("value_cents", pa.int64())])
+    n = v.count()
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    rank = (n - 1) // 2 + 1
+    med = _rank_element_cents(v, "value_cents", rank)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        c = t.column("value_cents").to_numpy()
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value_cents": t.column("value_cents"),
+                "ad": pa.array(np.abs(c - med), pa.int64()),
+            }
+        )
+
+    d = v.map_batches(absdev, batch_format="pyarrow").materialize()
+    mad = _rank_element_cents(d, "ad", rank)
+    thresh = _MAD_K * mad
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("ad"), pa.scalar(thresh))).select(
+            ["event_id", "value_cents"]
+        )
+
+    return d.map_batches(gate, batch_format="pyarrow")
+
+
+EVENT_VALUE_OUTLIERS_MAD_SQL = f"""
+WITH v AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE event_id IS NOT NULL AND value IS NOT NULL
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+med AS (
+  SELECT c FROM (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+  WHERE rn = (SELECT (cnt - 1) // 2 + 1 FROM n)
+),
+d AS (SELECT event_id, c, abs(c - (SELECT c FROM med)) AS ad FROM v),
+mad AS (
+  SELECT ad FROM (SELECT ad, row_number() OVER (ORDER BY ad) AS rn FROM d)
+  WHERE rn = (SELECT (cnt - 1) // 2 + 1 FROM n)
+)
+SELECT event_id, c AS value_cents FROM d
+WHERE ad > {_MAD_K} * (SELECT ad FROM mad)
+"""

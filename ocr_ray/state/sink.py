@@ -1152,3 +1152,149 @@ def delete_keys_partitioned(
     if not rows:
         return pa.table({"partition_id": pa.array([], pa.int32())})
     return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+
+# ---------------------------------------------------------------------------
+# changelog apply (CDC maintenance: upserts + deletes in ONE pass)
+# ---------------------------------------------------------------------------
+
+
+def _apply_changelog_group(
+    group: pa.Table, *, out_dir: str, num_partitions: int
+) -> pa.Table:
+    """map_groups fn: apply one partition's changelog slice (mixed
+    upserts/deletes, keyed by (conv_id, turn_idx)) to its committed file."""
+    pid = int(group.column("part_id")[0].as_py())
+    ch = group.drop_columns(["part_id"])
+    ops = ch.column("op")
+    ok = pc.is_in(ops, value_set=pa.array(["upsert", "delete"]))
+    if ops.null_count or not pc.all(ok).as_py():
+        raise ValueError(
+            f"changelog op column must be 'upsert' or 'delete' (partition {pid})"
+        )
+    # one action per key: an upsert AND a delete for the same key has no
+    # defined order in a Dataset — refuse, like upsert's duplicate rule
+    n_keys = ch.group_by(["conv_id", "turn_idx"]).aggregate([]).num_rows
+    if n_keys != ch.num_rows:
+        raise ValueError(
+            f"changelog has {ch.num_rows - n_keys} duplicate (conv_id, turn_idx) "
+            f"keys in partition {pid}; compact the changelog first"
+        )
+    is_up = pc.equal(ops, "upsert")
+    ups = ch.filter(is_up).drop_columns(["op"])
+    dels = ch.filter(pc.invert(is_up))
+
+    sep = pa.scalar("\x1f")
+
+    def keys(t: pa.Table):
+        return pc.binary_join_element_wise(
+            pc.cast(t.column("conv_id"), pa.string()),
+            pc.cast(t.column("turn_idx"), pa.string()),
+            sep,
+        )
+
+    data_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+    mpath = os.path.join(out_dir, MANIFEST_DIR, f"part-{pid:05d}.json")
+    tag = ""
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            tag = json.load(f).get("input_tag", "")
+    n_del = 0
+    if os.path.exists(data_path):
+        old = pq.read_table(data_path)
+        if ups.num_rows and old.schema.names != ups.schema.names:
+            raise ValueError(
+                f"changelog schema mismatch on partition {pid}: "
+                f"{old.schema.names} vs {ups.schema.names}"
+            )
+        okeys = keys(old)
+        n_del = pc.sum(
+            pc.cast(pc.is_in(okeys, value_set=keys(dels).combine_chunks()), pa.int64())
+        ).as_py() or 0
+        keep = pc.invert(pc.is_in(okeys, value_set=keys(ch).combine_chunks()))
+        merged = old.filter(keep)
+        if ups.num_rows:
+            merged = pa.concat_tables([merged, ups.cast(old.schema)])
+    else:
+        merged = ups
+    if merged.num_rows == 0:
+        # same crash ordering as delete: manifest first, then data
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        if os.path.exists(data_path):
+            os.remove(data_path)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "rows_upserted": pa.array([ups.num_rows], pa.int64()),
+                "rows_deleted": pa.array([n_del], pa.int64()),
+                "file_removed": pa.array([True], pa.bool_()),
+            }
+        )
+    merged = merged.append_column(
+        "part_id", pa.array([pid] * merged.num_rows, pa.int32())
+    )
+    write_partition_group(
+        merged, out_dir=out_dir, input_tag=tag, num_partitions=num_partitions
+    )
+    return pa.table(
+        {
+            "partition_id": pa.array([pid], pa.int32()),
+            "rows_upserted": pa.array([ups.num_rows], pa.int64()),
+            "rows_deleted": pa.array([n_del], pa.int64()),
+            "file_removed": pa.array([False], pa.bool_()),
+        }
+    )
+
+
+def apply_changelog(
+    changes: Dataset,
+    out_dir: str,
+    *,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Apply a CDC changelog — full rows tagged by an ``op`` column
+    ('upsert' | 'delete', keyed by (conv_id, turn_idx)) — to a committed
+    partitioned table in ONE maintenance pass. This is upsert_partitioned
+    and (row-level) delete fused: each TOUCHED partition is read and
+    rewritten exactly once through the atomic commit protocol, so a mixed
+    day's changes cost one rewrite per touched partition instead of two.
+    Untouched partitions are never opened; result is byte-identical to a
+    from-scratch write of the post-change content (same sort, same
+    encoder); an emptied partition is removed, matching the from-scratch
+    layout. Delete rows only need valid key columns (other fields are
+    ignored); the changelog must be key-unique (compact it first)."""
+    done = committed_partitions(out_dir)
+    committed_np = {m.get("num_partitions") for m in done.values()} - {None}
+    if num_partitions is None:
+        if len(committed_np) != 1:
+            raise ValueError(
+                f"cannot infer num_partitions from manifests ({sorted(committed_np)}); "
+                "pass it explicitly"
+            )
+        num_partitions = committed_np.pop()
+    elif committed_np - {num_partitions}:
+        raise ValueError(
+            f"changelog mismatch: {out_dir} committed with num_partitions="
+            f"{sorted(committed_np)}, changes routed with {num_partitions}"
+        )
+    n_parts = int(num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return _add_part_id(t, n_parts)
+
+    out = (
+        changes.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(
+            lambda g: _apply_changelog_group(
+                g, out_dir=out_dir, num_partitions=n_parts
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    rows = out.take_all()  # tiny: one row per touched partition
+    rows.sort(key=lambda r: r["partition_id"])
+    if not rows:
+        return pa.table({"partition_id": pa.array([], pa.int32())})
+    return pa.table({k: [r[k] for r in rows] for k in rows[0]})

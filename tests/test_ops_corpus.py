@@ -336,3 +336,23 @@ class TestLmScore:
         # doc 2's tokens are outside vocab_k=1 -> capped surrogate
         assert got[2]["mean_sur"] == 1000 and got[2]["sur_total"] == 3000
         assert got[0]["mean_sur"] < got[2]["mean_sur"]
+
+
+class TestCollocations:
+    def test_planted_collocation_ranks_first(self, ray_session, tmp_path):
+        """A bigram whose words only ever co-occur gets maximal lift; a
+        bigram of independent common words ranks below it."""
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.corpus import collocations_pmi
+
+        # "hong kong" always adjacent (6x); "the cat"/"the dog" mix freely
+        docs = ["hong kong " * 6, "the cat the dog " * 3, "the cat the dog " * 3]
+        pq_.write_table(
+            pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": docs}),
+            tmp_path / "documents.parquet",
+        )
+        out = collocations_pmi(str(tmp_path), min_support=5, top_k=10).to_pandas()
+        assert out.iloc[0]["bigram"] == "hong kong"
+        ranked = dict(zip(out.bigram, out.lift_e6))
+        assert ranked["hong kong"] > ranked.get("the cat", 0) > 0

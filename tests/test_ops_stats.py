@@ -203,3 +203,29 @@ class TestEventValueOutliers:
         )
         pq.write_table(t, str(tmp_path / "events.parquet"))
         assert event_value_outliers(str(tmp_path)).count() == 0
+
+
+class TestMadOutliers:
+    def test_planted_spike_flagged_sigma_blind(self, ray_session, tmp_path):
+        """One extreme spike among tight values: MAD flags it (and only
+        it), even though the spike itself inflates the naive sigma."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.stats import event_value_outliers_mad
+
+        vals = [10.00, 10.01, 10.02, 10.03, 10.04, 10.05, 10.06, 9999.99]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array([0] * len(vals), pa.timestamp("us")),
+                "user_id": pa.array([1] * len(vals), pa.int64()),
+                "event_type": pa.array(["view"] * len(vals)),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * len(vals)),
+            }
+        )
+        pq_.write_table(t, tmp_path / "events.parquet")
+        out = event_value_outliers_mad(str(tmp_path)).to_pandas()
+        assert out.event_id.tolist() == [7]
+        assert out.value_cents.tolist() == [999999]

@@ -521,3 +521,109 @@ class TestReadSegments:
 
         with pytest.raises(FileNotFoundError):
             read_segments(str(tmp_path / "nothing_here"))
+
+
+class TestApplyChangelog:
+    """CDC apply: mixed upserts + deletes in ONE pass per touched partition,
+    byte-identical to a from-scratch write of the post-change content."""
+
+    @staticmethod
+    def _table(rows, op=None):
+        import pyarrow as pa
+
+        cols = {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+        if op is not None:
+            cols["op"] = pa.array([r[3] for r in rows], pa.string())
+        return pa.table(cols)
+
+    def test_mixed_changes_byte_identity(self, tmp_path):
+        import hashlib
+        import os
+
+        import ray.data as rd
+
+        from ocr_ray.state.sink import (
+            apply_changelog,
+            committed_partitions,
+            write_partitioned,
+        )
+
+        base = [(f"c{i}", j, f"v0-{i}-{j}") for i in range(10) for j in range(2)]
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table(base)), out, num_partitions=4)
+        before = {p: m["checksum"] for p, m in committed_partitions(out).items()}
+
+        changes = [
+            ("c0", 0, "UPDATED", "upsert"),
+            ("c0", 5, "NEW-TURN", "upsert"),
+            ("zz", 0, "NEW-CONV", "upsert"),
+            ("c1", 1, "", "delete"),
+            ("c2", 0, "", "delete"),
+            ("nope", 9, "", "delete"),  # key absent: no-op
+        ]
+        m = apply_changelog(rd.from_arrow(self._table(changes, op=True)), out)
+        touched = set(m.column("partition_id").to_pylist())
+
+        keyed = {(r[0], r[1]): r[2] for r in base}
+        for c, t, v, op in changes:
+            if op == "upsert":
+                keyed[(c, t)] = v
+            else:
+                keyed.pop((c, t), None)
+        got = rd.read_parquet(out).to_pandas()
+        assert len(got) == len(keyed)
+        for _, r in got.iterrows():
+            assert keyed[(r.conv_id, r.turn_idx)] == r.text
+
+        # untouched partitions bit-identical; result == from-scratch write
+        after = {p: m2["checksum"] for p, m2 in committed_partitions(out).items()}
+        for p in before:
+            if p not in touched:
+                assert after[p] == before[p]
+        out2 = str(tmp_path / "fresh")
+        merged_rows = [(k[0], k[1], v) for k, v in keyed.items()]
+        write_partitioned(rd.from_arrow(self._table(merged_rows)), out2, num_partitions=4)
+        h = lambda fp: hashlib.sha256(open(fp, "rb").read()).hexdigest()
+        for p in after:
+            assert h(os.path.join(out, f"part-{p:05d}.parquet")) == h(
+                os.path.join(out2, f"part-{p:05d}.parquet")
+            )
+
+    def test_delete_all_removes_partition(self, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from ocr_ray.state.sink import apply_changelog, write_partitioned
+
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table([("a", 0, "x")])), out, num_partitions=4)
+        [f] = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        m = apply_changelog(
+            rd.from_arrow(self._table([("a", 0, "", "delete")], op=True)), out
+        )
+        assert m.column("file_removed").to_pylist() == [True]
+        assert not os.path.exists(os.path.join(out, f))
+        assert rd.read_parquet(out).count() == 0 if os.listdir(out) else True
+
+    def test_conflicting_key_refused(self, tmp_path):
+        import pytest
+        import ray.data as rd
+
+        from ocr_ray.state.sink import apply_changelog, write_partitioned
+
+        out = str(tmp_path / "t")
+        write_partitioned(rd.from_arrow(self._table([("a", 0, "x")])), out, num_partitions=4)
+        with pytest.raises(Exception, match="duplicate"):
+            apply_changelog(
+                rd.from_arrow(
+                    self._table(
+                        [("a", 0, "y", "upsert"), ("a", 0, "", "delete")], op=True
+                    )
+                ),
+                out,
+            )
