@@ -113,6 +113,14 @@ QUERY_NAMES = [
     "orders_price_reconciliation",
     "events_time_rollup",
     "fuzzy_name_clusters",
+    "lm_score_docs",
+    "purchase_linear_attribution",
+    "collocations_pmi",
+    "event_value_outliers_mad",
+    "embedding_gram",
+    "user_type_gini",
+    "user_value_drawdown",
+    "doc_line_repetition",
 ]
 
 

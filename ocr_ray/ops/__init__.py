@@ -405,3 +405,19 @@ REGISTRY["event_value_outliers_mad"] = (
     event_value_outliers_mad,
     EVENT_VALUE_OUTLIERS_MAD_SQL,
 )
+
+from ocr_ray.ops.ann import EMBEDDING_GRAM_SQL, embedding_gram
+
+REGISTRY["embedding_gram"] = (embedding_gram, EMBEDDING_GRAM_SQL)
+
+from ocr_ray.ops.stats import USER_TYPE_GINI_SQL, user_type_gini
+
+REGISTRY["user_type_gini"] = (user_type_gini, USER_TYPE_GINI_SQL)
+
+from ocr_ray.ops.timeseries import USER_VALUE_DRAWDOWN_SQL, user_value_drawdown
+
+REGISTRY["user_value_drawdown"] = (user_value_drawdown, USER_VALUE_DRAWDOWN_SQL)
+
+from ocr_ray.ops.textstats import DOC_LINE_REPETITION_SQL, doc_line_repetition
+
+REGISTRY["doc_line_repetition"] = (doc_line_repetition, DOC_LINE_REPETITION_SQL)

@@ -907,3 +907,92 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(SUM(xq) AS BIGINT) AS sum_q
 FROM ex GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed Gram / covariance numerator (the PCA building block)
+# ---------------------------------------------------------------------------
+
+_GRAM_DIM = 64  # fixture embedding width; rows of any other width are out
+# of contract and excluded (mirrored in SQL), so the matrix shape is fixed.
+
+
+def embedding_gram(sf_dir: str) -> pa.Table:
+    """Upper-triangular Gram matrix of the embedding corpus: for every
+    dimension pair i <= j (1-based), ``gram = sum over vectors of q_i*q_j``
+    with q = floor(x*1e6) int64 fixed point — the exact integer sufficient
+    statistic from which covariance/PCA/whitening derive (subtract the
+    ``label_centroids`` mean outer product, then eigendecompose the tiny
+    d x d result on the driver).
+
+    Plan: each batch reshapes the list column zero-copy to (n, d),
+    quantizes, and folds to ONE (d, d) int64 Gram partial (a single
+    integer matmul — the whole batch collapses to d*(d+1)/2 rows, so the
+    driver fold moves O(d^2) ints per block regardless of corpus size;
+    this is the mergeable-moments pattern lifted to matrices). Overflow
+    bound: |q| <= 2^20, so each product is < 2^40 and int64 safely holds
+    ~2^23 (8M) vectors per partial and ~2^63 total only with >2^23 blocks
+    — far past this deployment; a larger corpus would shard the fold.
+
+    Contract (mirrored): NULL-keyed rows (vec_id — the SQL mirror's
+    self-join key), NULL vectors and vectors of width != _GRAM_DIM are
+    excluded. Dimension indices are 1-based (generate_subscripts
+    parity)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    d = _GRAM_DIM
+    iu, ju = np.triu_indices(d)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("vec_id")),
+                pc.is_valid(t.column("embedding")),
+            ),
+            pc.equal(pc.list_value_length(t.column("embedding")), d),
+        )
+        t = t.filter(m)
+        if t.num_rows == 0:
+            g = np.zeros((d, d), dtype=np.int64)
+        else:
+            mat = _emb_matrix(t.column("embedding"))
+            q = np.floor(mat * 1_000_000.0).astype(np.int64)
+            g = q.T @ q
+        return pa.table(
+            {
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                "gram": pa.array(g[iu, ju]),
+            }
+        )
+
+    acc = np.zeros(len(iu), dtype=np.int64)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # driver fold: d*(d+1)/2 int64 per block — batch_size=None per the
+    # iter_batches rule (default 4096-row re-slice is pure overhead here)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        acc += np.asarray(b.column("gram"))
+    return pa.table(
+        {
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "gram": pa.array(acc),
+        }
+    )
+
+
+EMBEDDING_GRAM_SQL = f"""
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {_GRAM_DIM}
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""

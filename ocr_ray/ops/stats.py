@@ -844,3 +844,97 @@ mad AS (
 SELECT event_id, c AS value_cents FROM d
 WHERE ad > {_MAD_K} * (SELECT ad FROM mad)
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user behavioral diversity: exact-rational Gini impurity of event mix
+# ---------------------------------------------------------------------------
+
+
+def user_type_gini(sf_dir: str) -> Dataset:
+    """Per-user Gini impurity of the event-type distribution — the
+    behavioral-diversity feature (1 - sum_t (c_t/n)^2) emitted as EXACT
+    integers so the gate is reduction-order independent: ``n_events``,
+    ``sum_sq = sum c_t^2`` and ``gini_bp = (n^2 - sum_sq)*10000 // n^2``
+    (all operands non-negative, so DuckDB's truncating BIGINT ``//`` and
+    numpy ``//`` agree). Entropy needs a log and would float-diverge;
+    Gini is the exactly-gateable diversity measure.
+
+    Plan: per-batch Arrow C++ census collapses each batch to its distinct
+    (user, type) counts; ONE groupby folds partials to global per-(user,
+    type) counts; squaring is only valid on the GLOBAL count, so the
+    square happens after that shuffle, and a second tiny groupby(user)
+    sums (n, sum_sq). Shuffle traffic is bounded by group cardinality
+    (|users| x |types| rows of three int64s), never events.
+
+    Contract (mirrored): NULL user_id / event_type rows are excluded
+    (both key the census)."""
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t.column("user_id")), pc.is_valid(t.column("event_type"))
+        )
+        g = (
+            t.filter(m)
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "event_type", "cnt"])
+
+    per_type = (
+        events.map_batches(census, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("cnt"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": c,
+                "sum_sq": pc.multiply_checked(c, c),
+            }
+        )
+
+    per_user = (
+        per_type.map_batches(square, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_sq", alias_name="sum_sq"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(pc.cast(t.column("n_events"), pa.int64()))
+        ss = np.asarray(pc.cast(t.column("sum_sq"), pa.int64()))
+        n2 = n * n
+        gini = np.where(n2 > 0, (n2 - ss) * 10_000 // np.maximum(n2, 1), 0)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pa.array(n),
+                "sum_sq": pa.array(ss),
+                "gini_bp": pa.array(gini.astype(np.int64)),
+            }
+        )
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+USER_TYPE_GINI_SQL = """
+WITH e AS (
+  SELECT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+u AS (SELECT user_id, SUM(cnt) AS n, SUM(cnt*cnt) AS ss FROM c GROUP BY 1)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(ss AS BIGINT) AS sum_sq,
+       CAST((n*n - ss) * 10000 // (n*n) AS BIGINT) AS gini_bp
+FROM u
+"""

@@ -459,3 +459,139 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# within-doc line repetition (Gopher-style repetition quality signals)
+# ---------------------------------------------------------------------------
+
+
+def doc_line_repetition(sf_dir: str) -> Dataset:
+    """Per-document duplicate-line statistics — the within-document
+    repetition signals of the Gopher data-quality rules (Rae et al. 2021,
+    "Scaling Language Models", table A1: fraction of duplicate lines and
+    fraction of characters in duplicate lines): boilerplate-heavy pages
+    (nav bars, cookie banners repeated per section) score high and get
+    culled before training.
+
+    Output per doc: ``n_lines``, ``n_distinct_lines``, ``n_dup_lines``
+    (instances belonging to a line string that occurs more than once IN
+    THIS DOC), ``dup_line_frac_bp`` and ``dup_char_frac_bp`` (basis
+    points, integer-floor — all operands non-negative so DuckDB's
+    truncating ``//`` agrees).
+
+    Plan: embarrassingly parallel — each doc is one row, so the whole
+    computation is batch-local: one vectorized ``split_pattern``, then
+    Arrow C++ group_by on (doc, line) for the within-doc census, then a
+    (doc) rollup; no shuffle at all (the per-doc output rides the map).
+    Characters are codepoints (``utf8_length`` == DuckDB ``length``).
+
+    Contract (mirrored): NULL doc_id / text rows are excluded (a NULL id
+    would merge unrelated docs into one SQL group whose extent depends on
+    batching here)."""
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("text")))
+        )
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_lines", pa.int64()),
+                ("n_distinct_lines", pa.int64()),
+                ("n_dup_lines", pa.int64()),
+                ("dup_line_frac_bp", pa.int64()),
+                ("dup_char_frac_bp", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lines = pc.split_pattern(t.column("text"), pattern="\n").combine_chunks()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        flat = lines.flatten()  # slice-offset safe
+        d = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        chars = pc.cast(pc.utf8_length(flat), pa.int64())
+        cen = (
+            pa.table({"d": pa.array(d), "line": flat, "ln": chars})
+            .group_by(["d", "line"])
+            .aggregate([("ln", "sum"), ([], "count_all")])
+        )  # -> d, line, ln_sum, cnt  (within-batch == within-doc: 1 row/doc)
+        cnt = pc.cast(cen.column("count_all"), pa.int64())
+        ln_sum = pc.cast(cen.column("ln_sum"), pa.int64())
+        dup = pc.greater(cnt, 1)
+        zero = pa.scalar(0, pa.int64())
+        roll = (
+            pa.table(
+                {
+                    "d": cen.column("d"),
+                    "cnt": cnt,
+                    "ln_sum": ln_sum,
+                    "dup_cnt": pc.if_else(dup, cnt, zero),
+                    "dup_chars": pc.if_else(dup, ln_sum, zero),
+                }
+            )
+            .group_by(["d"])
+            .aggregate(
+                [("cnt", "sum"), ("ln_sum", "sum"), ("dup_cnt", "sum"),
+                 ("dup_chars", "sum"), ([], "count_all")]
+            )
+        )
+        n_lines = np.asarray(pc.cast(roll.column("cnt_sum"), pa.int64()))
+        total_chars = np.asarray(pc.cast(roll.column("ln_sum_sum"), pa.int64()))
+        n_dup = np.asarray(pc.cast(roll.column("dup_cnt_sum"), pa.int64()))
+        dup_chars = np.asarray(pc.cast(roll.column("dup_chars_sum"), pa.int64()))
+        n_distinct = np.asarray(pc.cast(roll.column("count_all"), pa.int64()))
+        line_bp = n_dup * 10_000 // np.maximum(n_lines, 1)  # n_lines >= 1 always
+        char_bp = np.where(
+            total_chars > 0, dup_chars * 10_000 // np.maximum(total_chars, 1), 0
+        )
+        return pa.table(
+            {
+                "doc_id": roll.column("d"),
+                "n_lines": pa.array(n_lines),
+                "n_distinct_lines": pa.array(n_distinct),
+                "n_dup_lines": pa.array(n_dup),
+                "dup_line_frac_bp": pa.array(line_bp.astype(np.int64)),
+                "dup_char_frac_bp": pa.array(char_bp.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+DOC_LINE_REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, SUM(length(line)) AS chars
+  FROM lines GROUP BY doc_id, line
+),
+per_doc AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_lines,
+         COUNT(*) AS n_distinct_lines,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_lines,
+         SUM(chars) AS total_chars,
+         SUM(CASE WHEN cnt > 1 THEN chars ELSE 0 END) AS dup_chars
+  FROM per_line GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_distinct_lines AS BIGINT) AS n_distinct_lines,
+       CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+       CAST(n_dup_lines * 10000 // n_lines AS BIGINT) AS dup_line_frac_bp,
+       CAST(CASE WHEN total_chars > 0
+                 THEN dup_chars * 10000 // total_chars ELSE 0 END AS BIGINT)
+         AS dup_char_frac_bp
+FROM per_doc
+"""

@@ -2034,3 +2034,80 @@ SELECT cid AS event_id,
        CAST(sum(cents * {_ATTR_SCALE} // k) AS BIGINT) AS credit_e6
 FROM pairs GROUP BY cid
 """
+
+
+# ---------------------------------------------------------------------------
+# running-peak / drawdown (cumulative-max window family)
+# ---------------------------------------------------------------------------
+
+
+def user_value_drawdown(sf_dir: str) -> Dataset:
+    """Per event: the running PEAK of event value for that user so far
+    (ts order) and the drawdown from it — the cumulative-max window shape
+    (MAX OVER ROWS UNBOUNDED PRECEDING) the window matrix lacked; the
+    same scan powers high-water-mark metering and regression-from-peak
+    monitors.
+
+    Plan: one coarse-key ``grouped_scan`` co-locates each user; inside a
+    partition one sort on the total order (user, ts, event_id) then a
+    C-level segmented cumulative max (pandas groupby cummax — no Python
+    per group). Money in half-away-from-zero cents (DuckDB ROUND parity).
+
+    Contract (mirrored): NULL event_id / user_id / ts / value rows are
+    excluded (key, order and measure all need them)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("user_id"))),
+            pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("value"))),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "cents": to_cents(t.column("value")),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        peak = df.groupby("user_id", sort=False)["cents"].cummax()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "cents": df["cents"].to_numpy(dtype=np.int64),
+                "peak_cents": peak.to_numpy(dtype=np.int64),
+                "drawdown_cents": (peak - df["cents"]).to_numpy(dtype=np.int64),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "user_id", scan)
+
+
+USER_VALUE_DRAWDOWN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT *, MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+  FROM e
+)
+SELECT event_id, user_id, cents, peak_cents,
+       CAST(peak_cents - cents AS BIGINT) AS drawdown_cents
+FROM w
+"""
