@@ -174,6 +174,16 @@ def _tool_usage_stats(sf_dir: str):
     return tool_usage_stats(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _conv_response_latency(sf_dir: str):
+    """Adjacent user->assistant response latency per conversation (window
+    lag over the raw transcript table), SQL-gated."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_response_latency
+
+    return conv_response_latency(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _extract_context_turns(sf_dir: str):
     """Context-aware engine: reply-echo prefixes stripped before extraction
     (pytest-gated; extraction itself is not SQL-expressible)."""
@@ -238,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_context_stats": _turn_context_stats,
         "tool_usage_stats": _tool_usage_stats,
         "conv_texts": _conv_texts,
+        "conv_response_latency": _conv_response_latency,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,

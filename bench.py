@@ -121,6 +121,8 @@ QUERY_NAMES = [
     "user_type_gini",
     "user_value_drawdown",
     "doc_line_repetition",
+    "conv_response_latency",
+    "embedding_pca_project",
 ]
 
 

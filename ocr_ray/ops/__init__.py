@@ -421,3 +421,9 @@ REGISTRY["user_value_drawdown"] = (user_value_drawdown, USER_VALUE_DRAWDOWN_SQL)
 from ocr_ray.ops.textstats import DOC_LINE_REPETITION_SQL, doc_line_repetition
 
 REGISTRY["doc_line_repetition"] = (doc_line_repetition, DOC_LINE_REPETITION_SQL)
+
+from ocr_ray.ops.ann import embedding_pca_project
+
+# rows-only: eigendecomposition is not SQL-expressible; pytest-gated vs a
+# numpy PCA reference (gated exact sibling: embedding_gram)
+REGISTRY["embedding_pca_project"] = (embedding_pca_project, None)

@@ -996,3 +996,92 @@ SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
 FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2
 """
+
+
+def embedding_pca_project(sf_dir: str, k: int = 2) -> "Dataset":
+    """Project every embedding onto its corpus's top-``k`` principal
+    components — the 2-D map/visualization + decorrelation pass that sits
+    on top of ``embedding_gram``. Not SQL-gatable (eigendecomposition);
+    the pytest oracle recomputes PCA with plain numpy on a collected copy
+    and checks the projections (up to the eigenvector sign, which is
+    pinned here by making each component's max-|coefficient| positive).
+
+    Plan: pass 1 folds (n, sum, gram) partials on the driver — O(d^2)
+    floats per block, the ``embedding_gram`` fold with first moments
+    added; covariance = gram/n - mean mean^T and its eigh happen on the
+    tiny d x d driver copy; pass 2 broadcasts the (d, k) component matrix
+    once (``ray.put``) and projects each batch with one GEMM. Both passes
+    stream; nothing corpus-sized ever materializes.
+
+    Contract: NULL vec_id / NULL vectors / width != _GRAM_DIM excluded
+    (same as ``embedding_gram``)."""
+    d = _GRAM_DIM
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _clean(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("vec_id")), pc.is_valid(t.column("embedding"))
+            ),
+            pc.equal(pc.list_value_length(t.column("embedding")), d),
+        )
+        return t.filter(m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        if t.num_rows == 0:
+            g = np.zeros((d, d)); s = np.zeros(d); n = 0
+        else:
+            mat = _emb_matrix(t.column("embedding"))
+            g = mat.T @ mat
+            s = mat.sum(axis=0)
+            n = mat.shape[0]
+        return pa.table(
+            {
+                "n": pa.array([float(n)]),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "g": pa.array([g.reshape(-1).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n_tot, s_tot, g_tot = 0.0, np.zeros(d), np.zeros((d, d))
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        n_tot += float(np.asarray(b.column("n")).sum())
+        s_col = b.column("s").combine_chunks()
+        g_col = b.column("g").combine_chunks()
+        s_tot += np.asarray(s_col.flatten()).reshape(-1, d).sum(axis=0)
+        g_tot += np.asarray(g_col.flatten()).reshape(-1, d * d).sum(axis=0).reshape(d, d)
+    if n_tot == 0:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      **{f"pc{i+1}": pa.array([], pa.float64()) for i in range(k)}})
+        )
+    mean = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, np.argsort(w)[::-1][:k]]  # (d, k), descending variance
+    # pin eigenvector sign: max-|coeff| entry positive (ties -> lowest idx)
+    for c in range(k):
+        j = int(np.argmax(np.abs(comp[:, c])))
+        if comp[j, c] < 0:
+            comp[:, c] = -comp[:, c]
+    comp_ref = ray.put(np.ascontiguousarray(comp))
+    mean_ref = ray.put(mean)
+
+    def project(t: pa.Table, _c=comp_ref, _m=mean_ref) -> pa.Table:
+        C = ray.get(_c)
+        M = ray.get(_m)
+        t = _clean(t)
+        out = {"vec_id": t.column("vec_id")}
+        if t.num_rows == 0:
+            proj = np.zeros((0, C.shape[1]))
+        else:
+            proj = (_emb_matrix(t.column("embedding")) - M) @ C
+        for i in range(C.shape[1]):
+            out[f"pc{i+1}"] = pa.array(proj[:, i], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")

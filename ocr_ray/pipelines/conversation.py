@@ -444,3 +444,85 @@ FROM (
 )
 GROUP BY href
 """
+
+def conv_response_latency(transcripts: Dataset) -> Dataset:
+    """Per assistant turn: microseconds elapsed since the immediately
+    preceding USER turn in the same conversation — the response-latency
+    distribution of an agent transcript corpus (SLA audits, think-time
+    features, turn-pacing analysis). Only adjacent (user -> assistant)
+    pairs count: an assistant turn that follows a tool turn has no
+    user-attributable latency and is skipped (mirrored via the
+    prev_idx = turn_idx - 1 guard in SQL).
+
+    Plan: one coarse-key ``grouped_scan`` co-locates each conversation;
+    per partition a single sort on (conv_id, turn_idx) then a vectorized
+    neighbor compare — no per-conversation Python. int64 microsecond
+    math throughout (timestamp-difference parity with DuckDB date_diff).
+
+    Contract (mirrored): NULL conv_id / turn_idx / role / ts rows are
+    excluded (key, order, pairing and measure)."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))),
+            pc.and_(pc.is_valid(t.column("role")), pc.is_valid(t.column("ts"))),
+        )
+        t = t.filter(m)
+        return t.select(["conv_id", "turn_idx", "role", "ts"])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "turn_idx": pd.Series([], dtype="int64"),
+                    "latency_us": pd.Series([], dtype="int64"),
+                }
+            )
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy(dtype=np.int64)
+        role = df["role"].to_numpy()
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ok = np.zeros(n, dtype=bool)
+        ok[1:] = (
+            (conv[1:] == conv[:-1])
+            & (idx[1:] == idx[:-1] + 1)
+            & (role[1:] == "assistant")
+            & (role[:-1] == "user")
+        )
+        lat = np.zeros(n, dtype=np.int64)
+        lat[1:] = us[1:] - us[:-1]
+        return pd.DataFrame(
+            {
+                "conv_id": conv[ok],
+                "turn_idx": idx[ok],
+                "latency_us": lat[ok],
+            }
+        )
+
+    pre = transcripts.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "conv_id", scan)
+
+
+CONV_RESPONSE_LATENCY_SQL_TMPL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, role, ts FROM read_parquet('{path}/*.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+    AND role IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT *,
+         lag(role) OVER w AS prev_role,
+         lag(ts) OVER w AS prev_ts,
+         lag(turn_idx) OVER w AS prev_idx
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(date_diff('microsecond', prev_ts, ts) AS BIGINT) AS latency_us
+FROM l
+WHERE role = 'assistant' AND prev_role = 'user' AND prev_idx = turn_idx - 1
+"""

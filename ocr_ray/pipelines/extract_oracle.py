@@ -530,6 +530,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     deterministic transcripts fixture for ``sf_dir`` (the fixture is
     (re)generated here so the path exists when the oracle runs)."""
     from ocr_ray.pipelines.conversation import (
+        CONV_RESPONSE_LATENCY_SQL_TMPL,
         CONV_TEXTS_SQL_TMPL,
         EXTRACT_LINKS_SQL_TMPL,
         TURN_CONTEXT_STATS_SQL_TMPL,
@@ -538,6 +539,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     path = _transcripts(sf_dir)
     return {
         "conv_texts": CONV_TEXTS_SQL_TMPL.format(path=path),
+        "conv_response_latency": CONV_RESPONSE_LATENCY_SQL_TMPL.format(path=path),
         "extract_links": EXTRACT_LINKS_SQL_TMPL.format(path=path),
         "extract_plain_turns": _plain_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),

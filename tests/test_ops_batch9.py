@@ -157,3 +157,80 @@ class TestEmbeddingGram:
         assert got.loc[(2, 2)] == 4 * q * q + 1_500_000**2
         assert got.loc[(3, 3)] == 0
         assert len(got) == d * (d + 1) // 2
+
+
+class TestEmbeddingPcaProject:
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+
+        from ocr_ray.ops.ann import _GRAM_DIM, embedding_pca_project
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            embedding_pca_project(sf, k=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = np.asarray(t.column("vec_id").to_pylist())
+        order = np.argsort(ids)
+        x = x[order]
+        mean = x.mean(axis=0)
+        cov = (x - mean).T @ (x - mean) / len(x)
+        w, v = np.linalg.eigh(cov)
+        comp = v[:, np.argsort(w)[::-1][:2]]
+        for c in range(2):
+            j = int(np.argmax(np.abs(comp[:, c])))
+            if comp[j, c] < 0:
+                comp[:, c] = -comp[:, c]
+        want = (x - mean) @ comp
+        assert got["vec_id"].tolist() == sorted(ids.tolist())
+        np.testing.assert_allclose(
+            got[["pc1", "pc2"]].to_numpy(), want, rtol=1e-8, atol=1e-10
+        )
+        # projections carry variance in eigen order
+        assert got["pc1"].var() >= got["pc2"].var() - 1e-12
+
+
+class TestConvResponseLatency:
+    def test_adjacent_pairs_only(self, tmp_path, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_ray.pipelines.conversation import conv_response_latency
+        import ray.data as rd
+
+        ts = pa.array(
+            np.array([0, 5_000_000, 9_000_000, 11_000_000, 0, 3_000_000],
+                     dtype="datetime64[us]")
+        )
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "a", "a", "b", "b"]),
+                "turn_idx": pa.array([0, 1, 2, 3, 0, 2], pa.int32()),
+                "role": pa.array(
+                    ["user", "assistant", "tool", "assistant", "user", "assistant"]
+                ),
+                "tool": pa.array([None] * 6, pa.string()),
+                "text": pa.array(["x"] * 6),
+                "ts": ts,
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, str(tmp_path / "part.parquet"))
+        got = (
+            conv_response_latency(rd.read_parquet(str(tmp_path)))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        # only (a,0->1) qualifies: a3 follows a tool turn; b's assistant is
+        # at turn 2 after user turn 0 (gap -> not adjacent)
+        assert got["conv_id"].tolist() == ["a"]
+        assert got["turn_idx"].tolist() == [1]
+        assert got["latency_us"].tolist() == [5_000_000]
