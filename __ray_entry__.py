@@ -184,6 +184,26 @@ def _conv_response_latency(sf_dir: str):
     return conv_response_latency(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _conv_tool_transitions(sf_dir: str):
+    """First-order Markov census over per-conversation tool-call sequences
+    (the ``tool`` column beyond the per-tool rollup), SQL-gated."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_tool_transitions
+
+    return conv_tool_transitions(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
+def _dq_role_alternation(sf_dir: str):
+    """Transcript-structure DQ audit: per-conv stutter count (adjacent
+    same-role turns) + opens-with-user flag, SQL-gated."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import dq_role_alternation
+
+    return dq_role_alternation(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _extract_context_turns(sf_dir: str):
     """Context-aware engine: reply-echo prefixes stripped before extraction
     (pytest-gated; extraction itself is not SQL-expressible)."""
@@ -249,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage_stats": _tool_usage_stats,
         "conv_texts": _conv_texts,
         "conv_response_latency": _conv_response_latency,
+        "conv_tool_transitions": _conv_tool_transitions,
+        "dq_role_alternation": _dq_role_alternation,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,

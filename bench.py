@@ -123,6 +123,8 @@ QUERY_NAMES = [
     "doc_line_repetition",
     "conv_response_latency",
     "embedding_pca_project",
+    "conv_tool_transitions",
+    "dq_role_alternation",
 ]
 
 

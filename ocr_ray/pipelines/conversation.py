@@ -526,3 +526,157 @@ SELECT conv_id,
 FROM l
 WHERE role = 'assistant' AND prev_role = 'user' AND prev_idx = turn_idx - 1
 """
+
+def conv_tool_transitions(transcripts: Dataset) -> Dataset:
+    """First-order Markov census over TOOL-CALL sequences: for each
+    conversation, order its ``role='tool'`` turns by turn_idx and count
+    every (prev_tool -> tool) pair corpus-wide — the which-tool-follows-
+    which signal of agent-transcript analysis (exercises the ``tool``
+    input column beyond the per-tool rollup).
+
+    Plan: the ``event_type_transitions`` plan over transcripts — one
+    coarse-key grouped scan co-locates each conversation, per-partition
+    census partials, one null-safe groupby over (prev_tool, tool): the
+    shuffle carries distinct census cells, never turns. First tool turn
+    of a conversation pairs with nothing (rn > 1 rule, mirrored); a NULL
+    tool name is a real census cell.
+
+    Contract (mirrored): NULL conv_id / turn_idx rows are excluded (key
+    and order)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))),
+            pc.equal(t.column("role"), "tool"),
+        )
+        return t.filter(m).select(["conv_id", "turn_idx", "tool"])
+
+    def census(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        conv = df["conv_id"].to_numpy()
+        cur = df["tool"].to_numpy()
+        prev = np.roll(cur, 1)
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = conv[1:] == conv[:-1]
+        part = pd.DataFrame({"prev_tool": prev[same], "tool": cur[same]})
+        g = (
+            part.groupby(["prev_tool", "tool"], dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+        def as_str(col: pd.Series) -> pa.Array:
+            return pa.array([None if pd.isna(v) else v for v in col], pa.string())
+
+        return pa.table(
+            {
+                "prev_tool": as_str(g["prev_tool"]),
+                "tool": as_str(g["tool"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    pre = transcripts.map_batches(prep, batch_format="pyarrow")
+    partials = grouped_scan(pre, "conv_id", census)
+    return null_safe_groupby_agg(
+        partials, ["prev_tool", "tool"], Sum("n", alias_name="n")
+    )
+
+
+CONV_TOOL_TRANSITIONS_SQL_TMPL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, tool FROM read_parquet('{path}/*.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role = 'tool'
+),
+s AS (
+  SELECT tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t
+)
+SELECT prev_tool, tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE rn > 1
+GROUP BY prev_tool, tool
+"""
+
+
+def dq_role_alternation(transcripts: Dataset) -> Dataset:
+    """Transcript-structure data-quality audit: per conversation, the
+    turn count and the number of STUTTERS (adjacent turns in turn_idx
+    order with the same role — a malformed capture or a lost turn), plus
+    whether the conversation opens with a user turn. The ingest-time
+    validation a transcript corpus runs before extraction trusts
+    (conv_id, turn_idx, role) structure.
+
+    Plan: one coarse-key grouped scan per conversation; vectorized
+    neighbor compare; per-conv rows ride out of the scan (no second
+    shuffle).
+
+    Contract (mirrored): NULL conv_id / turn_idx / role rows are
+    excluded (all three define the structure being audited)."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))),
+            pc.is_valid(t.column("role")),
+        )
+        return t.filter(m).select(["conv_id", "turn_idx", "role"])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "n_turns": pd.Series([], dtype="int64"),
+                    "n_stutters": pd.Series([], dtype="int64"),
+                    "opens_with_user": pd.Series([], dtype="int64"),
+                }
+            )
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        first = np.ones(n, dtype=bool)
+        first[1:] = conv[1:] != conv[:-1]
+        stut = np.zeros(n, dtype=np.int64)
+        stut[1:] = (~first[1:]) & (role[1:] == role[:-1])
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        cs = np.concatenate(([0], np.cumsum(stut)))
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "n_turns": (ends - starts).astype(np.int64),
+                "n_stutters": cs[ends] - cs[starts],
+                "opens_with_user": (role[starts] == "user").astype(np.int64),
+            }
+        )
+
+    pre = transcripts.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "conv_id", scan)
+
+
+DQ_ROLE_ALTERNATION_SQL_TMPL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, role FROM read_parquet('{path}/*.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+),
+s AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_stutters,
+       CAST(MAX(CASE WHEN rn = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS opens_with_user
+FROM s GROUP BY conv_id
+"""

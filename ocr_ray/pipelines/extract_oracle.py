@@ -532,6 +532,8 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     from ocr_ray.pipelines.conversation import (
         CONV_RESPONSE_LATENCY_SQL_TMPL,
         CONV_TEXTS_SQL_TMPL,
+        CONV_TOOL_TRANSITIONS_SQL_TMPL,
+        DQ_ROLE_ALTERNATION_SQL_TMPL,
         EXTRACT_LINKS_SQL_TMPL,
         TURN_CONTEXT_STATS_SQL_TMPL,
     )
@@ -540,6 +542,8 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     return {
         "conv_texts": CONV_TEXTS_SQL_TMPL.format(path=path),
         "conv_response_latency": CONV_RESPONSE_LATENCY_SQL_TMPL.format(path=path),
+        "conv_tool_transitions": CONV_TOOL_TRANSITIONS_SQL_TMPL.format(path=path),
+        "dq_role_alternation": DQ_ROLE_ALTERNATION_SQL_TMPL.format(path=path),
         "extract_links": EXTRACT_LINKS_SQL_TMPL.format(path=path),
         "extract_plain_turns": _plain_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),

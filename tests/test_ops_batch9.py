@@ -234,3 +234,65 @@ class TestConvResponseLatency:
         assert got["conv_id"].tolist() == ["a"]
         assert got["turn_idx"].tolist() == [1]
         assert got["latency_us"].tolist() == [5_000_000]
+
+
+def _tiny_transcripts(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array(np.arange(7).astype("datetime64[us]"))
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 5 + ["b"] * 2),
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1], pa.int32()),
+            "role": pa.array(
+                ["user", "tool", "tool", "tool", "user", "assistant", "assistant"]
+            ),
+            "tool": pa.array(["", "grep", "sed", "grep", "", "", ""]),
+            "text": pa.array(["x"] * 7),
+            "ts": ts,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    return str(tmp_path)
+
+
+class TestConvToolTransitions:
+    def test_pairs_within_conv_only(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.pipelines.conversation import conv_tool_transitions
+
+        p = _tiny_transcripts(tmp_path)
+        got = (
+            conv_tool_transitions(rd.read_parquet(p))
+            .to_pandas()
+            .sort_values(["prev_tool", "tool"])
+            .reset_index(drop=True)
+        )
+        # conv a tool turns: grep -> sed -> grep; conv b has no tool turns
+        assert got[["prev_tool", "tool"]].values.tolist() == [
+            ["grep", "sed"],
+            ["sed", "grep"],
+        ]
+        assert got["n"].tolist() == [1, 1]
+
+
+class TestDqRoleAlternation:
+    def test_stutters_and_opening(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.pipelines.conversation import dq_role_alternation
+
+        p = _tiny_transcripts(tmp_path)
+        got = (
+            dq_role_alternation(rd.read_parquet(p))
+            .to_pandas()
+            .sort_values("conv_id")
+            .set_index("conv_id")
+        )
+        # conv a: tool,tool,tool contributes 2 stutters; opens with user
+        assert got.loc["a"].tolist() == [5, 2, 1]
+        # conv b: assistant,assistant -> 1 stutter; does NOT open with user
+        assert got.loc["b"].tolist() == [2, 1, 0]
