@@ -204,6 +204,16 @@ def _dq_role_alternation(sf_dir: str):
     return dq_role_alternation(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _system_prompt_census(sf_dir: str):
+    """Top-k dominant system-prompt texts (digest-only count shuffle,
+    boundary-tie text fetch), SQL-gated."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import system_prompt_census
+
+    return system_prompt_census(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _extract_context_turns(sf_dir: str):
     """Context-aware engine: reply-echo prefixes stripped before extraction
     (pytest-gated; extraction itself is not SQL-expressible)."""
@@ -271,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_response_latency": _conv_response_latency,
         "conv_tool_transitions": _conv_tool_transitions,
         "dq_role_alternation": _dq_role_alternation,
+        "system_prompt_census": _system_prompt_census,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,

@@ -125,6 +125,7 @@ QUERY_NAMES = [
     "embedding_pca_project",
     "conv_tool_transitions",
     "dq_role_alternation",
+    "system_prompt_census",
 ]
 
 

@@ -680,3 +680,107 @@ SELECT conv_id,
          AS opens_with_user
 FROM s GROUP BY conv_id
 """
+
+_PROMPT_TOP_K = 20
+
+
+def system_prompt_census(transcripts: Dataset, k: int = _PROMPT_TOP_K) -> pa.Table:
+    """Top-``k`` most common SYSTEM-turn texts corpus-wide (n DESC, text
+    ASC) — the which-system-prompts-dominate census run before dedup /
+    mixture decisions on an agent-transcript corpus.
+
+    Plan: text never transits the count shuffle — each batch reduces its
+    system turns to (md5-digest, n) partials, one groupby folds them, and
+    the driver pulls only the O(distinct prompts) digest counts
+    (batch_size=None). Texts are then fetched ONLY for digests that can
+    make the top-k (count > kth, plus the boundary ties at == kth) via a
+    broadcast digest-set probe, and the final (n DESC, text ASC) sort
+    happens on that bounded candidate set. Floor (documented, same
+    convention as the global-rank hot-minute floor): a boundary count
+    shared by a huge singleton tail makes the tie fetch large — the exact
+    semantics of text-tie-broken top-k require it; cap k or pre-filter
+    n >= 2 in such a domain.
+
+    Contract (mirrored): only ``role = 'system'`` rows with non-NULL text
+    count."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("role"), "system"), pc.is_valid(t.column("text")))
+        return t.filter(m).select(["text"])
+
+    def digest_census(t: pa.Table) -> pa.Table:
+        digs = [
+            hashlib.md5(s.encode("utf-8")).digest()
+            for s in t.column("text").to_pylist()
+        ]
+        g = (
+            pa.table({"dig": pa.array(digs, pa.binary(16))})
+            .group_by(["dig"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["dig", "n"])
+
+    sys_turns = transcripts.map_batches(prep, batch_format="pyarrow")
+    counts = (
+        sys_turns.map_batches(digest_census, batch_format="pyarrow")
+        .groupby("dig")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    digs, ns = [], []
+    for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        digs.extend(b.column("dig").to_pylist())
+        ns.extend(b.column("n").to_pylist())
+    if not digs:
+        return pa.table({"text": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    ns_arr = np.asarray(ns, dtype=np.int64)
+    kth = np.sort(ns_arr)[::-1][min(k, len(ns_arr)) - 1]
+    cand = {d for d, n in zip(digs, ns) if n >= kth}
+    n_of = {d: int(n) for d, n in zip(digs, ns) if n >= kth}
+    import ray as _ray
+
+    cand_ref = _ray.put(cand)
+
+    def fetch(t: pa.Table, _c=cand_ref) -> pa.Table:
+        import hashlib as _h
+
+        cset = _ray.get(_c)
+        texts = t.column("text").to_pylist()
+        keep, dkeep = [], []
+        seen = set()
+        for s in texts:
+            dg = _h.md5(s.encode("utf-8")).digest()
+            if dg in cset and dg not in seen:
+                seen.add(dg)
+                keep.append(s)
+                dkeep.append(dg)
+        return pa.table(
+            {"text": pa.array(keep, pa.string()), "dig": pa.array(dkeep, pa.binary(16))}
+        )
+
+    cand_rows = sys_turns.map_batches(fetch, batch_format="pyarrow")
+    # bounded candidate set -> driver: dedup across batches, final order
+    best: dict[bytes, str] = {}
+    for b in cand_rows.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for s, dg in zip(b.column("text").to_pylist(), b.column("dig").to_pylist()):
+            best.setdefault(dg, s)
+    rows = sorted(((n_of[dg], s) for dg, s in best.items()), key=lambda r: (-r[0], r[1]))[:k]
+    return pa.table(
+        {
+            "text": pa.array([s for _, s in rows], pa.string()),
+            "n": pa.array([n for n, _ in rows], pa.int64()),
+        }
+    )
+
+
+SYSTEM_PROMPT_CENSUS_SQL_TMPL = """
+SELECT text, CAST(COUNT(*) AS BIGINT) AS n
+FROM read_parquet('{path}/*.parquet')
+WHERE role = 'system' AND text IS NOT NULL
+GROUP BY text
+ORDER BY n DESC, text
+LIMIT 20
+"""

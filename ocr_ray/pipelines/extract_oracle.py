@@ -534,6 +534,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         CONV_TEXTS_SQL_TMPL,
         CONV_TOOL_TRANSITIONS_SQL_TMPL,
         DQ_ROLE_ALTERNATION_SQL_TMPL,
+        SYSTEM_PROMPT_CENSUS_SQL_TMPL,
         EXTRACT_LINKS_SQL_TMPL,
         TURN_CONTEXT_STATS_SQL_TMPL,
     )
@@ -544,6 +545,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "conv_response_latency": CONV_RESPONSE_LATENCY_SQL_TMPL.format(path=path),
         "conv_tool_transitions": CONV_TOOL_TRANSITIONS_SQL_TMPL.format(path=path),
         "dq_role_alternation": DQ_ROLE_ALTERNATION_SQL_TMPL.format(path=path),
+        "system_prompt_census": SYSTEM_PROMPT_CENSUS_SQL_TMPL.format(path=path),
         "extract_links": EXTRACT_LINKS_SQL_TMPL.format(path=path),
         "extract_plain_turns": _plain_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),

@@ -296,3 +296,28 @@ class TestDqRoleAlternation:
         assert got.loc["a"].tolist() == [5, 2, 1]
         # conv b: assistant,assistant -> 1 stutter; does NOT open with user
         assert got.loc["b"].tolist() == [2, 1, 0]
+
+
+class TestSystemPromptCensus:
+    def test_topk_with_boundary_ties(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.pipelines.conversation import system_prompt_census
+
+        ts = pa.array(np.arange(7).astype("datetime64[us]"))
+        t = pa.table(
+            {
+                "conv_id": pa.array(list("abcdefg")),
+                "turn_idx": pa.array([0] * 7, pa.int32()),
+                "role": pa.array(["system"] * 6 + ["user"]),
+                "tool": pa.array([""] * 7),
+                "text": pa.array(["P1", "P1", "P1", "zz", "aa", "mm", "P1"]),
+                "ts": ts,
+            }
+        )
+        pq.write_table(t, str(tmp_path / "part.parquet"))
+        got = system_prompt_census(rd.read_parquet(str(tmp_path)), k=3).to_pandas()
+        # P1 x3 (user-row P1 ignored), then the n=1 boundary tie broken by
+        # text ascending: aa before mm before zz; k=3 cuts at mm
+        assert got["text"].tolist() == ["P1", "aa", "mm"]
+        assert got["n"].tolist() == [3, 1, 1]
