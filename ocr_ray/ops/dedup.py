@@ -508,6 +508,16 @@ def _endpoint_filter(side: Dataset, pairs: Dataset, n_pairs: int | None) -> Data
     return side.map_batches(keep, batch_format="pyarrow")
 
 
+# Pair gate for verifying on ONE worker: below this the endpoint-filtered
+# signature slice (bounded: 2 x gate x ~1 KB) and the pair list move to a
+# single task that runs the SAME agreement kernel the whole-corpus local
+# path uses (_sig_matrix + _pair_rows) — replacing TWO Dataset hash joins
+# whose fixed shuffle cost (~18 s measured at sf0.1 for 7.6k pairs -> 10
+# verified) dwarfs the compare. Above the gate the join plan runs; the
+# agreement math is identical either way.
+_LOCAL_VERIFY_MAX_PAIRS = int(os.environ.get("OCR_RAY_VERIFY_LOCAL_MAX_PAIRS", "200000"))
+
+
 def verified_pairs_minhash(
     pairs: Dataset, sigs: Dataset, *, threshold_bp: int = 7000,
     id_type: pa.DataType = None, parts: int = _PAIR_JOIN_PARTS,
@@ -517,11 +527,35 @@ def verified_pairs_minhash(
 
     Two hash joins bring both signatures onto each pair row; the agreement
     check is a vectorized numpy compare per batch. No driver materialization.
-    Small candidate sets prune the join side first (``_endpoint_filter``).
+    Small candidate sets prune the join side first (``_endpoint_filter``)
+    and, under ``_LOCAL_VERIFY_MAX_PAIRS``, skip the joins entirely: one
+    worker task verifies the bounded endpoint slice vectorized.
     """
     if id_type is None:
         id_type = pa.int64()
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+    if n_pairs is not None and 0 < n_pairs <= _LOCAL_VERIFY_MAX_PAIRS:
+        import ray as _ray
+
+        side = _endpoint_filter(sigs, pairs, n_pairs)
+
+        def _vfy_local(pair_refs, sig_refs):
+            pts = [t for t in _ray.get(pair_refs) if t.num_rows]
+            sts = [t for t in _ray.get(sig_refs) if t.num_rows]
+            if not pts or not sts:
+                return pair_schema.empty_table()
+            pt = pa.concat_tables([t.select(["a", "b"]) for t in pts]).combine_chunks()
+            st = pa.concat_tables(
+                [t.select(["doc_id", "sig"]) for t in sts]
+            ).combine_chunks()
+            mat = _sig_matrix(st)
+            ia, ib = _pair_rows(pt, st, "doc_id")
+            agree = (mat[ia] == mat[ib]).sum(axis=1)
+            return pt.filter(pa.array(agree * 10_000 >= _N_PERM * threshold_bp))
+
+        task = _ray.remote(_vfy_local)
+        ref = task.remote(pairs.to_arrow_refs(), side.to_arrow_refs())
+        return rd.from_arrow_refs([ref])
     # prune FIRST (cheap is_in scan), pack second (only candidate rows pay
     # the list->binary copy); materialized: both endpoint joins consume it —
     # lazy would re-run the scan+pack once per join
@@ -807,22 +841,57 @@ def _empty_losers(sigs: Dataset, id_type: pa.DataType = None) -> Dataset:
     )
 
 
+# Loser-count gate for the broadcast anti-filter: near-dup loser sets are
+# normally FAR smaller than the corpus, and the groupby fallback is the
+# hash-aggregate census class (~170k rows/s at id-cardinality ~ row count;
+# measured 12 s over 396k ids at sf0.1 for a 10-loser set). Below the gate
+# the loser ids broadcast once (ray.put) and survivors fall out of one
+# streaming is_in scan — no shuffle at all.
+_BCAST_LOSERS_MAX = int(os.environ.get("OCR_RAY_SURVIVOR_BCAST_MAX", "2000000"))
+
+
 def survivors_dataset(
     ids: Dataset, losers: Dataset, id_col: str = "doc_id",
     id_type: pa.DataType = None,
 ) -> Dataset:
-    """ids minus losers, distributed: union with a tag column + groupby +
-    ``Max(tag)`` keeps ids that never appear as a loser. One shuffle of tiny
-    (id, tag) rows; no driver sets, no broadcast."""
+    """ids minus losers, distributed. ``ids`` must be unique per row (every
+    caller passes one row per doc/vector).
+
+    Small loser sets (<= ``_BCAST_LOSERS_MAX``) broadcast and anti-filter in
+    one streaming pass; larger ones take the shuffle plan: union with a tag
+    column + groupby + ``Max(tag)`` keeps ids that never appear as a loser
+    — one shuffle of tiny (id, tag) rows, no driver sets."""
     if id_type is None:
         id_type = pa.int64()
+    lm = losers.materialize()
+    if lm.count() <= _BCAST_LOSERS_MAX:
+        import ray as _ray
+
+        chunks = [
+            t.column("loser").combine_chunks()
+            for t in (_ray.get(r) for r in lm.to_arrow_refs())
+            if t.num_rows
+        ]
+        if not chunks:
+            return ids.map_batches(
+                lambda t, c=id_col: pa.table({c: t.column(c)}),
+                batch_format="pyarrow",
+            )
+        vs_ref = _ray.put(pc.unique(pa.chunked_array(chunks)))
+
+        def keep(t: pa.Table, _r=vs_ref, c=id_col) -> pa.Table:
+            vs = _ray.get(_r)
+            kept = t.filter(pc.invert(pc.is_in(t.column(c), value_set=vs)))
+            return pa.table({c: kept.column(c)})
+
+        return ids.map_batches(keep, batch_format="pyarrow")
     tagged = ids.map_batches(
         lambda t, c=id_col: pa.table(
             {"id": t.column(c), "tag": pa.array([0] * t.num_rows, pa.int64())}
         ),
         batch_format="pyarrow",
     ).union(
-        losers.map_batches(
+        lm.map_batches(
             lambda t: pa.table(
                 {"id": t.column("loser"), "tag": pa.array([1] * t.num_rows, pa.int64())}
             ),
