@@ -214,6 +214,36 @@ def _system_prompt_census(sf_dir: str):
     return system_prompt_census(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _conv_dedup_exact(sf_dir: str):
+    """Conversation-level exact dedup census (digest over each dialogue's
+    ordered role+text sequence; digests, never text, through the shuffle)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_dedup_exact
+
+    return conv_dedup_exact(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
+def _sft_examples(sf_dir: str):
+    """SFT training-pair assembly: per-assistant-turn capped context tail
+    (windowed string_agg oracle)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import sft_examples
+
+    return sft_examples(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
+def _tool_latency_stats(sf_dir: str):
+    """Per-tool execution-latency rollup (wait to the immediate successor
+    turn), SQL-gated via a lead() window oracle."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import tool_latency_stats
+
+    return tool_latency_stats(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _extract_context_turns(sf_dir: str):
     """Context-aware engine: reply-echo prefixes stripped before extraction
     (pytest-gated; extraction itself is not SQL-expressible)."""
@@ -282,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_transitions": _conv_tool_transitions,
         "dq_role_alternation": _dq_role_alternation,
         "system_prompt_census": _system_prompt_census,
+        "conv_dedup_exact": _conv_dedup_exact,
+        "sft_examples": _sft_examples,
+        "tool_latency_stats": _tool_latency_stats,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,

@@ -126,6 +126,9 @@ QUERY_NAMES = [
     "conv_tool_transitions",
     "dq_role_alternation",
     "system_prompt_census",
+    "conv_dedup_exact",
+    "sft_examples",
+    "tool_latency_stats",
 ]
 
 

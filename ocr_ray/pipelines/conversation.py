@@ -784,3 +784,344 @@ GROUP BY text
 ORDER BY n DESC, text
 LIMIT 20
 """
+
+
+def conv_dedup_exact(transcripts: Dataset) -> Dataset:
+    """CONVERSATION-level exact dedup census: two conversations are
+    duplicates iff their full ordered (role, text) turn sequences are
+    identical — the whole-dialogue dedup pass a transcript corpus runs
+    BEFORE turn-level dedup (retry storms and re-ingested sessions
+    duplicate entire conversations, not single turns). One row per
+    distinct content digest: the surviving conv_id (min), the group size.
+
+    Plan: the conv_texts machinery — a filesystem-exchange grouped scan
+    co-locates each conversation's turns; per partition the sorted turn
+    texts are wrapped zero-copy in a ListArray and joined in C++ with
+    injective separators (role <US> text, turns joined by <RS> — no
+    concatenation collision can alias two different sequences), then one
+    md5 per CONVERSATION (not per turn). Only (digest, conv_id) pairs —
+    16-byte digests, never text — transit the final tiny groupby, so the
+    dedup decision shuffles O(conversations) rows at any corpus size.
+
+    Contract (mirrored in SQL): NULL conv_id / turn_idx rows are excluded
+    (key and order); NULL role / text participate as '' (position-
+    preserving); (conv_id, turn_idx) is assumed unique (the input_hint
+    natural key) — duplicate turn_idx would make both engines' within-key
+    order unstable."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "part": pc.binary_join_element_wise(
+                    pc.coalesce(t.column("role"), pa.scalar("")),
+                    pc.coalesce(t.column("text"), pa.scalar("")),
+                    "\x1f",
+                ),
+            }
+        )
+
+    def digest_per_conv(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"digest": pa.array([], pa.string()), "conv_id": pa.array([], pa.string())}
+            )
+        conv = t.column("conv_id").combine_chunks()
+        parts = t.column("part").combine_chunks()
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+        bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        offsets = np.concatenate(([0], bounds, [n])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), parts)
+        joined = pc.binary_join(lists, "\x1e")
+        digests = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined.to_pylist()
+        ]
+        return pa.table(
+            {
+                "digest": pa.array(digests, pa.string()),
+                "conv_id": conv.take(pa.array(offsets[:-1])),
+            }
+        )
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    pairs = grouped_scan_fs(
+        slim.map_batches(prep, batch_format="pyarrow"),
+        "conv_id",
+        digest_per_conv,
+        empty_result=pa.table(
+            {"digest": pa.array([], pa.string()), "conv_id": pa.array([], pa.string())}
+        ),
+    )
+    return pairs.groupby("digest").aggregate(
+        Min("conv_id", alias_name="keep_conv"), Count(alias_name="n_convs")
+    )
+
+
+CONV_DEDUP_EXACT_SQL_TMPL = """
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         coalesce(role, '') AS role, coalesce(text, '') AS text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+),
+d AS (
+  SELECT conv_id,
+         md5(string_agg(role || chr(31) || text, chr(30) ORDER BY turn_idx)) AS digest
+  FROM t GROUP BY conv_id
+)
+SELECT digest, min(conv_id) AS keep_conv, CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM d GROUP BY digest
+"""
+
+
+_SFT_CTX_CHARS = 512
+
+
+def sft_examples(transcripts: Dataset, ctx_chars: int = _SFT_CTX_CHARS) -> Dataset:
+    """SFT training-pair assembly: for every assistant turn with at least
+    one preceding turn in its conversation, emit the turn key, the FULL
+    context length, and the context TAIL capped to ``ctx_chars`` characters
+    — the (prompt-context, response) example construction step of a
+    supervised-fine-tuning pipeline over agent transcripts (the capped tail
+    is what a bounded-context tokenizer would actually consume).
+
+    Context = all prior turns of the conversation rendered as
+    ``role: text`` and joined by newlines, in turn order.
+
+    Plan: the conv_texts machinery co-locates each conversation through the
+    filesystem exchange; per partition the rendered turn strings are joined
+    ONCE per conversation in C++ (zero-copy ListArray + binary_join), and
+    each assistant turn's context is a SLICE of that joined string at the
+    cumulative-codepoint offset — so per-turn work is one C-level string
+    slice, not a per-turn re-join (the naive quadratic assembly). Tail
+    slicing is by CODE POINTS to match DuckDB right()/length() semantics.
+
+    Contract (mirrored in SQL): NULL conv_id / turn_idx rows excluded (key
+    and order); NULL role / text render as ''; assistant turns with no
+    prior turn produce no example (string_agg over an empty frame is NULL).
+    """
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "role": pc.coalesce(t.column("role"), pa.scalar("")),
+                "part": pc.binary_join_element_wise(
+                    pc.coalesce(t.column("role"), pa.scalar("")),
+                    pc.coalesce(t.column("text"), pa.scalar("")),
+                    ": ",
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "ctx_chars": pa.array([], pa.int64()),
+            "ctx_tail": pa.array([], pa.string()),
+        }
+    )
+
+    def assemble(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return empty
+        conv = t.column("conv_id").combine_chunks()
+        parts = t.column("part").combine_chunks()
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = neq.to_numpy(zero_copy_only=False)
+        offsets = np.flatnonzero(starts)
+        bounds = np.concatenate((offsets, [n])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), parts)
+        joined = pc.binary_join(lists, "\n").to_pylist()
+        # cumulative context END (in code points) for each row within its
+        # conversation: sum of prior part lengths + (j-1) newline joiners
+        plen = pc.utf8_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(plen)
+        grp = np.cumsum(starts) - 1  # conversation ordinal per row
+        base = np.concatenate(([0], cum))[offsets][grp]  # cum before conv start
+        local = np.arange(n, dtype=np.int64) - offsets[grp]  # j within conv
+        ctx_end = (cum - plen - base) + np.maximum(local - 1, 0)  # len of joined prefix
+        is_asst = pc.equal(t.column("role"), "assistant").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(is_asst & (local >= 1))
+        tails = []
+        for i in sel:
+            s = joined[grp[i]]
+            e = int(ctx_end[i])
+            tails.append(s[max(0, e - ctx_chars) : e])
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(sel)),
+                "turn_idx": pc.cast(
+                    t.column("turn_idx").combine_chunks().take(pa.array(sel)), pa.int64()
+                ),
+                "ctx_chars": pa.array(ctx_end[sel], pa.int64()),
+                "ctx_tail": pa.array(tails, pa.string()),
+            }
+        )
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return grouped_scan_fs(
+        slim.map_batches(prep, batch_format="pyarrow"),
+        "conv_id",
+        assemble,
+        empty_result=empty,
+    )
+
+
+SFT_EXAMPLES_SQL_TMPL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+         coalesce(role, '') || ': ' || coalesce(text, '') AS part
+  FROM read_parquet('{path}/*.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+),
+w AS (
+  SELECT conv_id, turn_idx, role,
+         string_agg(part, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS ctx
+  FROM t
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(length(ctx) AS BIGINT) AS ctx_chars,
+       right(ctx, 512) AS ctx_tail
+FROM w
+WHERE role = 'assistant' AND ctx IS NOT NULL
+"""
+
+
+def tool_latency_stats(transcripts: Dataset) -> Dataset:
+    """Per-tool execution-latency rollup: for every ``role='tool'`` turn
+    whose IMMEDIATE successor turn exists (turn_idx + 1 in the same
+    conversation), measure the wait in microseconds until that successor's
+    timestamp, and aggregate per tool name — the which-tools-stall-the-agent
+    signal (completes the ``tool``-column family: rollup, Markov
+    transitions, and now latency).
+
+    Plan: same shape as ``conv_response_latency`` — filter + project, one
+    coarse-key grouped scan per conversation, vectorized neighbor compare,
+    then per-partition census partials so the final null-safe groupby moves
+    one (tool, n, sum, max) row per partition per tool.
+
+    Contract (mirrored): NULL conv_id / turn_idx / ts rows are excluded
+    (key, order, measure — a NULL-ts successor breaks adjacency for its
+    predecessor too, identically in both engines); NULL tool would be a
+    real census cell (the fixture has none for tool turns, but the plan is
+    null-safe)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))),
+            pc.is_valid(t.column("ts")),
+        )
+        return t.filter(m).select(["conv_id", "turn_idx", "role", "tool", "ts"])
+
+    def census(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        n = len(df)
+        if n == 0:
+            return pa.table(
+                {
+                    "tool": pa.array([], pa.string()),
+                    "n_calls": pa.array([], pa.int64()),
+                    "total_wait_us": pa.array([], pa.int64()),
+                    "max_wait_us": pa.array([], pa.int64()),
+                }
+            )
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy(dtype=np.int64)
+        role = df["role"].to_numpy()
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ok = np.zeros(n, dtype=bool)
+        ok[:-1] = (
+            (conv[1:] == conv[:-1]) & (idx[1:] == idx[:-1] + 1) & (role[:-1] == "tool")
+        )
+        wait = np.zeros(n, dtype=np.int64)
+        wait[:-1] = us[1:] - us[:-1]
+        part = pd.DataFrame({"tool": df["tool"].to_numpy()[ok], "wait": wait[ok]})
+        g = (
+            part.groupby("tool", dropna=False)["wait"]
+            .agg(n_calls="size", total_wait_us="sum", max_wait_us="max")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "tool": pa.array(
+                    [None if pd.isna(v) else v for v in g["tool"]], pa.string()
+                ),
+                "n_calls": pa.array(g["n_calls"].to_numpy(np.int64)),
+                "total_wait_us": pa.array(g["total_wait_us"].to_numpy(np.int64)),
+                "max_wait_us": pa.array(g["max_wait_us"].to_numpy(np.int64)),
+            }
+        )
+
+    pre = transcripts.map_batches(prep, batch_format="pyarrow")
+    partials = grouped_scan(pre, "conv_id", census)
+    out = null_safe_groupby_agg(
+        partials,
+        ["tool"],
+        Sum("n_calls", alias_name="n_calls"),
+        Sum("total_wait_us", alias_name="total_wait_us"),
+        Max("max_wait_us", alias_name="max_wait_us"),
+    )
+    # a legitimately-empty rollup (no tool turn with an immediate successor)
+    # yields ZERO blocks in Ray 2.49 — union one typed 0-row block so the
+    # schema survives; costs nothing when non-empty
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [
+                ("tool", pa.string()),
+                ("n_calls", pa.int64()),
+                ("total_wait_us", pa.int64()),
+                ("max_wait_us", pa.int64()),
+            ]
+        ).empty_table()
+    )
+    return out.union(empty)
+
+
+TOOL_LATENCY_SQL_TMPL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, role, tool, ts
+  FROM read_parquet('{path}/*.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT *,
+         lead(ts) OVER w AS next_ts,
+         lead(turn_idx) OVER w AS next_idx
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(SUM(date_diff('microsecond', ts, next_ts)) AS BIGINT) AS total_wait_us,
+       CAST(MAX(date_diff('microsecond', ts, next_ts)) AS BIGINT) AS max_wait_us
+FROM l
+WHERE role = 'tool' AND next_idx = turn_idx + 1
+GROUP BY tool
+"""

@@ -530,17 +530,23 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     deterministic transcripts fixture for ``sf_dir`` (the fixture is
     (re)generated here so the path exists when the oracle runs)."""
     from ocr_ray.pipelines.conversation import (
+        CONV_DEDUP_EXACT_SQL_TMPL,
         CONV_RESPONSE_LATENCY_SQL_TMPL,
         CONV_TEXTS_SQL_TMPL,
         CONV_TOOL_TRANSITIONS_SQL_TMPL,
         DQ_ROLE_ALTERNATION_SQL_TMPL,
+        SFT_EXAMPLES_SQL_TMPL,
         SYSTEM_PROMPT_CENSUS_SQL_TMPL,
+        TOOL_LATENCY_SQL_TMPL,
         EXTRACT_LINKS_SQL_TMPL,
         TURN_CONTEXT_STATS_SQL_TMPL,
     )
 
     path = _transcripts(sf_dir)
     return {
+        "conv_dedup_exact": CONV_DEDUP_EXACT_SQL_TMPL.format(path=path),
+        "sft_examples": SFT_EXAMPLES_SQL_TMPL.format(path=path),
+        "tool_latency_stats": TOOL_LATENCY_SQL_TMPL.format(path=path),
         "conv_texts": CONV_TEXTS_SQL_TMPL.format(path=path),
         "conv_response_latency": CONV_RESPONSE_LATENCY_SQL_TMPL.format(path=path),
         "conv_tool_transitions": CONV_TOOL_TRANSITIONS_SQL_TMPL.format(path=path),

@@ -202,3 +202,193 @@ def test_extract_links_split_semantics():
     # broken (unclosed) href contributes nothing; straddle resolves to "x"
     assert "oops" not in got
     assert got["x"] == 1
+
+
+def test_conv_dedup_exact_planted():
+    """Two conversations with identical ordered (role, text) sequences
+    collapse into one digest group keeping the min conv_id; near-misses
+    (reordered turns, differing role on equal text) stay distinct."""
+    import datetime as dt
+
+    from ocr_ray.pipelines.conversation import conv_dedup_exact
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def conv(cid, seq):
+        for i, (role, text) in enumerate(seq):
+            rows.append(
+                {"conv_id": cid, "turn_idx": i, "role": role, "text": text, "ts": ts}
+            )
+
+    dup = [("user", "hi"), ("assistant", "hello")]
+    conv("a2", dup)
+    conv("a1", dup)  # duplicate content, smaller id — must win
+    conv("b1", [("user", "hello"), ("assistant", "hi")])  # same multiset, diff order
+    conv("c1", [("assistant", "hi"), ("user", "hello")])  # roles swapped
+    # injective-separator probe: ("x\x1ey") vs ("x", "y") must NOT collide
+    conv("d1", [("user", "x\x1ey")])
+    conv("d2", [("user", "x"), ("user", "y")])
+    t = pa.table(
+        {
+            "conv_id": [r["conv_id"] for r in rows],
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": [r["role"] for r in rows],
+            "text": [r["text"] for r in rows],
+            "ts": [r["ts"] for r in rows],
+        }
+    )
+    out = conv_dedup_exact(rd.from_arrow(t)).take_all()
+    by_keep = {r["keep_conv"]: r["n_convs"] for r in out}
+    assert by_keep == {"a1": 2, "b1": 1, "c1": 1, "d1": 1, "d2": 1}
+
+
+def test_sft_examples_planted():
+    """Context is all prior turns as 'role: text' joined by newlines;
+    first-position assistant turns emit nothing; the tail caps at the
+    budget by code points."""
+    import datetime as dt
+
+    from ocr_ray.pipelines.conversation import sft_examples
+
+    ts = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"],
+            "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+            "role": ["user", "assistant", "user", "assistant", "assistant"],
+            "text": ["q1", "a1", "q2", "a2", "orphan"],
+            "ts": [ts] * 5,
+        }
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in sft_examples(rd.from_arrow(t)).take_all()}
+    assert set(out) == {("c1", 1), ("c1", 3)}
+    assert out[("c1", 1)]["ctx_tail"] == "user: q1"
+    assert out[("c1", 1)]["ctx_chars"] == len("user: q1")
+    full = "user: q1\nassistant: a1\nuser: q2"
+    assert out[("c1", 3)]["ctx_tail"] == full
+    assert out[("c1", 3)]["ctx_chars"] == len(full)
+    # cap: long context keeps only the trailing budget (code points)
+    long = sft_examples(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": ["z", "z"],
+                    "turn_idx": pa.array([0, 1], pa.int32()),
+                    "role": ["user", "assistant"],
+                    "text": ["é" * 1000, "r"],
+                    "ts": [ts] * 2,
+                }
+            )
+        ),
+        ctx_chars=16,
+    ).take_all()
+    (row,) = long
+    assert row["ctx_chars"] == len("user: ") + 1000
+    assert row["ctx_tail"] == "é" * 16
+
+
+def test_tool_latency_stats_planted():
+    """Only tool turns with an IMMEDIATE successor count; a NULL-ts
+    successor breaks adjacency; aggregates are per tool."""
+    import datetime as dt
+
+    from ocr_ray.pipelines.conversation import tool_latency_stats
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec) if sec is not None else None
+
+    t = pa.table(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 6], pa.int32()),
+            "role": ["user", "tool", "tool", "assistant", "tool", "user"],
+            "tool": ["", "search", "search", "", "python", ""],
+            "ts": [ts(0), ts(1), ts(3), ts(6), ts(10), ts(20)],
+        }
+    )
+    out = {r["tool"]: r for r in tool_latency_stats(rd.from_arrow(t)).take_all()}
+    # search@1 -> next@2 (2s), search@2 -> next@3 (3s); python@4 has no idx-5 row
+    assert set(out) == {"search"}
+    assert out["search"]["n_calls"] == 2
+    assert out["search"]["total_wait_us"] == 5_000_000
+    assert out["search"]["max_wait_us"] == 3_000_000
+    # NULL-ts successor breaks adjacency for its predecessor
+    t2 = pa.table(
+        {
+            "conv_id": ["c", "c", "c"],
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "role": ["tool", "user", "tool"],
+            "tool": ["files", "", "files"],
+            "ts": [ts(0), None, ts(9)],
+        }
+    )
+    assert tool_latency_stats(rd.from_arrow(t2)).take_all() == []
+
+
+def test_new_conv_ops_dirty_parity(tmp_path):
+    """Hostile-input parity for conv_dedup_exact / sft_examples /
+    tool_latency_stats: NULL conv_id, turn_idx, role, text, tool and ts
+    rows vs the same SQL templates the driver gate runs."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.conversation import (
+        CONV_DEDUP_EXACT_SQL_TMPL,
+        SFT_EXAMPLES_SQL_TMPL,
+        TOOL_LATENCY_SQL_TMPL,
+        conv_dedup_exact,
+        sft_examples,
+        tool_latency_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s) if s is not None else None
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(
+                ["a", "a", "a", None, "b", "b", "b", "c", "c", "d"], pa.string()
+            ),
+            "turn_idx": pa.array([0, 1, 2, 0, 0, None, 2, 0, 1, 0], pa.int64()),
+            "role": pa.array(
+                ["user", "tool", "assistant", "user", "tool", "tool", "assistant",
+                 "user", None, "tool"],
+                pa.string(),
+            ),
+            "text": pa.array(
+                ["hi", "mid", None, "ghost", "out", "x", "ok", "hi", None, "solo"],
+                pa.string(),
+            ),
+            "tool": pa.array(
+                ["", "", "", "", "search", "python", "", "", "", None], pa.string()
+            ),
+            "ts": pa.array(
+                [ts(0), ts(2), ts(5), ts(0), ts(0), ts(1), ts(9), ts(0), None, ts(0)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    d = tmp_path / "dirty_transcripts"
+    d.mkdir()
+    pq.write_table(t, str(d / "part.parquet"))
+    path = str(d)
+    con = duckdb.connect()
+    ds = rd.read_parquet(path)
+    for fn, tmpl in [
+        (conv_dedup_exact, CONV_DEDUP_EXACT_SQL_TMPL),
+        (sft_examples, SFT_EXAMPLES_SQL_TMPL),
+        (tool_latency_stats, TOOL_LATENCY_SQL_TMPL),
+    ]:
+        got = fn(ds).to_pandas()
+        want = con.sql(tmpl.format(path=path)).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), fn.__name__
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), fn.__name__
