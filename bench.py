@@ -309,6 +309,11 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         _consume(vocab_topk_over(big))
         qtimes["vocab_topk_100k"] = round(time.monotonic() - t0, 3)
+        from ocr_ray.ops.corpus import vocab_topk_mg_over
+
+        t0 = time.monotonic()
+        vocab_topk_mg_over(big)
+        qtimes["vocab_topk_mg_100k"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         _consume(pack_sequences_over(big))
         qtimes["pack_sequences_100k"] = round(time.monotonic() - t0, 3)

@@ -62,6 +62,7 @@ from ocr_ray.ops.corpus import (
     strip_common_lines_sql,
     vocab_topk,
     vocab_topk_cms,
+    vocab_topk_mg,
 )
 from ocr_ray.ops.graph import (
     connected_components_graph,
@@ -180,6 +181,7 @@ REGISTRY: dict[str, tuple] = {
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "vocab_topk_cms": (vocab_topk_cms, None),  # approximate; exact sibling gated
+    "vocab_topk_mg": (vocab_topk_mg, None),  # approximate (down-biased); exact sibling gated
     "strip_common_lines": (strip_common_lines, None),  # SQL built per-sf
     "quality_gated_docs": (quality_gated_docs, _quality_gated_sql()),
     "doc_top_terms": (doc_top_terms, DOC_TOP_TERMS_SQL),

@@ -1723,3 +1723,85 @@ JOIN uc ub ON ub.token = split_part(bc.bigram, ' ', 2)
 ORDER BY lift_e6 DESC, bigram ASC
 LIMIT {_COLLOC_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters via Misra-Gries summaries (down-biased sibling of the CMS)
+# ---------------------------------------------------------------------------
+
+_MG_COUNTERS = 512  # summary size per batch; error <= batch_tokens / 512
+
+
+def _mg_summarize(tokens, counts, k: int = _MG_COUNTERS):
+    """Misra-Gries summary of a weighted token stream: keep at most ``k``
+    counters; admitting a new token above capacity decrements ALL counters
+    by the evictee's weight (the classic deterministic guarantee
+    true_count - total/k <= est <= true_count). Vectorized shortcut: start
+    from the exact per-batch value_counts, keep the top ``k`` by count, and
+    subtract the (k+1)-th count from the survivors — equivalent to running
+    MG over the batch, because decrements only ever total the mass of the
+    evicted tail."""
+    import numpy as np
+
+    if len(tokens) <= k:
+        return dict(zip(tokens, (int(c) for c in counts)))
+    order = np.lexsort((np.array(tokens, dtype=object), -counts))
+    cut = int(counts[order[k]])
+    out = {}
+    for i in order[:k]:
+        est = int(counts[i]) - cut
+        if est > 0:
+            out[tokens[i]] = est
+    return out
+
+
+def vocab_topk_mg(sf_dir: str, top_k: int = _VOCAB_K) -> pa.Table:
+    """Approximate global top-k tokens via mergeable Misra-Gries summaries
+    — the DOWN-biased heavy-hitter sketch (estimates undercount by at most
+    total_tokens / _MG_COUNTERS), complementing ``vocab_topk_cms`` whose
+    count-min estimates are biased UP only. Each batch reduces to <= 512
+    (token, weight) counters regardless of its vocabulary; summaries merge
+    by counter addition (associative + commutative, any shard order), and
+    the driver folds O(batches x 512) tiny rows. True top-k tokens whose
+    count exceeds the additive error bound are guaranteed present — the
+    deterministic frequent-elements guarantee (Misra & Gries 1982).
+    Approximate by design: the gated exact sibling is ``vocab_topk``
+    (pytest-probed against it)."""
+    return vocab_topk_mg_over(
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"]), top_k=top_k
+    )
+
+
+def vocab_topk_mg_over(docs: Dataset, top_k: int = _VOCAB_K) -> pa.Table:
+    import numpy as np
+
+    def summarize(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t).combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = flat.value_counts()
+        tokens = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        mg = _mg_summarize(tokens, counts)
+        return pa.table(
+            {
+                "token": pa.array(list(mg.keys()), pa.string()),
+                "n": pa.array(list(mg.values()), pa.int64()),
+            }
+        )
+
+    # merge = counter addition; the driver fold sees <= 512 rows per batch
+    acc: dict[str, int] = {}
+    for b in (
+        docs.map_batches(summarize, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for tok, n in zip(b.column("token").to_pylist(), b.column("n").to_pylist()):
+            acc[tok] = acc.get(tok, 0) + n
+    top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in top], pa.string()),
+            "n": pa.array([n for _, n in top], pa.int64()),
+        }
+    )

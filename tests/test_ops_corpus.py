@@ -356,3 +356,56 @@ class TestCollocations:
         assert out.iloc[0]["bigram"] == "hong kong"
         ranked = dict(zip(out.bigram, out.lift_e6))
         assert ranked["hong kong"] > ranked.get("the cat", 0) > 0
+
+
+class TestVocabMg:
+    def test_matches_exact_sibling(self):
+        """Tiny fixture: each batch's distinct tokens fit in the 512
+        counters, so no compress ever fires and the MG top-k equals the
+        exact vocab_topk exactly (set AND counts)."""
+        from ocr_ray.ops.corpus import vocab_topk, vocab_topk_mg
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["token"]: r["n"] for r in vocab_topk(sf).take_all()}
+        approx = {r["token"]: r["n"] for r in vocab_topk_mg(sf).to_pylist()}
+        assert approx == exact
+
+    def test_planted_skew_never_overestimates(self):
+        """Wide vocabulary forces compression; MG estimates are biased
+        DOWN only (dual of the CMS test) and the heavy hitter survives
+        with error bounded by total/k."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.ops.corpus import vocab_topk_mg_over
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "text": pa.array(
+                        ["hot " * 50 + f"rare{i} cold{i % 7}" for i in range(400)]
+                    )
+                }
+            )
+        )
+        out = vocab_topk_mg_over(docs, top_k=5).to_pylist()
+        truth = {"hot": 400 * 50, **{f"cold{j}": len(range(j, 400, 7)) for j in range(7)}}
+        total = 400 * 52
+        assert out[0]["token"] == "hot"
+        assert out[0]["n"] <= truth["hot"]
+        assert out[0]["n"] >= truth["hot"] - total // 512
+        for r in out:
+            if r["token"] in truth:
+                assert r["n"] <= truth[r["token"]]  # misra-gries: biased down only
+
+    def test_mg_summary_compress_bound(self):
+        """The per-batch compress keeps at most k counters and subtracts
+        exactly the (k+1)-th largest count from each survivor."""
+        import numpy as np
+
+        from ocr_ray.ops.corpus import _mg_summarize
+
+        tokens = [f"t{i:03d}" for i in range(10)]
+        counts = np.array([100, 90, 80, 70, 60, 50, 40, 30, 20, 10], dtype=np.int64)
+        mg = _mg_summarize(tokens, counts, k=4)
+        assert mg == {"t000": 40, "t001": 30, "t002": 20, "t003": 10}
