@@ -346,6 +346,9 @@ def oracle_sql() -> dict[str, str]:
         out.update({name: sql for name, (fn, sql) in OPS_REGISTRY.items() if sql})
         # per-sf SQL: reads the deterministic fixture parquet directly
         out["media_inventory"] = media_inventory_sql(_DRIVER_SF)
+        from ocr_ray.ops.multimodal import media_dedup_exact_sql
+
+        out["media_dedup_exact"] = media_dedup_exact_sql(_DRIVER_SF)
         from ocr_ray.ops.simjoin import dedup_cosine_exact_sql
 
         out["dedup_cosine_exact"] = dedup_cosine_exact_sql(_DRIVER_SF)

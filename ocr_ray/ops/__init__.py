@@ -86,7 +86,13 @@ from ocr_ray.ops.mlprep import (
     weighted_sample_orders,
 )
 from ocr_ray.ops.ann import EMBEDDING_NORM_STATS_SQL, embedding_norm_stats
-from ocr_ray.ops.multimodal import media_features, media_inventory, media_inventory_sql
+from ocr_ray.ops.multimodal import (
+    media_dedup_exact,
+    media_dedup_exact_sql,
+    media_features,
+    media_inventory,
+    media_inventory_sql,
+)
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
 from ocr_ray.ops.search import (
     BM25_TOPK_SQL,
@@ -172,6 +178,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "media_features": (media_features, None),
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
+    "media_dedup_exact": (media_dedup_exact, None),  # SQL built per-sf: media_dedup_exact_sql
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "extract_markdown": (extract_markdown, None),  # SQL built per-sf
     "pagerank_graph": (pagerank_graph, None),  # SQL built per-sf: pagerank_graph_sql

@@ -289,3 +289,69 @@ def media_features(sf_dir: str) -> Dataset:
         )
 
     return out.map_batches(scalars, batch_format="pyarrow")
+
+
+def media_dedup_exact_over(ds: Dataset) -> Dataset:
+    """Exact MULTIMODAL dedup: identical payload bytes collapse to one
+    surviving asset — the content-hash dedup a crawl's image/audio store
+    runs before any decode (re-hosted and hot-linked assets duplicate
+    byte-for-byte; no codec needed, so this is real even where decoders
+    are stubbed). One row per distinct payload: the surviving media_id
+    (min), the copy count, the asset size.
+
+    Plan: each batch reduces its payloads to (md5 digest, media_id,
+    nbytes) rows — 16-byte hex digests, never payload bytes, transit the
+    groupby — so shuffle volume is O(assets), independent of asset size.
+    The SQL oracle groups by the payload BLOB itself (DuckDB's md5 can't
+    take BLOBs), which is the same equivalence relation as long as md5 is
+    collision-free on the corpus — the planted pytest covers real
+    duplicates.
+
+    Contract (mirrored): NULL payload rows are excluded."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("payload")))
+        payloads = t.column("payload").to_pylist()
+        return pa.table(
+            {
+                "digest": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in payloads], pa.string()
+                ),
+                "media_id": pc.cast(t.column("media_id"), pa.int64()),
+                "nbytes": pc.cast(pc.binary_length(t.column("payload")), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(
+            Min("media_id", alias_name="keep_id"),
+            Count(alias_name="n_copies"),
+            Min("nbytes", alias_name="nbytes"),
+        )
+        .drop_columns(["digest"])
+    )
+
+
+def media_dedup_exact(sf_dir: str) -> Dataset:
+    """queries() entry: exact content-hash dedup over the media fixture
+    (per-sf SQL: media_dedup_exact_sql)."""
+    path = ensure_media_fixture(media_rows_for_sf(sf_dir))
+    return media_dedup_exact_over(rd.read_parquet(path, columns=["media_id", "payload"]))
+
+
+def media_dedup_exact_sql(sf_dir: str) -> str:
+    path = ensure_media_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT CAST(min(media_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(octet_length(payload) AS BIGINT) AS nbytes
+FROM read_parquet('{path}/*.parquet')
+WHERE payload IS NOT NULL
+GROUP BY payload
+"""

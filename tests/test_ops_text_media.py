@@ -252,3 +252,28 @@ class TestAnonymizeCustomers:
         assert rows[0]["c_nationkey_anon"] == 1 and rows[0]["c_mktsegment_anon"] == "A"
         assert rows[5]["c_nationkey_anon"] == -1 and rows[5]["c_mktsegment_anon"] is None
         assert rows[9]["c_nationkey_anon"] == -1  # NULL-segment singleton suppressed
+
+
+class TestMediaDedupExact:
+    def test_planted_duplicates(self, ray_session):
+        """Byte-identical payloads collapse to the min media_id with the
+        right copy count; distinct payloads of equal length stay apart;
+        NULL payloads are excluded."""
+        import ray.data as rd
+
+        from ocr_ray.ops.multimodal import media_dedup_exact_over
+
+        t = pa.table(
+            {
+                "media_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+                "payload": pa.array(
+                    [b"\x00\x01\x02", b"\x00\x01\x02", b"\x00\x01\x03", None, b"zz"],
+                    pa.binary(),
+                ),
+            }
+        )
+        rows = {r["keep_id"]: r for r in media_dedup_exact_over(rd.from_arrow(t)).take_all()}
+        assert set(rows) == {3, 9, 7}
+        assert rows[3]["n_copies"] == 2 and rows[3]["nbytes"] == 3
+        assert rows[9]["n_copies"] == 1 and rows[9]["nbytes"] == 3
+        assert rows[7]["n_copies"] == 1 and rows[7]["nbytes"] == 2

@@ -34,6 +34,9 @@ def _rebind_extract_oracles():
 
     _SQLS.update(oracle_sqls(SF))
     _SQLS["media_inventory"] = media_inventory_sql(SF)
+    from ocr_ray.ops.multimodal import media_dedup_exact_sql
+
+    _SQLS["media_dedup_exact"] = media_dedup_exact_sql(SF)
     _SQLS["dedup_cosine_exact"] = dedup_cosine_exact_sql(SF)
     from ocr_ray.ops.ann import embedding_cluster_assign_sql
 
