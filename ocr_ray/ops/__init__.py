@@ -241,9 +241,11 @@ from ocr_ray.ops.stats import (
     EVENTS_VALUE_HISTOGRAM_SQL,
     PART_PAIR_COUNTS_SQL,
     PRICE_QTY_MOMENTS_SQL,
+    EVENTS_VALUE_WINSORIZED_SQL,
     event_value_moments,
     event_value_outliers,
     events_value_histogram,
+    events_value_winsorized,
     part_pair_counts,
     price_qty_moments,
 )
@@ -255,6 +257,7 @@ REGISTRY.update(
         "price_qty_moments": (price_qty_moments, PRICE_QTY_MOMENTS_SQL),
         "part_pair_counts": (part_pair_counts, PART_PAIR_COUNTS_SQL),
         "event_value_outliers": (event_value_outliers, EVENT_VALUE_OUTLIERS_SQL),
+        "events_value_winsorized": (events_value_winsorized, EVENTS_VALUE_WINSORIZED_SQL),
     }
 )
 

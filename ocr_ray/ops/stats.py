@@ -938,3 +938,158 @@ SELECT user_id,
        CAST((n*n - ss) * 10000 // (n*n) AS BIGINT) AS gini_bp
 FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# winsorized aggregate (percentile-clipped robust sum/mean)
+# ---------------------------------------------------------------------------
+
+_WINS_LO_BP = 100  # p1
+_WINS_HI_BP = 9900  # p99
+_WINS_BUCKET_CENTS = 1_000  # $10 histogram buckets for the rank location
+
+
+def events_value_winsorized(sf_dir: str) -> pa.Table:
+    """Winsorized value aggregate: clip every event value to the exact
+    [p1, p99] discrete percentiles (lower-neighbor rank, the
+    PERCENTILE_DISC convention) and report the clipped sum plus the clip
+    census — the robust-preprocessing step that tames heavy-tailed metrics
+    before means/trends (completes the robust family: MAD gate, 3-sigma
+    gate, rolling median).
+
+    Plan: the bucket-histogram rank machinery of ``order_percentile_cont``
+    WITHOUT interpolation — pass 1 histograms cents into $10 buckets (one
+    tiny groupby; trunc-division bucketing is monotone so bucket-local
+    ranks compose into global ranks), the driver maps the two clip ranks
+    to (bucket, local rank), pass 2 sorts ONLY the rank-bearing buckets,
+    and pass 3 streams clip+sum partials (three int64s per batch) — no
+    global sort at any point. All math in exact integer cents, so the
+    value hash is reduction-order independent.
+
+    Contract (mirrored): NULL values excluded; empty input returns zero
+    rows."""
+    import ray
+    from ray.data.aggregate import Count
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        c = to_cents(t.column("value"))
+        return pa.table(
+            {"cents": c, "bucket": pc.divide(c, pa.scalar(_WINS_BUCKET_CENTS))}
+        )
+
+    empty = pa.table(
+        {
+            "n_values": pa.array([], pa.int64()),
+            "lo_cents": pa.array([], pa.int64()),
+            "hi_cents": pa.array([], pa.int64()),
+            "wsum_cents": pa.array([], pa.int64()),
+            "n_clipped_lo": pa.array([], pa.int64()),
+            "n_clipped_hi": pa.array([], pa.int64()),
+        }
+    )
+
+    vals = events.map_batches(cents, batch_format="pyarrow").materialize()
+    hist = vals.groupby("bucket").aggregate(Count(alias_name="c")).take_all()
+    hist.sort(key=lambda r: r["bucket"])
+    n = sum(r["c"] for r in hist)
+    if n == 0:
+        return empty
+
+    needed: dict[int, list[tuple[int, int]]] = {}  # bucket -> [(which, local_rk)]
+    for which, q_bp in ((0, _WINS_LO_BP), (1, _WINS_HI_BP)):
+        rk = (n - 1) * q_bp // 10_000 + 1
+        cum = 0
+        for r in hist:
+            if cum + r["c"] >= rk:
+                needed.setdefault(r["bucket"], []).append((which, rk - cum))
+                break
+            cum += r["c"]
+    ref = ray.put(needed)
+
+    def pick(g: pa.Table) -> pa.Table:
+        want = ray.get(ref).get(g.column("bucket")[0].as_py(), [])
+        if not want:
+            return pa.table(
+                {"which": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+            )
+        srt = np.sort(g.column("cents").to_numpy())
+        return pa.table(
+            {
+                "which": pa.array([w for w, _ in want], pa.int64()),
+                "cents": pa.array([int(srt[rk - 1]) for _, rk in want], pa.int64()),
+            }
+        )
+
+    target_buckets = pa.array(sorted(needed), pa.int64())
+    picked = (
+        vals.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=target_buckets)),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    bounds = {r["which"]: r["cents"] for r in picked}
+    lo_c, hi_c = bounds[0], bounds[1]
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        c = t.column("cents")
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(c, pa.scalar(lo_c, pa.int64())),
+            pa.scalar(hi_c, pa.int64()),
+        )
+        return pa.table(
+            {
+                "wsum": pa.array([pc.sum(clipped).as_py() or 0], pa.int64()),
+                "nlo": pa.array(
+                    [pc.sum(pc.cast(pc.less(c, lo_c), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "nhi": pa.array(
+                    [pc.sum(pc.cast(pc.greater(c, hi_c), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    wsum = nlo = nhi = 0
+    for b in vals.map_batches(clip_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        wsum += sum(b.column("wsum").to_pylist())
+        nlo += sum(b.column("nlo").to_pylist())
+        nhi += sum(b.column("nhi").to_pylist())
+    return pa.table(
+        {
+            "n_values": pa.array([n], pa.int64()),
+            "lo_cents": pa.array([lo_c], pa.int64()),
+            "hi_cents": pa.array([hi_c], pa.int64()),
+            "wsum_cents": pa.array([wsum], pa.int64()),
+            "n_clipped_lo": pa.array([nlo], pa.int64()),
+            "n_clipped_hi": pa.array([nhi], pa.int64()),
+        }
+    )
+
+
+EVENTS_VALUE_WINSORIZED_SQL = """
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE value IS NOT NULL
+),
+o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+b AS (
+  SELECT (SELECT c FROM o WHERE rn = ((cnt - 1) * 100) // 10000 + 1) AS lo,
+         (SELECT c FROM o WHERE rn = ((cnt - 1) * 9900) // 10000 + 1) AS hi,
+         cnt
+  FROM n
+)
+SELECT cnt AS n_values, lo AS lo_cents, hi AS hi_cents,
+       CAST((SELECT SUM(LEAST(GREATEST(c, lo), hi)) FROM v) AS BIGINT) AS wsum_cents,
+       CAST((SELECT COUNT(*) FROM v WHERE c < lo) AS BIGINT) AS n_clipped_lo,
+       CAST((SELECT COUNT(*) FROM v WHERE c > hi) AS BIGINT) AS n_clipped_hi
+FROM b WHERE cnt > 0
+"""

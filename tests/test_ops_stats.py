@@ -229,3 +229,36 @@ class TestMadOutliers:
         out = event_value_outliers_mad(str(tmp_path)).to_pandas()
         assert out.event_id.tolist() == [7]
         assert out.value_cents.tolist() == [999999]
+
+
+class TestEventsValueWinsorized:
+    def test_planted_bounds_and_clipping(self, tmp_path, ray_session):
+        """100 known values: p1/p99 discrete bounds land on the 1st and
+        99th sorted values ((n-1)*bp//1e4 + 1 rank convention); tails are
+        clipped into the sum; negatives survive the bucket math."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.stats import events_value_winsorized
+
+        # sorted cents: -5000, then 2..99 (dollars 0.02..0.99), then 99999
+        vals = [-50.00] + [i / 100 for i in range(2, 100)] + [999.99]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array([0] * len(vals), pa.timestamp("us")),
+                "user_id": pa.array([1] * len(vals), pa.int64()),
+                "event_type": pa.array(["view"] * len(vals)),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * len(vals)),
+            }
+        )
+        pq_.write_table(t, tmp_path / "events.parquet")
+        (row,) = events_value_winsorized(str(tmp_path)).to_pylist()
+        # n=100: lo rank = 99*100//10000+1 = 1 -> -5000; hi rank = 99*9900//10000+1 = 99 -> 99 cents
+        assert row["n_values"] == 100
+        assert row["lo_cents"] == -5000
+        assert row["hi_cents"] == 99
+        assert row["n_clipped_lo"] == 0
+        assert row["n_clipped_hi"] == 1
+        assert row["wsum_cents"] == sum(range(2, 100)) + 99 + (-5000)
