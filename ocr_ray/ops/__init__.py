@@ -108,10 +108,12 @@ from ocr_ray.ops.simjoin import (
 )
 from ocr_ray.ops.dq import (
     DQ_ORPHANS_SQL,
+    ORDERS_BENFORD_SQL,
     EVENTS_ZORDER_SQL,
     ORDERS_KEYSET_PAGE_SQL,
     ORDERS_SNAPSHOT_DIFF_SQL,
     dq_orphans,
+    orders_benford_audit,
     events_zorder,
     orders_keyset_page,
     orders_snapshot_diff,
@@ -219,6 +221,7 @@ REGISTRY: dict[str, tuple] = {
     "purchases_concurrent_events": (purchases_concurrent_events, PURCHASES_CONCURRENT_EVENTS_SQL),
     "user_centered_spend": (user_centered_spend, USER_CENTERED_SPEND_SQL),
     "dq_orphans": (dq_orphans, DQ_ORPHANS_SQL),
+    "orders_benford_audit": (orders_benford_audit, ORDERS_BENFORD_SQL),
     "orders_snapshot_diff": (orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "events_zorder": (events_zorder, EVENTS_ZORDER_SQL),
     "orders_keyset_page": (orders_keyset_page, ORDERS_KEYSET_PAGE_SQL),

@@ -849,3 +849,57 @@ FROM (SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS o_total_c FR
 LEFT JOIN l ON o_orderkey = l_orderkey
 GROUP BY 1
 """
+
+
+def orders_benford_audit(sf_dir: str) -> Dataset:
+    """Benford first-significant-digit census over order totals — the
+    classic numeric-forensics / data-quality screen (fabricated or
+    unit-mangled money columns deviate from the Benford distribution; the
+    census is the screening input, judgment stays with the analyst).
+
+    Exactness by construction: both engines take the FIRST CHARACTER OF
+    THE DECIMAL STRING of |cents| — not a log10/power float round-trip,
+    which could disagree at the 10^k boundaries. Fully vectorized
+    (cast-to-string + slice per batch) and map-side pre-aggregated: the
+    shuffle carries at most 9 (digit, n) rows per batch.
+
+    Contract (mirrored): NULL prices are excluded; zero cents has no
+    leading significant digit and is excluded; negatives audit as their
+    magnitude."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.scalars import to_cents
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_totalprice")))
+        c = pc.abs_checked(to_cents(t.column("o_totalprice")))
+        c = c.filter(pc.greater(c, 0))
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(c, pa.string()), 0, 1), pa.int64()
+        )
+        g = (
+            pa.table({"digit": digit, "n": pa.array(np.ones(len(digit), np.int64))})
+            .group_by(["digit"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["digit", "n"])
+
+    return (
+        orders.map_batches(census, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+ORDERS_BENFORD_SQL = """
+WITH c AS (
+  SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c WHERE cents > 0
+GROUP BY digit
+"""

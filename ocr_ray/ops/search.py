@@ -160,7 +160,7 @@ _IDF_CAP = 1_000_000_000_000  # keeps idf*tfn < 2^63 at any corpus size
 _TOP_K = 10
 
 
-def bm25_topk(sf_dir: str, *, terms: tuple[str, ...] = _QUERY_TERMS) -> pa.Table:
+def bm25_topk(sf_dir: str, *, terms: tuple[str, ...] = _QUERY_TERMS, top_k: int = _TOP_K) -> pa.Table:
     """Top-``_TOP_K`` documents by an integer fixed-point BM25 score for a
     fixed query — retrieval scoring with exact oracle parity.
 
@@ -267,7 +267,7 @@ def bm25_topk(sf_dir: str, *, terms: tuple[str, ...] = _QUERY_TERMS) -> pa.Table
         pos = score > 0
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)[pos]
         sc = score[pos]
-        order = np.lexsort((ids, -sc))[:_TOP_K]
+        order = np.lexsort((ids, -sc))[:top_k]
         return pa.table(
             {
                 "doc_id": pa.array(ids[order].astype(np.int64)),
@@ -289,7 +289,7 @@ def bm25_topk(sf_dir: str, *, terms: tuple[str, ...] = _QUERY_TERMS) -> pa.Table
     )
     ids = allp.column("doc_id").to_numpy(zero_copy_only=False)
     sc = allp.column("score").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -sc))[:_TOP_K]
+    order = np.lexsort((ids, -sc))[:top_k]
     return pa.table(
         {
             "doc_id": pa.array(ids[order].astype(np.int64)),
@@ -298,7 +298,9 @@ def bm25_topk(sf_dir: str, *, terms: tuple[str, ...] = _QUERY_TERMS) -> pa.Table
     )
 
 
-def _bm25_sql(terms: tuple[str, ...] = _QUERY_TERMS) -> str:
+def _bm25_ctes(terms: tuple[str, ...] = _QUERY_TERMS) -> str:
+    """The WITH-clause body (toks .. scored) shared by the BM25 oracle and
+    the hybrid-RRF oracle."""
     nt = len(terms)
     tf_defs = ",\n           ".join(
         f"count(*) FILTER (WHERE token = '{t}') AS tf{j}" for j, t in enumerate(terms)
@@ -317,8 +319,7 @@ def _bm25_sql(terms: tuple[str, ...] = _QUERY_TERMS) -> str:
         // {_SCALE} ELSE 0 END)"""
         for j in range(nt)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
   FROM documents WHERE doc_id IS NOT NULL
 ),
@@ -342,7 +343,12 @@ scored AS (
   SELECT doc_id,
     {score_terms} AS score
   FROM stats, g
-)
+)"""
+
+
+def _bm25_sql(terms: tuple[str, ...] = _QUERY_TERMS) -> str:
+    return f"""
+WITH {_bm25_ctes(terms)}
 SELECT doc_id, CAST(score AS BIGINT) AS score
 FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id

@@ -703,3 +703,33 @@ class TestLinearAttribution:
         assert out.touches.tolist() == [1, 1]
         # 1001 cents * 1e6 // 2 touches = 500_500_000 each (truncating split)
         assert out.credit_e6.tolist() == [500_500_000, 500_500_000]
+
+
+class TestOrdersBenford:
+    def test_planted_digits(self, tmp_path, ray_session):
+        """First significant digit of |cents| via decimal-string slice:
+        negatives audit as magnitude, zero and NULL drop, boundaries
+        (99 -> 9, 100 -> 1) land exactly."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.dq import orders_benford_audit
+
+        prices = [0.99, 1.00, -1.25, 0.0, None, 9.99, 125.00, 0.01]
+        n = len(prices)
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        )
+        pq_.write_table(t, tmp_path / "orders.parquet")
+        got = {r["digit"]: r["n"] for r in orders_benford_audit(str(tmp_path)).take_all()}
+        # cents: 99->9, 100->1, 125->1, 0 drop, NULL drop, 999->9, 12500->1, 1->1
+        assert got == {9: 2, 1: 4}
