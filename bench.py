@@ -129,6 +129,10 @@ QUERY_NAMES = [
     "conv_dedup_exact",
     "sft_examples",
     "tool_latency_stats",
+    "hybrid_rrf_topk",
+    "orders_benford_audit",
+    "events_value_winsorized",
+    "media_dedup_exact",
 ]
 
 

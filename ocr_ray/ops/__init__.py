@@ -96,8 +96,10 @@ from ocr_ray.ops.multimodal import (
 from ocr_ray.ops.scrub import scrub_docs, scrub_docs_sql
 from ocr_ray.ops.search import (
     BM25_TOPK_SQL,
+    HYBRID_RRF_SQL,
     INVERTED_INDEX_SQL,
     bm25_topk,
+    hybrid_rrf_topk,
     inverted_index,
 )
 from ocr_ray.ops.simjoin import (
@@ -208,6 +210,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_bpe_token_counts": (doc_bpe_token_counts, DOC_BPE_TOKEN_COUNTS_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    "hybrid_rrf_topk": (hybrid_rrf_topk, HYBRID_RRF_SQL),
     "user_days_gapfilled": (user_days_gapfilled, USER_DAYS_GAPFILLED_SQL),
     "user_days_locf": (user_days_locf, USER_DAYS_LOCF_SQL),
     "user_retention_cohorts": (user_retention_cohorts, USER_RETENTION_COHORTS_SQL),

@@ -357,3 +357,159 @@ LIMIT {_TOP_K}
 
 
 BM25_TOPK_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the published RRF constant (Cormack et al. 2009)
+_RRF_DEPTH = 50  # per-retriever candidate depth
+_RRF_TOP = 10
+_RRF_SCALE = 1_000_000  # integer surrogate: floor(1e6 / (K + rank))
+_RRF_QUERY_VEC = 0  # dense query = the embedding of vec_id 0 (deterministic)
+
+
+def hybrid_rrf_topk(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: fuse the BM25 lexical ranking (fixed term query
+    over ``documents``) with a dense cosine ranking (fixed query vector
+    over ``embeddings``; vec_id is the doc_id of the embedded document) by
+    reciprocal-rank fusion — the standard first-stage hybrid of a modern
+    retrieval stack (completes the family: inverted index → BM25 → ANN →
+    fusion). RRF score = Σ_retrievers floor(1e6 / (60 + rank)), ranks from
+    each retriever's top-50; a document missing from one list contributes
+    only the other term (truncated-list RRF, the published form).
+
+    Distribution: both retrievers are the existing bounded-shuffle plans
+    (BM25: per-batch stats + partial top-k; dense: per-batch GEMM + local
+    top-k under the FINAL (rounded sim, id) order — a total order, so
+    per-batch prefixes compose exactly); fusion itself touches only
+    2×depth driver rows. Integer fusion scores make the hash gate
+    reduction-order independent; dense ordering reuses the 6-dp rounding
+    contract the gated ``ann_topk`` established vs DuckDB.
+
+    Contract (mirrored): NULL doc_id / embedding rows are excluded; BM25
+    ranks only score > 0 docs."""
+    import os as _os
+
+    lex = bm25_topk(sf_dir, top_k=_RRF_DEPTH)
+    lex_ranks = {
+        d: r + 1 for r, d in enumerate(lex.column("doc_id").to_pylist())
+    }
+
+    emb = rd.read_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
+    )
+    qrow = emb.filter(expr=f"vec_id == {_RRF_QUERY_VEC}").take_all()
+    if not qrow:
+        # designated query vector absent/NULL -> dense list is empty and
+        # fusion degrades to lexical-only (the SQL's empty dq CTE does the
+        # same through the outer join)
+        dense_ranks: dict[int, int] = {}
+        return _rrf_fuse(lex_ranks, dense_ranks)
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def dense_partial(t: pa.Table) -> pa.Table:
+        qn = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = t.column("embedding").combine_chunks()
+        dim = len(qn)
+        m = np.asarray(flat.flatten(), dtype=np.float64).reshape(-1, dim)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        # select under the FINAL total order (rounded sim desc, id asc) so
+        # per-batch prefixes compose into the exact global prefix
+        r6 = np.array([round(s, 6) for s in sims])
+        order = np.lexsort((ids, -r6))[:_RRF_DEPTH]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "sim": pa.array(r6[order], pa.float64()),
+            }
+        )
+
+    cand = []
+    for b in emb.map_batches(dense_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        cand.append(b)
+    allc = pa.concat_tables(cand)
+    ids = allc.column("vec_id").to_numpy(zero_copy_only=False)
+    sims = allc.column("sim").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims))[:_RRF_DEPTH]
+    dense_ranks = {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+    return _rrf_fuse(lex_ranks, dense_ranks)
+
+
+def _rrf_fuse(lex_ranks: dict, dense_ranks: dict) -> pa.Table:
+    fused = []
+    for d in set(lex_ranks) | set(dense_ranks):
+        lr = lex_ranks.get(d)
+        dr = dense_ranks.get(d)
+        score = (_RRF_SCALE // (_RRF_K + lr) if lr else 0) + (
+            _RRF_SCALE // (_RRF_K + dr) if dr else 0
+        )
+        fused.append((int(d), score, lr, dr))
+    fused.sort(key=lambda r: (-r[1], r[0]))
+    top = fused[:_RRF_TOP]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in top], pa.int64()),
+            "rrf_score": pa.array([r[1] for r in top], pa.int64()),
+            "lex_rank": pa.array([r[2] for r in top], pa.int64()),
+            "dense_rank": pa.array([r[3] for r in top], pa.int64()),
+        }
+    )
+
+
+def _rrf_sql(terms: tuple[str, ...] = _QUERY_TERMS) -> str:
+    return f"""
+WITH {_bm25_ctes(terms)},
+lrank AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scored WHERE score > 0
+  ) WHERE r <= {_RRF_DEPTH}
+),
+dq AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = {_RRF_QUERY_VEC} AND embedding IS NOT NULL
+),
+dsim AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], dq.qe::DOUBLE[]), 6) AS sim
+  FROM embeddings e CROSS JOIN dq
+  WHERE e.embedding IS NOT NULL AND e.vec_id IS NOT NULL
+),
+drank AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r FROM dsim
+  ) WHERE r <= {_RRF_DEPTH}
+),
+f AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.r AS lex_rank, d.r AS dense_rank,
+         coalesce({_RRF_SCALE} // ({_RRF_K} + l.r), 0)
+           + coalesce({_RRF_SCALE} // ({_RRF_K} + d.r), 0) AS rrf_score
+  FROM lrank l FULL OUTER JOIN drank d ON l.doc_id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank
+FROM f
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOP}
+"""
+
+
+HYBRID_RRF_SQL = _rrf_sql()

@@ -112,3 +112,36 @@ class TestBM25:
         want = con.sql(_bm25_sql(("red", "green"))).df()
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
         assert got["score"].tolist() == want["score"].tolist()
+
+
+class TestHybridRrf:
+    def test_fuse_arithmetic_and_order(self):
+        """floor(1e6/(60+r)) per retriever, missing side contributes 0,
+        ties break by doc_id."""
+        from ocr_ray.ops.search import _rrf_fuse
+
+        out = _rrf_fuse({1: 1, 2: 2}, {2: 1, 3: 1_000}).to_pylist()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["rrf_score"] == 1_000_000 // 61
+        assert by_id[1]["dense_rank"] is None
+        assert by_id[2]["rrf_score"] == 1_000_000 // 62 + 1_000_000 // 61
+        assert by_id[3]["rrf_score"] == 1_000_000 // 1060
+        assert [r["doc_id"] for r in out] == [2, 1, 3]  # fused order
+
+    def test_end_to_end_contains_both_signals(self, ray_session):
+        """The fused top-10 is a genuine mix: it contains at least one doc
+        from each retriever's top ranks on the real fixture."""
+        from ocr_ray.ops.search import bm25_topk, hybrid_rrf_topk
+
+        sf = "/root/testdata/sf0.001"
+        fused = hybrid_rrf_topk(sf).to_pylist()
+        assert len(fused) == 10
+        lex_top = set(bm25_topk(sf).column("doc_id").to_pylist())
+        assert any(r["doc_id"] in lex_top for r in fused)
+        assert any(r["dense_rank"] is not None and r["dense_rank"] <= 10 for r in fused)
+        # scores are the documented integer form
+        for r in fused:
+            want = (1_000_000 // (60 + r["lex_rank"]) if r["lex_rank"] else 0) + (
+                1_000_000 // (60 + r["dense_rank"]) if r["dense_rank"] else 0
+            )
+            assert r["rrf_score"] == want
