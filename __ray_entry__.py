@@ -91,6 +91,25 @@ def _training_data_full(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _sft_dataset_full(sf_dir: str):
+    """Composed SFT-dataset pipeline (conv dedup -> pair assembly -> gate ->
+    split -> resumable sink); returns the per-split mixture report. Parts
+    individually gated (conv_dedup_exact, sft_examples)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.training_data import sft_dataset_full
+
+    out = tempfile.mkdtemp(prefix="ocr_ray_sft_")
+    try:
+        return sft_dataset_full(rd.read_parquet(_transcripts_for(sf_dir)), out)
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _conversation_stats(sf_dir: str):
     """Per-conversation rollup (partial pre-agg + tiny groupby)."""
     import ray.data as rd
@@ -301,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,
         "training_data_full": _training_data_full,
+        "sft_dataset_full": _sft_dataset_full,
         "clean_corpus_plain": clean_corpus_plain,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,

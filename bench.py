@@ -133,6 +133,7 @@ QUERY_NAMES = [
     "orders_benford_audit",
     "events_value_winsorized",
     "media_dedup_exact",
+    "sft_dataset_full",
 ]
 
 

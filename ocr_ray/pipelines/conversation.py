@@ -786,32 +786,21 @@ LIMIT 20
 """
 
 
-def conv_dedup_exact(transcripts: Dataset) -> Dataset:
-    """CONVERSATION-level exact dedup census: two conversations are
-    duplicates iff their full ordered (role, text) turn sequences are
-    identical — the whole-dialogue dedup pass a transcript corpus runs
-    BEFORE turn-level dedup (retry storms and re-ingested sessions
-    duplicate entire conversations, not single turns). One row per
-    distinct content digest: the surviving conv_id (min), the group size.
+def conv_digest_pairs(transcripts: Dataset) -> Dataset:
+    """(digest, conv_id) pairs: one md5 per conversation over its ordered
+    (role, text) turn sequence — the shared front half of conversation-level
+    dedup (census in ``conv_dedup_exact``, survivor filtering in
+    ``training_data.sft_dataset_full``). Only 16-byte-digest pairs leave the
+    co-location scan.
 
-    Plan: the conv_texts machinery — a filesystem-exchange grouped scan
-    co-locates each conversation's turns; per partition the sorted turn
-    texts are wrapped zero-copy in a ListArray and joined in C++ with
-    injective separators (role <US> text, turns joined by <RS> — no
-    concatenation collision can alias two different sequences), then one
-    md5 per CONVERSATION (not per turn). Only (digest, conv_id) pairs —
-    16-byte digests, never text — transit the final tiny groupby, so the
-    dedup decision shuffles O(conversations) rows at any corpus size.
-
-    Contract (mirrored in SQL): NULL conv_id / turn_idx rows are excluded
-    (key and order); NULL role / text participate as '' (position-
-    preserving); (conv_id, turn_idx) is assumed unique (the input_hint
-    natural key) — duplicate turn_idx would make both engines' within-key
-    order unstable."""
+    Contract: NULL conv_id / turn_idx rows are excluded (key and order);
+    NULL role / text participate as '' (position-preserving); injective
+    separators (role <US> text, turns joined by <RS>) so no concatenation
+    collision can alias two different sequences; (conv_id, turn_idx) is
+    assumed unique (the input_hint natural key)."""
     import hashlib
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
 
     def prep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
@@ -853,7 +842,7 @@ def conv_dedup_exact(transcripts: Dataset) -> Dataset:
         )
 
     slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
-    pairs = grouped_scan_fs(
+    return grouped_scan_fs(
         slim.map_batches(prep, batch_format="pyarrow"),
         "conv_id",
         digest_per_conv,
@@ -861,7 +850,33 @@ def conv_dedup_exact(transcripts: Dataset) -> Dataset:
             {"digest": pa.array([], pa.string()), "conv_id": pa.array([], pa.string())}
         ),
     )
-    return pairs.groupby("digest").aggregate(
+
+
+def conv_dedup_exact(transcripts: Dataset) -> Dataset:
+    """CONVERSATION-level exact dedup census: two conversations are
+    duplicates iff their full ordered (role, text) turn sequences are
+    identical — the whole-dialogue dedup pass a transcript corpus runs
+    BEFORE turn-level dedup (retry storms and re-ingested sessions
+    duplicate entire conversations, not single turns). One row per
+    distinct content digest: the surviving conv_id (min), the group size.
+
+    Plan: the conv_texts machinery — a filesystem-exchange grouped scan
+    co-locates each conversation's turns; per partition the sorted turn
+    texts are wrapped zero-copy in a ListArray and joined in C++ with
+    injective separators (role <US> text, turns joined by <RS> — no
+    concatenation collision can alias two different sequences), then one
+    md5 per CONVERSATION (not per turn). Only (digest, conv_id) pairs —
+    16-byte digests, never text — transit the final tiny groupby, so the
+    dedup decision shuffles O(conversations) rows at any corpus size.
+
+    Contract (mirrored in SQL): NULL conv_id / turn_idx rows are excluded
+    (key and order); NULL role / text participate as '' (position-
+    preserving); (conv_id, turn_idx) is assumed unique (the input_hint
+    natural key) — duplicate turn_idx would make both engines' within-key
+    order unstable."""
+    from ray.data.aggregate import Count, Min
+
+    return conv_digest_pairs(transcripts).groupby("digest").aggregate(
         Min("conv_id", alias_name="keep_conv"), Count(alias_name="n_convs")
     )
 
@@ -886,7 +901,12 @@ FROM d GROUP BY digest
 _SFT_CTX_CHARS = 512
 
 
-def sft_examples(transcripts: Dataset, ctx_chars: int = _SFT_CTX_CHARS) -> Dataset:
+def sft_examples(
+    transcripts: Dataset,
+    ctx_chars: int = _SFT_CTX_CHARS,
+    *,
+    include_response: bool = False,
+) -> Dataset:
     """SFT training-pair assembly: for every assistant turn with at least
     one preceding turn in its conversation, emit the turn key, the FULL
     context length, and the context TAIL capped to ``ctx_chars`` characters
@@ -908,33 +928,40 @@ def sft_examples(transcripts: Dataset, ctx_chars: int = _SFT_CTX_CHARS) -> Datas
     Contract (mirrored in SQL): NULL conv_id / turn_idx rows excluded (key
     and order); NULL role / text render as ''; assistant turns with no
     prior turn produce no example (string_agg over an empty frame is NULL).
+
+    ``include_response=True`` (the ``sft_dataset_full`` composition)
+    additionally carries the assistant turn's raw text as ``response`` +
+    ``resp_chars`` — off by default so the gated oracle schema is stable.
     """
     import pyarrow.compute as pc
 
     def prep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
         t = t.filter(m)
-        return pa.table(
-            {
-                "conv_id": t.column("conv_id"),
-                "turn_idx": t.column("turn_idx"),
-                "role": pc.coalesce(t.column("role"), pa.scalar("")),
-                "part": pc.binary_join_element_wise(
-                    pc.coalesce(t.column("role"), pa.scalar("")),
-                    pc.coalesce(t.column("text"), pa.scalar("")),
-                    ": ",
-                ),
-            }
-        )
-
-    empty = pa.table(
-        {
-            "conv_id": pa.array([], pa.string()),
-            "turn_idx": pa.array([], pa.int64()),
-            "ctx_chars": pa.array([], pa.int64()),
-            "ctx_tail": pa.array([], pa.string()),
+        cols = {
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "role": pc.coalesce(t.column("role"), pa.scalar("")),
+            "part": pc.binary_join_element_wise(
+                pc.coalesce(t.column("role"), pa.scalar("")),
+                pc.coalesce(t.column("text"), pa.scalar("")),
+                ": ",
+            ),
         }
-    )
+        if include_response:
+            cols["resp"] = pc.coalesce(t.column("text"), pa.scalar(""))
+        return pa.table(cols)
+
+    ecols = {
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),
+        "ctx_chars": pa.array([], pa.int64()),
+        "ctx_tail": pa.array([], pa.string()),
+    }
+    if include_response:
+        ecols["response"] = pa.array([], pa.string())
+        ecols["resp_chars"] = pa.array([], pa.int64())
+    empty = pa.table(ecols)
 
     def assemble(t: pa.Table) -> pa.Table:
         t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
@@ -966,16 +993,19 @@ def sft_examples(transcripts: Dataset, ctx_chars: int = _SFT_CTX_CHARS) -> Datas
             s = joined[grp[i]]
             e = int(ctx_end[i])
             tails.append(s[max(0, e - ctx_chars) : e])
-        return pa.table(
-            {
-                "conv_id": conv.take(pa.array(sel)),
-                "turn_idx": pc.cast(
-                    t.column("turn_idx").combine_chunks().take(pa.array(sel)), pa.int64()
-                ),
-                "ctx_chars": pa.array(ctx_end[sel], pa.int64()),
-                "ctx_tail": pa.array(tails, pa.string()),
-            }
-        )
+        cols = {
+            "conv_id": conv.take(pa.array(sel)),
+            "turn_idx": pc.cast(
+                t.column("turn_idx").combine_chunks().take(pa.array(sel)), pa.int64()
+            ),
+            "ctx_chars": pa.array(ctx_end[sel], pa.int64()),
+            "ctx_tail": pa.array(tails, pa.string()),
+        }
+        if include_response:
+            resp = t.column("resp").combine_chunks().take(pa.array(sel))
+            cols["response"] = resp
+            cols["resp_chars"] = pc.cast(pc.utf8_length(resp), pa.int64())
+        return pa.table(cols)
 
     slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
     return grouped_scan_fs(

@@ -316,3 +316,99 @@ def training_data_full(
     return pa.Table.from_pandas(report.to_pandas(), preserve_index=False).sort_by(
         [("split", "ascending"), ("lang_pred", "ascending")]
     )
+
+
+def sft_dataset_full(
+    transcripts: Dataset,
+    out_dir: str,
+    *,
+    ctx_chars: int = 512,
+    num_partitions: int = 16,
+) -> pa.Table:
+    """The COMPLETE SFT-dataset pipeline in one call — the dialogue-tuning
+    sibling of ``training_data_full`` (that one builds a pretraining
+    corpus of turns; this one builds (context, response) examples):
+
+        conversation-level exact dedup (whole-dialogue digests)
+        -> SFT pair assembly (capped context tail + response)
+        -> example quality gate (non-empty response)
+        -> reproducible md5 train/val/test split per example
+        -> resumable partitioned sink
+        -> per-split mixture report (examples, context/response chars)
+
+    Distribution: dedup decisions and survivor filtering move only
+    O(conversations) digest/key rows (``conv_digest_pairs`` + auto
+    broadcast/hash semi-join via ``functions.joins.auto_join``); assembly is
+    the gated ``sft_examples`` plan (one C++ join per conversation, slices
+    per example); the sink is the consumer — the driver holds only the
+    report. Parts are individually SQL-gated (``conv_dedup_exact``,
+    ``sft_examples``); the composition is pytest-reconciled against a
+    recount of the committed corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ocr_ray.functions.joins import auto_join
+    from ocr_ray.pipelines.conversation import conv_digest_pairs, sft_examples
+    from ocr_ray.state.sink import write_partitioned
+
+    # 1. whole-conversation dedup: keepers = min conv_id per digest
+    keepers = (
+        conv_digest_pairs(transcripts)
+        .groupby("digest")
+        .aggregate(Min("conv_id", alias_name="conv_id"))
+        .select_columns(["conv_id"])
+    )
+    survivors = auto_join(transcripts, keepers, on="conv_id")
+
+    # 2. assembly + 3. gate
+    ex = sft_examples(survivors, ctx_chars, include_response=True)
+    gated = ex.map_batches(
+        lambda t: t.filter(pc.greater(t.column("resp_chars"), 0)),
+        batch_format="pyarrow",
+    )
+
+    # 4. reproducible split on the example key (same md5-band rule as
+    # training_data_full: < 0xcc train, < 0xe6 val, else test)
+    def assign_split(t: pa.Table) -> pa.Table:
+        uids = _uid_col(t)
+        b = [hashlib.md5(u.encode("utf-8")).digest()[0] for u in uids.to_pylist()]
+        split = pa.array(
+            ["train" if x < 0xCC else ("val" if x < 0xE6 else "test") for x in b],
+            pa.string(),
+        )
+        return t.append_column("split", split)
+
+    with_split = gated.map_batches(assign_split, batch_format="pyarrow")
+
+    # 5. sink is the consumer
+    write_partitioned(with_split, out_dir, num_partitions=num_partitions, resume=False)
+
+    # 6. report from the committed corpus (reconciles by construction)
+    back = rd.read_parquet(out_dir, columns=["split", "ctx_chars", "resp_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "split": t.column("split"),
+                "n_examples": pa.array([1] * t.num_rows, pa.int64()),
+                "ctx_chars": t.column("ctx_chars"),
+                "resp_chars": t.column("resp_chars"),
+            }
+        )
+        g = t.group_by(["split"]).aggregate(
+            [("n_examples", "sum"), ("ctx_chars", "sum"), ("resp_chars", "sum")]
+        )
+        return g.rename_columns(["split", "n_examples", "ctx_chars", "resp_chars"])
+
+    report = (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("n_examples", alias_name="n_examples"),
+            Sum("ctx_chars", alias_name="ctx_chars"),
+            Sum("resp_chars", alias_name="resp_chars"),
+        )
+    )
+    return pa.Table.from_pandas(report.to_pandas(), preserve_index=False).sort_by(
+        [("split", "ascending")]
+    )

@@ -116,3 +116,68 @@ def test_training_data_full_report(tmp_path, ray_session):
     # train fraction ~80% (md5 uniformity, wide tolerance at this size)
     frac = rep[rep.split == "train"].n_turns.sum() / rep.n_turns.sum()
     assert 0.7 < frac < 0.9
+
+
+class TestSftDatasetFull:
+    def test_composition_reconciles(self, tmp_path, ray_session):
+        """Duplicate conversations contribute no examples; the report
+        reconciles exactly with a recount of the committed corpus; the
+        split is the documented md5 band rule."""
+        import datetime as dt
+        import hashlib as hl
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.pipelines.training_data import sft_dataset_full
+
+        ts = dt.datetime(2024, 1, 1)
+        rows = []
+
+        def conv(cid, seq):
+            for i, (role, text) in enumerate(seq):
+                rows.append((cid, i, role, text))
+
+        # c9 duplicates c1's content -> only c1 survives
+        base = [("user", "hello there"), ("assistant", "hi!"), ("user", "more"), ("assistant", "ok")]
+        conv("c1", base)
+        conv("c9", base)
+        conv("c2", [("user", "q"), ("assistant", "")])  # empty response -> gated out
+        conv("c3", [("assistant", "orphan")])  # no prior turn -> no example
+        conv("c4", [("user", "x"), ("assistant", "resp")])
+        t = pa.table(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+                "role": [r[2] for r in rows],
+                "text": [r[3] for r in rows],
+                "tool": [""] * len(rows),
+                "ts": [ts] * len(rows),
+            }
+        )
+        out = tmp_path / "sft_out"
+        report = sft_dataset_full(rd.from_arrow(t), str(out))
+        committed = rd.read_parquet(str(out)).take_all()
+        # c1 contributes 2 examples, c4 one; c9 deduped, c2 gated, c3 none
+        assert {(r["conv_id"], r["turn_idx"]) for r in committed} == {
+            ("c1", 1), ("c1", 3), ("c4", 1)
+        }
+        # split rule: md5 first byte of conv_id#zero-padded-turn_idx
+        for r in committed:
+            b = hl.md5(f"{r['conv_id']}#{r['turn_idx']:010d}".encode()).digest()[0]
+            want = "train" if b < 0xCC else ("val" if b < 0xE6 else "test")
+            assert r["split"] == want
+        # report reconciles with a recount
+        rep = {r["split"]: r for r in report.to_pylist()}
+        import collections
+
+        cnt = collections.Counter(r["split"] for r in committed)
+        for split, n in cnt.items():
+            assert rep[split]["n_examples"] == n
+            assert rep[split]["ctx_chars"] == sum(
+                r["ctx_chars"] for r in committed if r["split"] == split
+            )
+            assert rep[split]["resp_chars"] == sum(
+                r["resp_chars"] for r in committed if r["split"] == split
+            )
+        assert sum(r["n_examples"] for r in report.to_pylist()) == 3
