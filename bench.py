@@ -134,6 +134,8 @@ QUERY_NAMES = [
     "events_value_winsorized",
     "media_dedup_exact",
     "sft_dataset_full",
+    "user_rfm",
+    "doc_prefix_dedup",
 ]
 
 

@@ -31,7 +31,9 @@ from ocr_ray.ops.ann import (
 )
 from ocr_ray.ops.dedup import (
     DEDUP_EXACT_SQL,
+    DOC_PREFIX_DEDUP_SQL,
     dedup_exact_docs,
+    doc_prefix_dedup,
     dedup_jaccard_docs,
     dedup_minhash_docs,
     dedup_simhash_docs,
@@ -165,6 +167,7 @@ from ocr_ray.ops.textstats import (
 
 REGISTRY: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "doc_prefix_dedup": (doc_prefix_dedup, DOC_PREFIX_DEDUP_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, None),
     "dedup_simhash_docs": (dedup_simhash_docs, None),
     "dedup_jaccard_docs": (dedup_jaccard_docs, None),

@@ -1477,3 +1477,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id
 FROM delta
 WHERE h NOT IN (SELECT h FROM corpus)
 """
+
+
+_PREFIX_DEDUP_CHARS = 100
+
+
+def doc_prefix_dedup(sf_dir: str) -> Dataset:
+    """Prefix-dedup census: documents sharing their first
+    ``_PREFIX_DEDUP_CHARS`` characters form one group — the
+    truncation-duplicate heuristic for crawl corpora (the same page fetched
+    with different tail boilerplate, or cut off mid-download, dedups on its
+    head when exact dedup misses it). One row per distinct prefix: its md5,
+    the surviving doc_id (min), the group size (``n_docs > 1`` = the dup
+    signal).
+
+    Shuffle carries (16-byte digest, doc_id) pairs, never text; the slice
+    is by CODE POINTS (``utf8_slice_codeunits``) matching SQL substr
+    semantics, and both engines md5 the same UTF-8 bytes of the prefix.
+
+    Contract (mirrored): NULL text rows are excluded."""
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        pre = pc.utf8_slice_codeunits(batch.column("text"), 0, _PREFIX_DEDUP_CHARS)
+        hs = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in pre.to_pylist()]
+        return pa.table(
+            {"digest": pa.array(hs, pa.string()), "doc_id": batch.column("doc_id")}
+        )
+
+    return (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min("doc_id", alias_name="keep_doc"), Count(alias_name="n_docs"))
+    )
+
+
+DOC_PREFIX_DEDUP_SQL = f"""
+SELECT md5(substr(text, 1, {_PREFIX_DEDUP_CHARS})) AS digest,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY substr(text, 1, {_PREFIX_DEDUP_CHARS})
+"""

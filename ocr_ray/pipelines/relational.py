@@ -4046,6 +4046,100 @@ ORDER BY log2_rows
 REGISTRY["key_skew_report"] = (key_skew_report, KEY_SKEW_REPORT_SQL)
 
 
+def user_rfm(sf_dir: str) -> Dataset:
+    """Per-user RFM rollup (recency / frequency / monetary) — the classic
+    behavioral-segmentation aggregate: days since the user's last event
+    (relative to the corpus's max timestamp), total event count, and
+    purchase spend in exact cents.
+
+    Plan: one partial pre-agg per batch (arrow group_by: max ts, count,
+    purchase-cents sum) so the shuffle carries one small row per (batch,
+    user); the global reference timestamp folds from per-batch maxima on
+    the driver (a handful of int64s) and is applied in a final vectorized
+    map. All integer math; recency uses floor division of a nonnegative
+    microsecond difference, matching the SQL ``//``.
+
+    Contract (mirrored): NULL user_id rows are excluded (entity key);
+    NULL ts rows still count toward frequency/monetary but not recency
+    (max skips NULLs; a user with only NULL timestamps gets NULL recency);
+    NULL purchase values spend 0."""
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        cents = to_cents(pc.coalesce(t.column("value"), pa.scalar(0.0)))
+        money = pc.if_else(
+            pc.equal(pc.coalesce(t.column("event_type"), pa.scalar("")), "purchase"),
+            cents,
+            pa.scalar(0, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "last_ts": pc.cast(t.column("ts"), pa.int64()),
+                    "frequency": pa.array([1] * t.num_rows, pa.int64()),
+                    "monetary_cents": money,
+                }
+            )
+            .group_by(["user_id"])
+            .aggregate([("last_ts", "max"), ("frequency", "sum"), ("monetary_cents", "sum")])
+        )
+        return g.rename_columns(["user_id", "last_ts", "frequency", "monetary_cents"])
+
+    from ray.data.aggregate import Max
+
+    parts = events.map_batches(partial, batch_format="pyarrow").materialize()
+    gmax = None
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        m = pc.max(b.column("last_ts")).as_py()
+        if m is not None:
+            gmax = m if gmax is None else max(gmax, m)
+    agg = parts.groupby("user_id").aggregate(
+        Max("last_ts", alias_name="last_ts"),
+        Sum("frequency", alias_name="frequency"),
+        Sum("monetary_cents", alias_name="monetary_cents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if gmax is None:
+            rec = pa.array([None] * t.num_rows, pa.int64())
+        else:
+            diff = pc.subtract(pa.scalar(gmax, pa.int64()), t.column("last_ts"))
+            rec = pc.divide(diff, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "recency_days": rec,
+                "frequency": t.column("frequency"),
+                "monetary_cents": t.column("monetary_cents"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+USER_RFM_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+g AS (SELECT max(ts) AS gmax FROM e)
+SELECT user_id,
+       CAST(date_diff('microsecond', max(e.ts), (SELECT gmax FROM g))
+            // 86400000000 AS BIGINT) AS recency_days,
+       CAST(count(*) AS BIGINT) AS frequency,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+            AS BIGINT) AS monetary_cents
+FROM e GROUP BY user_id
+"""
+
+REGISTRY["user_rfm"] = (user_rfm, USER_RFM_SQL)
+
+
 # --- TPC-H q2/q8/q9/q11/q12/q16/q20 (adapted shapes) live in their own
 # module; merging here keeps one REGISTRY for __ray_entry__ and the sweeps.
 from ocr_ray.pipelines.tpch_more import REGISTRY as _TPCH_MORE_REGISTRY  # noqa: E402

@@ -285,3 +285,28 @@ def test_local_gate_parity(docs_dir, monkeypatch):
     emb_dist = sorted(r["vec_id"] for r in embedding_near_dups("/root/testdata/sf0.01").take_all())
     assert local == dist
     assert emb_local == emb_dist
+
+
+class TestDocPrefixDedup:
+    def test_planted_truncation_dups(self, tmp_path, ray_session):
+        """Docs sharing their first 100 chars group together even when the
+        tails differ (exact dedup would miss them); shorter-than-prefix
+        docs group on their full text; NULL text drops."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.dedup import doc_prefix_dedup
+
+        head = "x" * 100
+        t = pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+                "text": pa.array(
+                    [head + "tail-A", head + "tail-B", "short", "short", None],
+                    pa.string(),
+                ),
+            }
+        )
+        pq_.write_table(t, tmp_path / "documents.parquet")
+        rows = {r["keep_doc"]: r["n_docs"] for r in doc_prefix_dedup(str(tmp_path)).take_all()}
+        assert rows == {3: 2, 1: 2}
