@@ -136,6 +136,7 @@ QUERY_NAMES = [
     "sft_dataset_full",
     "user_rfm",
     "doc_prefix_dedup",
+    "daily_new_vs_returning",
 ]
 
 

@@ -129,6 +129,7 @@ from ocr_ray.ops.incremental import (
 from ocr_ray.ops.timeseries import (
     EVENTS_NTILE_SQL,
     SESSION_FUNNEL_SQL,
+    DAILY_NEW_VS_RETURNING_SQL,
     USER_DAYS_GAPFILLED_SQL,
     USER_DAYS_LOCF_SQL,
     USER_RETENTION_COHORTS_SQL,
@@ -146,6 +147,7 @@ from ocr_ray.ops.timeseries import (
     events_ntile_by_type,
     user_trailing_hour_spend,
     session_funnel,
+    daily_new_vs_returning,
     user_days_gapfilled,
     user_days_locf,
     user_retention_cohorts,
@@ -215,6 +217,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf_topk": (hybrid_rrf_topk, HYBRID_RRF_SQL),
     "user_days_gapfilled": (user_days_gapfilled, USER_DAYS_GAPFILLED_SQL),
+    "daily_new_vs_returning": (daily_new_vs_returning, DAILY_NEW_VS_RETURNING_SQL),
     "user_days_locf": (user_days_locf, USER_DAYS_LOCF_SQL),
     "user_retention_cohorts": (user_retention_cohorts, USER_RETENTION_COHORTS_SQL),
     "nation_orders_incremental": (nation_orders_incremental, NATION_ORDERS_INCREMENTAL_SQL),

@@ -2111,3 +2111,83 @@ SELECT event_id, user_id, cents, peak_cents,
        CAST(peak_cents - cents AS BIGINT) AS drawdown_cents
 FROM w
 """
+
+
+def daily_new_vs_returning(sf_dir: str) -> Dataset:
+    """Per-day active-user census split into NEW (first-ever-seen that day)
+    vs returning — the growth-accounting rollup every event corpus reports.
+
+    Plan: per-batch distinct (user, day) partials (np.unique on the packed
+    pair) feed ONE keys-only groupby that makes the pairs globally distinct;
+    per-user first days come from a ``groupby(user).Min(day)`` over the same
+    pairs; the final day census joins first-day flags back via a broadcast/
+    hash auto-join on the user key. Only (user, day) int pairs ever shuffle.
+    Days are positive-epoch floor buckets (``epoch_us // day``, same
+    precondition as the gapfill family).
+
+    Contract (mirrored): NULL user_id / ts rows are excluded."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ocr_ray.functions.joins import auto_join
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        user = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique(user * 1_000_000 + day)  # day < 1e6 for epoch-us data
+        return pa.table(
+            {
+                "user_id": pa.array(packed // 1_000_000, pa.int64()),
+                "day": pa.array(packed % 1_000_000, pa.int64()),
+            }
+        )
+
+    distinct = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+    firsts = distinct.groupby("user_id").aggregate(Min("day", alias_name="first_day"))
+    joined = auto_join(distinct, firsts, on="user_id")
+
+    def census(t: pa.Table) -> pa.Table:
+        new = pc.cast(pc.equal(t.column("day"), t.column("first_day")), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "day": t.column("day"),
+                    "n_active": pa.array([1] * t.num_rows, pa.int64()),
+                    "n_new": new,
+                }
+            )
+            .group_by(["day"])
+            .aggregate([("n_active", "sum"), ("n_new", "sum")])
+        )
+        return g.rename_columns(["day", "n_active", "n_new"])
+
+    return (
+        joined.map_batches(census, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_active", alias_name="n_active"), Sum("n_new", alias_name="n_new"))
+    )
+
+
+DAILY_NEW_VS_RETURNING_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY user_id)
+SELECT CAST(p.day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(*) FILTER (WHERE p.day = f.first_day) AS BIGINT) AS n_new
+FROM p JOIN f USING (user_id)
+GROUP BY p.day
+"""

@@ -733,3 +733,41 @@ class TestOrdersBenford:
         got = {r["digit"]: r["n"] for r in orders_benford_audit(str(tmp_path)).take_all()}
         # cents: 99->9, 100->1, 125->1, 0 drop, NULL drop, 999->9, 12500->1, 1->1
         assert got == {9: 2, 1: 4}
+
+
+class TestDailyNewVsReturning:
+    def test_planted_growth_accounting(self, tmp_path, ray_session):
+        """A user is NEW only on their first-ever day; multiple events on
+        one day count once; negative user ids survive the pair packing."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.timeseries import daily_new_vs_returning
+
+        base = dt.datetime(2024, 1, 1)
+
+        def day(n, h=0):
+            return base + dt.timedelta(days=n, hours=h)
+
+        t = pa.table(
+            {
+                "event_id": pa.array(range(7), pa.int64()),
+                "ts": pa.array(
+                    [day(0), day(0, 5), day(1), day(0), day(2), day(2, 3), None],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, -2, -2, 1, 1], pa.int64()),
+                "event_type": pa.array(["view"] * 7),
+                "value": pa.array([1.0] * 7),
+                "props": pa.array(["{}"] * 7),
+            }
+        )
+        pq_.write_table(t, tmp_path / "events.parquet")
+        rows = {r["day"]: r for r in daily_new_vs_returning(str(tmp_path)).take_all()}
+        d0 = int(base.timestamp() * 1e6) // 86_400_000_000
+        # day0: users {1,-2} both new; day1: {1} returning; day2: {-2,1} returning
+        assert rows[d0]["n_active"] == 2 and rows[d0]["n_new"] == 2
+        assert rows[d0 + 1]["n_active"] == 1 and rows[d0 + 1]["n_new"] == 0
+        assert rows[d0 + 2]["n_active"] == 2 and rows[d0 + 2]["n_new"] == 0
