@@ -137,6 +137,7 @@ QUERY_NAMES = [
     "user_rfm",
     "doc_prefix_dedup",
     "daily_new_vs_returning",
+    "embedding_knn_self",
 ]
 
 

@@ -22,6 +22,8 @@ merged into ``__ray_entry__.queries()``.
 """
 
 from ocr_ray.ops.ann import (
+    EMBEDDING_KNN_SELF_SQL,
+    embedding_knn_self,
     ANN_TOPK_SQL,
     ann_ivf_topk,
     ann_lsh_topk,
@@ -177,6 +179,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_jaccard_exact": (dedup_jaccard_exact, DEDUP_JACCARD_EXACT_SQL),
     "dedup_cosine_exact": (dedup_cosine_exact, None),  # SQL built per-sf: dedup_cosine_exact_sql
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "embedding_knn_self": (embedding_knn_self, EMBEDDING_KNN_SELF_SQL),
     "embedding_cluster_assign": (embedding_cluster_assign, None),  # SQL built per-sf
 
     "ann_lsh_topk": (ann_lsh_topk, None),

@@ -1085,3 +1085,86 @@ def embedding_pca_project(sf_dir: str, k: int = 2) -> "Dataset":
         return pa.table(out)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def embedding_knn_self(sf_dir: str) -> Dataset:
+    """kNN-graph build (k=1): every vector's single nearest neighbor by
+    cosine, self excluded — the neighbor-graph step under clustering /
+    manifold / dedup-threshold calibration. Ties on the 6-dp-rounded
+    similarity break to the smallest neighbor id (the ann_topk rounding
+    contract, established gate-exact vs DuckDB).
+
+    Plan (dense tier): the corpus matrix is pinned ONCE via ``ray.put``
+    (ids + row-normalized float64) and every batch does one GEMM against
+    it — O(batch x corpus) flops, candidate traffic one row per vector.
+    This is the exact tier for corpora whose matrix fits a worker
+    (500 x 64 here; ~1 GB at 2M x 64); beyond that the LSH-bucketed
+    ``embedding_near_dups`` plan is the documented scale path (bucket,
+    then exact within buckets).
+
+    Contract (mirrored): NULL vec_id / embedding rows are excluded; a
+    corpus with fewer than 2 vectors yields zero rows."""
+    pin = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("embedding")), pc.is_valid(t.column("vec_id")))
+        ),
+        batch_format="pyarrow",
+    )
+    rows = pin.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    ref = ray.put((ids, mn))
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "nn_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    if len(ids) < 2:
+        return rd.from_arrow(empty)
+
+    def nn(t: pa.Table) -> pa.Table:
+        cids, cm = ray.get(ref)
+        bids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = t.column("embedding").combine_chunks()
+        bm = np.asarray(flat.flatten(), dtype=np.float64).reshape(len(bids), -1)
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bm / bn[:, None]) @ cm.T
+        r6 = np.round(sims, 6)
+        r6[bids[:, None] == cids[None, :]] = -np.inf  # self excluded
+        mx = r6.max(axis=1)
+        # among max-similarity ties, the smallest neighbor id
+        idmat = np.where(r6 == mx[:, None], cids[None, :], np.iinfo(np.int64).max)
+        nnid = idmat.min(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(bids),
+                "nn_id": pa.array(nnid.astype(np.int64)),
+                "sim": pa.array(mx, pa.float64()),
+            }
+        )
+
+    return pin.map_batches(nn, batch_format="pyarrow", batch_size=4096)
+
+
+EMBEDDING_KNN_SELF_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, sim FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1
+"""

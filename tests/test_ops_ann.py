@@ -131,3 +131,36 @@ class TestClusterAssign:
         _CLUSTER_CACHE.clear()
         c = _cluster_centroids_q(SF)
         assert (a == c).all()  # refit is bit-identical
+
+
+class TestEmbeddingKnnSelf:
+    def test_planted_neighbors(self, tmp_path, ray_session):
+        """Each vector's top neighbor excludes itself; identical vectors
+        pick each other with sim 1.0 and ties break to the smaller id."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        import ray.data as rd
+
+        from ocr_ray.ops.ann import embedding_knn_self
+
+        vecs = {
+            0: [1.0, 0.0, 0.0],
+            1: [1.0, 0.0, 0.0],   # duplicate of 0
+            2: [0.9, 0.1, 0.0],   # closest non-dup to the x-axis pair
+            3: [0.0, 1.0, 0.0],   # orthogonal to x
+            7: [1.0, 0.0, 0.0],   # second duplicate -> 0 and 1 tie for it
+        }
+        t = pa.table(
+            {
+                "vec_id": pa.array(list(vecs), pa.int64()),
+                "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        )
+        pq_.write_table(t, tmp_path / "embeddings.parquet")
+        nn = {r["vec_id"]: r for r in embedding_knn_self(str(tmp_path)).take_all()}
+        assert nn[0]["nn_id"] == 1 and nn[0]["sim"] == 1.0  # tie 1 vs 7 -> min id
+        assert nn[1]["nn_id"] == 0 and nn[1]["sim"] == 1.0
+        assert nn[7]["nn_id"] == 0
+        assert nn[2]["nn_id"] in (0, 1, 7)  # x-axis pack is its neighbor
+        assert nn[3]["nn_id"] == 2  # only vector with any y component
