@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "doc_prefix_dedup",
     "daily_new_vs_returning",
     "embedding_knn_self",
+    "lang_confusion_matrix",
 ]
 
 

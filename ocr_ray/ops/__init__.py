@@ -160,11 +160,13 @@ from ocr_ray.ops.textstats import (
     DOC_BPE_TOKEN_COUNTS_SQL,
     DOC_FINGERPRINTS_SQL,
     DOC_QUALITY_SQL,
+    LANG_CONFUSION_SQL,
     LANG_ID_SQL,
     REPETITION_STATS_SQL,
     doc_bpe_token_counts,
     doc_fingerprints,
     doc_quality,
+    lang_confusion_matrix,
     lang_id_docs,
     repetition_stats,
 )
@@ -185,6 +187,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
+    "lang_confusion_matrix": (lang_confusion_matrix, LANG_CONFUSION_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),

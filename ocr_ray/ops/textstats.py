@@ -595,3 +595,65 @@ SELECT doc_id,
          AS dup_char_frac_bp
 FROM per_doc
 """
+
+
+def lang_confusion_matrix(sf_dir: str) -> Dataset:
+    """Classifier-eval census: the (ground-truth lang, predicted lang_pred)
+    confusion matrix of the heuristic language ID over the documents table
+    — the evaluation step a curation pipeline runs before trusting a
+    filter/mixture decision to the classifier.
+
+    Plan: the LangId scoring inside ``map_batches`` plus a per-batch census
+    partial, so the shuffle carries (lang, lang_pred, n) cells — at most
+    |langs|² rows per batch regardless of corpus size. SQL-gated: the
+    oracle composes the SAME generated lang-ID SQL (one source of truth for
+    the stopword profiles) with a GROUP BY. NULL ground-truth lang is a
+    real census cell (null-safe keys)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.nullsafe import null_safe_groupby_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        langs = [lang_of(t or "")[0] for t in batch.column("text").to_pylist()]
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array(langs, pa.string()),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        # pandas census keeps NULL lang as a real cell
+        import pandas as pd
+
+        g = (
+            t.to_pandas()
+            .groupby(["lang", "lang_pred"], dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [None if pd.isna(v) else v for v in g["lang"]], pa.string()
+                ),
+                "lang_pred": pa.array(g["lang_pred"], pa.string()),
+                "n": pa.array(g["n"].to_numpy("int64")),
+            }
+        )
+
+    return null_safe_groupby_agg(
+        ds.map_batches(census, batch_format="pyarrow"),
+        ["lang", "lang_pred"],
+        Sum("n", alias_name="n"),
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH p AS ({_lang_id_sql(id_cols="doc_id, lang")})
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY lang, lang_pred
+"""

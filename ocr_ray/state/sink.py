@@ -1298,3 +1298,37 @@ def apply_changelog(
     if not rows:
         return pa.table({"partition_id": pa.array([], pa.int32())})
     return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+
+def read_manifests(out_dir: str) -> pa.Table:
+    """Lineage/observability read-back: the committed table's manifests as
+    one Arrow table (partition id, rows, bytes in/out, error count,
+    checksum, wall seconds, input tag, partition count) — what an operator
+    queries to audit a run (row totals, error hot spots, straggler
+    partitions) WITHOUT scanning the data files. The sidecar analog of the
+    reference's per-run counters (extract-data-from-pdf.ts guard counters,
+    page.tsx queue-position display).
+
+    Committed-only by construction: a manifest is written strictly after
+    its data rename, so a torn producer never appears here."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    rows = []
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("part-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    rows.append(json.load(f))
+    return pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+            "rows_out": pa.array([r["rows_out"] for r in rows], pa.int64()),
+            "n_convs": pa.array([r.get("n_convs") for r in rows], pa.int64()),
+            "bytes_in": pa.array([r.get("bytes_in", 0) for r in rows], pa.int64()),
+            "bytes_out": pa.array([r["bytes_out"] for r in rows], pa.int64()),
+            "n_errors": pa.array([r.get("n_errors", 0) for r in rows], pa.int64()),
+            "checksum": pa.array([r["checksum"] for r in rows], pa.string()),
+            "wall_s": pa.array([r["wall_s"] for r in rows], pa.float64()),
+            "input_tag": pa.array([r.get("input_tag", "") for r in rows], pa.string()),
+            "num_partitions": pa.array([r.get("num_partitions") for r in rows], pa.int64()),
+        }
+    )

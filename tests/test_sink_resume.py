@@ -627,3 +627,31 @@ class TestApplyChangelog:
                 ),
                 out,
             )
+
+
+def test_read_manifests_reconciles(tmp_path, ray_session):
+    """The manifest report's row/byte totals equal a recount of the
+    committed data; a torn (manifest-less) partition file is invisible."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+    from ocr_ray.sources.transcripts import ensure_transcripts
+    from ocr_ray.state.sink import read_manifests, write_partitioned
+
+    inp = ensure_transcripts(40, seed=42)
+    out = str(tmp_path / "out")
+    write_partitioned(extract_from_path(inp), out, num_partitions=4, resume=False)
+    rep = read_manifests(out)
+    assert rep.num_rows == 4
+    back = rd.read_parquet(out)
+    assert sum(rep.column("rows_out").to_pylist()) == back.count()
+    assert set(rep.column("num_partitions").to_pylist()) == {4}
+    # torn producer: a data file with no manifest must not appear
+    os.remove(os.path.join(out, "_manifest", "part-00002.json"))
+    rep2 = read_manifests(out)
+    assert rep2.num_rows == 3
+    assert 2 not in rep2.column("partition_id").to_pylist()
