@@ -139,6 +139,7 @@ QUERY_NAMES = [
     "daily_new_vs_returning",
     "embedding_knn_self",
     "lang_confusion_matrix",
+    "props_schema_infer",
 ]
 
 

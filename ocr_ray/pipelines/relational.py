@@ -4140,6 +4140,85 @@ FROM e GROUP BY user_id
 REGISTRY["user_rfm"] = (user_rfm, USER_RFM_SQL)
 
 
+def props_schema_infer(sf_dir: str) -> Dataset:
+    """Semi-structured schema inference: per (JSON key, value type) census
+    over the ``props`` column — the schema-of-json profiling step that
+    decides how to promote a free-form property bag into typed columns
+    (Spark's schema inference as a queryable census, with counts so drift
+    and type conflicts are visible rather than silently widened).
+
+    Plan: per-batch parse (the ``event_props_stats`` malformed-input
+    contract: NULL / invalid JSON rows are skipped, non-object documents
+    yield no keys) + per-batch census partials, so the shuffle carries
+    (key, vtype, n) cells bounded by schema width, never the documents.
+    Type names are DuckDB's json_type vocabulary (UBIGINT/BIGINT/DOUBLE/
+    VARCHAR/BOOLEAN/ARRAY/OBJECT/NULL) so the census is gate-exact; JSON
+    nulls are normalized to the string 'NULL' on both sides (DuckDB's
+    vectorized json_type returns SQL NULL there, coalesced in the mirror).
+    Keys are assumed JSON-path-safe (no dots/quotes), as in the fixture."""
+    import json as _json
+
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["props"])
+
+    def _vtype(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            return "UBIGINT" if v >= 0 else "BIGINT"
+        if isinstance(v, float):
+            return "DOUBLE"
+        if isinstance(v, str):
+            return "VARCHAR"
+        if isinstance(v, list):
+            return "ARRAY"
+        return "OBJECT"
+
+    def census(t: pa.Table) -> pa.Table:
+        cells: dict[tuple[str, str], int] = {}
+        for s_ in t.column("props").to_pylist():
+            if s_ is None:
+                continue
+            try:
+                obj = _json.loads(s_)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                key = (k, _vtype(v))
+                cells[key] = cells.get(key, 0) + 1
+        return pa.table(
+            {
+                "key": pa.array([k for k, _ in cells], pa.string()),
+                "vtype": pa.array([v for _, v in cells], pa.string()),
+                "n": pa.array(list(cells.values()), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(census, batch_format="pyarrow")
+        .groupby(["key", "vtype"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+PROPS_SCHEMA_INFER_SQL = """
+SELECT k AS key, coalesce(json_type(j, '$.' || k), 'NULL') AS vtype,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT props::JSON AS j, unnest(json_keys(props::JSON)) AS k
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
+)
+GROUP BY key, vtype
+"""
+
+REGISTRY["props_schema_infer"] = (props_schema_infer, PROPS_SCHEMA_INFER_SQL)
+
+
 # --- TPC-H q2/q8/q9/q11/q12/q16/q20 (adapted shapes) live in their own
 # module; merging here keeps one REGISTRY for __ray_entry__ and the sweeps.
 from ocr_ray.pipelines.tpch_more import REGISTRY as _TPCH_MORE_REGISTRY  # noqa: E402

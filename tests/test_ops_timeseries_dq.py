@@ -771,3 +771,65 @@ class TestDailyNewVsReturning:
         assert rows[d0]["n_active"] == 2 and rows[d0]["n_new"] == 2
         assert rows[d0 + 1]["n_active"] == 1 and rows[d0 + 1]["n_new"] == 0
         assert rows[d0 + 2]["n_active"] == 2 and rows[d0 + 2]["n_new"] == 0
+
+
+class TestPropsSchemaInfer:
+    def test_planted_type_census_matches_duckdb(self, tmp_path, ray_session):
+        """All json_type branches (incl. negative ints, JSON null, arrays,
+        objects, booleans), malformed JSON skipped, non-object docs yield
+        no keys — exact parity with the SQL mirror on the same parquet."""
+        import datetime as dt
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.pipelines.relational import (
+            PROPS_SCHEMA_INFER_SQL,
+            props_schema_infer,
+        )
+
+        props = [
+            '{"a": 1, "b": "x", "c": true}',
+            '{"a": -5, "b": null, "d": [1,2]}',
+            '{"a": 2.5, "e": {"nested": 1}}',
+            "not json",
+            "123",
+            None,
+        ]
+        n = len(props)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n),
+                "props": pa.array(props, pa.string()),
+            }
+        )
+        pq_.write_table(t, tmp_path / "events.parquet")
+        got = (
+            props_schema_infer(str(tmp_path))
+            .to_pandas()
+            .sort_values(["key", "vtype"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        want = (
+            con.sql(PROPS_SCHEMA_INFER_SQL)
+            .df()
+            .sort_values(["key", "vtype"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        cells = {(r["key"], r["vtype"]): r["n"] for _, r in got.iterrows()}
+        assert cells == {
+            ("a", "UBIGINT"): 1, ("a", "BIGINT"): 1, ("a", "DOUBLE"): 1,
+            ("b", "VARCHAR"): 1, ("b", "NULL"): 1, ("c", "BOOLEAN"): 1,
+            ("d", "ARRAY"): 1, ("e", "OBJECT"): 1,
+        }
