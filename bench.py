@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "embedding_knn_self",
     "lang_confusion_matrix",
     "props_schema_infer",
+    "doc_oov_rates",
 ]
 
 

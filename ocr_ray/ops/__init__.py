@@ -52,6 +52,7 @@ from ocr_ray.ops.corpus import (
     MIXTURE_SAMPLE_SQL,
     ORDER_QUANTILES_SQL,
     PACK_SEQUENCES_SQL,
+    DOC_OOV_RATES_SQL,
     VOCAB_TOPK_SQL,
     cap_per_source,
     chunk_docs,
@@ -64,6 +65,7 @@ from ocr_ray.ops.corpus import (
     quality_gated_docs,
     strip_common_lines,
     strip_common_lines_sql,
+    doc_oov_rates,
     vocab_topk,
     vocab_topk_cms,
     vocab_topk_mg,
@@ -202,6 +204,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
+    "doc_oov_rates": (doc_oov_rates, DOC_OOV_RATES_SQL),
     "vocab_topk_cms": (vocab_topk_cms, None),  # approximate; exact sibling gated
     "vocab_topk_mg": (vocab_topk_mg, None),  # approximate (down-biased); exact sibling gated
     "strip_common_lines": (strip_common_lines, None),  # SQL built per-sf

@@ -1805,3 +1805,76 @@ def vocab_topk_mg_over(docs: Dataset, top_k: int = _VOCAB_K) -> pa.Table:
             "n": pa.array([n for _, n in top], pa.int64()),
         }
     )
+
+
+def doc_oov_rates(sf_dir: str, vocab_k: int = _VOCAB_K) -> Dataset:
+    """Per-document out-of-vocabulary rate against the corpus's own top-k
+    vocabulary — the tokenizer-coverage screen run before committing to a
+    vocab/tokenizer (docs with high OOV are noise, another language, or
+    evidence the vocab is too small).
+
+    Composition pattern: the DERIVED ARTIFACT (the gated ``vocab_topk``
+    top-100) is computed first and broadcast as a value set; the per-doc
+    pass is then one vectorized ``is_in`` over the flattened token lists
+    plus a segment-sum at the list offsets — no join, no second shuffle.
+    Rates are basis-point integers (floor), gate-exact.
+
+    Contract (mirrored): NULL doc_id rows are excluded; NULL text
+    tokenizes to zero tokens (oov_bp 0); row-per-doc totality."""
+    vocab_rows = vocab_topk(sf_dir, top_k=vocab_k).take_all()
+    vocab_arr = pa.array([r["token"] for r in vocab_rows], pa.string())
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("doc_id"))), batch_format="pyarrow"
+    )
+
+    def rates(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = _token_lists(t).combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        sizes = np.diff(offsets).astype(np.int64)
+        flat = toks.flatten()
+        inv = pc.is_in(flat, value_set=vocab_arr).to_numpy(zero_copy_only=False)
+        # segment-sum of in-vocab flags at the list offsets
+        csum = np.concatenate(([0], np.cumsum(inv.astype(np.int64))))
+        n_in = csum[offsets[1:]] - csum[offsets[:-1]]
+        n_oov = sizes - n_in
+        oov_bp = np.where(sizes > 0, 10_000 * n_oov // np.maximum(sizes, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(sizes),
+                "n_oov": pa.array(n_oov),
+                "oov_bp": pa.array(oov_bp.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(rates, batch_format="pyarrow")
+
+
+DOC_OOV_RATES_SQL = f"""
+WITH v AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT {_VOCAB_K})
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_in
+  FROM toks t LEFT JOIN v ON t.token = v.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_tokens - c.n_in, 0) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN coalesce(c.n_tokens, 0) = 0 THEN 0
+            ELSE 10000 * (c.n_tokens - c.n_in) // c.n_tokens END AS BIGINT) AS oov_bp
+FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+LEFT JOIN c USING (doc_id)
+"""

@@ -409,3 +409,34 @@ class TestVocabMg:
         counts = np.array([100, 90, 80, 70, 60, 50, 40, 30, 20, 10], dtype=np.int64)
         mg = _mg_summarize(tokens, counts, k=4)
         assert mg == {"t000": 40, "t001": 30, "t002": 20, "t003": 10}
+
+
+class TestDocOovRates:
+    def test_planted_coverage(self, tmp_path, ray_session):
+        """Tokens outside the corpus top-k count as OOV; empty/NULL text is
+        0/0/0; rates are floor basis points."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.corpus import doc_oov_rates
+
+        # 'common' dominates; 'rare1/rare2' fall outside a top-1 vocab
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["common common common", "common rare1 rare2", "", None],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array([1] * 4, pa.int64()),
+            }
+        )
+        pq_.write_table(t, tmp_path / "documents.parquet")
+        rows = {r["doc_id"]: r for r in doc_oov_rates(str(tmp_path), vocab_k=1).take_all()}
+        assert rows[1]["n_tokens"] == 3 and rows[1]["n_oov"] == 0 and rows[1]["oov_bp"] == 0
+        assert rows[2]["n_tokens"] == 3 and rows[2]["n_oov"] == 2
+        assert rows[2]["oov_bp"] == 10_000 * 2 // 3
+        assert rows[3] == {"doc_id": 3, "n_tokens": 0, "n_oov": 0, "oov_bp": 0}
+        assert rows[4] == {"doc_id": 4, "n_tokens": 0, "n_oov": 0, "oov_bp": 0}
