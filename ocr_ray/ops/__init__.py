@@ -460,3 +460,26 @@ from ocr_ray.ops.ann import embedding_pca_project
 # rows-only: eigendecomposition is not SQL-expressible; pytest-gated vs a
 # numpy PCA reference (gated exact sibling: embedding_gram)
 REGISTRY["embedding_pca_project"] = (embedding_pca_project, None)
+
+from ocr_ray.ops.timeseries import EVENTS_LATE_ARRIVALS_SQL, events_late_arrivals
+
+REGISTRY["events_late_arrivals"] = (events_late_arrivals, EVENTS_LATE_ARRIVALS_SQL)
+
+from ocr_ray.ops.bpe import BPE_PAIR_CENSUS_SQL, bpe_pair_census, bpe_train_merges
+
+REGISTRY["bpe_pair_census"] = (bpe_pair_census, BPE_PAIR_CENSUS_SQL)
+# rows-only: the iterative argmax trainer is not SQL-expressible; pytest
+# gates it against an independent pure-Python reference (tests/ref_bpe.py)
+REGISTRY["bpe_train_merges"] = (bpe_train_merges, None)
+
+from ocr_ray.ops.ann import embedding_kmeans_train
+
+# rows-only: iterative Lloyd's rounds are not SQL-expressible; pytest gates
+# the quantized spec against an independent numpy reference (tests/ref_kmeans.py)
+REGISTRY["embedding_kmeans_train"] = (embedding_kmeans_train, None)
+
+from ocr_ray.ops.multimodal import media_phash_near_dup
+
+# rows-only: DCT perceptual hashing is not SQL-expressible; planted-grid
+# pytest covers cluster/no-cluster behavior (exact sibling: media_dedup_exact)
+REGISTRY["media_phash_near_dup"] = (media_phash_near_dup, None)

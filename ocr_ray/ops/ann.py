@@ -1168,3 +1168,181 @@ s AS (
 SELECT vec_id, nn_id, sim FROM s
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# quantized k-means training (IVF centroid derivation, exact-integer spec)
+# ---------------------------------------------------------------------------
+
+
+def embedding_kmeans_train(sf_dir: str, k: int = 8, iters: int = 3) -> "rd.Dataset":
+    """Distributed Lloyd's k-means over ``embeddings``, quantized to exact
+    integers so the result is bit-reproducible regardless of batch order —
+    the centroid-training step an IVF index build runs at corpus scale.
+    rows-only entry: iterative argmin is not SQL-expressible; pytest gates
+    it against an independent pure-numpy reference (tests/ref_kmeans.py).
+
+    Spec (shared with the reference, written against this paragraph):
+    vectors quantized to e3 ints via rint(v*1000); qualifying rows have
+    non-NULL vec_id + embedding and the dim of the first VALID vector in
+    vec_id order; init = first k qualifying vectors by vec_id; assignment =
+    exact int64 squared L2, ties to the lowest cluster_id; update =
+    element-wise FLOOR division of member sums by member count (empty
+    clusters keep their centroid); ``iters`` rounds, then a final
+    assignment census (cluster_id, n_points, inertia_e6).
+
+    Scale shape: per round ONE streaming pass over the corpus; each batch
+    does an exact-int GEMM against the broadcast (ray.put) centroids and
+    reduces to k partial rows (sum vector + count), so the driver folds
+    k x n_blocks tiny rows — centroids (k x dim ints) are the only state.
+    The final census is a partial pre-agg + k-row groupby. The quantized
+    corpus is materialized once (at 100 TB you would re-read per round
+    instead; the pass structure is identical)."""
+    out_schema = pa.schema(
+        [("cluster_id", pa.int64()), ("n_points", pa.int64()), ("inertia_e6", pa.int64())]
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def first_valid(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("vec_id")), pc.is_valid(t.column("embedding")))
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return t
+        i = pc.index(
+            t.column("vec_id"), pc.min(t.column("vec_id")).as_py()
+        ).as_py()
+        return t.slice(i, 1)
+
+    heads = ds.map_batches(first_valid, batch_format="pyarrow").take_all()
+    if not heads:
+        return rd.from_arrow(out_schema.empty_table())
+    head = min(heads, key=lambda r: r["vec_id"])
+    dim = len(head["embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("vec_id")), pc.is_valid(emb)),
+            pc.equal(pc.list_value_length(emb), pa.scalar(dim, pa.int32())),
+        )
+        t = t.filter(m)
+        emb = t.column("embedding").combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        q = np.rint(flat * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+                "q": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (t.num_rows + 1) * dim, dim), pa.int32()),
+                    pa.array(q, pa.int64()),
+                ),
+            }
+        )
+
+    qual = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+        return t.take(order[:k])
+
+    firsts = sorted(
+        qual.map_batches(bottom_k, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:k]
+    if not firsts:
+        return rd.from_arrow(out_schema.empty_table())
+    cent = np.array([r["q"] for r in firsts], dtype=np.int64)  # (k', dim)
+
+    def _qmat(t: pa.Table) -> np.ndarray:
+        flat = np.asarray(t.column("q").combine_chunks().flatten(), dtype=np.int64)
+        return flat.reshape(t.num_rows, dim)
+
+    def _assign(x: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # exact int64 squared L2 via the expansion; e3-scale operands keep
+        # every term far inside int64
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = d.argmin(axis=1)  # numpy argmin takes the FIRST min -> lowest id
+        return a, d[np.arange(len(a)), a]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _r=ref) -> pa.Table:
+            c = ray.get(_r)
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "cluster_id": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            x = _qmat(t)
+            a, _ = _assign(x, c)
+            cids, ns, sums = [], [], []
+            for j in range(len(c)):
+                m = a == j
+                nj = int(m.sum())
+                if nj:
+                    cids.append(j)
+                    ns.append(nj)
+                    sums.append(x[m].sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cluster_id": pa.array(cids, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                    "s": pa.array(sums, pa.list_(pa.int64())),
+                }
+            )
+
+        rows = qual.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((len(cent), dim), dtype=np.int64)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in rows:
+            j = r["cluster_id"]
+            counts[j] += r["n"]
+            sums[j] += np.asarray(r["s"], dtype=np.int64)
+        upd = counts > 0
+        cent[upd] = np.floor_divide(sums[upd], counts[upd][:, None])
+
+    ref = ray.put(cent)
+
+    def census(t: pa.Table, _r=ref) -> pa.Table:
+        c = ray.get(_r)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        x = _qmat(t)
+        a, dmin = _assign(x, c)
+        cids, ns, inert = [], [], []
+        for j in range(len(c)):
+            m = a == j
+            if m.any():
+                cids.append(j)
+                ns.append(int(m.sum()))
+                inert.append(int(dmin[m].sum()))
+        return pa.table(
+            {
+                "cluster_id": pa.array(cids, pa.int64()),
+                "n_points": pa.array(ns, pa.int64()),
+                "inertia_e6": pa.array(inert, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        qual.map_batches(census, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            _Sum("n_points", alias_name="n_points"),
+            _Sum("inertia_e6", alias_name="inertia_e6"),
+        )
+    )

@@ -355,3 +355,204 @@ FROM read_parquet('{path}/*.parquet')
 WHERE payload IS NOT NULL
 GROUP BY payload
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (DCT pHash over grayscale pixel grids)
+# ---------------------------------------------------------------------------
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (type-II, norm='ortho')."""
+    i = np.arange(n)
+    m = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_D16 = _dct_mat(16)
+
+
+def phash64(gray: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a grayscale grid (any h x w).
+
+    Deterministic subsample to 16x16, 2D orthonormal DCT, keep the 8x8
+    low-frequency block, threshold every coefficient against the median of
+    the 63 AC coefficients (bit set iff coefficient > median; the DC
+    coefficient contributes bit 0 under the same threshold). Near-identical
+    images differ in a few bits; inversion/negation flips nearly all."""
+    h, w = gray.shape
+    r = (np.arange(16) * h) // 16
+    c = (np.arange(16) * w) // 16
+    g = gray[np.ix_(r, c)].astype(np.float64)
+    low = (_D16 @ g @ _D16.T)[:8, :8].ravel()
+    med = np.median(low[1:])
+    bits = low > med
+    return int(np.packbits(bits.astype(np.uint8), bitorder="little").view(np.uint64)[0])
+
+
+def _phash_sig_batch(t: pa.Table) -> pa.Table:
+    """(media_id, pixels, w, h) -> (media_id, phash). Rows with NULL id /
+    pixels or a pixel buffer that doesn't match w*h are excluded (same
+    contract as every keyed census: the key and measure must exist)."""
+    import pyarrow.compute as pc
+
+    m = pc.and_(pc.is_valid(t.column("media_id")), pc.is_valid(t.column("pixels")))
+    t = t.filter(m)
+    ids, hashes = [], []
+    for mid, px, w, h in zip(
+        t.column("media_id").to_pylist(),
+        t.column("pixels").to_pylist(),
+        t.column("w").to_pylist(),
+        t.column("h").to_pylist(),
+    ):
+        if not w or not h or w <= 0 or h <= 0 or len(px) != w * h:
+            continue
+        gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        ids.append(int(mid))
+        hashes.append(phash64(gray))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
+        }
+    )
+
+
+def phash_cluster_over(ds: Dataset, max_hamming: int = 7) -> Dataset:
+    """Perceptual near-dup clusters over (media_id, pixels, w, h) rows ->
+    (media_id, group_id, is_canonical); group_id = min media_id of the
+    hamming-<=7 connected component (singletons group with themselves).
+
+    Plan (the SimHash plan, re-keyed): 8x8-bit LSH bands guarantee any pair
+    within hamming 7 shares an intact band (pigeonhole); candidate pairs
+    come out of the banded groupby carrying (band_hash, id) only — pixels
+    never transit a shuffle; hamming verify joins the 8-byte hashes back to
+    the pairs; components via size-gated min-label propagation. The final
+    label application broadcasts the label table, which is bounded by
+    verified PAIRS (near-dup components), not the corpus — same argument as
+    the survivor anti-filter gate (ops/dedup._BCAST_LOSERS_MAX)."""
+    import ray as _ray
+
+    from ocr_ray.ops.dedup import (
+        _endpoint_filter,
+        _paired_with,
+        candidate_pairs,
+        propagate_min_labels,
+    )
+
+    sigs = ds.map_batches(_phash_sig_batch, batch_format="pyarrow").materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = t.column("phash").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        out_id = np.repeat(ids, 8)
+        bands = np.empty(len(ids) * 8, dtype=np.int64)
+        for b in range(8):
+            bands[b::8] = ((b << 8) | ((hv >> (8 * b)) & 0xFF)).astype(np.int64)
+        return pa.table(
+            {
+                "band_hash": pa.array(bands, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    pairs = candidate_pairs(banded).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        labels_tbl = None
+    else:
+        pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        kv = _endpoint_filter(
+            sigs.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t.column("media_id"), "sig": t.column("phash")}
+                ),
+                batch_format="pyarrow",
+            ),
+            pairs,
+            n_pairs,
+        )
+        j, s1 = _paired_with(
+            pairs, kv, "a", "sig", "h_a", left_schema=pair_schema,
+            payload_type=pa.int64(),
+        )
+        j, _ = _paired_with(
+            j, kv, "b", "sig", "h_b", left_schema=s1, payload_type=pa.int64()
+        )
+
+        def check(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.select(["a", "b"])
+            ha = t.column("h_a").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            hb = t.column("h_b").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            ham = np.array([bin(int(x)).count("1") for x in (ha ^ hb)])
+            return t.select(["a", "b"]).filter(pa.array(ham <= max_hamming))
+
+        verified = j.map_batches(check, batch_format="pyarrow")
+        labels = propagate_min_labels(verified).materialize()
+        from ocr_ray.ops.dedup import _collect_table
+
+        labels_tbl = _collect_table(labels)
+
+    if labels_tbl is None:
+        lab_ref = None
+    else:
+        lab_ref = _ray.put(
+            (
+                labels_tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64),
+                labels_tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+
+    def assign(t: pa.Table, _r=lab_ref) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        group = ids.copy()
+        if _r is not None:
+            nodes, labs = _ray.get(_r)
+            order = np.argsort(nodes)
+            pos = np.searchsorted(nodes[order], ids)
+            pos = np.clip(pos, 0, len(nodes) - 1)
+            hit = nodes[order][pos] == ids
+            group[hit] = labs[order][pos[hit]]
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "group_id": pa.array(group),
+                "is_canonical": pa.array(group == ids),
+            }
+        )
+
+    return sigs.map_batches(assign, batch_format="pyarrow")
+
+
+def media_phash_near_dup(sf_dir: str) -> Dataset:
+    """queries() entry (rows-only): perceptual near-dup clustering over the
+    media fixture. The pixel grids come from the deterministic stub decoder
+    (blake2b(payload) -> 8x8 grayscale) — with real codecs installed the
+    decode stage below is the only swap (per the round brief: stub the
+    codec, keep the dataflow honest); identical payloads land in identical
+    grids, so the op exercises the full band/verify/component path."""
+    path = ensure_media_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path, columns=["media_id", "payload"])
+
+    def to_pixels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column("payload")))
+        pix = [
+            hashlib.blake2b(p, digest_size=64).digest()
+            for p in t.column("payload").to_pylist()
+        ]
+        n = t.num_rows
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "pixels": pa.array(pix, pa.binary()),
+                "w": pa.array([8] * n, pa.int64()),
+                "h": pa.array([8] * n, pa.int64()),
+            }
+        )
+
+    return phash_cluster_over(ds.map_batches(to_pixels, batch_format="pyarrow"))

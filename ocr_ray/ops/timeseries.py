@@ -2191,3 +2191,114 @@ SELECT CAST(p.day AS BIGINT) AS day,
 FROM p JOIN f USING (user_id)
 GROUP BY p.day
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark / late-arrival census (out-of-order ingest audit)
+# ---------------------------------------------------------------------------
+
+_LATE_US = 300_000_000  # allowed lateness: 5 min, in microseconds
+
+
+def events_late_arrivals(sf_dir: str) -> Dataset:
+    """Per-user out-of-order-ingest audit under a 5-minute watermark.
+
+    Streaming engines admit an event only if its timestamp is newer than
+    ``watermark = max(ts seen so far) - allowed_lateness``; this census
+    reports, per user, how many events arrived out of order at all
+    (``ts < running max over PRIOR arrivals``), how many a 5-minute
+    watermark would DROP, and the worst disorder in microseconds — the
+    audit that sizes ``allowed_lateness`` before turning on windowed
+    aggregation over an ingest log. Arrival order is ``event_id`` (the
+    monotone ingest sequence; FIXTURES.md events contract).
+
+    Plan: one coarse-key ``grouped_scan`` co-locates each user's arrivals;
+    inside a partition one sort on (user_id, event_id), a C-level segmented
+    cumulative max of int64 microseconds, shifted one arrival so each event
+    sees only PRIOR arrivals, then a per-user aggregation — all within the
+    partition, so the exchange carries (user_id, event_id, ts_us) in and
+    four int64s per user out. No global sort, no window shuffle.
+
+    Contract (mirrored in SQL): NULL event_id / user_id / ts rows are
+    excluded (arrival order, key and measure all require them); a user's
+    first arrival is never disordered (no prior watermark).
+    """
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("user_id"))),
+            pc.is_valid(t.column("ts")),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"])
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        peak = df.groupby("user_id", sort=False)["ts_us"].cummax().to_numpy(dtype=np.int64)
+        # watermark basis = peak over PRIOR arrivals: shift within group
+        first = np.empty(len(uid), dtype=bool)
+        first[:1] = True
+        first[1:] = uid[1:] != uid[:-1]
+        wm = np.empty_like(peak)
+        wm[1:] = peak[:-1]
+        disorder = np.where(first, 0, np.maximum(wm - ts, 0))
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "disordered": (disorder > 0).astype(np.int64),
+                "late": (disorder > _LATE_US).astype(np.int64),
+                "disorder_us": disorder,
+            }
+        )
+        g = out.groupby("user_id", sort=False)
+        res = g.agg(
+            n_events=("disordered", "size"),
+            n_disordered=("disordered", "sum"),
+            n_late=("late", "sum"),
+            max_disorder_us=("disorder_us", "max"),
+        ).reset_index()
+        for c in ("n_events", "n_disordered", "n_late", "max_disorder_us"):
+            res[c] = res[c].astype(np.int64)
+        return res
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "user_id", scan)
+
+
+EVENTS_LATE_ARRIVALS_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, ts_us,
+         MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+),
+d AS (
+  SELECT user_id,
+         CASE WHEN wm IS NULL OR wm - ts_us < 0 THEN 0 ELSE wm - ts_us END AS disorder_us
+  FROM w
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE disorder_us > 0) AS BIGINT) AS n_disordered,
+       CAST(count(*) FILTER (WHERE disorder_us > {_LATE_US}) AS BIGINT) AS n_late,
+       CAST(max(disorder_us) AS BIGINT) AS max_disorder_us
+FROM d GROUP BY user_id
+"""
