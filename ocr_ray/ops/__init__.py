@@ -483,3 +483,29 @@ from ocr_ray.ops.multimodal import media_phash_near_dup
 # rows-only: DCT perceptual hashing is not SQL-expressible; planted-grid
 # pytest covers cluster/no-cluster behavior (exact sibling: media_dedup_exact)
 REGISTRY["media_phash_near_dup"] = (media_phash_near_dup, None)
+
+from ocr_ray.ops.timeseries import (
+    PURCHASE_NEAREST_CLICK_SQL,
+    USER_VALUE_EWMA_SQL,
+    purchase_nearest_click,
+    user_value_ewma,
+)
+from ocr_ray.ops.mlprep import EVENTS_EXACT_K_PER_USER_SQL, events_exact_k_per_user
+from ocr_ray.ops.stats import (
+    DISTINCT_USER_OVERLAP_SQL,
+    distinct_user_overlap,
+    distinct_user_overlap_kmv,
+)
+from ocr_ray.ops.dq import EVENTS_KEY_SKEW_SQL, events_key_skew
+
+REGISTRY.update(
+    {
+        "user_value_ewma": (user_value_ewma, USER_VALUE_EWMA_SQL),
+        "purchase_nearest_click": (purchase_nearest_click, PURCHASE_NEAREST_CLICK_SQL),
+        "events_exact_k_per_user": (events_exact_k_per_user, EVENTS_EXACT_K_PER_USER_SQL),
+        "distinct_user_overlap": (distinct_user_overlap, DISTINCT_USER_OVERLAP_SQL),
+        # approximate: KMV/theta sketch; exact sibling above carries the gate
+        "distinct_user_overlap_kmv": (distinct_user_overlap_kmv, None),
+        "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
+    }
+)

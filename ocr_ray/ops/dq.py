@@ -903,3 +903,103 @@ SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
 FROM c WHERE cents > 0
 GROUP BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiler (shuffle-planning diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def events_key_skew(sf_dir: str) -> pa.Table:
+    """Group-size skew profile of ``events.user_id`` — the diagnostic this
+    engine's own shuffle planning runs on: distinct keys, total rows, the
+    hottest key's size and its share (basis points), and the exact p99
+    group size. A top-1 share near 10000 bp says "salt this key before any
+    groupby"; p99 >> median says the coarse-key grouped scans need more
+    partitions. Exact, not sampled, so the gate hashes integers.
+
+    Plan: per-batch (user, n) count partials -> ONE user-keyed groupby sum
+    (the only key-cardinality exchange) -> per-batch SIZE-HISTOGRAM
+    partials (size -> n_keys; distinct sizes are tiny) -> driver fold of
+    the histogram. The p99 is read off the cumulative histogram with the
+    ceil-rank rule, mirrored in SQL via a window cumsum — no global sort
+    of group sizes anywhere.
+
+    Contract (mirrored in SQL): NULL user_id rows are excluded."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        return t.group_by("user_id").aggregate([([], "count_all")]).rename_columns(
+            ["user_id", "n"]
+        )
+
+    sizes = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return t.group_by("n").aggregate([([], "count_all")]).rename_columns(
+            ["size", "k"]
+        )
+
+    parts = [
+        b
+        for b in sizes.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    empty = pa.table(
+        {
+            "n_keys": pa.array([0], pa.int64()),
+            "n_rows": pa.array([0], pa.int64()),
+            "max_size": pa.array([0], pa.int64()),
+            "top1_share_bp": pa.array([0], pa.int64()),
+            "p99_size": pa.array([0], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    h = pa.concat_tables(parts).group_by("size").aggregate([("k", "sum")])
+    size = h.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+    k = h.column("k_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(size) == 0:
+        return empty
+    order = np.argsort(size)
+    size, k = size[order], k[order]
+    n_keys = int(k.sum())
+    n_rows = int((size * k).sum())
+    max_size = int(size[-1])
+    top1_share_bp = max_size * 10000 // n_rows
+    cum = np.cumsum(k)
+    rank = -(-99 * n_keys // 100)  # ceil(0.99 * n_keys)
+    p99 = int(size[np.searchsorted(cum, rank, side="left")])
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "max_size": pa.array([max_size], pa.int64()),
+            "top1_share_bp": pa.array([top1_share_bp], pa.int64()),
+            "p99_size": pa.array([p99], pa.int64()),
+        }
+    )
+
+
+EVENTS_KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+h AS (SELECT n AS size, COUNT(*) AS k FROM c GROUP BY n),
+r AS (SELECT size, SUM(k) OVER (ORDER BY size) AS cum FROM h),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_size FROM c)
+SELECT n_keys, n_rows, max_size,
+       CAST(max_size * 10000 // n_rows AS BIGINT) AS top1_share_bp,
+       CAST((SELECT MIN(size) FROM r WHERE cum * 100 >= 99 * n_keys) AS BIGINT) AS p99_size
+FROM tot
+"""

@@ -650,3 +650,88 @@ WHERE event_id IS NOT NULL
 ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 16), event_id
 LIMIT {_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped exactly-k sample (per-key reservoir, no RNG state)
+# ---------------------------------------------------------------------------
+
+_GROUP_SAMPLE_K = 3
+
+
+def events_exact_k_per_user(sf_dir: str, k: int = _GROUP_SAMPLE_K) -> Dataset:
+    """EXACTLY-k-per-user uniform sample (the per-key reservoir): each
+    user's k sampled events are the k smallest md5(event_id) keys — the
+    grouped sibling of ``events_exact_k_sample``, with the same no-RNG
+    determinism contract (any worker, rerun, shard order, or the SQL
+    oracle draws the identical per-user sample).
+
+    Scale plan: a per-BLOCK per-user top-k pre-reduce first (one lexsort
+    on (user, key, id), run-length segment starts, a rank-within-run mask
+    — no Python loop), so at most k rows per (user, block) enter the ONE
+    coarse-key exchange; the same vectorized mask finishes per partition.
+    A user with 10^8 events contributes k rows per block, not 10^8, to
+    the shuffle — the reservoir property is what makes per-group sampling
+    shuffle-safe at volume.
+
+    Contract (mirrored in SQL): NULL user_id / event_id rows are excluded
+    (a NULL key can neither group nor rank deterministically)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def _topk_per_user(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("event_id")), pc.is_valid(t.column("user_id")))
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "_sk": pa.array([], pa.uint64()),
+                }
+            )
+        ids = t.column("event_id").to_pylist()
+        if "_sk" in t.column_names:  # second level: keys already attached
+            keys = t.column("_sk").to_numpy(zero_copy_only=False)
+        else:
+            keys = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(str(i).encode("ascii")).digest()[:8], "big")
+                    for i in ids
+                ),
+                dtype=np.uint64,
+                count=len(ids),
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), keys, u))
+        us = u[order]
+        n = len(us)
+        starts = np.concatenate(([0], np.flatnonzero(us[1:] != us[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n) - np.repeat(starts, counts)
+        keep = order[rank < k]
+        out = t.take(pa.array(keep, pa.int64()))
+        if "_sk" not in out.column_names:
+            out = out.append_column("_sk", pa.array(keys[keep], pa.uint64()))
+        return out
+
+    cand = ds.map_batches(_topk_per_user, batch_format="pyarrow")
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return _topk_per_user(t).select(["event_id", "user_id"])
+
+    return grouped_scan(cand, "user_id", _finish, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id"]
+    )
+
+
+EVENTS_EXACT_K_PER_USER_SQL = f"""
+SELECT event_id, user_id FROM events
+WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id
+  ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 16), event_id
+) <= {_GROUP_SAMPLE_K}
+"""

@@ -861,3 +861,64 @@ GROUP BY ROLLUP (event_type, day)
 """
 
 REGISTRY["events_time_rollup"] = (events_time_rollup, EVENTS_TIME_ROLLUP_SQL)
+
+
+def click_view_users_bag(sf_dir: str) -> Dataset:
+    """INTERSECT ALL — bag semantics: each user id appears
+    ``min(#clicks, #views)`` times, completing the set-operation matrix
+    (INTERSECT distinct, EXCEPT, UNION, and now the multiset variant SQL
+    pipelines use for frequency-capped audience joins).
+
+    Plan: per-batch (user, side) count partials (arrow ``group_by``), ONE
+    null-safe user-keyed groupby summing both side counts, then a
+    vectorized ``np.repeat`` expansion per batch — the shuffle carries two
+    int64 counts per distinct user, never event rows, and the only
+    row-expansion happens post-aggregation, bounded by the answer size.
+
+    Contract (mirrored in DuckDB): INTERSECT ALL treats NULL keys as
+    equal (IS NOT DISTINCT FROM semantics), so NULL user ids intersect
+    too — the null-safe key encoding reproduces that exactly."""
+    from ocr_ray.functions.nullsafe import decode_null_keys, encode_null_keys
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        t = t.filter(pc.or_(pc.equal(et, "click"), pc.equal(et, "view")))
+        flags = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "nc": pc.cast(pc.equal(t.column("event_type"), "click"), pa.int64()),
+                "nv": pc.cast(pc.equal(t.column("event_type"), "view"), pa.int64()),
+            }
+        )
+        flags = encode_null_keys(flags, ["user_id"])
+        return flags.group_by(["user_id", "__n_user_id"]).aggregate(
+            [("nc", "sum"), ("nv", "sum")]
+        ).rename_columns(["user_id", "__n_user_id", "nc", "nv"])
+
+    counts = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "__n_user_id"])
+        .aggregate(Sum("nc", alias_name="nc"), Sum("nv", alias_name="nv"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = decode_null_keys(t, ["user_id"])
+        nc = t.column("nc").to_numpy(zero_copy_only=False)
+        nv = t.column("nv").to_numpy(zero_copy_only=False)
+        reps = np.minimum(nc, nv)
+        keep = reps > 0
+        idx = np.repeat(np.flatnonzero(keep), reps[keep].astype(np.int64))
+        return pa.table({"user_id": t.column("user_id").take(pa.array(idx, pa.int64()))})
+
+    return counts.map_batches(expand, batch_format="pyarrow")
+
+
+CLICK_VIEW_USERS_BAG_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+REGISTRY["click_view_users_bag"] = (click_view_users_bag, CLICK_VIEW_USERS_BAG_SQL)

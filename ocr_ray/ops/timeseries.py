@@ -2302,3 +2302,219 @@ SELECT user_id,
        CAST(max(disorder_us) AS BIGINT) AS max_disorder_us
 FROM d GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-integer trailing EWMA (weighted sliding window / convolution shape)
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 16  # trailing frame length; weight of lag j is 2^(TAPS-1-j)
+
+
+def user_value_ewma(sf_dir: str) -> Dataset:
+    """Per event: the user's exponentially-weighted trailing spend as an
+    EXACT integer rational — numerator ``sum(v[i-j] * 2^(15-j))`` and
+    denominator ``sum(2^(15-j))`` over the trailing 16-row frame (ordered
+    by ts then event_id). Power-of-two weights with a capped frame make the
+    classic smoothing window exactly representable in int64 on BOTH
+    engines, so the gate hashes integers, not float EWMA drift.
+
+    Plan: the frame-window family's coarse-key ``grouped_scan``; inside a
+    partition one sort, then ONE int64 ``np.convolve`` per user segment
+    (the weighted-sliding-window generalization of the prefix-sum plan the
+    ROWS/RANGE frames use). The exchange carries (event_id, user_id, us, v)
+    in and two int64s per row out; no global sort.
+
+    Contract (mirrored in SQL): NULL ts / user_id / event_id rows are
+    excluded (event_id is both the output key — SQL's GROUP BY would fuse
+    NULL ids into one row — and the deterministic tie-break); NULL values
+    contribute 0 to the numerator but still occupy a frame slot
+    (COALESCE before the window, exactly like user_centered_spend).
+    Overflow audit: |cents| < 2^34 (hostile negation included), x 2^15
+    x 16 taps < 2^53 — int64-safe in numpy and DuckDB alike."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id"))),
+                pc.is_valid(t.column("event_id")),
+            )
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "v": pc.coalesce(to_cents(t.column("value")), pa.scalar(0, pa.int64())),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    # kernel[j] = weight of lag j (most-recent row heaviest)
+    kernel = (1 << (_EWMA_TAPS - 1 - np.arange(_EWMA_TAPS, dtype=np.int64))).astype(
+        np.int64
+    )
+
+    def ewma(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "ewma_num": pa.array([], pa.int64()),
+                    "ewma_den": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        num = np.empty(n, dtype=np.int64)
+        den = np.empty(n, dtype=np.int64)
+        top = 1 << (_EWMA_TAPS - 1)
+        for a, b in zip(starts, ends):
+            seg = v[a:b]
+            num[a:b] = np.convolve(seg, kernel)[: b - a]
+            # den[i] = sum_{j=0..min(i,15)} 2^(15-j) = 2^16 - 2^(15-min(i,15))
+            i = np.minimum(np.arange(b - a), _EWMA_TAPS - 1)
+            den[a:b] = (top << 1) - (top >> i)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ewma_num": pa.array(num),
+                "ewma_den": pa.array(den),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", ewma, batch_format="pyarrow").select_columns(
+        ["event_id", "ewma_num", "ewma_den"]
+    )
+
+
+USER_VALUE_EWMA_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id,
+         COALESCE(CAST(ROUND(value*100) AS BIGINT), 0) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT a.event_id,
+       CAST(SUM(b.v * (CAST(1 AS BIGINT) << ({_EWMA_TAPS - 1} - (a.rn - b.rn)))) AS BIGINT) AS ewma_num,
+       CAST(SUM(CAST(1 AS BIGINT) << ({_EWMA_TAPS - 1} - (a.rn - b.rn))) AS BIGINT) AS ewma_den
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_TAPS - 1} AND a.rn
+GROUP BY a.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# nearest-either-direction time join (completes the as-of direction matrix)
+# ---------------------------------------------------------------------------
+
+
+def purchase_nearest_click(sf_dir: str) -> Dataset:
+    """For each purchase: the user's NEAREST click in time, either
+    direction — min(gap to last click at-or-before, gap to first click
+    strictly-after), in microseconds. ``purchase_attribution`` is the
+    backward as-of, ``purchase_next_click`` the forward; this is the
+    nearest-neighbor variant (the shape feature pipelines use for
+    "closest context event"). Purchases whose user never clicks drop
+    (inner semantics, mirrored).
+
+    Plan: coarse-key grouped scan by user; per partition ONE sort of the
+    click timestamps and two vectorized ``searchsorted`` probes — the
+    backward neighbor is ``clicks[idx-1]`` (side='right' makes it
+    at-or-before) and the forward neighbor ``clicks[idx]`` (strictly
+    after), so tie rules are encoded in the probe side, not data order.
+    NULL user/ts/event_id rows are excluded in both engines."""
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_in(
+                        t.column("event_type"), value_set=pa.array(["click", "purchase"])
+                    ),
+                    pc.is_valid(t.column("event_id")),
+                ),
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    _I64MAX = np.iinfo(np.int64).max
+
+    def nearest(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "nearest_us": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kind = pc.equal(t.column("event_type"), "click").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        out_id, out_gap = [], []
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(u)]))
+        for a, b in zip(starts, ends):
+            k = kind[a:b]
+            clicks = us[a:b][k]
+            pmask = ~k
+            if clicks.size == 0 or not pmask.any():
+                continue
+            p = us[a:b][pmask]
+            idx = np.searchsorted(clicks, p, side="right")
+            prev_gap = np.where(idx > 0, p - clicks[np.maximum(idx - 1, 0)], _I64MAX)
+            nxt_gap = np.where(
+                idx < clicks.size, clicks[np.minimum(idx, clicks.size - 1)] - p, _I64MAX
+            )
+            out_id.append(ids[a:b][pmask])
+            out_gap.append(np.minimum(prev_gap, nxt_gap))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "nearest_us": pa.array(np.concatenate(out_gap), pa.int64()),
+            }
+        )
+
+    return grouped_scan(events, "user_id", nearest, batch_format="pyarrow")
+
+
+PURCHASE_NEAREST_CLICK_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+           AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'
+           AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+fwd AS (
+  SELECT p.event_id, MIN(epoch_us(c.ts) - epoch_us(p.ts)) AS w
+  FROM p JOIN c ON p.user_id = c.user_id AND c.ts > p.ts GROUP BY p.event_id
+),
+bwd AS (
+  SELECT p.event_id, MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS w
+  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts GROUP BY p.event_id
+)
+SELECT COALESCE(f.event_id, b.event_id) AS event_id,
+       CAST(LEAST(COALESCE(f.w, b.w), COALESCE(b.w, f.w)) AS BIGINT) AS nearest_us
+FROM fwd f FULL OUTER JOIN bwd b ON f.event_id = b.event_id
+"""

@@ -1,0 +1,189 @@
+"""Planted-input tests for the session-10 op batch: exact-integer EWMA,
+nearest-either as-of, grouped exactly-k sample, distinct-overlap census +
+KMV sketch, key-skew profile, INTERSECT ALL bag semantics."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(dirpath, **cols):
+    n = max(len(v) for v in cols.values())
+    base = {
+        "event_id": pa.array(cols.get("event_id", list(range(1, n + 1))), pa.int64()),
+        "ts": pa.array(
+            np.asarray(cols.get("ts_us", [i * 1_000_000 for i in range(n)]), dtype=np.int64),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(cols.get("user_id", [1] * n), pa.int64()),
+        "event_type": pa.array(cols.get("event_type", ["click"] * n), pa.string()),
+        "value": pa.array(cols.get("value", [1.0] * n), pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }
+    pq.write_table(pa.table(base), str(dirpath / "events.parquet"))
+    return str(dirpath)
+
+
+class TestUserValueEwma:
+    def test_closed_form(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import user_value_ewma
+
+        # user 1: 100 then 200 cents; user 2: one NULL value (counts as 0)
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3],
+            user_id=[1, 1, 2],
+            value=[1.0, 2.0, None],
+            ts_us=[1_000_000, 2_000_000, 1_000_000],
+        )
+        got = user_value_ewma(sf).to_pandas().sort_values("event_id").set_index("event_id")
+        assert got.loc[1].tolist() == [100 * (1 << 15), 1 << 15]
+        assert got.loc[2].tolist() == [200 * (1 << 15) + 100 * (1 << 14), (1 << 15) + (1 << 14)]
+        assert got.loc[3].tolist() == [0, 1 << 15]
+
+    def test_frame_cap_and_saturated_den(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import user_value_ewma
+
+        n = 20  # longer than the 16-tap frame
+        sf = _write_events(
+            tmp_path,
+            event_id=list(range(1, n + 1)),
+            user_id=[7] * n,
+            value=[1.0] * n,
+            ts_us=[i * 1_000_000 for i in range(n)],
+        )
+        got = user_value_ewma(sf).to_pandas().sort_values("event_id")
+        # saturated rows: every tap holds 100 cents -> num = 100*(2^16-1)
+        sat = got.iloc[-1]
+        assert sat["ewma_num"] == 100 * ((1 << 16) - 1)
+        assert sat["ewma_den"] == (1 << 16) - 1
+        # first row: only itself
+        assert got.iloc[0]["ewma_den"] == 1 << 15
+
+
+class TestPurchaseNearestClick:
+    def test_directions_and_ties(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import purchase_nearest_click
+
+        s = 1_000_000
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4, 5, 6, 7],
+            user_id=[1, 1, 1, 2, 2, 3, 3],
+            event_type=[
+                "click", "purchase", "click",  # u1: clicks at 10s & 14s, purchase 13s
+                "purchase", "click",           # u2: click only AFTER (20s vs 25s)
+                "purchase", "view",            # u3: no clicks -> dropped
+            ],
+            ts_us=[10 * s, 13 * s, 14 * s, 20 * s, 25 * s, 30 * s, 31 * s],
+        )
+        got = purchase_nearest_click(sf).to_pandas().set_index("event_id")
+        assert got.loc[2, "nearest_us"] == 1 * s  # forward click wins (14-13 < 13-10)
+        assert got.loc[4, "nearest_us"] == 5 * s  # only a future click
+        assert 6 not in got.index
+
+    def test_same_ts_click_is_zero(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import purchase_nearest_click
+
+        s = 1_000_000
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2],
+            user_id=[1, 1],
+            event_type=["click", "purchase"],
+            ts_us=[5 * s, 5 * s],
+        )
+        got = purchase_nearest_click(sf).to_pandas().set_index("event_id")
+        assert got.loc[2, "nearest_us"] == 0
+
+
+class TestEventsExactKPerUser:
+    def test_matches_md5_rank(self, tmp_path, ray_session):
+        from ocr_ray.ops.mlprep import events_exact_k_per_user
+
+        # user 1 has 10 events, user 2 has 2, user 3 has NULL id rows only
+        ids = list(range(1, 13))
+        users = [1] * 10 + [2] * 2
+        sf = _write_events(tmp_path, event_id=ids, user_id=users)
+        got = events_exact_k_per_user(sf, k=3).to_pandas()
+        want = {}
+        for eid, u in zip(ids, users):
+            key = hashlib.md5(str(eid).encode()).hexdigest()[:16]
+            want.setdefault(u, []).append((key, eid))
+        expect = set()
+        for u, pairs in want.items():
+            for _, eid in sorted(pairs)[:3]:
+                expect.add((eid, u))
+        assert set(map(tuple, got[["event_id", "user_id"]].values.tolist())) == expect
+        assert (got.groupby("user_id").size() <= 3).all()
+
+
+class TestDistinctUserOverlap:
+    def test_planted_counts(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import distinct_user_overlap, distinct_user_overlap_kmv
+
+        # clicks: users 1..6; purchases: users 4..9 -> both = {4,5,6}
+        users = list(range(1, 7)) + list(range(4, 10))
+        types = ["click"] * 6 + ["purchase"] * 6
+        sf = _write_events(tmp_path, user_id=users, event_type=types)
+        got = distinct_user_overlap(sf).to_pandas().iloc[0]
+        assert got.tolist() == [6, 6, 3]
+        # KMV with unsaturated sketches is exact
+        est = distinct_user_overlap_kmv(sf).to_pandas().iloc[0]
+        assert est.tolist() == [6, 6, 3]
+
+    def test_kmv_bound_at_volume(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import distinct_user_overlap_kmv
+
+        # 5000 distinct clickers, 5000 distinct purchasers, 1000 overlap
+        click_users = list(range(0, 5000))
+        purch_users = list(range(4000, 9000))
+        users = click_users + purch_users
+        types = ["click"] * 5000 + ["purchase"] * 5000
+        sf = _write_events(tmp_path, event_id=list(range(1, 10001)), user_id=users, event_type=types)
+        est = distinct_user_overlap_kmv(sf).to_pandas().iloc[0]
+        assert abs(est["users_click"] - 5000) / 5000 < 0.15
+        assert abs(est["users_purchase"] - 5000) / 5000 < 0.15
+        assert abs(est["users_both"] - 1000) / 1000 < 0.30
+
+    def test_disjoint_sides(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import distinct_user_overlap, distinct_user_overlap_kmv
+
+        sf = _write_events(
+            tmp_path, user_id=[1, 2, 3, 4], event_type=["click", "click", "purchase", "purchase"]
+        )
+        assert distinct_user_overlap(sf).to_pandas().iloc[0].tolist() == [2, 2, 0]
+        assert distinct_user_overlap_kmv(sf).to_pandas().iloc[0]["users_both"] == 0
+
+
+class TestEventsKeySkew:
+    def test_planted_distribution(self, tmp_path, ray_session):
+        from ocr_ray.ops.dq import events_key_skew
+
+        # 99 singleton users + one hot user with 101 rows -> 100 keys, 200 rows
+        users = list(range(1, 100)) + [999] * 101
+        sf = _write_events(tmp_path, event_id=list(range(1, 201)), user_id=users)
+        got = events_key_skew(sf).to_pandas().iloc[0]
+        assert got["n_keys"] == 100
+        assert got["n_rows"] == 200
+        assert got["max_size"] == 101
+        assert got["top1_share_bp"] == 101 * 10000 // 200
+        # ceil(0.99*100)=99 -> the 99th smallest size is 1 (hot key is rank 100)
+        assert got["p99_size"] == 1
+
+
+class TestClickViewUsersBag:
+    def test_min_multiplicity_and_null_keys(self, tmp_path, ray_session):
+        from ocr_ray.ops.olap import click_view_users_bag
+
+        # user 1: 3 clicks / 2 views -> twice; user 2: clicks only -> absent
+        # NULL user: 2 clicks / 1 view -> once (INTERSECT ALL pairs NULLs)
+        users = [1, 1, 1, 1, 1, 2, 2, None, None, None]
+        types = ["click", "click", "click", "view", "view", "click", "click", "click", "click", "view"]
+        sf = _write_events(tmp_path, user_id=users, event_type=types)
+        got = click_view_users_bag(sf).to_pandas()["user_id"]
+        vals = sorted(got.fillna(-1).astype(int).tolist())
+        assert vals == [-1, 1, 1]
