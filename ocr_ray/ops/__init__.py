@@ -509,3 +509,19 @@ REGISTRY.update(
         "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     }
 )
+
+from ocr_ray.ops.stats import (
+    EVENTS_SELFJOIN_SIZE_SQL,
+    events_selfjoin_size,
+    events_selfjoin_size_ams,
+)
+from ocr_ray.ops.dq import ANALYZE_ORDERS_SQL, analyze_orders
+
+REGISTRY.update(
+    {
+        "events_selfjoin_size": (events_selfjoin_size, EVENTS_SELFJOIN_SIZE_SQL),
+        # approximate: AMS linear sketch; exact sibling above carries the gate
+        "events_selfjoin_size_ams": (events_selfjoin_size_ams, None),
+        "analyze_orders": (analyze_orders, ANALYZE_ORDERS_SQL),
+    }
+)

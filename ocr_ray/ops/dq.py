@@ -1003,3 +1003,149 @@ SELECT n_keys, n_rows, max_size,
        CAST((SELECT MIN(size) FROM r WHERE cum * 100 >= 99 * n_keys) AS BIGINT) AS p99_size
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics census
+# ---------------------------------------------------------------------------
+
+# (column, kind) spec: ints and strings cast losslessly to VARCHAR; dates
+# stringify identically ('YYYY-MM-DD') in python and DuckDB; doubles are
+# profiled in exact integer cents (ROUND(x*100)) so min/max/ndv are
+# reduction-order- and format-independent (documented, mirrored in SQL).
+_ANALYZE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def analyze_orders(sf_dir: str) -> pa.Table:
+    """ANALYZE TABLE orders — per-column row/null counts, EXACT distinct
+    count, and typed min/max rendered as strings: the statistics-collection
+    pass every planner (including this engine's broadcast-vs-hash and
+    salt-or-not decisions) runs before scheduling a big join.
+
+    Plan: counts/min/max are per-batch mergeable TYPED partials (one row
+    per batch, two typed cells per column -> driver fold, rendered to
+    VARCHAR only after the fold so int/date ordering is numeric, exactly
+    SQL's CAST(MIN(col) AS VARCHAR)). Exact NDV ships each column's
+    per-batch DISTINCT value strings through ONE (col, value)-keyed dedup
+    groupby — keys only, never rows — then a per-column count. The scale
+    lever is per-column: an ndv census of a near-unique column approaches
+    the table's key cardinality, which is exactly when the planner should
+    switch that column to the HLL sibling (documented trade; the exact
+    path is the gate).
+
+    Contract (mirrored in SQL): NULLs are excluded from ndv/min/max;
+    doubles are profiled as exact integer cents."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=[c for c, _ in _ANALYZE_COLS])
+
+    def render(col, kind: str):
+        if kind == "cents":
+            return pc.cast(to_cents(col), pa.string())
+        return pc.cast(col, pa.string())
+
+    def typed(col, kind: str):
+        return to_cents(col) if kind == "cents" else col
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        cells: dict[str, list] = {"n_rows": [t.num_rows]}
+        for name, kind in _ANALYZE_COLS:
+            col = typed(t.column(name), kind)
+            cells[f"{name}__nulls"] = [t.column(name).null_count]
+            mn = pc.min(col)
+            mx = pc.max(col)
+            cells[f"{name}__min"] = pa.array([mn.as_py()], type=mn.type)
+            cells[f"{name}__max"] = pa.array([mx.as_py()], type=mx.type)
+        return pa.table(cells)
+
+    stat_parts = [
+        b
+        for b in ds.map_batches(stat_partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+
+    def val_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for name, kind in _ANALYZE_COLS:
+            vals = render(t.column(name).drop_null(), kind)
+            u = pc.unique(vals.combine_chunks() if hasattr(vals, "combine_chunks") else vals)
+            outs.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([name] * len(u), pa.string()),
+                        "v": u.cast(pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    from ray.data.aggregate import Sum
+
+    ndv = (
+        ds.map_batches(val_partial, batch_format="pyarrow")
+        .groupby(["col_name", "v"])
+        .count()
+        .map_batches(
+            lambda t: t.group_by("col_name").aggregate([([], "count_all")]).rename_columns(
+                ["col_name", "ndv"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("col_name")
+        .aggregate(Sum("ndv", alias_name="n_distinct"))
+    )
+    ndv_map = {
+        r["col_name"]: r["n_distinct"]
+        for b in ndv.iter_batches(batch_size=None, batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+
+    names = [c for c, _ in _ANALYZE_COLS]
+    n_rows = 0
+    nulls = {c: 0 for c in names}
+    mins: dict[str, object] = {c: None for c in names}
+    maxs: dict[str, object] = {c: None for c in names}
+    for b in stat_parts:
+        for r in b.to_pylist():
+            n_rows += r["n_rows"]
+            for c in names:
+                nulls[c] += r[f"{c}__nulls"]
+                for store, pick, cell in ((mins, min, r[f"{c}__min"]), (maxs, max, r[f"{c}__max"])):
+                    if cell is not None:
+                        store[c] = cell if store[c] is None else pick(store[c], cell)
+
+    def _render_py(v) -> str | None:
+        return None if v is None else str(v)
+
+    return pa.table(
+        {
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array([n_rows] * len(names), pa.int64()),
+            "n_nulls": pa.array([nulls[c] for c in names], pa.int64()),
+            "n_distinct": pa.array([ndv_map.get(c, 0) for c in names], pa.int64()),
+            "min_s": pa.array([_render_py(mins[c]) for c in names], pa.string()),
+            "max_s": pa.array([_render_py(maxs[c]) for c in names], pa.string()),
+        }
+    )
+
+
+def _analyze_col_sql(name: str, kind: str) -> str:
+    expr = f"CAST(ROUND({name} * 100) AS BIGINT)" if kind == "cents" else name
+    return f"""
+SELECT '{name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(CAST(MIN({expr}) AS VARCHAR) AS VARCHAR) AS min_s,
+       CAST(CAST(MAX({expr}) AS VARCHAR) AS VARCHAR) AS max_s
+FROM orders"""
+
+
+ANALYZE_ORDERS_SQL = "\nUNION ALL\n".join(
+    _analyze_col_sql(n, k) for n, k in _ANALYZE_COLS
+)

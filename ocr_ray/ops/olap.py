@@ -922,3 +922,75 @@ SELECT user_id FROM events WHERE event_type = 'view'
 """
 
 REGISTRY["click_view_users_bag"] = (click_view_users_bag, CLICK_VIEW_USERS_BAG_SQL)
+
+
+def user_activity_bitmask(sf_dir: str) -> Dataset:
+    """Bitmap aggregate: per user, an int64 DAY-OF-CYCLE presence mask
+    (bit b set iff the user was active on any day with ``day_index % 63
+    == b``) plus the exact count of distinct active cycle-days — the
+    bitmap-index primitive warehouses build for segment pruning and
+    activity-pattern joins, expressed as pure integer arithmetic so both
+    engines hash identical values.
+
+    Plan: per-batch DISTINCT (user, bucket) pairs (arrow group_by), ONE
+    pair-keyed groupby dedup, bit = 1<<bucket, then a user-keyed Sum —
+    each bit is present at most once per user after the dedup, so SUM is
+    exactly OR. Keys-only shuffles throughout; the mask is 8 bytes per
+    user no matter how many events.
+
+    Contract (mirrored in SQL): NULL user_id / ts rows are excluded;
+    day_index uses FLOOR division (all fixture ts >= epoch; the positive-
+    mod mirrors numpy for any sign)."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (us // 86_400_000_000) % 63
+        p = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "b": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+        return p.group_by(["user_id", "b"]).aggregate([])
+
+    distinct_pairs = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "b"])
+        .count()
+    )
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "bit": pa.array(np.left_shift(np.int64(1), b), pa.int64()),
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        distinct_pairs.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("bit", alias_name="day_mask"), Sum("one", alias_name="n_active_days"))
+    )
+    return agg.select_columns(["user_id", "day_mask", "n_active_days"])
+
+
+USER_ACTIVITY_BITMASK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         ((epoch_us(ts) // 86400000000) % 63 + 63) % 63 AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(CAST(1 AS BIGINT) << b) AS BIGINT) AS day_mask,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days
+FROM d GROUP BY user_id
+"""
+
+REGISTRY["user_activity_bitmask"] = (user_activity_bitmask, USER_ACTIVITY_BITMASK_SQL)

@@ -1275,3 +1275,129 @@ def distinct_user_overlap_kmv(sf_dir: str, k: int = _KMV_K) -> pa.Table:
             "users_both": pa.array([both], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# self-join size (F2 second frequency moment): exact census + AMS sketch
+# ---------------------------------------------------------------------------
+
+
+def events_selfjoin_size(sf_dir: str) -> pa.Table:
+    """EXACT self-join cardinality of events on user_id — the F2 second
+    frequency moment Σ c(k)²: what a user_id-keyed join or groupby would
+    explode to. The query-planning diagnostic behind broadcast-vs-hash
+    decisions and the exact gate for the AMS sketch sibling below.
+
+    Plan: per-batch (user, n) census partials → ONE user-keyed groupby sum
+    (keys-only) → per-batch Σn / Σn² partials → driver fold
+    (``batch_size=None``). Contract (mirrored in SQL): NULL user_id rows
+    are excluded. Overflow: Σn² ≤ (Σn)² < 2^63 up to ~3·10^9 rows per key
+    — beyond that the census itself is the thing to salt first."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        return t.group_by("user_id").aggregate([([], "count_all")]).rename_columns(
+            ["user_id", "n"]
+        )
+
+    sizes = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def f2_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_rows": pa.array([int(n.sum())], pa.int64()),
+                "selfjoin_size": pa.array([int((n * n).sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        b
+        for b in sizes.map_batches(f2_partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table(
+            {"n_rows": pa.array([0], pa.int64()), "selfjoin_size": pa.array([0], pa.int64())}
+        )
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "n_rows": pa.array([pc.sum(t.column("n_rows")).as_py() or 0], pa.int64()),
+            "selfjoin_size": pa.array(
+                [pc.sum(t.column("selfjoin_size")).as_py() or 0], pa.int64()
+            ),
+        }
+    )
+
+
+EVENTS_SELFJOIN_SIZE_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(n * n) AS BIGINT) AS selfjoin_size
+FROM c
+"""
+
+_AMS_R = 64
+
+
+def events_selfjoin_size_ams(sf_dir: str, r: int = _AMS_R) -> pa.Table:
+    """AMS sketch estimate of the same F2 — the bounded-memory path when
+    even the (key, n) census is too hot to shuffle: each batch folds its
+    local census into ``r`` signed counters Z_j = Σ_k s_j(k)·c(k) where
+    s_j(k) is the j-th bit of md5(k) mapped to ±1 (one digest yields 128
+    independent sign bits, so the hash cost is one md5 per distinct key
+    per batch, not per counter). Counters merge by vector ADD — the
+    classic mergeable linear sketch — and E[Z²] = F2; the estimate is the
+    median of 4 group means of Z². No per-key state ever leaves a batch;
+    the driver folds r int64s per block. Deterministic (md5 signs, no
+    RNG). Pytest-bounded against the exact sibling, which carries the
+    gate. Overflow: |Z| ≤ Σc = rows; Z² needs float at >3·10^9 rows —
+    Z stays int64, the square is float64."""
+    import hashlib as _h
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    assert r % 4 == 0 and r <= 128
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        ids = g.column("user_id").to_pylist()
+        n = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(r, dtype=np.int64)
+        if ids:
+            # bit matrix: one md5 per key -> r sign bits
+            digs = np.frombuffer(
+                b"".join(_h.md5(str(i).encode("ascii")).digest() for i in ids),
+                dtype=np.uint8,
+            ).reshape(len(ids), 16)
+            bits = np.unpackbits(digs, axis=1)[:, :r].astype(np.int64)  # (keys, r)
+            signs = 2 * bits - 1
+            z = (signs * n[:, None]).sum(axis=0)
+        return pa.table({"z": pa.array(z, pa.int64()), "j": pa.array(np.arange(r), pa.int32())})
+
+    parts = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table({"selfjoin_size_est": pa.array([0], pa.int64())})
+    t = pa.concat_tables(parts)
+    agg = t.group_by("j").aggregate([("z", "sum")]).sort_by("j")
+    z = agg.column("z_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    means = (z**2).reshape(4, r // 4).mean(axis=1)
+    est = int(round(float(np.median(means))))
+    return pa.table({"selfjoin_size_est": pa.array([est], pa.int64())})

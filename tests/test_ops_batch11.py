@@ -187,3 +187,67 @@ class TestClickViewUsersBag:
         got = click_view_users_bag(sf).to_pandas()["user_id"]
         vals = sorted(got.fillna(-1).astype(int).tolist())
         assert vals == [-1, 1, 1]
+
+
+class TestEventsSelfjoinSize:
+    def test_closed_form(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import events_selfjoin_size
+
+        sf = _write_events(tmp_path, user_id=[1, 1, 1, 2, None])
+        got = events_selfjoin_size(sf).to_pandas().iloc[0]
+        assert got["n_rows"] == 4
+        assert got["selfjoin_size"] == 9 + 1
+
+    def test_ams_bound(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import events_selfjoin_size_ams
+
+        # 1000 singletons + one hot key x50 -> F2 = 1000 + 2500 = 3500
+        users = list(range(1, 1001)) + [5000] * 50
+        sf = _write_events(tmp_path, event_id=list(range(1, 1051)), user_id=users)
+        est = events_selfjoin_size_ams(sf, r=128).to_pandas().iloc[0]["selfjoin_size_est"]
+        assert abs(est - 3500) / 3500 < 0.5, est
+
+
+class TestUserActivityBitmask:
+    def test_planted_mask_and_wrap(self, tmp_path, ray_session):
+        from ocr_ray.ops.olap import user_activity_bitmask
+
+        day = 86_400_000_000
+        # user 1: days 0, 1, 0 (dup) -> mask 0b11; user 2: day 63 wraps to bit 0
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4],
+            user_id=[1, 1, 1, 2],
+            ts_us=[0, day, 1000, 63 * day],
+        )
+        got = user_activity_bitmask(sf).to_pandas().set_index("user_id")
+        assert got.loc[1].tolist() == [3, 2]
+        assert got.loc[2].tolist() == [1, 1]
+
+
+class TestAnalyzeOrders:
+    def test_planted_stats(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.dq import analyze_orders
+
+        t = pa.table(
+            {
+                # 9 vs 10 pins NUMERIC min ordering (lexicographic would say "10")
+                "o_orderkey": pa.array([9, 10, None], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["F", "O", "F"], pa.string()),
+                "o_totalprice": pa.array([1.25, 1.25, None], pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.date(1995, 1, 2), datetime.date(1994, 12, 31), None]
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "2-HIGH"], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = analyze_orders(str(tmp_path)).to_pandas().set_index("col_name")
+        assert got.loc["o_orderkey"].tolist() == [3, 1, 2, "9", "10"]
+        assert got.loc["o_custkey"].tolist() == [3, 0, 2, "1", "2"]
+        assert got.loc["o_totalprice"].tolist() == [3, 1, 1, "125", "125"]
+        assert got.loc["o_orderdate"].tolist() == [3, 1, 2, "1994-12-31", "1995-01-02"]
+        assert got.loc["o_orderpriority"].tolist() == [3, 0, 2, "1-URGENT", "2-HIGH"]
