@@ -525,3 +525,17 @@ REGISTRY.update(
         "analyze_orders": (analyze_orders, ANALYZE_ORDERS_SQL),
     }
 )
+
+from ocr_ray.ops.timeseries import CLICKS_UNCONVERTED_SQL, clicks_unconverted
+from ocr_ray.ops.ann import EMBEDDING_JL_PROJECT_SQL, embedding_jl_project
+from ocr_ray.ops.stats import EVENTS_TYPE_DOW_CHI2_SQL, events_type_dow_chi2
+from ocr_ray.ops.dq import ORDERS_COLUMN_DRIFT_SQL, orders_column_drift
+
+REGISTRY.update(
+    {
+        "clicks_unconverted": (clicks_unconverted, CLICKS_UNCONVERTED_SQL),
+        "embedding_jl_project": (embedding_jl_project, EMBEDDING_JL_PROJECT_SQL),
+        "events_type_dow_chi2": (events_type_dow_chi2, EVENTS_TYPE_DOW_CHI2_SQL),
+        "orders_column_drift": (orders_column_drift, ORDERS_COLUMN_DRIFT_SQL),
+    }
+)

@@ -1346,3 +1346,101 @@ def embedding_kmeans_train(sf_dir: str, k: int = 8, iters: int = 3) -> "rd.Datas
             _Sum("inertia_e6", alias_name="inertia_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection (exact-integer, SQL-gated)
+# ---------------------------------------------------------------------------
+
+_JL_DIM = 64
+_JL_K = 8
+
+
+def _jl_signs() -> np.ndarray:
+    """Deterministic ±1 sign matrix (d x k): the parity of the first byte
+    of md5("i:j") — no RNG state, so every worker, rerun, and the
+    generated SQL share one matrix."""
+    import hashlib as _h
+
+    s = np.empty((_JL_DIM, _JL_K), dtype=np.int64)
+    for i in range(_JL_DIM):
+        for j in range(_JL_K):
+            s[i, j] = 1 if _h.md5(f"{i}:{j}".encode()).digest()[0] & 1 else -1
+    return s
+
+
+def embedding_jl_project(sf_dir: str) -> "Dataset":
+    """Random-sign (Achlioptas/JL) projection of every embedding from 64
+    to 8 dimensions — the cheap dimensionality reduction stage run before
+    LSH/ANN at corpus scale. Exactly gateable: both engines project the
+    SAME floor(x*1e6) fixed-point vector through the SAME md5-derived ±1
+    sign matrix, so the 8 integer components hash identically (the usual
+    float-matmul projection could never gate).
+
+    Plan: zero-copy list reshape to (n, 64), ONE int64 GEMM per batch
+    against the broadcast-by-closure 64x8 sign matrix; embarrassingly
+    parallel, no shuffle. Overflow: |q| ≤ 2^21 per component (unit-ish
+    embeddings), x64 terms < 2^27 — far inside int64 at any scale.
+
+    Contract (mirrored in SQL): NULL vec_id / NULL embedding rows and
+    vectors whose length != 64 are excluded; NaN/NULL elements quantize
+    to 0 (COALESCE in the mirror)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    signs = _jl_signs()
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("vec_id")), pc.is_valid(t.column("embedding")))
+        )
+        col = t.column("embedding").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dims = offs[1:] - offs[:-1]
+        keep = dims == _JL_DIM
+        t = t.filter(pa.array(keep))
+        col = t.column("embedding").combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64())}
+                | {f"p{j}": pa.array([], pa.int64()) for j in range(_JL_K)}
+            )
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(np.nan_to_num(vals, nan=0.0) * 1_000_000.0).astype(np.int64)
+        proj = q.reshape(-1, _JL_DIM) @ signs  # (n, k) int64
+        out = {"vec_id": t.column("vec_id")}
+        for j in range(_JL_K):
+            out[f"p{j}"] = pa.array(proj[:, j], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    values = ",".join(
+        f"({i + 1},{j},{int(signs[i, j])})" for i in range(_JL_DIM) for j in range(_JL_K)
+    )
+    comps = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN s.j = {j} THEN s.sgn * q.qv ELSE 0 END) AS BIGINT) AS p{j}"
+        for j in range(_JL_K)
+    )
+    return f"""
+WITH pos AS (
+  SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = {_JL_DIM}
+),
+q AS (
+  SELECT vec_id, i,
+         COALESCE(CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT), 0) AS qv
+  FROM pos
+),
+s(i, j, sgn) AS (VALUES {values})
+SELECT vec_id, {comps}
+FROM q JOIN s ON q.i = s.i
+GROUP BY vec_id
+"""
+
+
+EMBEDDING_JL_PROJECT_SQL = _jl_sql()

@@ -1149,3 +1149,168 @@ FROM orders"""
 ANALYZE_ORDERS_SQL = "\nUNION ALL\n".join(
     _analyze_col_sql(n, k) for n, k in _ANALYZE_COLS
 )
+
+
+# ---------------------------------------------------------------------------
+# snapshot COLUMN drift census (CDC at column granularity)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_column_drift(old_ds, new_ds, key: str, value_cols: list[str]):
+    """General column-granularity snapshot drift: for keys present in BOTH
+    snapshots, how many rows changed PER COLUMN — the "which field is
+    churning" refinement of the row-level ``orders_snapshot_diff`` (a CDC
+    consumer uses it to decide which downstream aggregates to invalidate).
+
+    Both snapshots stream as (key, side, value_cols) rows through ONE
+    coarse-key exchange; per partition a sort on (key, side) pairs each
+    matched key's two rows and every column compares vectorized; only a
+    per-partition counter row returns. Value columns must be NULL-free
+    (coalesce to sentinels upstream — the orders entry does) so != is
+    two-valued. At width, ship per-column digests instead of values — the
+    exchange stays one row per key either way."""
+    import ray.data as _rd
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column(key)))
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def compare(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(key, "ascending"), ("__side", "ascending")])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            pair_old = np.array([], dtype=np.int64)
+        else:
+            cand = np.flatnonzero(
+                (k[:-1] == k[1:]) & (side[:-1] == 0) & (side[1:] == 1)
+            )
+            pair_old = cand
+        out = {"n_matched": pa.array([len(pair_old)], pa.int64())}
+        old_idx = pa.array(pair_old, pa.int64())
+        new_idx = pa.array(pair_old + 1, pa.int64())
+        for c in value_cols:
+            col = t.column(c)
+            diff = pc.not_equal(col.take(old_idx), col.take(new_idx))
+            out[f"changed__{c}"] = pa.array(
+                [pc.sum(pc.cast(diff, pa.int64())).as_py() or 0], pa.int64()
+            )
+        return pa.table(out)
+
+    parts = [
+        b
+        for b in grouped_scan(both, key, compare, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    matched = 0
+    changed = {c: 0 for c in value_cols}
+    for b in parts:
+        for r in b.to_pylist():
+            matched += r["n_matched"]
+            for c in value_cols:
+                changed[c] += r[f"changed__{c}"]
+    return pa.table(
+        {
+            "col_name": pa.array(value_cols, pa.string()),
+            "n_changed": pa.array([changed[c] for c in value_cols], pa.int64()),
+            "n_matched": pa.array([matched] * len(value_cols), pa.int64()),
+        }
+    )
+
+
+_DRIFT_STATUS_MOD = 5
+
+
+def orders_column_drift(sf_dir: str) -> pa.Table:
+    """Column-drift census between the orders snapshot and its derived
+    successor (same in-scan derivation family as ``orders_snapshot_diff``:
+    delete keys %13, restatus %5, reprice %7) — per column, how many
+    matched keys changed. NULL attributes take the diff sentinels so the
+    compare is total; NULL keys can't be matched (both mirrored)."""
+
+    def prep_old(sf: str):
+        ds = rd.read_parquet(
+            _pq(sf, "orders"), columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": t.column("o_orderkey"),
+                    "s": pc.fill_null(t.column("o_orderstatus"), ""),
+                    "c": pc.fill_null(to_cents(t.column("o_totalprice")), -1),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def prep_new(sf: str):
+        base = prep_old(sf)
+
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            keep = pa.array((k % _DEL) != 0)
+            t = t.filter(keep)
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_pylist()
+            restat = (k % _DRIFT_STATUS_MOD) == 0
+            s = [v + "*" if m else v for v, m in zip(s, restat)]
+            c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            c = np.where((k % _UPD) == 0, c + 100, c)
+            return pa.table(
+                {
+                    "k": t.column("k"),
+                    "s": pa.array(s, pa.string()),
+                    "c": pa.array(c, pa.int64()),
+                }
+            )
+
+        return base.map_batches(f, batch_format="pyarrow")
+
+    out = snapshot_column_drift(prep_old(sf_dir), prep_new(sf_dir), "k", ["s", "c"])
+    # stable public column names
+    name_map = {"s": "o_orderstatus", "c": "o_totalprice"}
+    return pa.table(
+        {
+            "col_name": pa.array(
+                [name_map[v] for v in out.column("col_name").to_pylist()], pa.string()
+            ),
+            "n_changed": out.column("n_changed"),
+            "n_matched": out.column("n_matched"),
+        }
+    )
+
+
+ORDERS_COLUMN_DRIFT_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey AS k, COALESCE(o_orderstatus, '') AS s,
+         COALESCE(CAST(ROUND(o_totalprice * 100) AS BIGINT), -1) AS c
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+new AS (
+  SELECT k,
+         CASE WHEN k % {_DRIFT_STATUS_MOD} = 0 THEN s || '*' ELSE s END AS s,
+         CASE WHEN k % {_UPD} = 0 THEN c + 100 ELSE c END AS c
+  FROM old WHERE k % {_DEL} != 0
+),
+j AS (SELECT old.s AS os, new.s AS ns, old.c AS oc, new.c AS nc
+      FROM old JOIN new USING (k))
+SELECT 'o_orderstatus' AS col_name,
+       CAST(COUNT(*) FILTER (WHERE os != ns) AS BIGINT) AS n_changed,
+       CAST(COUNT(*) AS BIGINT) AS n_matched FROM j
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) FILTER (WHERE oc != nc) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT) FROM j
+"""

@@ -1401,3 +1401,110 @@ def events_selfjoin_size_ams(sf_dir: str, r: int = _AMS_R) -> pa.Table:
     means = (z**2).reshape(4, r // 4).mean(axis=1)
     est = int(round(float(np.median(means))))
     return pa.table({"selfjoin_size_est": pa.array([est], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# chi-square contingency census (independence-test numerators)
+# ---------------------------------------------------------------------------
+
+
+def events_type_dow_chi2(sf_dir: str) -> pa.Table:
+    """Contingency census of event_type x day-of-cycle-week with the EXACT
+    integer deviation numerator per cell: dev_num = n·O − R·C (the
+    chi-square statistic's per-cell numerator before the /R·C scaling) —
+    the independence screen ("does event mix drift by weekday?") a feature
+    store runs before trusting a categorical split, with no float in the
+    gate. dev_num = 0 for every cell ⟺ exact independence.
+
+    Plan: the cell census is ONE (type, dow)-keyed groupby of per-batch
+    partials; the marginals R/C/n fold from the CELLS on the driver
+    (|types|×7 rows, never data rows). Overflow: |n·O| ≤ n² — int64-safe
+    to ~3·10⁹ events; beyond that scale the census keys stay tiny but the
+    numerator needs the float path (documented trade).
+
+    Contract (mirrored in SQL): NULL event_type / ts rows are excluded;
+    dow uses the positive-mod day cycle (epoch day % 7)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("event_type")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000) % 7
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "dow": pa.array(dow.astype(np.int64), pa.int64()),
+            }
+        )
+        return g.group_by(["event_type", "dow"]).aggregate([([], "count_all")]).rename_columns(
+            ["event_type", "dow", "obs"]
+        )
+
+    agg = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("obs", alias_name="obs"))
+    )
+    parts = [
+        b for b in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "obs": pa.array([], pa.int64()),
+            "row_total": pa.array([], pa.int64()),
+            "col_total": pa.array([], pa.int64()),
+            "dev_num": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:
+        return empty
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    dow = t.column("dow").to_numpy(zero_copy_only=False).astype(np.int64)
+    obs = t.column("obs").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(obs.sum())
+    r_keys, r_inv = np.unique(et, return_inverse=True)
+    r_tot = np.bincount(r_inv, weights=obs).astype(np.int64)
+    c_keys, c_inv = np.unique(dow, return_inverse=True)
+    c_tot = np.bincount(c_inv, weights=obs).astype(np.int64)
+    row_total = r_tot[r_inv]
+    col_total = c_tot[c_inv]
+    dev = n * obs - row_total * col_total
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "dow": pa.array(dow, pa.int64()),
+            "obs": pa.array(obs, pa.int64()),
+            "row_total": pa.array(row_total, pa.int64()),
+            "col_total": pa.array(col_total, pa.int64()),
+            "dev_num": pa.array(dev, pa.int64()),
+        }
+    )
+
+
+EVENTS_TYPE_DOW_CHI2_SQL = """
+WITH c AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) % 7 + 7) % 7 AS dow
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM c GROUP BY event_type, dow
+)
+SELECT event_type, dow, obs,
+       CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+       CAST(SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS col_total,
+       CAST(SUM(obs) OVER () * obs
+            - SUM(obs) OVER (PARTITION BY event_type)
+              * SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS dev_num
+FROM cells
+"""

@@ -2518,3 +2518,98 @@ SELECT COALESCE(f.event_id, b.event_id) AS event_id,
        CAST(LEAST(COALESCE(f.w, b.w), COALESCE(b.w, f.w)) AS BIGINT) AS nearest_us
 FROM fwd f FULL OUTER JOIN bwd b ON f.event_id = b.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed anti-join: clicks with no conversion inside the following hour
+# ---------------------------------------------------------------------------
+
+_CONVERT_US = 3_600_000_000  # 1 h
+
+
+def clicks_unconverted(sf_dir: str) -> Dataset:
+    """Clicks with NO purchase by the same user within the following hour —
+    the windowed ANTI-join (NOT EXISTS over a time range), the abandonment
+    signal attribution pipelines compute. Completes the time-join matrix:
+    as-of (backward/forward/nearest), interval overlap, concurrent-window,
+    and now range NOT EXISTS.
+
+    Plan: coarse-key grouped scan by user; per partition ONE sort of the
+    purchase timestamps and one ``searchsorted`` probe per click side —
+    ``idx = searchsorted(purchases, ts, 'right')`` is the first purchase
+    STRICTLY after the click; the click converts iff that purchase is
+    within +1 h. No pair expansion anywhere: the anti-join is two
+    vectorized probes regardless of fan-out.
+
+    Contract (mirrored in SQL): NULL user/ts/event_id click rows are
+    excluded (a NULL can satisfy neither predicate and the id is the
+    output key); a purchase needs only (user, ts) to convert a click —
+    its id is never projected, so a NULL-id purchase still counts."""
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_in(
+                        t.column("event_type"), value_set=pa.array(["click", "purchase"])
+                    ),
+                    pc.or_(
+                        pc.is_valid(t.column("event_id")),
+                        pc.equal(t.column("event_type"), "purchase"),
+                    ),
+                ),
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    def anti(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_click = pc.equal(t.column("event_type"), "click").to_numpy(zero_copy_only=False)
+        # NULL-id purchases ride along (valid converters), so the id column
+        # may be float64-with-NaN here; click ids are all valid ints
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        out = []
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(u)]))
+        for a, b in zip(starts, ends):
+            k = is_click[a:b]
+            clicks = us[a:b][k]
+            if clicks.size == 0:
+                continue
+            purch = us[a:b][~k]
+            if purch.size == 0:
+                out.append(ids[a:b][k].astype(np.int64))
+                continue
+            idx = np.searchsorted(purch, clicks, side="right")
+            nxt = purch[np.minimum(idx, purch.size - 1)]
+            converted = (idx < purch.size) & (nxt <= clicks + _CONVERT_US)
+            out.append(ids[a:b][k][~converted].astype(np.int64))
+        if not out:
+            return empty
+        return pa.table({"event_id": pa.array(np.concatenate(out), pa.int64())})
+
+    return grouped_scan(events, "user_id", anti, batch_format="pyarrow")
+
+
+CLICKS_UNCONVERTED_SQL = f"""
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'
+           AND ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+     p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT c.event_id FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM p WHERE p.user_id = c.user_id
+  AND p.us > c.us AND p.us <= c.us + {_CONVERT_US}
+)
+"""

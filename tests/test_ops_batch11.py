@@ -251,3 +251,115 @@ class TestAnalyzeOrders:
         assert got.loc["o_totalprice"].tolist() == [3, 1, 1, "125", "125"]
         assert got.loc["o_orderdate"].tolist() == [3, 1, 2, "1994-12-31", "1995-01-02"]
         assert got.loc["o_orderpriority"].tolist() == [3, 0, 2, "1-URGENT", "2-HIGH"]
+
+
+class TestClicksUnconverted:
+    def test_window_rule(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import clicks_unconverted
+
+        h = 3_600_000_000
+        s = 1_000_000
+        # u1: click 0 -> purchase +30min (converted); click 10h -> purchase +2h (not)
+        # u2: purchase BEFORE click only -> unconverted
+        # u3: purchase at SAME ts -> strictly-after rule -> unconverted
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4, 5, 6, 7, 8],
+            user_id=[1, 1, 1, 1, 2, 2, 3, 3],
+            event_type=["click", "purchase", "click", "purchase",
+                        "purchase", "click", "click", "purchase"],
+            ts_us=[0, 1800 * s, 10 * h, 12 * h, 0, 5 * s, 7 * h, 7 * h],
+        )
+        got = sorted(clicks_unconverted(sf).to_pandas()["event_id"].tolist())
+        assert got == [3, 6, 7]
+
+    def test_boundary_inclusive(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import clicks_unconverted
+
+        h = 3_600_000_000
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2],
+            user_id=[1, 1],
+            event_type=["click", "purchase"],
+            ts_us=[0, h],  # exactly +1h -> converts (<=)
+        )
+        assert clicks_unconverted(sf).to_pandas().empty
+
+
+class TestEmbeddingJlProject:
+    def _write_emb(self, dirpath, vecs, ids=None):
+        ids = ids or list(range(1, len(vecs) + 1))
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        )
+        pq.write_table(t, str(dirpath / "embeddings.parquet"))
+        return str(dirpath)
+
+    def test_basis_vector_and_exclusions(self, tmp_path, ray_session):
+        from ocr_ray.ops.ann import _jl_signs, embedding_jl_project
+
+        e0 = [1.0] + [0.0] * 63
+        ragged = [1.0] * 32  # wrong dim -> excluded
+        nanvec = [float("nan")] * 64  # quantizes to all-zero
+        sf = self._write_emb(tmp_path, [e0, ragged, nanvec])
+        got = embedding_jl_project(sf).to_pandas().set_index("vec_id")
+        assert 2 not in got.index
+        signs = _jl_signs()
+        assert got.loc[1].tolist() == [int(1_000_000 * signs[0, j]) for j in range(8)]
+        assert got.loc[3].tolist() == [0] * 8
+
+
+class TestEventsTypeDowChi2:
+    def test_independence_and_skew(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import events_type_dow_chi2
+
+        day = 86_400_000_000
+        # independent 2x2: each (type, dow) cell has exactly 1 obs
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4],
+            event_type=["a", "a", "b", "b"],
+            ts_us=[0, day, 0, day],
+        )
+        got = events_type_dow_chi2(sf).to_pandas()
+        assert len(got) == 4
+        assert (got["dev_num"] == 0).all()  # exact independence
+        # skew: 3 'a' on dow0, 1 'b' on dow1 -> nonzero deviations
+        sf2 = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4],
+            event_type=["a", "a", "a", "b"],
+            ts_us=[0, 0, 0, day],
+        )
+        got2 = events_type_dow_chi2(str(sf2)).to_pandas().set_index(["event_type", "dow"])
+        # n=4, O(a,0)=3, R=3, C=3 -> dev = 12 - 9 = 3
+        assert got2.loc[("a", 0), "dev_num"] == 3
+
+
+class TestOrdersColumnDrift:
+    def test_planted_mods(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.dq import orders_column_drift
+
+        keys = list(range(1, 16))
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([1] * 15, pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 15, pa.string()),
+                "o_totalprice": pa.array([10.0] * 15, pa.float64()),
+                "o_orderdate": pa.array([datetime.date(1995, 1, 1)] * 15),
+                "o_orderpriority": pa.array(["1-URGENT"] * 15, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = orders_column_drift(str(tmp_path)).to_pandas().set_index("col_name")
+        # matched = keys not %13 -> 14; status changed {5,10,15} -> 3; price {7,14} -> 2
+        assert got.loc["o_orderstatus"].tolist() == [3, 14]
+        assert got.loc["o_totalprice"].tolist() == [2, 14]
