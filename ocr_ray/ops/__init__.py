@@ -539,3 +539,13 @@ REGISTRY.update(
         "orders_column_drift": (orders_column_drift, ORDERS_COLUMN_DRIFT_SQL),
     }
 )
+
+from ocr_ray.ops.timeseries import SESSION_FUNNEL_TIMED_SQL, session_funnel_timed
+from ocr_ray.ops.stats import CUST_SPEND_LORENZ_SQL, cust_spend_lorenz
+
+REGISTRY.update(
+    {
+        "session_funnel_timed": (session_funnel_timed, SESSION_FUNNEL_TIMED_SQL),
+        "cust_spend_lorenz": (cust_spend_lorenz, CUST_SPEND_LORENZ_SQL),
+    }
+)

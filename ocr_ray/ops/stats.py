@@ -1508,3 +1508,95 @@ SELECT event_type, dow, obs,
               * SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS dev_num
 FROM cells
 """
+
+
+# ---------------------------------------------------------------------------
+# Lorenz / Gini inequality census (exact integer rank-weighted sum)
+# ---------------------------------------------------------------------------
+
+
+def cust_spend_lorenz(sf_dir: str) -> pa.Table:
+    """Exact Lorenz/Gini ingredients over per-customer spend: customer
+    count n, total spend S (cents), and the rank-weighted sum
+    W = Σ rank_i · x_i (spend ascending) — Gini = (2W − (n+1)S) / (nS),
+    left as integers so the gate is reduction-order-proof (the float Gini
+    never hashes identically). The concentration audit ("do 1% of
+    customers carry 50% of revenue?") that decides salting and sampling
+    strategy — the weighted sibling of ``events_key_skew``.
+
+    Plan: per-batch (cust, cents) partials → ONE cust-keyed groupby sum →
+    per-batch VALUE census (spend → n_custs) → driver fold; W reads off
+    the sorted census per value-run (Σ ranks of a k-run starting after
+    ``cum`` is k·cum + k(k+1)/2) — no global sort of customers, and ties
+    make the rank assignment irrelevant (equal x across any tie order).
+    Driver state is the distinct-spend census (value-domain-bounded;
+    documented). Overflow: W ≤ n²·x_max — int64-safe to ~10⁷ customers at
+    cent scale; beyond, bucket the census first.
+
+    Contract (mirrored in SQL): NULL custkey / totalprice rows excluded."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("o_custkey")), pc.is_valid(t.column("o_totalprice")))
+        )
+        g = pa.table(
+            {"o_custkey": t.column("o_custkey"), "x": to_cents(t.column("o_totalprice"))}
+        )
+        return g.group_by("o_custkey").aggregate([("x", "sum")]).rename_columns(
+            ["o_custkey", "x"]
+        )
+
+    spend = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        return t.group_by("x").aggregate([([], "count_all")]).rename_columns(["x", "k"])
+
+    parts = [
+        b
+        for b in spend.map_batches(census, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "n_custs": pa.array([0], pa.int64()),
+                "sum_cents": pa.array([0], pa.int64()),
+                "rank_weighted": pa.array([0], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts).group_by("x").aggregate([("k", "sum")])
+    x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+    k = t.column("k_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(x, kind="stable")
+    x, k = x[order], k[order]
+    cum = np.concatenate(([0], np.cumsum(k)[:-1]))
+    rank_sums = k * cum + k * (k + 1) // 2
+    return pa.table(
+        {
+            "n_custs": pa.array([int(k.sum())], pa.int64()),
+            "sum_cents": pa.array([int((x * k).sum())], pa.int64()),
+            "rank_weighted": pa.array([int((x * rank_sums).sum())], pa.int64()),
+        }
+    )
+
+
+CUST_SPEND_LORENZ_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
+),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sum_cents,
+       CAST(COALESCE(SUM(i * x), 0) AS BIGINT) AS rank_weighted
+FROM r
+"""

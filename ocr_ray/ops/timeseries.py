@@ -2613,3 +2613,82 @@ WHERE NOT EXISTS (
   AND p.us > c.us AND p.us <= c.us + {_CONVERT_US}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# TIMED funnel: each stage must land within a window of the previous one
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # 1 h per hop
+
+
+def session_funnel_timed(sf_dir: str) -> pd.DataFrame:
+    """``session_funnel`` with a CONVERSION WINDOW: a click counts only
+    within 1 h of the user's first view, a purchase only within 1 h of the
+    first qualifying click — the bounded-attention funnel real conversion
+    reporting uses (an unbounded funnel credits a purchase months later).
+    Same grouped-scan plan, 3 counters per partition to the driver; the
+    window bound is one extra vectorized compare per stage."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.is_in(
+                    t.column("event_type"), pa.array(["view", "click", "purchase"])
+                ),
+                pc.is_valid(t.column("user_id")),
+            )
+        )
+
+    pre = events.map_batches(keep, batch_format="pyarrow")
+    w = pd.Timedelta(_FUNNEL_WINDOW_US, unit="us")
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        fv = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        c = g[g["event_type"] == "click"]
+        base = c["user_id"].map(fv)
+        ok = (c["ts"] > base) & (c["ts"] <= base + w)  # NaT compares -> False
+        fc = c[ok].groupby("user_id")["ts"].min()
+        p = g[g["event_type"] == "purchase"]
+        base = p["user_id"].map(fc)
+        ok = (p["ts"] > base) & (p["ts"] <= base + w)
+        fp = p[ok].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {"n_view": [len(fv)], "n_click": [len(fc)], "n_purchase": [len(fp)]}
+        )
+
+    parts = grouped_scan(pre, "user_id", scan)
+    tot = np.zeros(3, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pandas"):
+        tot += b[["n_view", "n_click", "n_purchase"]].to_numpy(np.int64).sum(axis=0)
+    return pd.DataFrame({"stage": list(_FUNNEL_STAGES), "users": tot})
+
+
+SESSION_FUNNEL_TIMED_SQL = f"""
+WITH fv AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+),
+fc AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.t
+    AND epoch_us(e.ts) <= epoch_us(fv.t) + {_FUNNEL_WINDOW_US} GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.t
+    AND epoch_us(e.ts) <= epoch_us(fc.t) + {_FUNNEL_WINDOW_US} GROUP BY 1
+)
+SELECT stage, users FROM (VALUES
+  ('view', (SELECT count(*) FROM fv)),
+  ('view_click', (SELECT count(*) FROM fc)),
+  ('view_click_purchase', (SELECT count(*) FROM fp))
+) AS t(stage, users)
+"""

@@ -363,3 +363,61 @@ class TestOrdersColumnDrift:
         # matched = keys not %13 -> 14; status changed {5,10,15} -> 3; price {7,14} -> 2
         assert got.loc["o_orderstatus"].tolist() == [3, 14]
         assert got.loc["o_totalprice"].tolist() == [2, 14]
+
+
+class TestSessionFunnelTimed:
+    def test_window_gates_stages(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import session_funnel_timed
+
+        h = 3_600_000_000
+        s = 1_000_000
+        # u1: view 0 -> click +30min (in) -> purchase +30min after click (in)
+        # u2: view 0 -> click +2h (OUT of window) -> never counted
+        # u3: view 0 -> click +30min -> purchase +2h after click (OUT)
+        sf = _write_events(
+            tmp_path,
+            event_id=list(range(1, 9)),
+            user_id=[1, 1, 1, 2, 2, 3, 3, 3],
+            event_type=["view", "click", "purchase", "view", "click",
+                        "view", "click", "purchase"],
+            ts_us=[0, 1800 * s, 3600 * s, 0, 2 * h,
+                   0, 1800 * s, 1800 * s + 2 * h],
+        )
+        got = session_funnel_timed(sf).set_index("stage")["users"]
+        assert got["view"] == 3
+        assert got["view_click"] == 2  # u1, u3
+        assert got["view_click_purchase"] == 1  # u1 only
+
+    def test_tighter_than_untimed(self, ray_session):
+        from ocr_ray.ops.timeseries import session_funnel, session_funnel_timed
+
+        sf = "/root/testdata/sf0.001"
+        t = session_funnel_timed(sf).set_index("stage")["users"]
+        u = session_funnel(sf).set_index("stage")["users"]
+        assert (t <= u).all() and t["view"] == u["view"]
+
+
+class TestCustSpendLorenz:
+    def test_closed_form(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.stats import cust_spend_lorenz
+
+        # spends (cents): cust 1 -> 100, cust 2 -> 300, cust 3 -> 300 (tie),
+        # cust 4 -> 700. ranks asc: 100->1, {300,300}->2+3, 700->4
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([1, 2, 3, 4, 4], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 5, pa.string()),
+                "o_totalprice": pa.array([1.0, 3.0, 3.0, 3.0, 4.0], pa.float64()),
+                "o_orderdate": pa.array([datetime.date(1995, 1, 1)] * 5),
+                "o_orderpriority": pa.array(["1-URGENT"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = cust_spend_lorenz(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_custs"] == 4
+        assert got["sum_cents"] == 100 + 300 + 300 + 700
+        # W = 1*100 + (2+3)*300 + 4*700 = 100 + 1500 + 2800 = 4400
+        assert got["rank_weighted"] == 4400
