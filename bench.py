@@ -141,6 +141,24 @@ QUERY_NAMES = [
     "lang_confusion_matrix",
     "props_schema_infer",
     "doc_oov_rates",
+    "events_late_arrivals",
+    "bpe_pair_census",
+    "embedding_kmeans_train",
+    "user_value_ewma",
+    "purchase_nearest_click",
+    "clicks_unconverted",
+    "events_exact_k_per_user",
+    "distinct_user_overlap",
+    "events_key_skew",
+    "click_view_users_bag",
+    "events_selfjoin_size",
+    "user_activity_bitmask",
+    "analyze_orders",
+    "embedding_jl_project",
+    "events_type_dow_chi2",
+    "orders_column_drift",
+    "session_funnel_timed",
+    "cust_spend_lorenz",
 ]
 
 
