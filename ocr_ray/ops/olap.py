@@ -994,3 +994,208 @@ FROM d GROUP BY user_id
 """
 
 REGISTRY["user_activity_bitmask"] = (user_activity_bitmask, USER_ACTIVITY_BITMASK_SQL)
+
+
+def geo_revenue_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(region, nation) over the 4-table join orders→customer→
+    nation→region: revenue cents and order counts at every drill-down
+    level of the geography hierarchy — the joined-dimension ROLLUP (the
+    time rollup above aggregates one table; dashboards roll up across a
+    snowflake).
+
+    Plan: the two tiny dims load driver-side ONCE into a nationkey →
+    (nation, region) dict (25+5 rows — the q5 pattern); orders joins
+    customer keys-only via the size-gated ``auto_join``; per-batch census
+    to (region, nation) partials (≤ 25 cells/batch) and a driver fold
+    expands the three prefix levels exactly. No shuffle beyond the one
+    join; the rollup itself moves dozens of bytes.
+
+    Contract (mirrored in SQL): inner-join semantics throughout (NULL or
+    orphaned keys drop at every hop); NULL o_totalprice rows excluded."""
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.functions.joins import auto_join
+
+    nation = pq_.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq_.read_table(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    # NULL names stay REAL groups (SQL's ROLLUP keeps a NULL-named nation
+    # as its own cell, distinct from the rolled-up NULL row); only NULL /
+    # orphaned KEYS drop (inner-join semantics)
+    rmap = {
+        k: v
+        for k, v in zip(
+            region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()
+        )
+        if k is not None
+    }
+    nmap = {}
+    for nk, nn, rk in zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist(),
+        nation.column("n_regionkey").to_pylist(),
+    ):
+        if nk is not None and rk in rmap:
+            nmap[nk] = (nn, rmap[rk])
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column("o_custkey")), pc.is_valid(t.column("o_totalprice")))
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    # dense LUT over the tiny nationkey domain (offset by the min key —
+    # a hostile-negated key is still an equality match in SQL, and a raw
+    # negative index would silently write into the array's tail)
+    lo = min(nmap) if nmap else 0
+    hi = max(nmap) if nmap else -1
+    span = hi - lo + 2
+    lut_valid = np.zeros(max(span, 1), dtype=bool)
+    lut_nation = np.empty(max(span, 1), dtype=object)
+    lut_region = np.empty(max(span, 1), dtype=object)
+    for nk_, (nn_, rn_) in nmap.items():
+        lut_valid[nk_ - lo] = True
+        lut_nation[nk_ - lo] = nn_
+        lut_region[nk_ - lo] = rn_
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("c_nationkey")))
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        ok = (nk >= lo) & (nk <= hi)
+        idx = np.where(ok, nk - lo, hi - lo + 1)
+        ok &= lut_valid[idx]
+        nk, cents = nk[ok] - lo, cents[ok]
+        g = pa.table(
+            {
+                "nation": pa.array(lut_nation[nk], pa.string()),
+                "region": pa.array(lut_region[nk], pa.string()),
+                "n": pa.array(np.ones(len(nk), np.int64)),
+                "cents": pa.array(cents.astype(np.int64)),
+            }
+        ).group_by(["nation", "region"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["nation", "region", "n_orders", "revenue_cents"])
+
+    folded: dict[tuple, list] = {}
+    for b in joined.map_batches(census, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            k = (r["region"], r["nation"])
+            cur = folded.get(k)
+            if cur is None:
+                folded[k] = [r["n_orders"], r["revenue_cents"]]
+            else:
+                cur[0] += r["n_orders"]
+                cur[1] += r["revenue_cents"]
+
+    def _nskey(v):
+        return (v is None, v if v is not None else "")
+
+    rows: list[tuple] = []
+    for (rg, nt), (n, c) in sorted(
+        folded.items(), key=lambda kv: (_nskey(kv[0][0]), _nskey(kv[0][1]))
+    ):
+        rows.append((rg, nt, n, c))
+    by_region: dict = {}
+    for rg, _, n, c in rows:
+        cur = by_region.setdefault(rg, [0, 0])
+        cur[0] += n
+        cur[1] += c
+    grand = [sum(v[0] for v in by_region.values()), sum(v[1] for v in by_region.values())]
+    for rg, (n, c) in sorted(by_region.items(), key=lambda kv: _nskey(kv[0])):
+        rows.append((rg, None, n, c))
+    if rows:
+        rows.append((None, None, grand[0], grand[1]))
+    return pa.table(
+        {
+            "region": pa.array([r[0] for r in rows], pa.string()),
+            "nation": pa.array([r[1] for r in rows], pa.string()),
+            "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+            "revenue_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+GEO_REVENUE_ROLLUP_SQL = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_totalprice IS NOT NULL
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+REGISTRY["geo_revenue_rollup"] = (geo_revenue_rollup, GEO_REVENUE_ROLLUP_SQL)
+
+
+def orders_monthly_mom(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue deltas: per calendar month present in the
+    data, total cents, the PREVIOUS present month's cents (lag), and the
+    exact delta — the period-over-period report layered on the monthly
+    census (lag is over months that exist, not a dense calendar; the
+    gap-filled family handles densification).
+
+    Plan: the monthly census is the usual per-batch partial + driver fold
+    (months are bounded by the time span — dozens, never data-sized);
+    the lag is a driver-side sorted diff. SQL mirror: lag() window.
+
+    Contract (mirrored): NULL o_orderdate rows excluded; NULL prices sum
+    as 0 (COALESCE); the first month's prev/delta are NULL."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_orderdate")))
+        g = pa.table(
+            {
+                "ym": pc.add(
+                    pc.multiply(pc.cast(pc.year(t.column("o_orderdate")), pa.int64()), 12),
+                    pc.cast(pc.month(t.column("o_orderdate")), pa.int64()),
+                ),
+                "cents": pc.coalesce(to_cents(t.column("o_totalprice")), pa.scalar(0, pa.int64())),
+            }
+        )
+        return g.group_by("ym").aggregate([("cents", "sum")]).rename_columns(["ym", "cents"])
+
+    folded: dict[int, int] = {}
+    for b in orders.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            folded[r["ym"]] = folded.get(r["ym"], 0) + r["cents"]
+    yms = sorted(folded)
+    cents = [folded[y] for y in yms]
+    prev = [None] + cents[:-1]
+    delta = [None if p is None else c - p for c, p in zip(cents, prev)]
+    return pa.table(
+        {
+            "y": pa.array([(y - 1) // 12 for y in yms], pa.int64()),
+            "m": pa.array([(y - 1) % 12 + 1 for y in yms], pa.int64()),
+            "revenue_cents": pa.array(cents, pa.int64()),
+            "prev_cents": pa.array(prev, pa.int64()),
+            "delta_cents": pa.array(delta, pa.int64()),
+        }
+    )
+
+
+ORDERS_MONTHLY_MOM_SQL = """
+WITH m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         CAST(SUM(COALESCE(CAST(ROUND(o_totalprice*100) AS BIGINT), 0)) AS BIGINT) AS revenue_cents
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+)
+SELECT y, m, revenue_cents,
+       CAST(lag(revenue_cents) OVER (ORDER BY y, m) AS BIGINT) AS prev_cents,
+       CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY y, m) AS BIGINT) AS delta_cents
+FROM m
+"""
+
+REGISTRY["orders_monthly_mom"] = (orders_monthly_mom, ORDERS_MONTHLY_MOM_SQL)

@@ -421,3 +421,89 @@ class TestCustSpendLorenz:
         assert got["sum_cents"] == 100 + 300 + 300 + 700
         # W = 1*100 + (2+3)*300 + 4*700 = 100 + 1500 + 2800 = 4400
         assert got["rank_weighted"] == 4400
+
+
+class TestGeoRevenueRollup:
+    def test_planted_hierarchy(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.olap import geo_revenue_rollup
+
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array([0, 1], pa.int64()),
+                    "r_name": pa.array(["R_A", "R_B"], pa.string()),
+                }
+            ),
+            str(tmp_path / "region.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([10, 11, 12], pa.int64()),
+                    "n_name": pa.array(["N1", "N2", "N3"], pa.string()),
+                    "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+                }
+            ),
+            str(tmp_path / "nation.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "c_nationkey": pa.array([10, 11, 12, 99], pa.int64()),  # 99 orphan
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+                    "o_totalprice": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = geo_revenue_rollup(str(tmp_path)).to_pandas()
+        rows = {
+            (r if pd.notna(r) else None, n if pd.notna(n) else None): (int(a), int(b))
+            for r, n, a, b in got.itertuples(index=False)
+        }
+        assert rows[("R_A", "N1")] == (2, 300)
+        assert rows[("R_A", "N2")] == (1, 400)
+        assert rows[("R_B", "N3")] == (1, 800)
+        assert rows[("R_A", None)] == (3, 700)   # region subtotal
+        assert rows[("R_B", None)] == (1, 800)
+        assert rows[(None, None)] == (4, 1500)   # orphan custkey 99 dropped
+        assert len(got) == 6
+
+
+class TestOrdersMonthlyMom:
+    def test_lag_over_present_months(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.olap import orders_monthly_mom
+
+        d = datetime.date
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderdate": pa.array(
+                        [d(1995, 1, 5), d(1995, 1, 9), d(1995, 3, 1), d(1996, 1, 1), None]
+                    ),
+                    "o_totalprice": pa.array([1.0, 2.0, 10.0, 5.0, 99.0], pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = orders_monthly_mom(str(tmp_path)).to_pandas()
+        got = got.set_index(["y", "m"])
+        assert got.loc[(1995, 1)].tolist() == [300, None, None] or (
+            got.loc[(1995, 1), "revenue_cents"] == 300
+            and pd.isna(got.loc[(1995, 1), "prev_cents"])
+        )
+        # lag skips the missing Feb: March's prev is January
+        assert got.loc[(1995, 3)].tolist() == [1000, 300, 700]
+        assert got.loc[(1996, 1)].tolist() == [500, 1000, -500]
