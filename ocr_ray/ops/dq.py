@@ -1085,26 +1085,29 @@ def analyze_orders(sf_dir: str) -> pa.Table:
             )
         return pa.concat_tables(outs)
 
-    from ray.data.aggregate import Sum
+    # NDV via the coarse-hash exchange (BASELINE census-class rule: Ray's
+    # hash Aggregate runs ~170k rows/s at value-cardinality ≈ row-count;
+    # one 64-way value-hash exchange + a C++ partition-local dedup is the
+    # measured fix — A/B same-session at sf0.1: 4.7-9.1 s -> 1.7 s).
+    # Same-value rows co-locate by construction, so per-partition distinct
+    # counts sum EXACTLY.
+    from ocr_ray.pipelines.conversation import grouped_scan
 
-    ndv = (
-        ds.map_batches(val_partial, batch_format="pyarrow")
-        .groupby(["col_name", "v"])
-        .count()
-        .map_batches(
-            lambda t: t.group_by("col_name").aggregate([([], "count_all")]).rename_columns(
-                ["col_name", "ndv"]
-            ),
-            batch_format="pyarrow",
+    def _part_ndv(t: pa.Table) -> pa.Table:
+        g = t.group_by(["col_name", "v"]).aggregate([])
+        return g.group_by("col_name").aggregate([([], "count_all")]).rename_columns(
+            ["col_name", "ndv"]
         )
-        .groupby("col_name")
-        .aggregate(Sum("ndv", alias_name="n_distinct"))
-    )
-    ndv_map = {
-        r["col_name"]: r["n_distinct"]
-        for b in ndv.iter_batches(batch_size=None, batch_format="pyarrow")
-        for r in b.to_pylist()
-    }
+
+    ndv_map: dict[str, int] = {}
+    for b in grouped_scan(
+        ds.map_batches(val_partial, batch_format="pyarrow"),
+        "v",
+        _part_ndv,
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            ndv_map[r["col_name"]] = ndv_map.get(r["col_name"], 0) + r["ndv"]
 
     names = [c for c, _ in _ANALYZE_COLS]
     n_rows = 0
