@@ -549,3 +549,13 @@ REGISTRY.update(
         "cust_spend_lorenz": (cust_spend_lorenz, CUST_SPEND_LORENZ_SQL),
     }
 )
+
+from ocr_ray.ops.timeseries import USER_VALUE_INTERPOLATED_SQL, user_value_interpolated
+from ocr_ray.ops.stats import ORDER_REVENUE_BOOTSTRAP_SQL, order_revenue_bootstrap
+
+REGISTRY.update(
+    {
+        "user_value_interpolated": (user_value_interpolated, USER_VALUE_INTERPOLATED_SQL),
+        "order_revenue_bootstrap": (order_revenue_bootstrap, ORDER_REVENUE_BOOTSTRAP_SQL),
+    }
+)

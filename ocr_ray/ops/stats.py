@@ -1600,3 +1600,95 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
        CAST(COALESCE(SUM(i * x), 0) AS BIGINT) AS rank_weighted
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic half-sample bootstrap replicates
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 8
+
+
+def order_revenue_bootstrap(sf_dir: str, r: int = _BOOT_R) -> pa.Table:
+    """Half-sample bootstrap of total revenue: ``r`` deterministic
+    replicates, replicate j containing every order whose j-th md5 hex
+    nibble has its high bit set (independent p=½ coins from one digest —
+    no RNG state, any worker or the SQL oracle draws identical
+    replicates). The spread of the replicate sums is the
+    uncertainty estimate a profiling pass attaches to its point totals;
+    half-sampling (vs Poisson) keeps the inclusion rule one integer
+    compare in BOTH engines, so the gate is exact.
+
+    Plan: per-batch (replicate, n, sum) partials — each row folds into at
+    most r counters inside the batch via one boolean matrix product-free
+    masked sum; the driver folds r rows per block. Nothing shuffles.
+
+    Contract (mirrored in SQL): NULL orderkey rows are excluded (no
+    digest); NULL prices sum as 0 (COALESCE)."""
+    import hashlib as _h
+
+    assert r <= 16  # one md5 supplies 32 nibbles; 16 keeps the SQL mirror flat
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
+        ids = t.column("o_orderkey").to_pylist()
+        cents = (
+            pc.coalesce(to_cents(t.column("o_totalprice")), pa.scalar(0, pa.int64()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if ids:
+            digs = np.frombuffer(
+                b"".join(_h.md5(str(i).encode("ascii")).digest() for i in ids),
+                dtype=np.uint8,
+            ).reshape(len(ids), 16)
+            # nibble j of the hex string: high nibble of byte j//2 when j
+            # even, low nibble when odd; inclusion = high bit of the nibble
+            nibs = np.empty((len(ids), r), dtype=np.uint8)
+            for j in range(r):
+                byte = digs[:, j // 2]
+                nibs[:, j] = (byte >> 4) if j % 2 == 0 else (byte & 0xF)
+            inc = nibs >= 8  # (rows, r)
+        else:
+            inc = np.zeros((0, r), dtype=bool)
+        return pa.table(
+            {
+                "replicate": pa.array(np.arange(r, dtype=np.int64)),
+                "n_orders": pa.array(inc.sum(axis=0).astype(np.int64)),
+                "revenue_cents": pa.array(
+                    (inc * cents[:, None]).sum(axis=0).astype(np.int64)
+                ),
+            }
+        )
+
+    folded_n = np.zeros(r, dtype=np.int64)
+    folded_c = np.zeros(r, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        rep = b.column("replicate").to_numpy(zero_copy_only=False)
+        folded_n[rep] += b.column("n_orders").to_numpy(zero_copy_only=False)
+        folded_c[rep] += b.column("revenue_cents").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "replicate": pa.array(np.arange(r, dtype=np.int64)),
+            "n_orders": pa.array(folded_n),
+            "revenue_cents": pa.array(folded_c),
+        }
+    )
+
+
+def _bootstrap_sql(r: int = _BOOT_R) -> str:
+    reps = "\nUNION ALL\n".join(
+        f"""SELECT CAST({j} AS BIGINT) AS replicate,
+       CAST(COUNT(*) FILTER (WHERE strpos('89abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), {j + 1}, 1)) > 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(COALESCE(CAST(ROUND(o_totalprice*100) AS BIGINT), 0))
+            FILTER (WHERE strpos('89abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), {j + 1}, 1)) > 0), 0) AS BIGINT) AS revenue_cents
+FROM orders WHERE o_orderkey IS NOT NULL"""
+        for j in range(r)
+    )
+    return reps
+
+
+ORDER_REVENUE_BOOTSTRAP_SQL = _bootstrap_sql()

@@ -2692,3 +2692,153 @@ SELECT stage, users FROM (VALUES
   ('view_click_purchase', (SELECT count(*) FROM fp))
 ) AS t(stage, users)
 """
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation of missing values (time-series imputation)
+# ---------------------------------------------------------------------------
+
+
+def user_value_interpolated(sf_dir: str) -> Dataset:
+    """Linear time-interpolation of NULL event values per user — the
+    imputation sibling of LOCF (``user_days_locf`` carries the last
+    observation forward; this weights the two nearest observations by
+    time) — emitted as EXACT integer rationals so the gate never touches
+    float division: for a NULL-value event at time t between neighbors
+    (t_p, v_p) and (t_n, v_n),
+        interp_num = v_p·(t_n − t) + v_n·(t − t_p),  interp_den = t_n − t_p
+    (the consumer divides; den = 0 ⟺ both neighbors share t, mirrored).
+    Observed rows pass through as the trivial rational (v, 1) with
+    imputed = 0 — the output is the SERIES WITH IMPUTATION APPLIED, so
+    the gate hashes every row even on a fixture with no missing values;
+    edge NULLs with no neighbor on either side drop (mirrored — standard
+    interpolation leaves edges to LOCF).
+
+    Plan: one coarse-key grouped scan by user; per segment the previous /
+    next non-null observation indices come from two C-level
+    ``maximum.accumulate`` passes (forward and reversed) — no per-row
+    Python, no window shuffle.
+
+    Contract (mirrored in SQL): NULL user/ts/event_id rows are excluded;
+    ordering is (ts, event_id). Overflow: |num| ≤ |v|·Δt — cents ≤ 2^20
+    and a month-wide gap ≈ 2^41.3 µs give ≤ 2^62; a domain with larger
+    values or multi-year gaps should bucket ts to seconds first
+    (documented trade; both engines would overflow together otherwise,
+    but int64-wrap is silent in numpy)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id"))),
+                pc.is_valid(t.column("event_id")),
+            )
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "v": to_cents(t.column("value")),  # NULLs preserved
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "interp_num": pa.array([], pa.int64()),
+            "interp_den": pa.array([], pa.int64()),
+            "imputed": pa.array([], pa.int64()),
+        }
+    )
+
+    def interp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("user_id", "ascending"), ("us", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)  # float64 w/ NaN
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(u)
+        valid = ~np.isnan(v.astype(np.float64))
+        idx = np.arange(n)
+        # segment starts reset the accumulations
+        seg_start = np.zeros(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        # previous non-null observation index STRICTLY before row i
+        tmp = np.where(valid, idx, -1)
+        run = np.maximum.accumulate(tmp)
+        prev = np.concatenate(([-1], run[:-1]))
+        prev = np.where((prev >= 0) & (seg_id[np.maximum(prev, 0)] == seg_id), prev, -1)
+        # next non-null strictly after (same trick on the reversed array)
+        tmp_r = np.where(valid[::-1], idx[::-1], n)
+        run_r = np.minimum.accumulate(tmp_r)
+        nxt = np.concatenate(([n], run_r[:-1]))[::-1]
+        nxt = np.where((nxt < n) & (seg_id[np.minimum(nxt, n - 1)] == seg_id), nxt, n)
+        sel = np.flatnonzero(~valid & (prev >= 0) & (nxt < n))
+        vp = v[prev[sel]].astype(np.int64)
+        vn = v[nxt[sel]].astype(np.int64)
+        tp, tn, tt = us[prev[sel]], us[nxt[sel]], us[sel]
+        num = vp * (tn - tt) + vn * (tt - tp)
+        den = tn - tp
+        obs = np.flatnonzero(valid)
+        out_ids = np.concatenate((ids[obs], ids[sel]))
+        out_num = np.concatenate((v[obs].astype(np.int64), num))
+        out_den = np.concatenate((np.ones(len(obs), np.int64), den))
+        out_imp = np.concatenate(
+            (np.zeros(len(obs), np.int64), np.ones(len(sel), np.int64))
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(out_ids, pa.int64()),
+                "interp_num": pa.array(out_num, pa.int64()),
+                "interp_den": pa.array(out_den, pa.int64()),
+                "imputed": pa.array(out_imp, pa.int64()),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", interp, batch_format="pyarrow")
+
+
+USER_VALUE_INTERPOLATED_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+),
+w AS (
+  SELECT event_id, us, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nus
+  FROM e
+)
+SELECT event_id,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+            ELSE pv * (nus - us) + nv * (us - pus) END AS BIGINT) AS interp_num,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE nus - pus END AS BIGINT) AS interp_den,
+       CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS imputed
+FROM w
+WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+"""

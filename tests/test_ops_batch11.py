@@ -507,3 +507,55 @@ class TestOrdersMonthlyMom:
         # lag skips the missing Feb: March's prev is January
         assert got.loc[(1995, 3)].tolist() == [1000, 300, 700]
         assert got.loc[(1996, 1)].tolist() == [500, 1000, -500]
+
+
+class TestUserValueInterpolated:
+    def test_gap_and_edges(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import user_value_interpolated
+
+        s = 1_000_000
+        # u1: 100 @0s, NULL @10s, 300 @20s -> imputed exactly 200
+        # u2: NULL at the start (no prev) -> dropped; then observed 500
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4, 5],
+            user_id=[1, 1, 1, 2, 2],
+            value=[1.0, None, 3.0, None, 5.0],
+            ts_us=[0, 10 * s, 20 * s, 0, 10 * s],
+        )
+        got = user_value_interpolated(sf).to_pandas().set_index("event_id")
+        assert got.loc[2].tolist() == [100 * 10 * s + 300 * 10 * s, 20 * s, 1]
+        assert got.loc[2, "interp_num"] / got.loc[2, "interp_den"] == 200.0
+        assert got.loc[1].tolist() == [100, 1, 0]
+        assert 4 not in got.index  # edge NULL dropped
+        assert got.loc[5].tolist() == [500, 1, 0]
+
+
+class TestOrderRevenueBootstrap:
+    def test_closed_form_nibbles(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.stats import order_revenue_bootstrap
+
+        keys = list(range(1, 21))
+        prices = [float(k) for k in keys]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([1] * 20, pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 20, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array([datetime.date(1995, 1, 1)] * 20),
+                "o_orderpriority": pa.array(["1-URGENT"] * 20, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = order_revenue_bootstrap(str(tmp_path)).to_pandas().set_index("replicate")
+        for j in range(8):
+            inc = [
+                k
+                for k in keys
+                if hashlib.md5(str(k).encode()).hexdigest()[j] in "89abcdef"
+            ]
+            assert got.loc[j, "n_orders"] == len(inc)
+            assert got.loc[j, "revenue_cents"] == sum(k * 100 for k in inc)
