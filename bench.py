@@ -159,6 +159,14 @@ QUERY_NAMES = [
     "orders_column_drift",
     "session_funnel_timed",
     "cust_spend_lorenz",
+    "geo_revenue_rollup",
+    "orders_monthly_mom",
+    "user_value_interpolated",
+    "order_revenue_bootstrap",
+    "events_window_dedup",
+    "daily_churn_census",
+    "orders_fd_audit",
+    "embedding_argmax_dim",
 ]
 
 

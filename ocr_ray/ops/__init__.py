@@ -559,3 +559,21 @@ REGISTRY.update(
         "order_revenue_bootstrap": (order_revenue_bootstrap, ORDER_REVENUE_BOOTSTRAP_SQL),
     }
 )
+
+from ocr_ray.ops.timeseries import (
+    DAILY_CHURN_CENSUS_SQL,
+    EVENTS_WINDOW_DEDUP_SQL,
+    daily_churn_census,
+    events_window_dedup,
+)
+from ocr_ray.ops.dq import ORDERS_FD_AUDIT_SQL, orders_fd_audit
+from ocr_ray.ops.ann import EMBEDDING_ARGMAX_DIM_SQL, embedding_argmax_dim
+
+REGISTRY.update(
+    {
+        "events_window_dedup": (events_window_dedup, EVENTS_WINDOW_DEDUP_SQL),
+        "daily_churn_census": (daily_churn_census, DAILY_CHURN_CENSUS_SQL),
+        "orders_fd_audit": (orders_fd_audit, ORDERS_FD_AUDIT_SQL),
+        "embedding_argmax_dim": (embedding_argmax_dim, EMBEDDING_ARGMAX_DIM_SQL),
+    }
+)

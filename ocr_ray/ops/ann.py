@@ -1444,3 +1444,74 @@ GROUP BY vec_id
 
 
 EMBEDDING_JL_PROJECT_SQL = _jl_sql()
+
+
+def embedding_argmax_dim(sf_dir: str) -> "Dataset":
+    """Per vector: the index of its LARGEST quantized component (ties to
+    the lowest index) and that component's fixed-point value — the
+    feature-attribution scan ("which dimension dominates?") and the
+    array-function family's argmax member (norms, Gram, projection, and
+    now positional reduction).
+
+    Zero-copy list reshape, one vectorized argmax per batch; exactly
+    gated through the shared floor(x*1e6) quantization. Ragged vectors
+    are fine (segment-wise argmax over offsets); empty or NULL vectors
+    and NULL vec_ids drop (mirrored)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("vec_id")), pc.is_valid(t.column("embedding")))
+        )
+        col = t.column("embedding").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        keep = (offs[1:] - offs[:-1]) > 0
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "arg_dim": pa.array([], pa.int64()),
+                    "max_q": pa.array([], pa.int64()),
+                }
+            )
+        col = t.column("embedding").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        # segment-wise argmax with lowest-index ties: reduceat over maxima,
+        # then first position equal to the segment max
+        starts = offs[:-1]
+        seg_max = np.maximum.reduceat(q, starts)
+        seg_id = np.repeat(np.arange(len(starts)), offs[1:] - starts)
+        is_max = q == seg_max[seg_id]
+        pos = np.arange(len(q))
+        first_max = np.minimum.reduceat(np.where(is_max, pos, len(q)), starts)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "arg_dim": pa.array((first_max - starts).astype(np.int64), pa.int64()),
+                "max_q": pa.array(seg_max, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(argmax, batch_format="pyarrow")
+
+
+EMBEDDING_ARGMAX_DIM_SQL = """
+WITH pos AS (
+  SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0
+),
+q AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM pos
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS arg_dim, qv AS max_q
+FROM q
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qv DESC, i) = 1
+"""

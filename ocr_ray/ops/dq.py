@@ -1317,3 +1317,96 @@ SELECT 'o_totalprice',
        CAST(COUNT(*) FILTER (WHERE oc != nc) AS BIGINT),
        CAST(COUNT(*) AS BIGINT) FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency audit (k=1 FD mining)
+# ---------------------------------------------------------------------------
+
+
+def orders_fd_audit(sf_dir: str) -> pa.Table:
+    """Does ``o_custkey`` functionally determine ``o_orderpriority``?
+    The FD-violation census schema-discovery tools run before trusting a
+    denormalization: keys audited, keys violating (more than one distinct
+    dependent value), and the worst key's variant count. All-integers
+    output; FD holds ⟺ n_violating = 0.
+
+    Plan: per-batch DISTINCT (key, value) pairs, ONE pair-keyed dedup
+    groupby, then per-batch sorted run-length variant counts per key fold
+    into (n_keys, n_violating, max_variants) — pairs-only shuffle, three
+    ints to the driver per block. The variant count per key is bounded by
+    the dependent column's domain, so the per-key state never explodes.
+
+    Contract (mirrored in SQL): NULL keys are excluded; NULL dependent
+    values don't count as variants (SQL COUNT(DISTINCT) semantics)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("o_custkey")), pc.is_valid(t.column("o_orderpriority"))
+            )
+        )
+        return t.group_by(["o_custkey", "o_orderpriority"]).aggregate([])
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_orderpriority"])
+        .count()
+    )
+
+    # pair-keyed groupby output is sorted by key: same custkey is contiguous
+    # WITHIN a block, but a key may straddle two blocks — count variants per
+    # key per block, then fold per-key maxima via a (key, n) census... the
+    # straddle makes per-block counts partial, so ship (key, n) partials
+    # through one more tiny groupby instead of guessing block boundaries.
+    from ray.data.aggregate import Sum
+
+    def variant_partial(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"o_custkey": pa.array([], pa.int64()), "nv": pa.array([], pa.int64())}
+            )
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(k)])))
+        return pa.table(
+            {
+                "o_custkey": pa.array(k[starts], pa.int64()),
+                "nv": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_key = (
+        distinct.map_batches(variant_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("nv", alias_name="nv"))
+    )
+
+    n_keys = n_viol = max_var = 0
+    for b in per_key.iter_batches(batch_size=None, batch_format="pyarrow"):
+        nv = b.column("nv").to_numpy(zero_copy_only=False)
+        n_keys += len(nv)
+        n_viol += int((nv > 1).sum())
+        if len(nv):
+            max_var = max(max_var, int(nv.max()))
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_violating": pa.array([n_viol], pa.int64()),
+            "max_variants": pa.array([max_var], pa.int64()),
+        }
+    )
+
+
+ORDERS_FD_AUDIT_SQL = """
+WITH v AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nv
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) FILTER (WHERE nv > 1) AS BIGINT) AS n_violating,
+       CAST(COALESCE(MAX(nv), 0) AS BIGINT) AS max_variants
+FROM v
+"""

@@ -2842,3 +2842,184 @@ SELECT event_id,
 FROM w
 WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming window dedup: first event per (user, type, hour)
+# ---------------------------------------------------------------------------
+
+
+def events_window_dedup(sf_dir: str) -> Dataset:
+    """Streaming-shaped dedup: keep only the FIRST event per (user, type,
+    tumbling hour) — the at-most-once-per-window compaction a streaming
+    ingest applies before fan-out (the keep-first mirror of
+    ``latest_event_per_user``'s keep-last, with the window in the key).
+
+    Scale plan: per-BATCH vectorized argmin first (one sort + run-boundary
+    mask), so the shuffle moves at most one row per (user, type, hour) per
+    batch; a coarse-key grouped scan on user finishes the pick. Ties break
+    by event_id (unique ⇒ deterministic).
+
+    Contract (mirrored in SQL): NULL user/type/ts/event_id rows are
+    excluded (window key parts + output key)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def first_per_window(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("event_type"))),
+                pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("event_id"))),
+            )
+        )
+        if "hour" not in t.column_names:
+            us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "hour", pa.array((us // 3_600_000_000).astype(np.int64), pa.int64())
+            )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("hour", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        h = t.column("hour").to_numpy(zero_copy_only=False)
+        first = np.empty(t.num_rows, dtype=bool)
+        if t.num_rows:
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1]) | (h[1:] != h[:-1])
+        return t.filter(pa.array(first)).select(
+            ["event_id", "user_id", "event_type", "hour", "ts"]
+        )
+
+    cand = events.map_batches(first_per_window, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return first_per_window(t).drop_columns(["ts"])
+
+    return grouped_scan(cand, "user_id", finish, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "event_type", "hour"]
+    )
+
+
+EVENTS_WINDOW_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  AND ts IS NOT NULL AND event_id IS NOT NULL
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id, event_type, epoch_us(ts) // 3600000000
+  ORDER BY ts, event_id
+) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily churn census (label builder over distinct activity days)
+# ---------------------------------------------------------------------------
+
+
+def daily_churn_census(sf_dir: str) -> Dataset:
+    """Per activity day: active users, how many CHURN (no activity the
+    next day), and how many are NEW (no activity the previous day) — the
+    day-grain label builder behind retention/churn models
+    (``daily_new_vs_returning`` computes first-day-based novelty; this
+    adds the forward-looking churn signal, adjacency-based on BOTH sides).
+
+    Plan: distinct (user, day) pairs via per-batch dedup + one pair-keyed
+    groupby; then a coarse-key grouped scan per user where sorted unique
+    days make both adjacency tests one vectorized compare; per-partition
+    (day → n_active, n_churned, n_new) census partials feed a tiny final
+    groupby. Keys-only shuffles throughout.
+
+    Contract (mirrored in SQL): NULL user/ts rows are excluded; day uses
+    FLOOR division (fixture ts ≥ epoch)."""
+    from ray.data.aggregate import Sum
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array((us // 86_400_000_000).astype(np.int64), pa.int64()),
+            }
+        )
+        return p.group_by(["user_id", "day"]).aggregate([])
+
+    distinct = (
+        events.map_batches(pairs, batch_format="pyarrow").groupby(["user_id", "day"]).count()
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n_active": pa.array([], pa.int64()),
+                    "n_churned": pa.array([], pa.int64()),
+                    "n_new": pa.array([], pa.int64()),
+                }
+            )
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = (u[:-1] == u[1:]) & (d[1:] == d[:-1] + 1)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        g = pa.table(
+            {
+                "day": pa.array(d, pa.int64()),
+                "n_active": pa.array(np.ones(n, np.int64)),
+                "n_churned": pa.array((~same_next).astype(np.int64)),
+                "n_new": pa.array((~same_prev).astype(np.int64)),
+            }
+        )
+        return g.group_by("day").aggregate(
+            [("n_active", "sum"), ("n_churned", "sum"), ("n_new", "sum")]
+        ).rename_columns(["day", "n_active", "n_churned", "n_new"])
+
+    return (
+        grouped_scan(distinct, "user_id", scan, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_churned", alias_name="n_churned"),
+            Sum("n_new", alias_name="n_new"),
+        )
+    )
+
+
+DAILY_CHURN_CENSUS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM d d2 WHERE d2.user_id = d.user_id AND d2.day = d.day + 1
+       )) AS BIGINT) AS n_churned,
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM d d0 WHERE d0.user_id = d.user_id AND d0.day = d.day - 1
+       )) AS BIGINT) AS n_new
+FROM d GROUP BY day
+"""

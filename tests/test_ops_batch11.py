@@ -559,3 +559,101 @@ class TestOrderRevenueBootstrap:
             ]
             assert got.loc[j, "n_orders"] == len(inc)
             assert got.loc[j, "revenue_cents"] == sum(k * 100 for k in inc)
+
+
+class TestEventsWindowDedup:
+    def test_first_per_window(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import events_window_dedup
+
+        h = 3_600_000_000
+        # u1 click: two in hour 0 (keep earliest), one in hour 1 (keep)
+        # u1 view in hour 0 (different type -> its own window)
+        sf = _write_events(
+            tmp_path,
+            event_id=[1, 2, 3, 4],
+            user_id=[1, 1, 1, 1],
+            event_type=["click", "click", "click", "view"],
+            ts_us=[100, 50, h + 5, 70],
+        )
+        got = events_window_dedup(sf).to_pandas()
+        assert sorted(got["event_id"].tolist()) == [2, 3, 4]
+
+    def test_tie_breaks_by_event_id(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import events_window_dedup
+
+        sf = _write_events(
+            tmp_path,
+            event_id=[9, 4],
+            user_id=[1, 1],
+            event_type=["click", "click"],
+            ts_us=[100, 100],
+        )
+        assert events_window_dedup(sf).to_pandas()["event_id"].tolist() == [4]
+
+
+class TestDailyChurnCensus:
+    def test_adjacency_labels(self, tmp_path, ray_session):
+        from ocr_ray.ops.timeseries import daily_churn_census
+
+        day = 86_400_000_000
+        # u1 active days 0,1 ; u2 active day 0 only ; u3 active days 1,3
+        sf = _write_events(
+            tmp_path,
+            event_id=list(range(1, 7)),
+            user_id=[1, 1, 2, 3, 3, 1],
+            ts_us=[0, day, 10, day + 5, 3 * day, 20],  # u1 day0 twice (dedup)
+        )
+        got = daily_churn_census(sf).to_pandas().set_index("day")
+        # day0: active {1,2}; churned: u2 (u1 has day1); new: both
+        assert got.loc[0].tolist() == [2, 1, 2]
+        # day1: active {1,3}; churned both (no day2); new: u3 only
+        assert got.loc[1].tolist() == [2, 2, 1]
+        # day3: active {3}; churned (no day4); new (no day2)
+        assert got.loc[3].tolist() == [1, 1, 1]
+
+
+class TestOrdersFdAudit:
+    def test_planted_violation(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.dq import orders_fd_audit
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([10, 10, 20, 30, 30], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 5, pa.string()),
+                "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+                "o_orderdate": pa.array([datetime.date(1995, 1, 1)] * 5),
+                # cust 10 -> {A, B} (violates); 20 -> {A}; 30 -> {A, A} (holds)
+                "o_orderpriority": pa.array(["A", "B", "A", "A", "A"], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = orders_fd_audit(str(tmp_path)).to_pandas().iloc[0]
+        assert got.tolist() == [3, 1, 2]
+
+
+class TestEmbeddingArgmaxDim:
+    def test_ragged_and_ties(self, tmp_path, ray_session):
+        from ocr_ray.ops.ann import embedding_argmax_dim
+
+        vecs = [
+            [0.1, 0.9, 0.9],   # tie at dims 1,2 -> lowest index 1
+            [0.5],             # singleton
+            [],                # empty -> dropped
+            [-0.2, -0.1],      # all negative -> argmax dim 1
+        ]
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        got = embedding_argmax_dim(str(tmp_path)).to_pandas().set_index("vec_id")
+        assert 3 not in got.index
+        assert got.loc[1].tolist() == [1, 899999]  # floor(.9*1e6) on float32
+        assert got.loc[2, "arg_dim"] == 0
+        assert got.loc[4].tolist() == [1, np.floor(np.float64(np.float32(-0.1)) * 1e6)]
