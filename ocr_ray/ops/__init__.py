@@ -577,3 +577,20 @@ REGISTRY.update(
         "embedding_argmax_dim": (embedding_argmax_dim, EMBEDDING_ARGMAX_DIM_SQL),
     }
 )
+
+from ocr_ray.ops.stats import (
+    LINEITEM_WEIGHTED_QUANTILES_SQL,
+    VALUE_DRIFT_KS_SQL,
+    lineitem_weighted_quantiles,
+    value_drift_ks,
+)
+
+REGISTRY.update(
+    {
+        "lineitem_weighted_quantiles": (
+            lineitem_weighted_quantiles,
+            LINEITEM_WEIGHTED_QUANTILES_SQL,
+        ),
+        "value_drift_ks": (value_drift_ks, VALUE_DRIFT_KS_SQL),
+    }
+)

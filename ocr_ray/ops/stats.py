@@ -1692,3 +1692,188 @@ FROM orders WHERE o_orderkey IS NOT NULL"""
 
 
 ORDER_REVENUE_BOOTSTRAP_SQL = _bootstrap_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles (quantity-weighted price percentiles)
+# ---------------------------------------------------------------------------
+
+_WQ_BP = (2500, 5000, 7500)
+
+
+def lineitem_weighted_quantiles(sf_dir: str) -> pa.Table:
+    """Quantity-WEIGHTED price percentiles over lineitem: the value whose
+    cumulative weight first reaches ceil(q·W) — what "median price" means
+    when a 40-unit line should count 40× a 1-unit line. Completes the
+    quantile matrix's weighted axis (discrete / interpolated ×
+    global / grouped × unweighted / weighted), same ceil-rank rule as
+    ``order_quantiles`` so the family shares one tie convention.
+
+    Plan: per-batch (cents → Σweight) census partials, ONE cents-keyed
+    groupby, driver fold of the value census (value-domain-bounded, the
+    ``cust_spend_lorenz`` contract; a wider domain plugs into the
+    bucket-histogram rank plan unchanged). Weights stay integers, so the
+    rank rule is exact in both engines.
+
+    Contract (mirrored in SQL): NULL price/quantity rows and non-positive
+    quantities are excluded (a negative weight has no quantile meaning)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_extendedprice", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("l_extendedprice")),
+                pc.and_(
+                    pc.is_valid(t.column("l_quantity")),
+                    pc.greater(t.column("l_quantity"), 0),
+                ),
+            )
+        )
+        g = pa.table(
+            {
+                "cents": to_cents(t.column("l_extendedprice")),
+                "w": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+        return g.group_by("cents").aggregate([("w", "sum")]).rename_columns(["cents", "w"])
+
+    census = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("w", alias_name="w"))
+    )
+    vals: dict[int, int] = {}
+    for b in census.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            vals[r["cents"]] = vals.get(r["cents"], 0) + r["w"]
+    empty = pa.table(
+        {"q_bp": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+    )
+    if not vals:
+        return empty
+    cents = np.array(sorted(vals), dtype=np.int64)
+    w = np.array([vals[c] for c in cents], dtype=np.int64)
+    cum = np.cumsum(w)
+    tot = int(cum[-1])
+    out_q, out_c = [], []
+    for q in _WQ_BP:
+        rank = max(1, (q * tot + 9999) // 10000)
+        out_q.append(q)
+        out_c.append(int(cents[np.searchsorted(cum, rank, side="left")]))
+    return pa.table(
+        {"q_bp": pa.array(out_q, pa.int64()), "cents": pa.array(out_c, pa.int64())}
+    )
+
+
+LINEITEM_WEIGHTED_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0
+),
+r AS (SELECT cents, SUM(w) AS wt FROM c GROUP BY cents),
+s AS (SELECT cents, SUM(wt) OVER (ORDER BY cents) AS cum,
+             (SELECT SUM(wt) FROM r) AS tot
+      FROM r)
+SELECT CAST(q_bp AS BIGINT) AS q_bp,
+       (SELECT MIN(cents) FROM s
+        WHERE cum >= greatest(1, (CAST(q_bp AS BIGINT) * tot + 9999) // 10000)) AS cents
+FROM (VALUES {", ".join(f"({q})" for q in _WQ_BP)}) AS qs(q_bp), (SELECT DISTINCT tot FROM s) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-sample distribution drift (exact KS numerator)
+# ---------------------------------------------------------------------------
+
+
+def value_drift_ks(sf_dir: str) -> pa.Table:
+    """Exact Kolmogorov–Smirnov numerator between the value distributions
+    of two cohorts (click vs purchase events): ks_num = max over the
+    merged value census of |cumA·n_B − cumB·n_A| — the distribution-drift
+    test a feature store runs between snapshots, with KS = ks_num/(n_A·n_B)
+    left as an exact integer so the gate never sees a float CDF.
+
+    Plan: ONE pass builds both per-batch censuses as (cents, na, nb)
+    partials; one cents-keyed groupby merges; the driver folds the sorted
+    census (value-domain-bounded, documented) and takes the max. Overflow:
+    |cum·n| ≤ n_A·n_B ≤ 10^18 at ~10^9 rows per side — at larger cohorts
+    divide both counts by their gcd first (documented trade).
+
+    Contract (mirrored in SQL): NULL value rows are excluded."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("value")),
+                pc.is_in(t.column("event_type"), value_set=pa.array(["click", "purchase"])),
+            )
+        )
+        g = pa.table(
+            {
+                "cents": to_cents(t.column("value")),
+                "na": pc.cast(pc.equal(t.column("event_type"), "click"), pa.int64()),
+                "nb": pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64()),
+            }
+        )
+        return g.group_by("cents").aggregate([("na", "sum"), ("nb", "sum")]).rename_columns(
+            ["cents", "na", "nb"]
+        )
+
+    census = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+    )
+    folded: dict[int, list] = {}
+    for b in census.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            cur = folded.setdefault(r["cents"], [0, 0])
+            cur[0] += r["na"]
+            cur[1] += r["nb"]
+    if not folded:
+        return pa.table(
+            {
+                "n_click": pa.array([0], pa.int64()),
+                "n_purchase": pa.array([0], pa.int64()),
+                "ks_num": pa.array([0], pa.int64()),
+            }
+        )
+    cents = sorted(folded)
+    na = np.array([folded[c][0] for c in cents], dtype=np.int64)
+    nb = np.array([folded[c][1] for c in cents], dtype=np.int64)
+    ta, tb = int(na.sum()), int(nb.sum())
+    ks = int(np.abs(np.cumsum(na) * tb - np.cumsum(nb) * ta).max())
+    return pa.table(
+        {
+            "n_click": pa.array([ta], pa.int64()),
+            "n_purchase": pa.array([tb], pa.int64()),
+            "ks_num": pa.array([ks], pa.int64()),
+        }
+    )
+
+
+VALUE_DRIFT_KS_SQL = """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(event_type = 'click' AS BIGINT) AS na,
+         CAST(event_type = 'purchase' AS BIGINT) AS nb
+  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+r AS (SELECT cents, SUM(na) AS na, SUM(nb) AS nb FROM c GROUP BY cents),
+s AS (SELECT SUM(na) OVER (ORDER BY cents) AS cuma,
+             SUM(nb) OVER (ORDER BY cents) AS cumb,
+             (SELECT SUM(na) FROM r) AS ta, (SELECT SUM(nb) FROM r) AS tb
+      FROM r)
+SELECT CAST(MAX(ta) AS BIGINT) AS n_click, CAST(MAX(tb) AS BIGINT) AS n_purchase,
+       CAST(COALESCE(MAX(ABS(cuma * tb - cumb * ta)), 0) AS BIGINT) AS ks_num
+FROM s
+"""

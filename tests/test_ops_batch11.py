@@ -657,3 +657,52 @@ class TestEmbeddingArgmaxDim:
         assert got.loc[1].tolist() == [1, 899999]  # floor(.9*1e6) on float32
         assert got.loc[2, "arg_dim"] == 0
         assert got.loc[4].tolist() == [1, np.floor(np.float64(np.float32(-0.1)) * 1e6)]
+
+
+class TestLineitemWeightedQuantiles:
+    def test_weight_shifts_median(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import lineitem_weighted_quantiles
+
+        # prices 1..4 dollars; quantity 97 on the $4 line dominates W=100
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 1, 1], pa.int64()),
+                "l_extendedprice": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+                "l_quantity": pa.array([1.0, 1.0, 1.0, 97.0], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        got = lineitem_weighted_quantiles(str(tmp_path)).to_pandas().set_index("q_bp")
+        # ranks: p25 -> 25, p50 -> 50, p75 -> 75; cum = [1,2,3,100]
+        assert got.loc[2500, "cents"] == 400
+        assert got.loc[5000, "cents"] == 400
+        assert got.loc[7500, "cents"] == 400
+        # unweighted would have put the median at 200/300 — pin one low rank
+        t2 = t.set_column(2, "l_quantity", pa.array([97.0, 1.0, 1.0, 1.0], pa.float64()))
+        pq.write_table(t2, str(tmp_path / "lineitem.parquet"))
+        got2 = lineitem_weighted_quantiles(str(tmp_path)).to_pandas().set_index("q_bp")
+        assert got2.loc[7500, "cents"] == 100
+
+
+class TestValueDriftKs:
+    def test_identical_and_disjoint(self, tmp_path, ray_session):
+        from ocr_ray.ops.stats import value_drift_ks
+
+        # identical distributions -> ks_num = 0
+        sf = _write_events(
+            tmp_path,
+            event_id=list(range(1, 9)),
+            event_type=["click", "purchase"] * 4,
+            value=[1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0],
+        )
+        got = value_drift_ks(sf).to_pandas().iloc[0]
+        assert got.tolist() == [4, 4, 0]
+        # fully separated -> KS = 1 -> ks_num = nA * nB
+        sf2 = _write_events(
+            tmp_path,
+            event_id=list(range(1, 7)),
+            event_type=["click"] * 3 + ["purchase"] * 3,
+            value=[1.0, 2.0, 3.0, 10.0, 11.0, 12.0],
+        )
+        got2 = value_drift_ks(sf2).to_pandas().iloc[0]
+        assert got2.tolist() == [3, 3, 9]
