@@ -243,6 +243,16 @@ def _conv_dedup_exact(sf_dir: str):
     return conv_dedup_exact(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _conv_assistant_echo(sf_dir: str):
+    """Within-conversation assistant self-repetition census (loop
+    detection): per conv, assistant turns and exact-echo count."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_assistant_echo
+
+    return conv_assistant_echo(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def _sft_examples(sf_dir: str):
     """SFT training-pair assembly: per-assistant-turn capped context tail
     (windowed string_agg oracle)."""
@@ -334,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "system_prompt_census": _system_prompt_census,
         "conv_dedup_exact": _conv_dedup_exact,
         "sft_examples": _sft_examples,
+        "conv_assistant_echo": _conv_assistant_echo,
         "tool_latency_stats": _tool_latency_stats,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,

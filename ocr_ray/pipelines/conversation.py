@@ -1155,3 +1155,68 @@ FROM l
 WHERE role = 'tool' AND next_idx = turn_idx + 1
 GROUP BY tool
 """
+
+
+def conv_assistant_echo(transcripts: Dataset) -> Dataset:
+    """Within-conversation assistant self-repetition census: per
+    conversation, how many assistant turns there are and how many EXACTLY
+    repeat an earlier assistant turn of the same conversation — the
+    model-loop detector an SFT gate runs before training on agent
+    transcripts (a looping assistant produces byte-identical retries).
+
+    Plan: filter to assistant turns per batch (role/text projected), one
+    coarse-key grouped scan by conv_id; per partition a single pandas
+    sort + ``groupby(conv).duplicated()`` (C-speed first-occurrence scan)
+    marks echoes, and the per-conversation census reduces in the same
+    pass — the exchange carries (conv_id, turn_idx, text) for assistant
+    turns only, and one (conv_id, n_assistant, n_echo) row returns per
+    conversation.
+
+    Contract (mirrored in SQL): NULL conv_id / turn_idx rows are excluded
+    (key and order); NULL text reads as '' (two NULL-text turns echo)."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))),
+                pc.equal(pc.coalesce(t.column("role"), pa.scalar("")), "assistant"),
+            )
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "text": pc.coalesce(t.column("text"), pa.scalar("")),
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        echo = g.groupby("conv_id", sort=False)["text"].transform(
+            lambda s: s.duplicated(keep="first")
+        )
+        out = g.assign(echo=echo.astype("int64")).groupby("conv_id", sort=False).agg(
+            n_assistant=("text", "size"), n_echo=("echo", "sum")
+        )
+        return out.reset_index().astype({"n_assistant": "int64", "n_echo": "int64"})
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return grouped_scan(slim.map_batches(prep, batch_format="pyarrow"), "conv_id", scan)
+
+
+CONV_ASSISTANT_ECHO_SQL_TMPL = """
+WITH a AS (
+  SELECT conv_id, turn_idx, coalesce(text, '') AS txt
+  FROM read_parquet('{path}/*.parquet')
+  WHERE coalesce(role, '') = 'assistant'
+    AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assistant,
+       CAST(COUNT(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM a p
+         WHERE p.conv_id = a.conv_id AND p.turn_idx < a.turn_idx AND p.txt = a.txt
+       )) AS BIGINT) AS n_echo
+FROM a GROUP BY conv_id
+"""

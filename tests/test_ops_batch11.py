@@ -706,3 +706,35 @@ class TestValueDriftKs:
         )
         got2 = value_drift_ks(sf2).to_pandas().iloc[0]
         assert got2.tolist() == [3, 3, 9]
+
+
+class TestConvAssistantEcho:
+    def test_planted_loop(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.pipelines.conversation import conv_assistant_echo
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["c1"] * 6 + ["c2"] * 2, pa.string()),
+                "turn_idx": pa.array([0, 1, 2, 3, 4, 5, 0, 1], pa.int64()),
+                "role": pa.array(
+                    ["user", "assistant", "user", "assistant", "user", "assistant",
+                     "assistant", "assistant"],
+                    pa.string(),
+                ),
+                "text": pa.array(
+                    ["q", "LOOP", "q2", "LOOP", "q3", "fresh", "a", "b"], pa.string()
+                ),
+                "ts": pa.array(np.arange(8, dtype=np.int64), pa.timestamp("us")),
+                "payload_kind": pa.array(["plain"] * 8, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "t.parquet"))
+        got = (
+            conv_assistant_echo(rd.read_parquet(str(tmp_path)))
+            .to_pandas()
+            .set_index("conv_id")
+        )
+        assert got.loc["c1"].tolist() == [3, 1]  # second LOOP echoes
+        assert got.loc["c2"].tolist() == [2, 0]
