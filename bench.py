@@ -392,6 +392,27 @@ def run_bench() -> dict:
         _consume(purchases_concurrent_events(ev1m))
         qtimes["concurrent_1m_events"] = round(time.monotonic() - t0, 3)
 
+        # session-10 diagnostics family at volume (keys-only claims measured
+        # under the fixture's hot-user skew)
+        from ocr_ray.ops.dq import events_key_skew
+        from ocr_ray.ops.stats import events_selfjoin_size
+        from ocr_ray.ops.timeseries import (
+            daily_churn_census,
+            events_window_dedup,
+            user_value_ewma,
+        )
+
+        for label, fn in (
+            ("key_skew_1m_events", events_key_skew),
+            ("selfjoin_size_1m_events", events_selfjoin_size),
+            ("ewma_1m_events", user_value_ewma),
+            ("churn_census_1m_events", daily_churn_census),
+            ("window_dedup_1m_events", events_window_dedup),
+        ):
+            t0 = time.monotonic()
+            _consume(fn(ev1m))
+            qtimes[label] = round(time.monotonic() - t0, 3)
+
         # graph analytics at volume (same 1M-node fixture): degree-ordered
         # wedge triangle count and 6-hop BFS, both via the local tier gate
         from ocr_ray.ops.graph import bfs_hops, triangle_count
