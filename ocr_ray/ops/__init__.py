@@ -594,3 +594,13 @@ REGISTRY.update(
         "value_drift_ks": (value_drift_ks, VALUE_DRIFT_KS_SQL),
     }
 )
+
+from ocr_ray.ops.stats import ACTIVITY_SPEND_CORR_SQL, activity_spend_corr
+from ocr_ray.ops.dedup import DOC_CASEFOLD_COLLISIONS_SQL, doc_casefold_collisions
+
+REGISTRY.update(
+    {
+        "activity_spend_corr": (activity_spend_corr, ACTIVITY_SPEND_CORR_SQL),
+        "doc_casefold_collisions": (doc_casefold_collisions, DOC_CASEFOLD_COLLISIONS_SQL),
+    }
+)

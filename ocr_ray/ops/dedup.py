@@ -1523,3 +1523,92 @@ FROM documents
 WHERE text IS NOT NULL
 GROUP BY substr(text, 1, {_PREFIX_DEDUP_CHARS})
 """
+
+
+# ---------------------------------------------------------------------------
+# case-fold dedup census (normalization-sensitive duplicate detection)
+# ---------------------------------------------------------------------------
+
+
+def doc_casefold_collisions(sf_dir: str) -> "pa.Table":
+    """How much of the corpus deduplicates ONLY after case folding: groups
+    of documents whose lower-cased text collides while the raw bytes
+    differ — the report that sizes a normalization pass before exact
+    dedup (``dedup_exact_docs`` is byte-exact; this measures what a
+    case-insensitive key would additionally merge).
+
+    Plan: per-batch (md5(lower(text)), md5(text)) digest pairs — text
+    never shuffles — one pair-keyed dedup groupby, then run-length raw-
+    variant counts per folded key fold into three driver ints (the
+    ``orders_fd_audit`` reduction over digest keys).
+
+    Contract (mirrored in SQL): NULL doc_id rows are excluded; NULL text
+    folds as '' (a real group)."""
+    import hashlib as _h
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        texts = pc.coalesce(t.column("text"), pa.scalar("")).to_pylist()
+        fk = [_h.md5(s.lower().encode()).hexdigest()[:16] for s in texts]
+        rk = [_h.md5(s.encode()).hexdigest()[:16] for s in texts]
+        return (
+            pa.table({"fk": pa.array(fk, pa.string()), "rk": pa.array(rk, pa.string())})
+            .group_by(["fk", "rk"])
+            .aggregate([])
+        )
+
+    distinct = ds.map_batches(pairs, batch_format="pyarrow").groupby(["fk", "rk"]).count()
+
+    def variant_partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("fk").to_pylist(), dtype=object)
+        if len(k) == 0:
+            return pa.table({"fk": pa.array([], pa.string()), "nv": pa.array([], pa.int64())})
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(k)])))
+        return pa.table(
+            {
+                "fk": pa.array(k[starts].tolist(), pa.string()),
+                "nv": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_key = (
+        distinct.map_batches(variant_partial, batch_format="pyarrow")
+        .groupby("fk")
+        .aggregate(Sum("nv", alias_name="nv"))
+    )
+    n_groups = n_collided = max_var = 0
+    for b in per_key.iter_batches(batch_size=None, batch_format="pyarrow"):
+        nv = b.column("nv").to_numpy(zero_copy_only=False)
+        n_groups += len(nv)
+        n_collided += int((nv > 1).sum())
+        if len(nv):
+            max_var = max(max_var, int(nv.max()))
+    return pa.table(
+        {
+            "n_folded_groups": pa.array([n_groups], pa.int64()),
+            "n_collided_groups": pa.array([n_collided], pa.int64()),
+            "max_case_variants": pa.array([max_var], pa.int64()),
+        }
+    )
+
+
+DOC_CASEFOLD_COLLISIONS_SQL = """
+WITH d AS (
+  SELECT md5(lower(coalesce(text, ''))) AS fk, md5(coalesce(text, '')) AS rk
+  FROM documents WHERE doc_id IS NOT NULL
+),
+g AS (SELECT fk, COUNT(DISTINCT rk) AS nv FROM d GROUP BY fk)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_folded_groups,
+       CAST(COUNT(*) FILTER (WHERE nv > 1) AS BIGINT) AS n_collided_groups,
+       CAST(COALESCE(MAX(nv), 0) AS BIGINT) AS max_case_variants
+FROM g
+"""

@@ -1877,3 +1877,114 @@ SELECT CAST(MAX(ta) AS BIGINT) AS n_click, CAST(MAX(tb) AS BIGINT) AS n_purchase
        CAST(COALESCE(MAX(ABS(cuma * tb - cumb * ta)), 0) AS BIGINT) AS ks_num
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-table correlation: per-customer activity vs spend
+# ---------------------------------------------------------------------------
+
+
+def activity_spend_corr(sf_dir: str) -> pa.Table:
+    """Does event activity correlate with order spend? Per customer
+    matched across BOTH tables (events.user_id = orders.o_custkey), the
+    exact integer correlation ingredients over (n_events, spend_cents):
+    n, Σe, Σs (whole dollars), and the mergeable numerators cov_num = n·Σes − Σe·Σs,
+    see_num = n·Σe² − (Σe)², sss_num = n·Σs² − (Σs)² (corr² =
+    cov²/(see·sss) at display time) — the cross-TABLE sibling of
+    ``price_qty_moments``' within-row moments.
+
+    Plan: each side reduces to a per-key census first (count partials /
+    cents-sum partials through one keyed groupby each); the size-gated
+    ``auto_join`` matches the two censuses keys-only; per-batch moment
+    partials fold on the driver. Nothing row-sized survives past the
+    first map. Overflow: spend is profiled in WHOLE DOLLARS (cents blew
+    past int64 in n·Σs² at just 150 matched customers — caught by the
+    sf0.01 gate); dollars keep n·Σs² under 2^63 to ~10⁸ customers at
+    fixture magnitudes (documented; mirrored ROUND in SQL).
+
+    Contract (mirrored in SQL): NULL keys are excluded; inner-match
+    semantics (customers present in only one table don't contribute);
+    NULL prices sum as 0 (COALESCE)."""
+    from ray.data.aggregate import Sum
+    from ocr_ray.functions.joins import auto_join
+
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        return t.group_by("user_id").aggregate([([], "count_all")]).rename_columns(
+            ["user_id", "e"]
+        )
+
+    ev_census = (
+        ev.map_batches(ev_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("e", alias_name="e"))
+    )
+
+    od = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        dollars = pc.cast(
+            pc.round(t.column("o_totalprice"), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "s": pc.coalesce(dollars, pa.scalar(0, pa.int64())),
+            }
+        )
+        return g.group_by("o_custkey").aggregate([("s", "sum")]).rename_columns(
+            ["o_custkey", "s"]
+        )
+
+    od_census = (
+        od.map_batches(od_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+    joined = auto_join(ev_census, od_census, on="user_id", right_on="o_custkey")
+
+    tot = np.zeros(6, dtype=np.int64)  # n, Σe, Σs, Σee, Σss, Σes
+    for b in joined.iter_batches(batch_size=None, batch_format="pyarrow"):
+        e = b.column("e").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot += np.array(
+            [len(e), e.sum(), s.sum(), (e * e).sum(), (s * s).sum(), (e * s).sum()],
+            dtype=np.int64,
+        )
+    n, se, ss, see, sss, ses = (int(x) for x in tot)
+    return pa.table(
+        {
+            "n_custs": pa.array([n], pa.int64()),
+            "sum_events": pa.array([se], pa.int64()),
+            "sum_dollars": pa.array([ss], pa.int64()),
+            "cov_num": pa.array([n * ses - se * ss], pa.int64()),
+            "var_e_num": pa.array([n * see - se * se], pa.int64()),
+            "var_s_num": pa.array([n * sss - ss * ss], pa.int64()),
+        }
+    )
+
+
+ACTIVITY_SPEND_CORR_SQL = """
+WITH e AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS e FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(COALESCE(CAST(ROUND(o_totalprice) AS BIGINT), 0)) AS BIGINT) AS s
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+),
+j AS (SELECT e.e, o.s FROM e JOIN o USING (k))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(COALESCE(SUM(e), 0) AS BIGINT) AS sum_events,
+       CAST(COALESCE(SUM(s), 0) AS BIGINT) AS sum_dollars,
+       CAST(COALESCE(COUNT(*) * SUM(e * s) - SUM(e) * SUM(s), 0) AS BIGINT) AS cov_num,
+       CAST(COALESCE(COUNT(*) * SUM(e * e) - SUM(e) * SUM(e), 0) AS BIGINT) AS var_e_num,
+       CAST(COALESCE(COUNT(*) * SUM(s * s) - SUM(s) * SUM(s), 0) AS BIGINT) AS var_s_num
+FROM j
+"""

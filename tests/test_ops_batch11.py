@@ -738,3 +738,53 @@ class TestConvAssistantEcho:
         )
         assert got.loc["c1"].tolist() == [3, 1]  # second LOOP echoes
         assert got.loc["c2"].tolist() == [2, 0]
+
+
+class TestActivitySpendCorr:
+    def test_perfect_correlation(self, tmp_path, ray_session):
+        import datetime
+
+        from ocr_ray.ops.stats import activity_spend_corr
+
+        # cust k: k events and k dollars spend -> perfect corr:
+        # cov_num^2 == var_e_num * var_s_num
+        users = [1] * 1 + [2] * 2 + [3] * 3
+        _write_events(tmp_path, event_id=list(range(1, 7)), user_id=users)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 3, 9], pa.int64()),  # 9 unmatched
+                    "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+                    "o_totalprice": pa.array([1.0, 2.0, 3.0, 50.0], pa.float64()),
+                    "o_orderdate": pa.array([datetime.date(1995, 1, 1)] * 4),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = activity_spend_corr(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_custs"] == 3
+        assert got["sum_events"] == 6 and got["sum_dollars"] == 6
+        assert got["cov_num"] ** 2 == got["var_e_num"] * got["var_s_num"]
+        assert got["cov_num"] > 0
+
+
+class TestDocCasefoldCollisions:
+    def test_planted_case_variants(self, tmp_path, ray_session):
+        from ocr_ray.ops.dedup import doc_casefold_collisions
+
+        texts = ["Hello World", "hello world", "HELLO WORLD", "unique", "Unique2"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(1, 6)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = doc_casefold_collisions(str(tmp_path)).to_pandas().iloc[0]
+        # folded groups: {hello world}, {unique}, {unique2} -> 3
+        assert got.tolist() == [3, 1, 3]
