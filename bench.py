@@ -167,6 +167,11 @@ QUERY_NAMES = [
     "daily_churn_census",
     "orders_fd_audit",
     "embedding_argmax_dim",
+    "lineitem_weighted_quantiles",
+    "value_drift_ks",
+    "conv_assistant_echo",
+    "activity_spend_corr",
+    "doc_casefold_collisions",
 ]
 
 
