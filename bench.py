@@ -172,6 +172,13 @@ QUERY_NAMES = [
     "conv_assistant_echo",
     "activity_spend_corr",
     "doc_casefold_collisions",
+    "order_price_mad",
+    "cumulative_distinct_users",
+    "session_paths_topk",
+    "events_systematic_sample",
+    "user_golden_record",
+    "click_minus_view_users_bag",
+    "doc_compression_ratio",
 ]
 
 

@@ -604,3 +604,25 @@ REGISTRY.update(
         "doc_casefold_collisions": (doc_casefold_collisions, DOC_CASEFOLD_COLLISIONS_SQL),
     }
 )
+
+from ocr_ray.ops.stats import ORDER_PRICE_MAD_SQL, order_price_mad
+from ocr_ray.ops.timeseries import (
+    CUMULATIVE_DISTINCT_USERS_SQL,
+    SESSION_PATHS_TOPK_SQL,
+    cumulative_distinct_users,
+    session_paths_topk,
+)
+from ocr_ray.ops.mlprep import EVENTS_SYSTEMATIC_SAMPLE_SQL, events_systematic_sample
+from ocr_ray.ops.textstats import doc_compression_ratio
+
+REGISTRY.update(
+    {
+        "order_price_mad": (order_price_mad, ORDER_PRICE_MAD_SQL),
+        "cumulative_distinct_users": (cumulative_distinct_users, CUMULATIVE_DISTINCT_USERS_SQL),
+        "session_paths_topk": (session_paths_topk, SESSION_PATHS_TOPK_SQL),
+        "events_systematic_sample": (events_systematic_sample, EVENTS_SYSTEMATIC_SAMPLE_SQL),
+        # deterministic but not SQL-expressible (no deflate in DuckDB);
+        # pinned by the pytest recompute oracle
+        "doc_compression_ratio": (doc_compression_ratio, None),
+    }
+)

@@ -735,3 +735,44 @@ QUALIFY ROW_NUMBER() OVER (
   ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 16), event_id
 ) <= {_GROUP_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# systematic (every k-th) sample over the global time order
+# ---------------------------------------------------------------------------
+
+_SYSTEMATIC_K = 50
+
+
+def events_systematic_sample(sf_dir: str) -> Dataset:
+    """Systematic sampling: every ``k``-th event of the global
+    (ts, event_id) order — the classic equal-spacing design (survey
+    sampling, time-series thinning) that guarantees exactly ``ceil(n/k)``
+    rows spread uniformly across the timeline, where Bernoulli sampling
+    only hits the count in expectation and can cluster.
+
+    Plan: composes the skew-proof distributed rank of
+    ``events_global_rank`` (minute-census chunking — see that op for the
+    partitioning argument) with a stateless vectorized ``rank % k``
+    filter; nothing new moves through the shuffle, and the output is
+    keys-only (event_id, ts_rank).
+
+    Contract (mirrored in SQL): anchor at the FIRST row (rank 1, then
+    1+k, 1+2k, …); NULL ts sorts last, ties break by event_id NULLS
+    LAST — identical to the gated rank op."""
+    ranked = events_global_rank(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        rk = t.column("ts_rank").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((rk - 1) % _SYSTEMATIC_K == 0))
+
+    return ranked.map_batches(pick, batch_format="pyarrow")
+
+
+EVENTS_SYSTEMATIC_SAMPLE_SQL = f"""
+SELECT event_id, ts_rank FROM (
+  SELECT event_id,
+         CAST(row_number() OVER (ORDER BY ts ASC NULLS LAST, event_id) AS BIGINT) AS ts_rank
+  FROM events
+) WHERE (ts_rank - 1) % {_SYSTEMATIC_K} = 0
+"""

@@ -1199,3 +1199,68 @@ FROM m
 """
 
 REGISTRY["orders_monthly_mom"] = (orders_monthly_mom, ORDERS_MONTHLY_MOM_SQL)
+
+
+def click_minus_view_users_bag(sf_dir: str) -> Dataset:
+    """EXCEPT ALL — bag difference: each user id appears
+    ``max(0, #clicks − #views)`` times, the multiset subtraction that
+    completes the set-operation matrix (UNION / INTERSECT / EXCEPT /
+    INTERSECT ALL / now EXCEPT ALL) — the frequency-decrement SQL
+    pipelines use for "remaining quota after consumed impressions".
+
+    Plan: identical dataflow to ``click_view_users_bag`` (per-batch
+    (user, side) count partials, ONE null-safe user-keyed groupby, then a
+    post-aggregation ``np.repeat`` expansion bounded by the answer size) —
+    only the reps formula differs: ``max(0, nc − nv)`` instead of
+    ``min(nc, nv)``.
+
+    Contract (mirrored in DuckDB): EXCEPT ALL treats NULL keys as equal
+    (IS NOT DISTINCT FROM semantics), so NULL click rows survive only in
+    excess of NULL view rows."""
+    from ocr_ray.functions.nullsafe import decode_null_keys, encode_null_keys
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        t = t.filter(pc.or_(pc.equal(et, "click"), pc.equal(et, "view")))
+        flags = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "nc": pc.cast(pc.equal(t.column("event_type"), "click"), pa.int64()),
+                "nv": pc.cast(pc.equal(t.column("event_type"), "view"), pa.int64()),
+            }
+        )
+        flags = encode_null_keys(flags, ["user_id"])
+        return flags.group_by(["user_id", "__n_user_id"]).aggregate(
+            [("nc", "sum"), ("nv", "sum")]
+        ).rename_columns(["user_id", "__n_user_id", "nc", "nv"])
+
+    counts = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "__n_user_id"])
+        .aggregate(Sum("nc", alias_name="nc"), Sum("nv", alias_name="nv"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = decode_null_keys(t, ["user_id"])
+        nc = t.column("nc").to_numpy(zero_copy_only=False)
+        nv = t.column("nv").to_numpy(zero_copy_only=False)
+        reps = np.maximum(nc - nv, 0)
+        keep = reps > 0
+        idx = np.repeat(np.flatnonzero(keep), reps[keep].astype(np.int64))
+        return pa.table({"user_id": t.column("user_id").take(pa.array(idx, pa.int64()))})
+
+    return counts.map_batches(expand, batch_format="pyarrow")
+
+
+CLICK_MINUS_VIEW_USERS_BAG_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+REGISTRY["click_minus_view_users_bag"] = (
+    click_minus_view_users_bag,
+    CLICK_MINUS_VIEW_USERS_BAG_SQL,
+)

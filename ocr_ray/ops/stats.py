@@ -1988,3 +1988,133 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
        CAST(COALESCE(COUNT(*) * SUM(s * s) - SUM(s) * SUM(s), 0) AS BIGINT) AS var_s_num
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: exact median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_BUCKET_CENTS = 10_000_00  # $10k-wide histogram buckets
+
+
+def _exact_rank_cents(vals, rank: int) -> int:
+    """Value at 1-based ``rank`` of the ascending ``cents`` order, without a
+    global sort: fold the (bucket, count) histogram on the driver (tiny —
+    O(distinct buckets)), locate the one rank-bearing bucket, and sort ONLY
+    that bucket's values in a second streaming pass. ``vals`` must carry
+    int64 columns ``cents`` and ``bucket`` where bucket = cents // B (trunc
+    division yields contiguous, ordered intervals for either sign)."""
+    import pandas as pd
+
+    def census(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"bucket": t.column("bucket")})
+            .group_by("bucket")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["bucket", "c"])
+
+    frames = [
+        f
+        for f in vals.map_batches(census, batch_format="pyarrow").iter_batches(
+            batch_format="pandas", batch_size=None
+        )
+    ]
+    hist = (
+        pd.concat(frames).groupby("bucket", sort=True)["c"].sum()
+        if frames
+        else pd.Series(dtype=np.int64)
+    )
+    cum = 0
+    target_bucket, local_rk = None, None
+    for b, c in hist.items():
+        if cum + int(c) >= rank:
+            target_bucket, local_rk = int(b), rank - cum
+            break
+        cum += int(c)
+    assert target_bucket is not None, "rank exceeds histogram total"
+
+    picked = vals.map_batches(
+        lambda t, _b=target_bucket: t.filter(pc.equal(t.column("bucket"), _b)),
+        batch_format="pyarrow",
+    )
+    local = np.concatenate(
+        [
+            b.column("cents").to_numpy(zero_copy_only=False)
+            for b in picked.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+    )
+    # np.partition: O(bucket) selection instead of a full local sort
+    return int(np.partition(local, local_rk - 1)[local_rk - 1])
+
+
+def order_price_mad(sf_dir: str) -> pa.Table:
+    """Robust location/scale: the exact LOWER MEDIAN of order totals and the
+    median absolute deviation around it — the outlier-resistant sibling of
+    the moments family (one wild price corrupts mean/variance; median/MAD
+    shrug it off, which is why data-quality monitors alarm on MAD).
+
+    Both medians use the discrete lower-median rule (1-based rank
+    ``(n+1)//2`` — no interpolation, so every value is an actual data point
+    and the hash gate is float-free).
+
+    Plan: two rounds of the bucket-histogram rank plan (no global sort
+    anywhere). Round 1 histograms cents into $10k buckets, folds the tiny
+    census on the driver, and sorts ONLY the median-bearing bucket. Round 2
+    maps each value to |cents − median| (a map over the SAME materialized
+    cents — no re-read) and repeats the rank extraction on deviations.
+    Shuffle traffic is two tiny bucket censuses; the corpus never moves.
+
+    Contract (mirrored in SQL): NULL prices are excluded; empty input
+    returns zero rows."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_totalprice")))
+        c = to_cents(t.column("o_totalprice"))
+        return pa.table(
+            {"cents": c, "bucket": pc.divide(c, pa.scalar(_MAD_BUCKET_CENTS))}
+        )
+
+    vals = orders.map_batches(cents, batch_format="pyarrow").materialize()
+    n = vals.count()
+    if n == 0:
+        return pa.table(
+            {
+                "n_orders": pa.array([], pa.int64()),
+                "median_cents": pa.array([], pa.int64()),
+                "mad_cents": pa.array([], pa.int64()),
+            }
+        )
+    med = _exact_rank_cents(vals, (n + 1) // 2)
+
+    def devs(t: pa.Table, _m=med) -> pa.Table:
+        d = pc.abs_checked(pc.subtract_checked(t.column("cents"), pa.scalar(_m)))
+        return pa.table(
+            {"cents": d, "bucket": pc.divide(d, pa.scalar(_MAD_BUCKET_CENTS))}
+        )
+
+    dev_vals = vals.map_batches(devs, batch_format="pyarrow")
+    mad = _exact_rank_cents(dev_vals, (n + 1) // 2)
+    return pa.table(
+        {
+            "n_orders": pa.array([n], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64()),
+        }
+    )
+
+
+ORDER_PRICE_MAD_SQL = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM v),
+o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+m AS (SELECT o.c AS med FROM o, n WHERE o.rn = (n.cnt + 1) // 2),
+d AS (SELECT abs(v.c - m.med) AS dv FROM v, m),
+od AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d)
+SELECT n.cnt AS n_orders, m.med AS median_cents, CAST(od.dv AS BIGINT) AS mad_cents
+FROM n, m, od WHERE od.rn = (n.cnt + 1) // 2
+"""

@@ -657,3 +657,55 @@ WITH p AS ({_lang_id_sql(id_cols="doc_id, lang")})
 SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
 FROM p GROUP BY lang, lang_pred
 """
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (deflate as a repetition detector)
+# ---------------------------------------------------------------------------
+
+
+def doc_compression_ratio(sf_dir: str) -> Dataset:
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal for LLM corpora (used alongside the Gopher rules): machine-
+    generated or template-stuffed text compresses far below prose, so a
+    low ``ratio_bp`` flags boilerplate and a very high one flags
+    random/encrypted junk. Deflate at a FIXED level (6) is deterministic
+    for a given zlib build, and the op re-derives everything from the raw
+    bytes, so reruns are stable; cross-engine equality is pinned by the
+    pytest oracle (an independent recompute), not SQL — DuckDB has no
+    deflate.
+
+    Plan: embarrassingly parallel map-only stage (the ideal 100 TB shape —
+    no shuffle at all); compression runs per document inside
+    ``map_batches`` over zero-copy Arrow binary views. Output is
+    keys+three-int64s per doc.
+
+    Contract: NULL text rows are excluded; sizes are utf-8 bytes;
+    ``ratio_bp = comp_bytes * 10_000 // raw_bytes`` (floor), with empty
+    text excluded too (ratio undefined at raw == 0)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def ratios(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        raw = [s.encode("utf-8") for s in t.column("text").to_pylist()]
+        keep = [i for i, b in enumerate(raw) if len(b) > 0]
+        t = t.take(pa.array(keep, pa.int64()))
+        raw = [raw[i] for i in keep]
+        raw_n = np.array([len(b) for b in raw], dtype=np.int64)
+        comp_n = np.array(
+            [len(zlib.compress(b, 6)) for b in raw], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "raw_bytes": pa.array(raw_n, pa.int64()),
+                "comp_bytes": pa.array(comp_n, pa.int64()),
+                "ratio_bp": pa.array(comp_n * 10_000 // raw_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ratios, batch_format="pyarrow")

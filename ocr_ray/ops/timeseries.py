@@ -3023,3 +3023,234 @@ SELECT CAST(day AS BIGINT) AS day,
        )) AS BIGINT) AS n_new
 FROM d GROUP BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users by day (audience-growth curve)
+# ---------------------------------------------------------------------------
+
+
+def cumulative_distinct_users(sf_dir: str) -> pa.Table:
+    """Audience growth: for every active day, how many users were seen for
+    the FIRST time that day and the running total of distinct users to
+    date — the cumulative-COUNT-DISTINCT curve product dashboards plot,
+    which naive engines compute with a quadratic day×user window.
+
+    Plan: first-occurrence census. Per-batch arrow ``group_by(user).min(day)``
+    partials shrink each block to its distinct users, ONE user-keyed
+    groupby ``Min`` lands the exact first day per user (keys + one int64
+    through the shuffle, never event rows), then a per-batch day census of
+    first-days folds on the driver (O(distinct days)) where the prefix sum
+    is a single cumsum. The set of ACTIVE days (for zero-new days) comes
+    from per-batch day dedup folded the same way — a map-side census, no
+    extra shuffle.
+
+    Contract (mirrored in SQL): NULL user_id / ts rows are excluded; day =
+    floor(epoch_us / 86_400_000_000); one output row per active day."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array((us // 86_400_000_000).astype(np.int64), pa.int64()),
+            }
+        )
+        return p.group_by("user_id").aggregate([("day", "min")]).rename_columns(
+            ["user_id", "day"]
+        )
+
+    pre = events.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # active-day set: map-side dedup census folded on the driver (the
+    # per-user MIN partials preserve every day a user was active on only
+    # if it was that user's batch-min — so the day set must come from its
+    # own dedup, run over the same partials' INPUT; cheapest correct
+    # source is a second tiny column census over raw events)
+    def day_census(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.unique(us // 86_400_000_000)
+        return pa.table({"day": pa.array(days.astype(np.int64), pa.int64())})
+
+    active_days: set[int] = set()
+    for b in events.map_batches(day_census, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        active_days.update(b.column("day").to_pylist())
+
+    first_day = pre.groupby("user_id").aggregate(Min("day", alias_name="fday"))
+
+    frames = [
+        f
+        for f in first_day.map_batches(
+            lambda t: pa.table({"fday": t.column("fday")})
+            .group_by("fday")
+            .aggregate([([], "count_all")])
+            .rename_columns(["fday", "c"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    new_by_day = (
+        pd.concat(frames).groupby("fday", sort=True)["c"].sum()
+        if frames
+        else pd.Series(dtype=np.int64)
+    )
+    days = np.array(sorted(active_days), dtype=np.int64)
+    new = np.array([int(new_by_day.get(d, 0)) for d in days], dtype=np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "new_users": pa.array(new, pa.int64()),
+            "cum_users": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )
+
+
+CUMULATIVE_DISTINCT_USERS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+f AS (SELECT user_id, MIN(day) AS fday FROM e GROUP BY user_id),
+days AS (SELECT DISTINCT day FROM e),
+nu AS (SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY fday)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST((SELECT COUNT(*) FROM f WHERE f.fday <= d.day) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN nu ON nu.day = d.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k session paths (ordered event-sequence census)
+# ---------------------------------------------------------------------------
+
+_PATH_PREFIX_LEN = 5
+_PATH_TOPK = 10
+
+
+def session_paths_topk(sf_dir: str) -> pa.Table:
+    """Top-10 most common (user, day)-session event-type PATHS — the first
+    five event types in time order joined with ``>`` — the ordered-
+    sequence census behind funnel discovery and UX path analysis (the
+    Markov ``event_type_transitions`` sees only bigrams; this ranks whole
+    prefixes).
+
+    Plan: ``grouped_scan`` co-locates each user's rows (coarse crc32 key
+    exchange); inside a partition one lexsort orders (user, day, ts,
+    event_id, type), run boundaries mark the per-(user, day) groups, a
+    position-in-group mask keeps the first five rows, and paths emerge
+    from zero-copy ``ListArray`` wrap + ``binary_join`` — no Python loop
+    over groups. Per-partition path value_counts fold on the driver
+    (bounded by distinct paths, k-capped at the end).
+
+    Contract (mirrored in SQL): NULL user/ts rows excluded; NULL
+    event_type renders as ''; ties inside (ts) break by (event_id NULLS
+    LAST, type) so concurrent rows order deterministically; top-10 by
+    (count DESC, path ASC)."""
+    import pandas as pd
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    _NULL_EID = np.iinfo(np.int64).max
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array((us // 86_400_000_000).astype(np.int64), pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "eid": pc.fill_null(t.column("event_id"), _NULL_EID),
+                "et": pc.fill_null(t.column("event_type"), ""),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def paths(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("day", "ascending"),
+                ("us", "ascending"),
+                ("eid", "ascending"),
+                ("et", "ascending"),
+            ]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        grp = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        pos = np.arange(n) - starts[grp]
+        keep = pos < _PATH_PREFIX_LEN
+        ets = t.column("et").filter(pa.array(keep)).combine_chunks()
+        sizes = np.minimum(np.diff(np.append(starts, n)), _PATH_PREFIX_LEN)
+        offsets = np.concatenate(([0], np.cumsum(sizes))).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), ets)
+        joined = pc.binary_join(la, ">")
+        census = (
+            pa.table({"path": joined})
+            .group_by("path")
+            .aggregate([([], "count_all")])
+            .rename_columns(["path", "n"])
+        )
+        return census
+
+    per_part = grouped_scan(pre, "user_id", paths, batch_format="pyarrow")
+    frames = [
+        f for f in per_part.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    if not frames:
+        return pa.table(
+            {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    tot = pd.concat(frames).groupby("path", sort=False)["n"].sum().reset_index()
+    tot = tot.sort_values(["n", "path"], ascending=[False, True]).head(_PATH_TOPK)
+    return pa.table(
+        {
+            "path": pa.array(tot["path"].tolist(), pa.string()),
+            "n": pa.array(tot["n"].astype(np.int64).tolist(), pa.int64()),
+        }
+    )
+
+
+SESSION_PATHS_TOPK_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, ts, event_id,
+         COALESCE(event_type, '') AS et
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+  SELECT array_to_string(
+           (array_agg(et ORDER BY ts, event_id NULLS LAST, et))[1:{_PATH_PREFIX_LEN}],
+           '>') AS path
+  FROM e GROUP BY user_id, day
+),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path)
+SELECT path, n FROM c ORDER BY n DESC, path LIMIT {_PATH_TOPK}
+"""
