@@ -179,6 +179,7 @@ QUERY_NAMES = [
     "user_golden_record",
     "click_minus_view_users_bag",
     "doc_compression_ratio",
+    "custs_ldiversity_audit",
 ]
 
 

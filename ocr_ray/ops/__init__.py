@@ -626,3 +626,7 @@ REGISTRY.update(
         "doc_compression_ratio": (doc_compression_ratio, None),
     }
 )
+
+from ocr_ray.ops.scrub import CUSTS_LDIVERSITY_AUDIT_SQL, custs_ldiversity_audit
+
+REGISTRY["custs_ldiversity_audit"] = (custs_ldiversity_audit, CUSTS_LDIVERSITY_AUDIT_SQL)

@@ -255,3 +255,121 @@ FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
              COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cnt
       FROM customer) t
 """
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit over the k-anonymity quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+_L_DIVERSITY = 3
+
+
+def custs_ldiversity_audit(sf_dir: str, *, l_min: int = _L_DIVERSITY) -> Dataset:
+    """l-diversity audit: per quasi-identifier group (c_nationkey,
+    c_mktsegment), the group size and the count of DISTINCT sensitive
+    values (account balance, in exact cents) — flagging groups where the
+    sensitive attribute has fewer than ``l`` distinct values. k-anonymity
+    alone (``anonymize_customers``) stops re-identification but not
+    attribute disclosure: a group of 50 records that all share one salary
+    leaks it to anyone who can place a person in the group; this audit is
+    the standard follow-up check (Machanavajjhala et al. 2007).
+
+    Plan: per-batch DISTINCT (QI, sensitive) triples with group-size
+    partials (arrow ``group_by``), ONE null-safe keyed groupby summing
+    sizes and a second tiny QI-keyed reduce counting surviving distinct
+    triples — the shuffle carries at most |QI domain × distinct balances|
+    rows per batch, never customers.
+
+    Contract (mirrored in SQL): NULL QI values form real groups
+    (null-safe keys); COUNT(DISTINCT sensitive) skips NULL balances;
+    ``diverse`` = n_sensitive >= l."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.nullsafe import decode_null_keys, encode_null_keys
+    from ocr_ray.functions.scalars import to_cents
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    keys = ["c_nationkey", "c_mktsegment"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        sens = to_cents(t.column("c_acctbal"))
+        # sentinel for NULL sensitive: carried as its own triple so group
+        # sizes stay exact, excluded from the distinct count downstream
+        g = pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "sens": pc.fill_null(sens, pa.scalar(np.iinfo(np.int64).min, pa.int64())),
+            }
+        )
+        g = encode_null_keys(g, keys)
+        enc_keys = [c for c in g.column_names if c != "sens"]
+        out = g.group_by(enc_keys + ["sens"]).aggregate([([], "count_all")])
+        return out.rename_columns(enc_keys + ["sens", "cnt"])
+
+    enc_keys = keys + [f"__n_{k}" for k in keys]
+    triples = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(enc_keys + ["sens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    _SENT = np.iinfo(np.int64).min
+
+    def reduce_partial(t: pa.Table) -> pa.Table:
+        real = pc.cast(
+            pc.not_equal(t.column("sens"), pa.scalar(_SENT, pa.int64())), pa.int64()
+        )
+        g = pa.table(
+            {
+                **{k: t.column(k) for k in enc_keys},
+                "group_n": t.column("cnt"),
+                "n_sensitive": real,
+            }
+        )
+        return (
+            g.group_by(enc_keys)
+            .aggregate([("group_n", "sum"), ("n_sensitive", "sum")])
+            .rename_columns(enc_keys + ["group_n", "n_sensitive"])
+        )
+
+    per_group = (
+        triples.map_batches(reduce_partial, batch_format="pyarrow")
+        .groupby(enc_keys)
+        .aggregate(
+            Sum("group_n", alias_name="group_n"),
+            Sum("n_sensitive", alias_name="n_sensitive"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = decode_null_keys(t, keys)
+        return pa.table(
+            {
+                # source column is int32; Ray's shuffle widened it
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int32()),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "group_n": pc.cast(t.column("group_n"), pa.int64()),
+                "n_sensitive": pc.cast(t.column("n_sensitive"), pa.int64()),
+                "diverse": pc.greater_equal(
+                    t.column("n_sensitive"), pa.scalar(l_min, pa.int64())
+                ),
+            }
+        )
+
+    return per_group.map_batches(finish, batch_format="pyarrow")
+
+
+CUSTS_LDIVERSITY_AUDIT_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(COUNT(DISTINCT CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS n_sensitive,
+       COUNT(DISTINCT CAST(ROUND(c_acctbal * 100) AS BIGINT)) >= {_L_DIVERSITY}
+         AS diverse
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""

@@ -254,6 +254,44 @@ class TestAnonymizeCustomers:
         assert rows[9]["c_nationkey_anon"] == -1  # NULL-segment singleton suppressed
 
 
+class TestLdiversityAudit:
+    def test_planted_groups(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.ops.scrub import custs_ldiversity_audit
+
+        # group (1,'A'): 4 members, one shared balance -> not diverse;
+        # group (2,'B'): 3 members, 3 distinct balances -> diverse;
+        # group (3,NULL): 3 members, 2 distinct + 1 NULL balance ->
+        # group_n counts the NULL row, n_sensitive does not
+        nat = [1] * 4 + [2] * 3 + [3] * 3
+        seg = ["A"] * 4 + ["B"] * 3 + [None] * 3
+        bal = [10.0] * 4 + [1.0, 2.0, 3.0] + [5.0, 6.0, None]
+        pq.write_table(
+            pa.table(
+                {
+                    "c_nationkey": pa.array(nat, pa.int32()),
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "c_acctbal": pa.array(bal, pa.float64()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        rows = {
+            (r["c_nationkey"], r["c_mktsegment"]): r
+            for r in custs_ldiversity_audit(str(tmp_path)).take_all()
+        }
+        assert rows[(1, "A")] == {
+            "c_nationkey": 1, "c_mktsegment": "A",
+            "group_n": 4, "n_sensitive": 1, "diverse": False,
+        }
+        assert rows[(2, "B")]["n_sensitive"] == 3 and rows[(2, "B")]["diverse"]
+        assert rows[(3, None)]["group_n"] == 3
+        assert rows[(3, None)]["n_sensitive"] == 2
+        assert not rows[(3, None)]["diverse"]
+
+
 class TestMediaDedupExact:
     def test_planted_duplicates(self, ray_session):
         """Byte-identical payloads collapse to the min media_id with the
