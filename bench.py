@@ -180,6 +180,11 @@ QUERY_NAMES = [
     "click_minus_view_users_bag",
     "doc_compression_ratio",
     "custs_ldiversity_audit",
+    "doc_ttr",
+    "cust_target_encoding",
+    "cust_balance_imputed",
+    "part_pair_lift",
+    "user_hour_ohlc",
 ]
 
 

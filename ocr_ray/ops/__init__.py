@@ -630,3 +630,23 @@ REGISTRY.update(
 from ocr_ray.ops.scrub import CUSTS_LDIVERSITY_AUDIT_SQL, custs_ldiversity_audit
 
 REGISTRY["custs_ldiversity_audit"] = (custs_ldiversity_audit, CUSTS_LDIVERSITY_AUDIT_SQL)
+
+from ocr_ray.ops.textstats import DOC_TTR_SQL, doc_ttr
+
+REGISTRY["doc_ttr"] = (doc_ttr, DOC_TTR_SQL)
+
+from ocr_ray.ops.mlprep import CUST_TARGET_ENCODING_SQL, cust_target_encoding
+
+REGISTRY["cust_target_encoding"] = (cust_target_encoding, CUST_TARGET_ENCODING_SQL)
+
+from ocr_ray.ops.mlprep import CUST_BALANCE_IMPUTED_SQL, cust_balance_imputed
+
+REGISTRY["cust_balance_imputed"] = (cust_balance_imputed, CUST_BALANCE_IMPUTED_SQL)
+
+from ocr_ray.ops.stats import PART_PAIR_LIFT_SQL, part_pair_lift
+
+REGISTRY["part_pair_lift"] = (part_pair_lift, PART_PAIR_LIFT_SQL)
+
+from ocr_ray.ops.timeseries import USER_HOUR_OHLC_SQL, user_hour_ohlc
+
+REGISTRY["user_hour_ohlc"] = (user_hour_ohlc, USER_HOUR_OHLC_SQL)

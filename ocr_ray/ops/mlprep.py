@@ -776,3 +776,238 @@ SELECT event_id, ts_rank FROM (
   FROM events
 ) WHERE (ts_rank - 1) % {_SYSTEMATIC_K} = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+def cust_target_encoding(sf_dir: str) -> Dataset:
+    """Leave-one-out target encoding of ``c_mktsegment`` by account balance:
+    for each customer, the mean balance of the OTHER customers in the same
+    segment, emitted as the exact integer rational ``loo_num / loo_den``
+    (cents sum minus own / count minus one). LOO is the leakage-safe form —
+    encoding a row with a statistic that includes its own target leaks the
+    label into the feature, the classic target-encoding bug.
+
+    Plan: per-batch arrow ``group_by`` partials (segment → non-null cents
+    sum + count; nulls form their own segment group, matching SQL window
+    PARTITION BY), driver fold of the tiny segment census (|segments| + 1
+    rows — broadcast-safe at any corpus size), then one streaming pass
+    computes the per-row subtraction via ``index_in`` (NULL segment matches
+    the NULL census row natively). The corpus never shuffles.
+
+    Contract (mirrored in SQL): NULL balances contribute to neither sum nor
+    count but still receive an encoding (their group's full sum/count);
+    a singleton group's non-null row gets ``loo_den = 0`` (undefined mean,
+    caller's NULL)."""
+    import pyarrow.compute as pc
+
+    from ocr_ray.functions.scalars import to_cents
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"seg": t.column("c_mktsegment"), "c": to_cents(t.column("c_acctbal"))}
+        )
+        out = g.group_by(["seg"]).aggregate([("c", "sum"), ("c", "count")])
+        return out.rename_columns(["seg", "s", "n"])
+
+    folds: dict = {}
+    for b in cust.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for seg, s, n in zip(
+            b.column("seg").to_pylist(), b.column("s").to_pylist(), b.column("n").to_pylist()
+        ):
+            cur = folds.get(seg, (0, 0))
+            folds[seg] = (cur[0] + (s or 0), cur[1] + n)
+
+    segs = list(folds.keys())
+    seg_arr = pa.array(segs, pa.string())
+    sums = np.array([folds[s][0] for s in segs], dtype=np.int64)
+    cnts = np.array([folds[s][1] for s in segs], dtype=np.int64)
+
+    def encode(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("c_mktsegment"), value_set=seg_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        own = to_cents(t.column("c_acctbal"))
+        has_own = pc.is_valid(own).to_numpy(zero_copy_only=False)
+        own_filled = pc.fill_null(own, pa.scalar(0, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "loo_num": pa.array(sums[idx] - own_filled, pa.int64()),
+                "loo_den": pa.array(cnts[idx] - has_own.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cust.map_batches(encode, batch_format="pyarrow")
+
+
+CUST_TARGET_ENCODING_SQL = """
+WITH v AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(SUM(c) OVER (PARTITION BY c_mktsegment), 0)
+            - COALESCE(c, 0) AS BIGINT) AS loo_num,
+       CAST(COUNT(c) OVER (PARTITION BY c_mktsegment)
+            - CASE WHEN c IS NULL THEN 0 ELSE 1 END AS BIGINT) AS loo_den
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# group-statistic imputation: NULL balance -> segment lower median
+# ---------------------------------------------------------------------------
+
+_IMPUTE_BUCKET_CENTS = 1_000_000  # $10k histogram buckets for the rank plan
+
+
+def cust_balance_imputed(sf_dir: str) -> Dataset:
+    """Missing-value imputation by group statistic: NULL account balances
+    are filled with their segment's exact LOWER MEDIAN (a real data value —
+    no interpolation, so the gate is float-free). The third imputation
+    shape next to time-interpolation (``user_value_interpolated``) and LOCF
+    (``user_days_locf``): no time axis, just a category prior.
+
+    Plan (no global sort, corpus never shuffles): per-batch (segment,
+    bucket) histogram partials → driver fold of the tiny census → per
+    segment the median-bearing bucket is identified by rank arithmetic and
+    ONLY that bucket's rows are fetched and sorted (the bucket-histogram
+    rank plan of ``order_price_mad``, lifted per group); medians broadcast
+    into one streaming imputation pass.
+
+    Contract (mirrored in SQL): median over non-NULL balances per segment
+    (NULL segment is its own group); a segment with zero non-NULL balances
+    leaves its rows NULL with ``imputed = false``."""
+    import pyarrow.compute as pc
+
+    from ocr_ray.functions.scalars import to_cents
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = to_cents(t.column("c_acctbal"))
+        keep = pc.is_valid(c)
+        seg = t.column("c_mktsegment").filter(keep)
+        cents = c.filter(keep).to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(cents, _IMPUTE_BUCKET_CENTS)
+        g = pa.table({"seg": seg, "bucket": pa.array(bucket, pa.int64())})
+        out = g.group_by(["seg", "bucket"]).aggregate([([], "count_all")])
+        return out.rename_columns(["seg", "bucket", "n"])
+
+    census: dict = {}
+    for b in cust.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for seg, bk, n in zip(
+            b.column("seg").to_pylist(), b.column("bucket").to_pylist(), b.column("n").to_pylist()
+        ):
+            census[(seg, bk)] = census.get((seg, bk), 0) + n
+
+    # per segment: locate the lower-median bucket and the rank within it
+    per_seg: dict = {}
+    for (seg, bk), n in census.items():
+        per_seg.setdefault(seg, []).append((bk, n))
+    target: dict = {}  # seg -> (median_bucket, rank_within_bucket 1-based)
+    for seg, buckets in per_seg.items():
+        buckets.sort()
+        total = sum(n for _, n in buckets)
+        rank = (total + 1) // 2
+        seen = 0
+        for bk, n in buckets:
+            if seen + n >= rank:
+                target[seg] = (bk, rank - seen)
+                break
+            seen += n
+
+    segs = list(target.keys())
+    seg_arr = pa.array(segs, pa.string())
+    med_bucket = np.array([target[s][0] for s in segs], dtype=np.int64)
+
+    def median_rows(t: pa.Table) -> pa.Table:
+        c = to_cents(t.column("c_acctbal"))
+        keep = pc.is_valid(c)
+        seg = t.column("c_mktsegment").filter(keep)
+        cents = c.filter(keep).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(seg, value_set=seg_arr)
+        hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        idx_i = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = hit & (np.floor_divide(cents, _IMPUTE_BUCKET_CENTS) == med_bucket[idx_i])
+        return pa.table(
+            {
+                "si": pa.array(idx_i[mask], pa.int64()),
+                "c": pa.array(cents[mask], pa.int64()),
+            }
+        )
+
+    cand: dict = {}
+    for b in cust.map_batches(median_rows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for si, c in zip(b.column("si").to_pylist(), b.column("c").to_pylist()):
+            cand.setdefault(si, []).append(c)
+
+    med_val = np.zeros(len(segs), dtype=np.int64)
+    for si, vals in cand.items():
+        seg = segs[si]
+        bk, within = target[seg]
+        # rank within the bucket counts values in EARLIER buckets already
+        vals.sort()
+        med_val[si] = vals[within - 1]
+
+    def impute(t: pa.Table) -> pa.Table:
+        own = to_cents(t.column("c_acctbal"))
+        idx = pc.index_in(t.column("c_mktsegment"), value_set=seg_arr)
+        has_med = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        idx_i = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        fill = pa.array(
+            np.where(has_med, med_val[idx_i], 0), pa.int64()
+        )
+        is_null = pc.is_null(own)
+        use_fill = pc.and_(is_null, pa.array(has_med))
+        bal = pc.if_else(use_fill, fill, own)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "bal_cents": bal,
+                "imputed": use_fill,
+            }
+        )
+
+    return cust.map_batches(impute, batch_format="pyarrow")
+
+
+CUST_BALANCE_IMPUTED_SQL = """
+WITH v AS (
+  SELECT c_custkey, c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment, c AS med FROM (
+    SELECT c_mktsegment, c,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY c) AS rn,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM v WHERE c IS NOT NULL
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT v.c_custkey, v.c_mktsegment,
+       COALESCE(v.c, m.med) AS bal_cents,
+       (v.c IS NULL AND m.med IS NOT NULL) AS imputed
+FROM v LEFT JOIN m ON v.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment
+"""

@@ -2118,3 +2118,123 @@ od AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d)
 SELECT n.cnt AS n_orders, m.med AS median_cents, CAST(od.dv AS BIGINT) AS mad_cents
 FROM n, m, od WHERE od.rn = (n.cnt + 1) // 2
 """
+
+
+# ---------------------------------------------------------------------------
+# association rules over the pair census: confidence / lift as exact rationals
+# ---------------------------------------------------------------------------
+
+
+def part_pair_lift(sf_dir: str) -> Dataset:
+    """Association-rule strength for the top co-purchased part pairs:
+    support (``pair_n``), per-item basket counts, and LIFT as the exact
+    integer rational ``lift_num / lift_den`` = ``N·c(a,b) / (c(a)·c(b))``
+    (>1 means the pair co-occurs more than independence predicts — support
+    alone just surfaces popular items; lift is the actual signal of a
+    recommender census). Confidence(a→b) is ``pair_n / n_a``.
+
+    Plan: reuses ``part_pair_counts``'s bounded top-k census (its result is
+    ≤ k rows on the driver by construction), then computes the ≤ 2k item
+    basket-counts with a broadcast ``is_in`` prune BEFORE any shuffle —
+    the groupbys run over only the pruned pairs, never the corpus — and
+    the global basket count N via the per-batch-distinct → grouped-count
+    plan (``distinct_users``'s shape). Everything that moves is keys.
+
+    Contract (mirrored in SQL): baskets are DISTINCT (order, part) with
+    non-NULL keys; N counts baskets with ≥1 non-NULL part."""
+    from ray.data.aggregate import Count, Sum
+
+    top = part_pair_counts(sf_dir).take_all()
+    if not top:
+        e = pa.array([], pa.int64())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "part_a": e, "part_b": e, "pair_n": e,
+                    "n_a": e, "n_b": e, "lift_num": e, "lift_den": e,
+                }
+            )
+        )
+    wanted = sorted({r["part_a"] for r in top} | {r["part_b"] for r in top})
+    wanted_arr = pa.array(wanted, pa.int64())
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def prune_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("l_orderkey")), pc.is_valid(t.column("l_partkey")))
+        )
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=wanted_arr))
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    # global-exact pair dedup (bounded: only wanted parts' rows), then the
+    # per-part basket count
+    pairs = (
+        li.map_batches(prune_distinct, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    item_counts: dict[int, int] = {}
+    for b in pairs.map_batches(
+        lambda t: t.group_by(["l_partkey"]).aggregate([([], "count_all")]).rename_columns(
+            ["l_partkey", "n"]
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for p, n in zip(b.column("l_partkey").to_pylist(), b.column("n").to_pylist()):
+            item_counts[p] = item_counts.get(p, 0) + n
+
+    def distinct_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("l_orderkey")), pc.is_valid(t.column("l_partkey")))
+        )
+        return pa.table({"o": pc.unique(t.column("l_orderkey"))})
+
+    n_baskets = (
+        li.map_batches(distinct_orders, batch_format="pyarrow")
+        .groupby("o")
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+
+    a = np.array([r["part_a"] for r in top], dtype=np.int64)
+    b = np.array([r["part_b"] for r in top], dtype=np.int64)
+    n = np.array([r["n"] for r in top], dtype=np.int64)
+    na = np.array([item_counts[int(x)] for x in a], dtype=np.int64)
+    nb = np.array([item_counts[int(x)] for x in b], dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "part_a": pa.array(a), "part_b": pa.array(b), "pair_n": pa.array(n),
+                "n_a": pa.array(na), "n_b": pa.array(nb),
+                "lift_num": pa.array(n * np.int64(n_baskets)),
+                "lift_den": pa.array(na * nb),
+            }
+        )
+    )
+
+
+PART_PAIR_LIFT_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY pair_n DESC, part_a, part_b
+  LIMIT {_PAIR_TOPK}
+)
+SELECT part_a, part_b, pair_n,
+       ca.c AS n_a, cb.c AS n_b,
+       CAST(pair_n * nb.n AS BIGINT) AS lift_num,
+       CAST(ca.c * cb.c AS BIGINT) AS lift_den
+FROM pairs
+CROSS JOIN nb
+JOIN ic ca ON ca.l_partkey = pairs.part_a
+JOIN ic cb ON cb.l_partkey = pairs.part_b
+"""

@@ -709,3 +709,92 @@ def doc_compression_ratio(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(ratios, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity: type-token ratio + Simpson repeat concentration
+# ---------------------------------------------------------------------------
+
+
+def doc_ttr(sf_dir: str) -> Dataset:
+    """Per-document lexical diversity: token count, DISTINCT token count
+    (the type-token ratio's exact numerator/denominator) and the Simpson
+    repeat-concentration ingredients ``sum c*(c-1)`` / ``n*(n-1)`` — the
+    probability two random tokens of the doc are the same word. Low TTR /
+    high Simpson flags template/boilerplate docs that slip past length
+    gates; it's the standard lexical screen next to the compression-ratio
+    signal (``doc_compression_ratio``).
+
+    Tokenizer is the repo-wide UNNEST convention (``explode_doc_words``):
+    split on single spaces, duplicates and empty fragments preserved, so
+    the DuckDB mirror is ``string_split(text, ' ')`` — identical by
+    construction.
+
+    Plan: embarrassingly parallel, zero shuffle. Per batch: split →
+    flatten with parent row index → ``dictionary_encode`` the flat words
+    (string compares become int compares) → ONE lexsort over (row, code)
+    → run-length boundaries give distinct-per-row and per-(row,word)
+    counts; ``np.add.reduceat`` folds the Simpson numerator. No Python
+    per row, no text through any shuffle.
+
+    Contract (mirrored in SQL): NULL doc_id and NULL text rows are
+    excluded (SQL GROUP BY would fuse all NULL ids into one row while a
+    per-row scan keeps each — the recurring NULL-output-key class)."""
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("text")))
+        )
+        parts = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts).combine_chunks()
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        order = np.lexsort((codes, rows))
+        r, c = rows[order], codes[order]
+        new = np.empty(len(r), dtype=bool)
+        if len(r):
+            new[0] = True
+            np.not_equal(r[1:], r[:-1], out=new[1:])
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(r))).astype(np.int64)
+        # distinct words per row: count of runs whose row index == row
+        run_rows = r[starts] if len(starts) else np.array([], np.int64)
+        n_distinct = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_distinct, run_rows, 1)
+        simpson_num = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(simpson_num, run_rows, cnt * (cnt - 1))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "simpson_num": pa.array(simpson_num, pa.int64()),
+                "simpson_den": pa.array(lens * (lens - 1), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+DOC_TTR_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS simpson_num,
+       CAST(SUM(cnt) * (SUM(cnt) - 1) AS BIGINT) AS simpson_den
+FROM c GROUP BY doc_id
+"""

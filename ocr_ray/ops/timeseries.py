@@ -3254,3 +3254,162 @@ p AS (
 c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path)
 SELECT path, n FROM c ORDER BY n DESC, path LIMIT {_PATH_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: grouped first/last/min/max value matrix per (user, hour)
+# ---------------------------------------------------------------------------
+
+
+def user_hour_ohlc(sf_dir: str) -> Dataset:
+    """OHLC bars per (user, hour): open = value at the bar's first tick,
+    close = at its last, plus high/low/count — the downsampling shape that
+    turns a raw tick stream into fixed-rate features (the financial
+    candlestick, but equally the "first/last reading per sensor-hour"
+    compaction). FIRST_VALUE/LAST_VALUE is the aggregate family the window
+    matrix lacked: unlike min/max it needs the ARG at an extreme, with a
+    deterministic tie rule.
+
+    Tie rule (mirrored in SQL): open = MIN(value) among min-ts rows,
+    close = MAX(value) among max-ts rows — i.e. the lexicographic
+    min/max of (ts, value), fully determined by the data with no
+    dependence on row ids.
+
+    Plan: per-BATCH vectorized bar partials first (one sort + run-boundary
+    reduceat per batch — the shuffle carries at most one row per (user,
+    hour) per batch, never ticks), then a coarse-key ``grouped_scan``
+    merges partials: n sums, low/high fold, open/close re-apply the same
+    lexicographic rule over partial endpoints (mergeability is why the
+    rule is lexmin/lexmax rather than "first by id").
+
+    Contract (mirrored in SQL): NULL user_id / ts / value rows are
+    excluded (the entity-series contract of this module)."""
+    from ocr_ray.functions.scalars import epoch_hours, to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))),
+                pc.is_valid(t.column("value")),
+            )
+        )
+        g = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour": epoch_hours(t.column("ts")),
+                "us": t.column("ts").cast(pa.int64()),
+                "c": to_cents(t.column("value")),
+            }
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("hour", "ascending"),
+                    ("us", "ascending"),
+                    ("c", "ascending"),
+                ],
+            )
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        h = g.column("hour").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            e = np.array([], np.int64)
+            return pa.table(
+                {k: pa.array(e) for k in (
+                    "user_id", "hour", "n", "low", "high",
+                    "first_us", "open_c", "last_us", "close_c",
+                )}
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(u[1:], u[:-1], out=new[1:])
+        new[1:] |= h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "hour": pa.array(h[starts]),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "low": pa.array(np.minimum.reduceat(c, starts)),
+                "high": pa.array(np.maximum.reduceat(c, starts)),
+                "first_us": pa.array(us[starts]),
+                "open_c": pa.array(c[starts]),
+                "last_us": pa.array(us[ends - 1]),
+                "close_c": pa.array(c[ends - 1]),
+            }
+        )
+
+    pre = events.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        keys = ["user_id", "hour"]
+        agg = df.groupby(keys, sort=False).agg(
+            n=("n", "sum"), low=("low", "min"), high=("high", "max")
+        )
+        opens = (
+            df.sort_values(keys + ["first_us", "open_c"])
+            .drop_duplicates(keys, keep="first")
+            .set_index(keys)[["first_us", "open_c"]]
+        )
+        closes = (
+            df.sort_values(keys + ["last_us", "close_c"])
+            .drop_duplicates(keys, keep="last")
+            .set_index(keys)[["last_us", "close_c"]]
+        )
+        out = agg.join(opens).join(closes).reset_index()
+        return out.drop(columns=["__part"], errors="ignore")
+
+    merged = grouped_scan(pre, "user_id", merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "hour": pc.cast(t.column("hour"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "first_ts": pc.cast(t.column("first_us"), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "last_ts": pc.cast(t.column("last_us"), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "open_cents": pc.cast(t.column("open_c"), pa.int64()),
+                "high_cents": pc.cast(t.column("high"), pa.int64()),
+                "low_cents": pc.cast(t.column("low"), pa.int64()),
+                "close_cents": pc.cast(t.column("close_c"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+USER_HOUR_OHLC_SQL = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+g AS (
+  SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         MIN(c) AS low_cents, MAX(c) AS high_cents
+  FROM v GROUP BY 1, 2
+)
+SELECT g.user_id, g.hour, g.n, g.first_ts, g.last_ts,
+       o.open_cents, g.high_cents, g.low_cents, cl.close_cents
+FROM g
+JOIN (SELECT user_id, hour, ts, MIN(c) AS open_cents FROM v GROUP BY 1, 2, 3) o
+  ON o.user_id = g.user_id AND o.hour = g.hour AND o.ts = g.first_ts
+JOIN (SELECT user_id, hour, ts, MAX(c) AS close_cents FROM v GROUP BY 1, 2, 3) cl
+  ON cl.user_id = g.user_id AND cl.hour = g.hour AND cl.ts = g.last_ts
+"""

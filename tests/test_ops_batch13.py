@@ -1,0 +1,166 @@
+"""Planted-input tests for the session-11 op batch (second wave): lexical
+diversity (TTR/Simpson), leave-one-out target encoding, group-median
+imputation, association lift, and OHLC bars."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(dirpath, ids, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["t"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(x or "") for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(dirpath / "documents.parquet"))
+    return str(dirpath)
+
+
+def _write_customers(dirpath, segs, bals):
+    n = len(segs)
+    t = pa.table(
+        {
+            "c_custkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "c_nationkey": pa.array([0] * n, pa.int32()),
+            "c_acctbal": pa.array(bals, pa.float64()),
+            "c_mktsegment": pa.array(segs, pa.string()),
+        }
+    )
+    pq.write_table(t, str(dirpath / "customer.parquet"))
+    return str(dirpath)
+
+
+class TestDocTtr:
+    def test_planted_counts(self, ray_session, tmp_path):
+        from ocr_ray.ops.textstats import doc_ttr
+
+        sf = _write_docs(
+            tmp_path,
+            ids=[1, 2, 3, 4, None],
+            texts=["a a b", "x y z", "", None, "skip me"],
+        )
+        rows = {r["doc_id"]: r for r in doc_ttr(sf).take_all()}
+        # NULL text and NULL doc_id rows excluded
+        assert set(rows) == {1, 2, 3}
+        assert rows[1] == {
+            "doc_id": 1, "n_tokens": 3, "n_distinct": 2,
+            "simpson_num": 2, "simpson_den": 6,
+        }
+        assert rows[2]["n_distinct"] == 3 and rows[2]["simpson_num"] == 0
+        # split('', ' ') yields one empty token in both engines
+        assert rows[3] == {
+            "doc_id": 3, "n_tokens": 1, "n_distinct": 1,
+            "simpson_num": 0, "simpson_den": 0,
+        }
+
+
+class TestTargetEncoding:
+    def test_loo_arithmetic(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import cust_target_encoding
+
+        sf = _write_customers(
+            tmp_path,
+            segs=["A", "A", "A", None],
+            bals=[1.0, 2.0, None, 5.0],
+        )
+        rows = {r["c_custkey"]: r for r in cust_target_encoding(sf).take_all()}
+        assert rows[1]["loo_num"] == 200 and rows[1]["loo_den"] == 1
+        assert rows[2]["loo_num"] == 100 and rows[2]["loo_den"] == 1
+        # NULL balance: full group sum/count (contributes nothing of its own)
+        assert rows[3]["loo_num"] == 300 and rows[3]["loo_den"] == 2
+        # NULL segment is its own group; singleton non-null row -> den 0
+        assert rows[4]["loo_num"] == 0 and rows[4]["loo_den"] == 0
+
+
+class TestBalanceImputed:
+    def test_median_fill_and_all_null_group(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import cust_balance_imputed
+
+        sf = _write_customers(
+            tmp_path,
+            segs=["A", "A", "A", "B", "B", None, None],
+            bals=[1.0, 3.0, None, None, None, 2.0, None],
+        )
+        rows = {r["c_custkey"]: r for r in cust_balance_imputed(sf).take_all()}
+        # segment A: lower median of [100, 300] = 100
+        assert rows[3]["bal_cents"] == 100 and rows[3]["imputed"]
+        assert rows[1]["bal_cents"] == 100 and not rows[1]["imputed"]
+        # segment B has no observations: stays NULL, not imputed
+        assert rows[4]["bal_cents"] is None and not rows[4]["imputed"]
+        # NULL segment is a real group: its NULL row gets the group median
+        assert rows[7]["bal_cents"] == 200 and rows[7]["imputed"]
+
+    def test_median_crosses_buckets(self, ray_session, tmp_path):
+        """Values spanning several $10k histogram buckets exercise the
+        bucket-walk rank arithmetic (median bucket is not the first)."""
+        from ocr_ray.ops.mlprep import cust_balance_imputed
+
+        sf = _write_customers(
+            tmp_path,
+            segs=["A"] * 4,
+            bals=[5.0, 20000.0, 30000.0, None],
+        )
+        rows = {r["c_custkey"]: r for r in cust_balance_imputed(sf).take_all()}
+        # lower median of [500, 2_000_000, 3_000_000] = 2_000_000
+        assert rows[4]["bal_cents"] == 2_000_000 and rows[4]["imputed"]
+
+
+class TestPartPairLift:
+    def test_lift_rationals(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import part_pair_lift
+
+        # baskets: o1={10,20}, o2={10,20}, o3={10,30}; a duplicated
+        # (order, part) line must not double-count
+        ok = [1, 1, 2, 2, 3, 3, 3]
+        pk = [10, 20, 10, 20, 10, 30, 30]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        rows = {
+            (r["part_a"], r["part_b"]): r for r in part_pair_lift(str(tmp_path)).take_all()
+        }
+        assert set(rows) == {(10, 20), (10, 30)}
+        r = rows[(10, 20)]
+        # N=3 baskets, c(10)=3, c(20)=2, pair_n=2 -> lift = 6/6 = 1
+        assert r["pair_n"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
+        assert r["lift_num"] == 6 and r["lift_den"] == 6
+        r = rows[(10, 30)]
+        assert r["pair_n"] == 1 and r["lift_num"] == 3 and r["lift_den"] == 3
+
+
+class TestUserHourOhlc:
+    def test_tie_rules_and_extremes(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import user_hour_ohlc
+
+        h0 = 1_000_000 * 3600 * 500_000  # an arbitrary whole hour in us
+        ts = [h0, h0, h0 + 60_000_000, h0 + 120_000_000, h0 + 120_000_000, h0]
+        vals = [5.0, 3.0, 9.0, 7.0, 8.0, None]
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(1, 7)), pa.int64()),
+                "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array(["click"] * 6, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 6, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = user_hour_ohlc(str(tmp_path)).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        # open: min value among min-ts rows (5.0 vs 3.0 -> 3.0); close: max
+        # value among max-ts rows (7.0 vs 8.0 -> 8.0); NULL value excluded
+        assert r["n"] == 5
+        assert r["open_cents"] == 300 and r["close_cents"] == 800
+        assert r["low_cents"] == 300 and r["high_cents"] == 900
