@@ -163,6 +163,14 @@ def _docs_schema_union(sf_dir: str):
     return docs_schema_union(sf_dir)
 
 
+def _docs_lineage_census(sf_dir: str):
+    """Provenance-column read: per-source-shard census via include_paths
+    (row-level lineage; DuckDB mirror via filename=true)."""
+    from ocr_ray.sources.readers import docs_lineage_census
+
+    return docs_lineage_census(sf_dir)
+
+
 def _conv_texts(sf_dir: str):
     """Conversation flattening: ordered per-conversation text concat (the
     training-document assembly step), SQL-gated via string_agg ORDER BY."""
@@ -350,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_events_rollup": _jsonl_events_rollup,
         "csv_events_rollup": _csv_events_rollup,
         "docs_schema_union": _docs_schema_union,
+        "docs_lineage_census": _docs_lineage_census,
         "extract_context_turns": _extract_context_turns,
     }
     for name, (fn, _sql) in REGISTRY.items():
@@ -405,6 +414,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.sources.readers import docs_schema_union_sql
 
         out["docs_schema_union"] = docs_schema_union_sql(_DRIVER_SF)
+        from ocr_ray.sources.readers import docs_lineage_census_sql
+
+        out["docs_lineage_census"] = docs_lineage_census_sql(_DRIVER_SF)
         from ocr_ray.ops.graph import (
             bfs_hops_graph_sql,
             connected_components_graph_sql,

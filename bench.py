@@ -185,6 +185,10 @@ QUERY_NAMES = [
     "cust_balance_imputed",
     "part_pair_lift",
     "user_hour_ohlc",
+    "user_value_cusum",
+    "ship_delay_business_days",
+    "events_value_histogram",
+    "docs_lineage_census",
 ]
 
 

@@ -650,3 +650,21 @@ REGISTRY["part_pair_lift"] = (part_pair_lift, PART_PAIR_LIFT_SQL)
 from ocr_ray.ops.timeseries import USER_HOUR_OHLC_SQL, user_hour_ohlc
 
 REGISTRY["user_hour_ohlc"] = (user_hour_ohlc, USER_HOUR_OHLC_SQL)
+
+from ocr_ray.ops.timeseries import USER_VALUE_CUSUM_SQL, user_value_cusum
+
+REGISTRY["user_value_cusum"] = (user_value_cusum, USER_VALUE_CUSUM_SQL)
+
+from ocr_ray.ops.timeseries import (
+    SHIP_DELAY_BUSINESS_DAYS_SQL,
+    ship_delay_business_days,
+)
+
+REGISTRY["ship_delay_business_days"] = (
+    ship_delay_business_days,
+    SHIP_DELAY_BUSINESS_DAYS_SQL,
+)
+
+from ocr_ray.ops.stats import EVENTS_VALUE_HISTOGRAM_SQL, events_value_histogram
+
+REGISTRY["events_value_histogram"] = (events_value_histogram, EVENTS_VALUE_HISTOGRAM_SQL)

@@ -2238,3 +2238,82 @@ CROSS JOIN nb
 JOIN ic ca ON ca.l_partkey = pairs.part_a
 JOIN ic cb ON cb.l_partkey = pairs.part_b
 """
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram with pinned under/overflow bins
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH_CENTS = 5_000  # $50 bins
+_HIST_N_BINS = 20  # [0, $1000); below -> bin -1, at/above -> bin 20
+
+
+def events_value_histogram(sf_dir: str) -> Dataset:
+    """Equi-width histogram of event values: twenty $50 bins over
+    [$0, $1000) plus explicit underflow (-1) and overflow (20) bins, each
+    with row count and exact cents sum — the profiling primitive every
+    column-stats pass starts from (``analyze_orders`` keeps min/max/NDV;
+    this is the distribution's shape between them).
+
+    Plan: one per-batch integer census (floor-divide + clip + arrow
+    ``group_by``), ONE tiny groupby over at most 22 rows per batch. The
+    corpus never shuffles; bin arithmetic is integer floor division so
+    negative values land in underflow deterministically.
+
+    Contract (mirrored in SQL): NULL values excluded; bin edges are
+    [lo, hi) half-open; ``lo_cents`` is the bin's inclusive lower edge
+    (NULL for the open-ended under/overflow bins)."""
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def census(t: pa.Table) -> pa.Table:
+        c = to_cents(t.column("value"))
+        c = c.filter(pc.is_valid(c)).to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor_divide(c, _HIST_WIDTH_CENTS), -1, _HIST_N_BINS)
+        g = pa.table({"bin": pa.array(b, pa.int64()), "c": pa.array(c, pa.int64())})
+        out = g.group_by(["bin"]).aggregate([("c", "count"), ("c", "sum")])
+        return out.rename_columns(["bin", "n", "s"])
+
+    agg = (
+        events.map_batches(census, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="sum_cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        inner = (b >= 0) & (b < _HIST_N_BINS)
+        lo = np.where(inner, b * _HIST_WIDTH_CENTS, 0)
+        return pa.table(
+            {
+                "bin": pa.array(b, pa.int64()),
+                "lo_cents": pa.array(
+                    np.ma.masked_array(lo, mask=~inner), pa.int64(), from_pandas=True
+                ),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "sum_cents": pc.cast(t.column("sum_cents"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events WHERE value IS NOT NULL
+),
+b AS (
+  -- DuckDB's // truncates toward zero on negatives; all negatives belong
+  -- to the underflow bin, so pin that branch explicitly (floor parity)
+  SELECT CASE WHEN c < 0 THEN -1
+              ELSE LEAST(c // {_HIST_WIDTH_CENTS}, {_HIST_N_BINS}) END AS bin, c
+  FROM v
+)
+SELECT bin,
+       CASE WHEN bin >= 0 AND bin < {_HIST_N_BINS}
+            THEN CAST(bin * {_HIST_WIDTH_CENTS} AS BIGINT) END AS lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1
+"""

@@ -3413,3 +3413,188 @@ JOIN (SELECT user_id, hour, ts, MIN(c) AS open_cents FROM v GROUP BY 1, 2, 3) o
 JOIN (SELECT user_id, hour, ts, MAX(c) AS close_cents FROM v GROUP BY 1, 2, 3) cl
   ON cl.user_id = g.user_id AND cl.hour = g.hour AND cl.ts = g.last_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection (clamped running sum via its closed window form)
+# ---------------------------------------------------------------------------
+
+_CUSUM_DRIFT_CENTS = 500  # k: allowance subtracted per observation
+_CUSUM_ALARM_CENTS = 10_000  # h: alarm threshold on the statistic
+
+
+def user_value_cusum(sf_dir: str) -> Dataset:
+    """One-sided CUSUM change-detection statistic per user event:
+    ``S_i = max(0, S_{i-1} + value_i - k)`` with alarm at ``S_i > h`` —
+    the sequential drift detector (Page 1954) that flags a sustained
+    upward shift in a user's value stream long before a mean test would.
+
+    The clamp recursion is NOT a plain window aggregate, but it has the
+    exact closed form ``S_i = P_i - least(0, running_min(P_i))`` with
+    ``P_i`` the running sum of ``(value - k)`` — both engines compute THAT,
+    so the gate is exact-integer over a genuinely stateful operator (same
+    trick family as the drawdown/cummax scan, inverted).
+
+    Plan: per-batch projection to (user, ts, event_id, d) cents, one
+    coarse-key ``grouped_scan``; inside a partition each user segment is a
+    vectorized cumsum + running-min (Python per segment, not per row).
+
+    Contract (mirrored in SQL): NULL user_id / ts / value / event_id rows
+    are excluded (event_id breaks ts ties so the order — and therefore
+    every prefix sum — is fully determined)."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t.column("user_id"))
+        for c in ("ts", "value", "event_id"):
+            m = pc.and_(m, pc.is_valid(t.column(c)))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "d": pc.subtract(
+                    to_cents(t.column("value")), pa.scalar(_CUSUM_DRIFT_CENTS, pa.int64())
+                ),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "us", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        n = len(u)
+        s = np.empty(n, dtype=np.int64)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1)) if n else np.array([], np.int64)
+        ends = np.concatenate((starts[1:], [n])) if n else starts
+        for a, b in zip(starts, ends):
+            p = np.cumsum(d[a:b])
+            s[a:b] = p - np.minimum(np.minimum.accumulate(p), 0)
+        out = df[["user_id", "event_id"]].copy()
+        out["cusum_cents"] = s
+        out["alarm"] = s > _CUSUM_ALARM_CENTS
+        return out
+
+    return grouped_scan(pre, "user_id", scan)
+
+
+USER_VALUE_CUSUM_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) - {_CUSUM_DRIFT_CENTS} AS d
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL
+),
+p AS (
+  SELECT user_id, event_id, ts,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS p
+  FROM v
+),
+r AS (
+  SELECT user_id, event_id,
+         p,
+         MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run_min
+  FROM p
+)
+SELECT user_id, event_id,
+       CAST(p - LEAST(run_min, 0) AS BIGINT) AS cusum_cents,
+       (p - LEAST(run_min, 0)) > {_CUSUM_ALARM_CENTS} AS alarm
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# business-day calendar arithmetic: order -> ship fulfillment latency census
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY_BD = 86_400_000_000
+# weekdays among epoch days [0..k) for k = 0..6; epoch day 0 (1970-01-01)
+# is a THURSDAY, so the 7-day pattern is Thu Fri Sat Sun Mon Tue Wed
+_BD_PREFIX = (0, 1, 2, 2, 2, 3, 4)
+
+
+def ship_delay_business_days(sf_dir: str) -> Dataset:
+    """Fulfillment-latency census in BUSINESS days: for every lineitem, the
+    count of weekdays in ``(o_orderdate, l_shipdate]`` — calendar-aware
+    interval arithmetic (weekends don't count against an SLA), the shape
+    plain timestamp subtraction can't express. Output is the tiny
+    ``(business_days, n_lineitems)`` distribution.
+
+    The weekday count uses the closed form ``g(d) = 5*(d/7) + P[d%7]``
+    (weekdays among epoch days ``[0, d)``; epoch day zero is a Thursday,
+    P its 7-day prefix table) so both engines compute identical integers —
+    no per-day loop, no calendar table.
+
+    Plan: orders project to (key, order-day) and join lineitem via the
+    cost-based ``auto_join`` (broadcast under threshold, hash-partitioned
+    above); the census partial runs per batch so the final shuffle carries
+    at most |distinct delays| rows per batch.
+
+    Contract (mirrored in SQL): NULL order/ship dates excluded; inner join
+    drops orphan lineitems; a ship date before the order date yields a
+    negative count (the audit signal, not an error)."""
+    from ocr_ray.functions.joins import auto_join
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def days(t: pa.Table, col: str, out: str) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(col)))
+        us = t.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = np.floor_divide(us, _US_PER_DAY_BD)
+        return t.drop_columns([col]).append_column(out, pa.array(d, pa.int64()))
+
+    o = orders.map_batches(lambda t: days(t, "o_orderdate", "od"), batch_format="pyarrow")
+    l = li.map_batches(lambda t: days(t, "l_shipdate", "sd"), batch_format="pyarrow")
+    joined = auto_join(l, o, on="l_orderkey", right_on="o_orderkey")
+
+    def _g(d: np.ndarray) -> np.ndarray:
+        p = np.array(_BD_PREFIX, dtype=np.int64)
+        return 5 * np.floor_divide(d, 7) + p[np.mod(d, 7)]
+
+    def census(t: pa.Table) -> pa.Table:
+        sd = t.column("sd").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = t.column("od").to_numpy(zero_copy_only=False).astype(np.int64)
+        bd = _g(sd + 1) - _g(od + 1)
+        u, c = np.unique(bd, return_counts=True)
+        return pa.table(
+            {"business_days": pa.array(u, pa.int64()), "n": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(census, batch_format="pyarrow")
+        .groupby("business_days")
+        .aggregate(Sum("n", alias_name="n_lineitems"))
+    )
+
+
+SHIP_DELAY_BUSINESS_DAYS_SQL = """
+WITH j AS (
+  SELECT epoch_us(o.o_orderdate) // 86400000000 AS od,
+         epoch_us(l.l_shipdate) // 86400000000 AS sd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+),
+g AS (
+  SELECT (5 * ((sd + 1) // 7) + [0, 1, 2, 2, 2, 3, 4][((sd + 1) % 7) + 1])
+       - (5 * ((od + 1) // 7) + [0, 1, 2, 2, 2, 3, 4][((od + 1) % 7) + 1])
+         AS business_days
+  FROM j
+)
+SELECT CAST(business_days AS BIGINT) AS business_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM g GROUP BY 1
+"""

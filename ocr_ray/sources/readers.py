@@ -277,3 +277,104 @@ def docs_schema_union_sql(sf_dir: str) -> str:
 SELECT doc_id, text, lang, source
 FROM read_parquet(['{a}', '{b}'], union_by_name=true)
 """
+
+
+# ---------------------------------------------------------------------------
+# provenance / lineage read: per-shard source column
+# ---------------------------------------------------------------------------
+
+
+def ensure_sharded_docs_fixture(
+    sf_dir: str, root: str = "/tmp/ocr_ray_fixtures", n_shards: int = 4
+) -> list[str]:
+    """Deterministic multi-shard export of the documents table (doc_id % n
+    routing, identical schema per shard) — the many-files layout every real
+    corpus has, for exercising the provenance-column read path."""
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(root, f"sharded_docs_{tag}")
+    paths = [os.path.join(out, f"docs_shard_{i}.parquet") for i in range(n_shards)]
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out, exist_ok=True)
+    src = f"read_parquet('{sf_dir}/documents.parquet')"
+    for i, p in enumerate(paths):
+        duckdb.sql(
+            f"COPY (SELECT doc_id, lang, n_chars FROM {src} "
+            f"WHERE doc_id % {n_shards} = {i} ORDER BY doc_id) "
+            f"TO '{p}.tmp.parquet' (FORMAT PARQUET)"
+        )
+        os.replace(f"{p}.tmp.parquet", p)
+    open(marker, "w").close()
+    return paths
+
+
+def read_parquet_with_lineage(
+    paths: list[str], *, columns: list[str] | None = None, col: str = "shard"
+) -> Dataset:
+    """Parquet read that attaches each row's SOURCE FILE basename as a
+    column — row-level provenance, the lineage primitive behind
+    "which shard produced this bad row" debugging and per-source quota /
+    audit passes (the file-granularity sibling of the sink's manifest
+    lineage, state/sink.read_manifests).
+
+    Ray Data's ``include_paths=True`` stamps the path at the read task —
+    zero shuffle, zero extra I/O (the path is task metadata, not data);
+    one vectorized basename projection follows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(paths, columns=columns, include_paths=True)
+
+    def basename(t: pa.Table) -> pa.Table:
+        # replace the full path with its basename: strip the greedy
+        # everything-up-to-last-slash prefix, vectorized
+        last = pc.replace_substring_regex(t.column("path"), pattern=r"^.*/", replacement="")
+        return t.drop_columns(["path"]).append_column(col, last)
+
+    return ds.map_batches(basename, batch_format="pyarrow")
+
+
+def docs_lineage_census(sf_dir: str) -> Dataset:
+    """Per-source-shard census over the provenance read: doc count + chars
+    total per shard file (the audit every multi-source ingest runs first)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    paths = ensure_sharded_docs_fixture(sf_dir)
+    ds = read_parquet_with_lineage(paths, columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["shard"]).aggregate([("doc_id", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["shard", "n_docs", "sum_chars"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "shard": t.column("shard"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "sum_chars": pc.cast(t.column("sum_chars"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def docs_lineage_census_sql(sf_dir: str) -> str:
+    paths = ensure_sharded_docs_fixture(sf_dir)
+    plist = ", ".join(f"'{p}'" for p in paths)
+    return f"""
+SELECT regexp_extract(filename, '[^/]+$') AS shard,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM read_parquet([{plist}], filename=true)
+GROUP BY 1
+"""

@@ -164,3 +164,123 @@ class TestUserHourOhlc:
         assert r["n"] == 5
         assert r["open_cents"] == 300 and r["close_cents"] == 800
         assert r["low_cents"] == 300 and r["high_cents"] == 900
+
+
+class TestUserValueCusum:
+    def test_clamp_recursion(self, ray_session, tmp_path):
+        """The closed window form must equal the textbook recursion
+        S_i = max(0, S_{i-1} + x_i - k)."""
+        from ocr_ray.ops.timeseries import (
+            _CUSUM_ALARM_CENTS,
+            _CUSUM_DRIFT_CENTS,
+            user_value_cusum,
+        )
+
+        vals = [10.0, 2.0, 200.0, 1.0, 1.0, 300.0]
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(1, 7)), pa.int64()),
+                "ts": pa.array(
+                    np.arange(6, dtype=np.int64) * 1_000_000, pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array(["click"] * 6, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 6, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {r["event_id"]: r for r in user_value_cusum(str(tmp_path)).take_all()}
+        s = 0
+        for i, v in enumerate(vals, start=1):
+            s = max(0, s + int(round(v * 100)) - _CUSUM_DRIFT_CENTS)
+            assert rows[i]["cusum_cents"] == s, (i, s, rows[i])
+            assert rows[i]["alarm"] == (s > _CUSUM_ALARM_CENTS)
+
+
+class TestShipDelayBusinessDays:
+    def test_known_calendar(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import ship_delay_business_days
+
+        # 2024-01-05 is a Friday; 2024-01-08 the following Monday.
+        import datetime as dt
+
+        def us(y, m, d):
+            return int(dt.datetime(y, m, d).timestamp() * 1e6)
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderstatus": pa.array(["F", "F"], pa.string()),
+                "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+                "o_orderdate": pa.array(
+                    np.array([us(2024, 1, 5), us(2024, 1, 1)], np.int64),
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1"] * 2, pa.string()),
+            }
+        )
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_shipdate": pa.array(
+                    np.array(
+                        [us(2024, 1, 8), us(2024, 1, 5), us(2024, 1, 8)], np.int64
+                    ),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        rows = {
+            r["business_days"]: r["n_lineitems"]
+            for r in ship_delay_business_days(str(tmp_path)).take_all()
+        }
+        # Fri -> Mon crosses a weekend: exactly 1 business day; same-day: 0;
+        # Mon Jan 1 -> Mon Jan 8: 5 business days
+        assert rows == {1: 1, 0: 1, 5: 1}
+
+
+class TestEventsValueHistogram:
+    def test_edges_and_overflow(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import events_value_histogram
+
+        vals = [-0.01, 0.0, 49.99, 50.0, 999.99, 1000.0, 5000.0, None]
+        n = len(vals)
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(n)), pa.int64()),
+                "ts": pa.array(np.zeros(n, np.int64), pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {r["bin"]: r for r in events_value_histogram(str(tmp_path)).take_all()}
+        assert rows[-1]["n"] == 1 and rows[-1]["lo_cents"] is None
+        assert rows[0]["n"] == 2 and rows[0]["lo_cents"] == 0  # [0, 50)
+        assert rows[1]["n"] == 1 and rows[1]["lo_cents"] == 5000  # [50, 100)
+        assert rows[19]["n"] == 1  # [950, 1000)
+        assert rows[20]["n"] == 2 and rows[20]["lo_cents"] is None  # overflow
+
+
+class TestDocsLineage:
+    def test_shard_attribution(self, ray_session, tmp_path):
+        """Provenance column routes every row back to its source file."""
+        from ocr_ray.sources.readers import read_parquet_with_lineage
+
+        a = tmp_path / "a.parquet"
+        b = tmp_path / "b.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64())}), str(a)
+        )
+        pq.write_table(
+            pa.table({"doc_id": pa.array([3], pa.int64())}), str(b)
+        )
+        rows = read_parquet_with_lineage([str(a), str(b)]).take_all()
+        got = {r["doc_id"]: r["shard"] for r in rows}
+        assert got == {1: "a.parquet", 2: "a.parquet", 3: "b.parquet"}

@@ -60,6 +60,9 @@ def _rebind_extract_oracles():
     from ocr_ray.sources.readers import docs_schema_union_sql
 
     _SQLS["docs_schema_union"] = docs_schema_union_sql(SF)
+    from ocr_ray.sources.readers import docs_lineage_census_sql
+
+    _SQLS["docs_lineage_census"] = docs_lineage_census_sql(SF)
     from ocr_ray.ops.graph import (
         bfs_hops_graph_sql,
         connected_components_graph_sql,
