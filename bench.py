@@ -189,6 +189,9 @@ QUERY_NAMES = [
     "ship_delay_business_days",
     "events_value_histogram",
     "docs_lineage_census",
+    "order_price_runs",
+    "user_value_moving_median",
+    "user_value_scaled",
 ]
 
 

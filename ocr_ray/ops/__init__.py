@@ -668,3 +668,21 @@ REGISTRY["ship_delay_business_days"] = (
 from ocr_ray.ops.stats import EVENTS_VALUE_HISTOGRAM_SQL, events_value_histogram
 
 REGISTRY["events_value_histogram"] = (events_value_histogram, EVENTS_VALUE_HISTOGRAM_SQL)
+
+from ocr_ray.ops.stats import ORDER_PRICE_RUNS_SQL, order_price_runs
+
+REGISTRY["order_price_runs"] = (order_price_runs, ORDER_PRICE_RUNS_SQL)
+
+from ocr_ray.ops.timeseries import (
+    USER_VALUE_MOVING_MEDIAN_SQL,
+    user_value_moving_median,
+)
+
+REGISTRY["user_value_moving_median"] = (
+    user_value_moving_median,
+    USER_VALUE_MOVING_MEDIAN_SQL,
+)
+
+from ocr_ray.ops.mlprep import USER_VALUE_SCALED_SQL, user_value_scaled
+
+REGISTRY["user_value_scaled"] = (user_value_scaled, USER_VALUE_SCALED_SQL)

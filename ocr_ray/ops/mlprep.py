@@ -1011,3 +1011,92 @@ SELECT v.c_custkey, v.c_mktsegment,
        (v.c IS NULL AND m.med IS NOT NULL) AS imputed
 FROM v LEFT JOIN m ON v.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group min-max feature scaling (fixed-point exact)
+# ---------------------------------------------------------------------------
+
+
+def user_value_scaled(sf_dir: str) -> Dataset:
+    """Per-user min-max scaling of event values to [0, 1] in 1e-6 fixed
+    point: ``scaled_e6 = (x − min) · 10⁶ // (max − min)`` — the
+    normalization step of per-entity feature engineering, exact-integer so
+    the gate never sees a float. A constant series (max = min) scales to 0.
+
+    Plan: per-batch (user → min, max) partials through ONE keyed groupby
+    (ints only), then the tiny-per-user stats rejoin the stream via the
+    cost-based ``auto_join`` (broadcast under threshold, hash-partitioned
+    above) and the scaling is one vectorized pass. The floor division has
+    a non-negative numerator, so SQL's truncating ``//`` agrees.
+
+    Contract (mirrored in SQL): NULL user_id / value / event_id rows are
+    excluded."""
+    from ray.data.aggregate import Max, Min
+
+    from ocr_ray.functions.joins import auto_join
+    from ocr_ray.functions.scalars import to_cents
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("value"))),
+            pc.is_valid(t.column("event_id")),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "c": to_cents(t.column("value")),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([("c", "min"), ("c", "max")])
+        return g.rename_columns(["user_id", "lo", "hi"])
+
+    stats = (
+        pre.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+    joined = auto_join(pre, stats, on="user_id")
+
+    def scale(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        span = hi - lo
+        scaled = np.where(span > 0, (c - lo) * 1_000_000 // np.maximum(span, 1), 0)
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "scaled_e6": pa.array(scaled, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(scale, batch_format="pyarrow")
+
+
+USER_VALUE_SCALED_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+),
+s AS (
+  SELECT user_id, MIN(c) AS lo, MAX(c) AS hi FROM v GROUP BY user_id
+)
+SELECT v.user_id, v.event_id,
+       CAST(CASE WHEN s.hi > s.lo
+                 THEN (v.c - s.lo) * 1000000 // (s.hi - s.lo)
+                 ELSE 0 END AS BIGINT) AS scaled_e6
+FROM v JOIN s ON v.user_id = s.user_id
+"""

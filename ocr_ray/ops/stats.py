@@ -2317,3 +2317,151 @@ SELECT bin,
        CAST(SUM(c) AS BIGINT) AS sum_cents
 FROM b GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test ingredients: ordered global fold with boundary state
+# ---------------------------------------------------------------------------
+
+_RUNS_CHUNK_DAYS = 32  # date-bucket chunk key (monotone in order date)
+
+
+def order_price_runs(sf_dir: str) -> pa.Table:
+    """Wald–Wolfowitz runs-test ingredients over the order-price sequence in
+    date order: counts above/below the global median and the number of
+    sign RUNS. Far fewer runs than expected flags trend/autocorrelation,
+    far more flags oscillation — the classic randomness audit on a metric
+    stream, and the one aggregate family that genuinely needs GLOBAL
+    ORDER, exercised here as a distributed ordered fold.
+
+    Plan: the median comes from the bucket-histogram rank plan (no sort);
+    signs are then folded in DATE-BUCKET chunks — each chunk (a 32-day
+    range; the chunk key is monotone in the order key, so chunk
+    concatenation IS the global order) counts its internal sign changes
+    vectorized and ships 4 ints (first/last sign, internal runs, counts);
+    the driver stitches chunk boundaries in order. No global sort node
+    anywhere; driver state is O(chunks).
+
+    Contract (mirrored in SQL): NULL date / price / orderkey rows are
+    excluded; values EQUAL to the median are dropped (the standard runs-
+    test convention); order is (o_orderdate, o_orderkey); empty sequence
+    reports zero runs."""
+    import pandas as pd
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t.column("o_totalprice")), pc.is_valid(t.column("o_orderdate"))),
+            pc.is_valid(t.column("o_orderkey")),
+        )
+        t = t.filter(m)
+        c = to_cents(t.column("o_totalprice"))
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.floor_divide(us, 86_400_000_000)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "days": pa.array(days, pa.int64()),
+                "cents": c,
+                "bucket": pc.divide(c, pa.scalar(_MAD_BUCKET_CENTS)),
+            }
+        )
+
+    vals = orders.map_batches(cents, batch_format="pyarrow").materialize()
+    n = vals.count()
+    empty = pa.table(
+        {
+            "n_above": pa.array([0], pa.int64()),
+            "n_below": pa.array([0], pa.int64()),
+            "n_runs": pa.array([0], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    med = _exact_rank_cents(vals, (n + 1) // 2)
+
+    def chunked(t: pa.Table, _m=med) -> pa.Table:
+        keep = pc.not_equal(t.column("cents"), pa.scalar(_m))
+        t = t.filter(keep)
+        chunk = np.floor_divide(
+            t.column("days").to_numpy(zero_copy_only=False), _RUNS_CHUNK_DAYS
+        )
+        return pa.table(
+            {
+                "chunk": pa.array(chunk, pa.int64()),
+                "days": t.column("days"),
+                "o_orderkey": t.column("o_orderkey"),
+                "sign": pc.cast(pc.greater(t.column("cents"), pa.scalar(_m)), pa.int8()),
+            }
+        )
+
+    def fold_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["days", "o_orderkey"])
+        s = df["sign"].to_numpy(np.int8)
+        changes = int(np.count_nonzero(s[1:] != s[:-1]))
+        return pd.DataFrame(
+            {
+                "chunk": [int(df["chunk"].iloc[0])],
+                "first_sign": [int(s[0])],
+                "last_sign": [int(s[-1])],
+                "internal_runs": [changes + 1],
+                "n_above": [int(s.sum())],
+                "n_below": [int(len(s) - s.sum())],
+            }
+        )
+
+    summaries = (
+        vals.map_batches(chunked, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(fold_chunk, batch_format="pandas")
+        .take_all()
+    )
+    if not summaries:
+        return empty
+    summaries.sort(key=lambda r: r["chunk"])
+    n_above = sum(r["n_above"] for r in summaries)
+    n_below = sum(r["n_below"] for r in summaries)
+    runs = sum(r["internal_runs"] for r in summaries)
+    for prev, cur in zip(summaries, summaries[1:]):
+        if prev["last_sign"] == cur["first_sign"]:
+            runs -= 1  # the boundary pair continues one run
+    return pa.table(
+        {
+            "n_above": pa.array([n_above], pa.int64()),
+            "n_below": pa.array([n_below], pa.int64()),
+            "n_runs": pa.array([runs], pa.int64()),
+        }
+    )
+
+
+ORDER_PRICE_RUNS_SQL = """
+WITH v AS (
+  SELECT o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS days,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderkey IS NOT NULL
+),
+m AS (
+  SELECT c AS med FROM (
+    SELECT c, row_number() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM v
+  ) WHERE rn = (n + 1) // 2
+),
+s AS (
+  SELECT (v.c > m.med)::TINYINT AS sign, v.days, v.o_orderkey
+  FROM v, m WHERE v.c != m.med
+),
+l AS (
+  SELECT sign, lag(sign) OVER (ORDER BY days, o_orderkey) AS prev FROM s
+)
+SELECT CAST(COALESCE(SUM(sign), 0) AS BIGINT) AS n_above,
+       CAST(COUNT(*) - COALESCE(SUM(sign), 0) AS BIGINT) AS n_below,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE 1 + COUNT(*) FILTER (WHERE prev IS NOT NULL AND sign != prev)
+            END AS BIGINT) AS n_runs
+FROM l
+"""

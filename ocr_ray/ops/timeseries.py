@@ -3598,3 +3598,92 @@ SELECT CAST(business_days AS BIGINT) AS business_days,
        CAST(COUNT(*) AS BIGINT) AS n_lineitems
 FROM g GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# moving median: windowed robust statistic (trailing 3-row discrete median)
+# ---------------------------------------------------------------------------
+
+
+def user_value_moving_median(sf_dir: str) -> Dataset:
+    """Trailing 3-row MOVING MEDIAN of each user's value stream — the
+    robust smoother (one wild tick perturbs a moving average by its full
+    magnitude; the moving median ignores it entirely), and the windowed
+    face of the median/MAD family. Discrete lower-median rule, so every
+    output is an actual data value and the gate is integer-exact.
+
+    The window is ROWS 2 PRECEDING..CURRENT over (ts, event_id) order.
+    Partial windows at a segment's head use the same rule over what
+    exists (n=1 → the value; n=2 → the lower of the two).
+
+    Plan: one coarse-key ``grouped_scan``; inside a partition the median
+    of each 3-window is branch-free integer arithmetic (med3 = a+b+c −
+    max − min) over two intra-segment shifts — no per-row Python, no
+    sorting beyond the segment sort.
+
+    Contract (mirrored in SQL): NULL user_id / ts / value / event_id rows
+    are excluded."""
+    from ocr_ray.functions.scalars import to_cents
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t.column("user_id"))
+        for c in ("ts", "value", "event_id"):
+            m = pc.and_(m, pc.is_valid(t.column(c)))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "v": to_cents(t.column("value")),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "us", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        n = len(u)
+        out = np.empty(n, dtype=np.int64)
+        if n:
+            starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+            # position within segment (0-based)
+            seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, n)))
+            pos = np.arange(n) - starts[seg_of]
+            p1 = np.where(pos >= 1, np.roll(v, 1), 0)
+            p2 = np.where(pos >= 2, np.roll(v, 2), 0)
+            # full window: med3 = a+b+c - max - min (branch-free, exact)
+            m3 = (
+                v + p1 + p2
+                - np.maximum(np.maximum(v, p1), p2)
+                - np.minimum(np.minimum(v, p1), p2)
+            )
+            out = np.where(pos == 0, v, np.where(pos == 1, np.minimum(v, p1), m3))
+        res = df[["user_id", "event_id"]].copy()
+        res["med3_cents"] = out
+        return res
+
+    return grouped_scan(pre, "user_id", scan)
+
+
+USER_VALUE_MOVING_MEDIAN_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT user_id, event_id,
+       CAST(quantile_disc(c, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS med3_cents
+FROM v
+"""

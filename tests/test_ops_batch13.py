@@ -284,3 +284,118 @@ class TestDocsLineage:
         rows = read_parquet_with_lineage([str(a), str(b)]).take_all()
         got = {r["doc_id"]: r["shard"] for r in rows}
         assert got == {1: "a.parquet", 2: "a.parquet", 3: "b.parquet"}
+
+
+class TestOrderPriceRuns:
+    def test_boundary_stitching(self, ray_session, tmp_path):
+        """Chunks are 32-day date buckets; dates spanning several buckets
+        exercise the cross-chunk run merge."""
+        import datetime as dt
+
+        from ocr_ray.ops.stats import order_price_runs
+
+        def us(y, m, d):
+            return int(dt.datetime(y, m, d).timestamp() * 1e6)
+
+        # dates across 4 months -> >= 3 chunk boundaries; prices give the
+        # sign sequence (vs lower median) laid out to continue runs across
+        # boundaries. values: [1,1,9,9,5,9,1,1] (median=1 lower): signs of
+        # non-median... median of 8 values sorted [1,1,1,1,5,9,9,9] lower
+        # median (rank 4) = 1 -> drop the four 1s, keep [9,9,5,9] signs
+        # [1,1,1,1] -> 1 run, above=4, below=0
+        prices = [1.0, 1.0, 9.0, 9.0, 5.0, 9.0, 1.0, 1.0]
+        dates = [
+            us(2024, 1, 1), us(2024, 1, 2), us(2024, 2, 5), us(2024, 2, 20),
+            us(2024, 3, 10), us(2024, 4, 1), us(2024, 4, 2), us(2024, 4, 3),
+        ]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(list(range(1, 9)), pa.int64()),
+                "o_custkey": pa.array([1] * 8, pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 8, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(np.array(dates, np.int64), pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1"] * 8, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        r = order_price_runs(str(tmp_path)).to_pylist()[0]
+        assert r == {"n_above": 4, "n_below": 0, "n_runs": 1}
+
+    def test_alternation(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from ocr_ray.ops.stats import order_price_runs
+
+        def us(d):
+            return int(dt.datetime(2024, 1, d).timestamp() * 1e6)
+
+        # values [1,9,1,9,1] -> median 1; dropping the 1s leaves [9,9]
+        # adjacent -> 1 run. Add a below-median value: use even spread
+        # [1,9,2,9,2,9] sorted [1,2,2,9,9,9] lower median (rank 3) = 2 ->
+        # drop the 2s: [1,9,9,9] signs [0,1,1,1] -> 2 runs, above=3 below=1
+        prices = [1.0, 9.0, 2.0, 9.0, 2.0, 9.0]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(list(range(1, 7)), pa.int64()),
+                "o_custkey": pa.array([1] * 6, pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 6, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(
+                    np.array([us(d) for d in range(1, 7)], np.int64), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1"] * 6, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        r = order_price_runs(str(tmp_path)).to_pylist()[0]
+        assert r == {"n_above": 3, "n_below": 1, "n_runs": 2}
+
+
+class TestMovingMedian:
+    def test_window_rules(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import user_value_moving_median
+
+        vals = [5.0, 1.0, 9.0, 4.0, 7.0]
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(1, 6)), pa.int64()),
+                "ts": pa.array(
+                    np.arange(5, dtype=np.int64) * 1_000_000, pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["click"] * 5, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {
+            r["event_id"]: r["med3_cents"]
+            for r in user_value_moving_median(str(tmp_path)).take_all()
+        }
+        # windows: [5] [5,1] [5,1,9] [1,9,4] [9,4,7] -> 500, 100, 500, 400, 700
+        assert rows == {1: 500, 2: 100, 3: 500, 4: 400, 5: 700}
+
+
+class TestUserValueScaled:
+    def test_fixed_point_and_constant_series(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import user_value_scaled
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(np.zeros(5, np.int64), pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["click"] * 5, pa.string()),
+                "value": pa.array([0.0, 5.0, 10.0, 3.0, 3.0], pa.float64()),
+                "props": pa.array(["{}"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {
+            r["event_id"]: r["scaled_e6"] for r in user_value_scaled(str(tmp_path)).take_all()
+        }
+        assert rows[1] == 0 and rows[2] == 500_000 and rows[3] == 1_000_000
+        # constant series: span 0 -> scaled 0 for every row
+        assert rows[4] == 0 and rows[5] == 0
