@@ -428,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
         out["connected_components_graph"] = connected_components_graph_sql(_DRIVER_SF)
         out["triangle_count_graph"] = triangle_count_graph_sql(_DRIVER_SF)
         out["bfs_hops_graph"] = bfs_hops_graph_sql(_DRIVER_SF)
+        from ocr_ray.ops.graph import sssp_weighted_graph_sql
+
+        out["sssp_weighted_graph"] = sssp_weighted_graph_sql(_DRIVER_SF)
         from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
 
         out["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(_DRIVER_SF)

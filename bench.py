@@ -192,6 +192,9 @@ QUERY_NAMES = [
     "order_price_runs",
     "user_value_moving_median",
     "user_value_scaled",
+    "sssp_weighted_graph",
+    "type_dow_matrix",
+    "orders_cust_join_incremental",
 ]
 
 

@@ -686,3 +686,21 @@ REGISTRY["user_value_moving_median"] = (
 from ocr_ray.ops.mlprep import USER_VALUE_SCALED_SQL, user_value_scaled
 
 REGISTRY["user_value_scaled"] = (user_value_scaled, USER_VALUE_SCALED_SQL)
+
+from ocr_ray.ops.graph import sssp_weighted_graph
+
+REGISTRY["sssp_weighted_graph"] = (sssp_weighted_graph, None)  # SQL built per-sf
+
+from ocr_ray.ops.olap import TYPE_DOW_MATRIX_SQL, type_dow_matrix
+
+REGISTRY["type_dow_matrix"] = (type_dow_matrix, TYPE_DOW_MATRIX_SQL)
+
+from ocr_ray.ops.incremental import (
+    ORDERS_CUST_JOIN_INCREMENTAL_SQL,
+    orders_cust_join_incremental,
+)
+
+REGISTRY["orders_cust_join_incremental"] = (
+    orders_cust_join_incremental,
+    ORDERS_CUST_JOIN_INCREMENTAL_SQL,
+)

@@ -798,3 +798,140 @@ d(node, dist) AS (
 )
 SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths (bounded Bellman-Ford relaxation)
+# ---------------------------------------------------------------------------
+
+_SSSP_SOURCE = 0
+_SSSP_ROUNDS = 4
+_SSSP_WMOD = 9  # deterministic edge weight = 1 + (src*31 + dst*17) % 9
+
+
+def _edge_weights(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Deterministic per-edge weight 1..9 from the endpoints — the same
+    integer arithmetic is embedded in the SQL mirror, so both engines see
+    identical weights without a weights column in the fixture."""
+    return 1 + np.mod(src * 31 + dst * 17, _SSSP_WMOD)
+
+
+def sssp_weighted(
+    edges: Dataset,
+    *,
+    source: int = _SSSP_SOURCE,
+    rounds: int = _SSSP_ROUNDS,
+    local_edges_max: int = 30_000_000,
+) -> Dataset:
+    """WEIGHTED shortest distances from ``source`` using at most ``rounds``
+    edges per path — Bellman-Ford relaxation, the weighted sibling of
+    ``bfs_hops`` (hop counting can't prefer a cheap 3-edge path over an
+    expensive single edge; relaxation can). After K rounds the result is
+    EXACTLY min path cost over <= K-edge paths, which is what the bounded
+    recursive-CTE oracle computes — so the gate is exact, not "converged".
+
+    Distributed tier: each round is one hash join (edges x dists on src)
+    + one groupby-Min — identical shuffle shape to bfs_hops/pagerank, per
+    round traffic O(frontier x out-degree) keyed ints. Below the edge gate
+    the same relaxation is two numpy gathers per round."""
+    from ocr_ray.functions.joins import hash_join
+    from ocr_ray.ops.dedup import _coerce_schema
+    from ray.data.aggregate import Min
+
+    i64 = pa.int64()
+    if local_edges_max > 0:
+        local = _collect_edges_gated(edges, local_edges_max)
+        if local is not None:
+            src, dst = local
+            return _sssp_local(src, dst, source=source, rounds=rounds)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("src")), pc.is_valid(t.column("dst")))
+        )
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(d),
+                "w": pa.array(_edge_weights(s, d), pa.int64()),
+            }
+        )
+
+    wedges = edges.map_batches(prep, batch_format="pyarrow")
+    dists = rd.from_arrow(
+        pa.table({"node": pa.array([source], i64), "dist": pa.array([0], i64)})
+    )
+    for _ in range(rounds):
+        step = hash_join(wedges, dists, on="src", right_on="node")
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pc.cast(t.column("dst"), i64),
+                    "dist": pc.add(t.column("dist"), t.column("w")),
+                }
+            )
+
+        dists = _coerce_schema(
+            dists.union(step.map_batches(relax, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist")),
+            pa.schema([("node", i64), ("dist", i64)]),
+            parts=4,
+        ).materialize()
+    return dists
+
+
+def _sssp_local(
+    src: np.ndarray, dst: np.ndarray, *, source: int, rounds: int
+) -> Dataset:
+    """Driver-tier bounded Bellman-Ford over a deduped edge list."""
+    w = _edge_weights(src.astype(np.int64), dst.astype(np.int64))
+    n = int(max(src.max(initial=source), dst.max(initial=source))) + 1
+    INF = np.int64(2**62)
+    dist = np.full(n, INF, np.int64)
+    dist[source] = 0
+    for _ in range(rounds):
+        cand = dist[src]
+        ok = cand < INF
+        upd = cand[ok] + w[ok]
+        nxt = dist.copy()
+        np.minimum.at(nxt, dst[ok], upd)
+        if np.array_equal(nxt, dist):
+            break
+        dist = nxt
+    reach = np.flatnonzero(dist < INF)
+    return rd.from_arrow(
+        pa.table(
+            {"node": pa.array(reach.astype(np.int64)), "dist": pa.array(dist[reach])}
+        )
+    )
+
+
+def sssp_weighted_graph(sf_dir: str) -> Dataset:
+    """queries() entry: <= 4-edge weighted shortest distances from node 0
+    over the sf-scaled web-graph fixture (weights derived from endpoints)."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return sssp_weighted(rd.read_parquet(path))
+
+
+def sssp_weighted_graph_sql(sf_dir: str) -> str:
+    """Bounded recursive-CTE oracle carrying (node, dist, hops); identical
+    endpoint-derived weights; MIN(dist) per node at the end."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst, 1 + (src * 31 + dst * 17) % {_SSSP_WMOD} AS w
+  FROM read_parquet('{path}')
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+),
+d(node, dist, hops) AS (
+  SELECT CAST({_SSSP_SOURCE} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, d.dist + e.w, d.hops + 1 FROM d JOIN e ON e.src = d.node
+  WHERE d.hops < {_SSSP_ROUNDS}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node
+"""

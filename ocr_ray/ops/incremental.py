@@ -155,3 +155,101 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_totalprice IS NOT NULL
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental JOIN-view maintenance (delta-join refresh)
+# ---------------------------------------------------------------------------
+
+
+def join_view_refresh(
+    base: Dataset, delta: Dataset, dim: Dataset, *, on: str, right_on: str
+) -> Dataset:
+    """Maintain a materialized join view under a fact-side delta WITHOUT
+    re-joining the base: Δ(F ⋈ D) = ΔF ⋈ D for an insert-only delta, so
+    the refresh joins ONLY the delta and unions it onto the standing view.
+    Completes the incremental-maintenance trio: rows
+    (state/sink.upsert_partitioned), aggregates (``merge_states``), and
+    now JOIN views — O(Δ) work per refresh in all three.
+
+    ``base`` is the already-joined standing view (stream it from the
+    sink); ``delta`` is the new fact rows; ``dim`` the (small) dimension
+    side, joined via the cost-based ``auto_join``."""
+    from ocr_ray.functions.joins import auto_join
+
+    return base.union(auto_join(delta, dim, on=on, right_on=right_on))
+
+
+_JVIEW_DELTA_MOD = 10  # fact rows with o_orderkey % 10 == 0 arrive "late"
+
+
+def orders_cust_join_incremental(sf_dir: str) -> Dataset:
+    """queries() entry for the delta-join refresh: the orders fact is split
+    into a standing base (90%) and a late-arriving delta (10% by key
+    residue); the base view is joined once, then the delta is folded in
+    via ``join_view_refresh``. The result must equal the one-shot join of
+    the FULL fact table — which is exactly what the SQL oracle computes,
+    so the gate proves refresh ≡ recompute.
+
+    Contract (mirrored in SQL): inner join on custkey (NULL keys drop);
+    money in exact cents."""
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "total_cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    facts = orders.map_batches(prep, batch_format="pyarrow")
+    is_delta = lambda t: pc.equal(  # noqa: E731
+        pc.subtract(
+            t.column("o_orderkey"),
+            pc.multiply(
+                pc.divide(t.column("o_orderkey"), pa.scalar(_JVIEW_DELTA_MOD)),
+                pa.scalar(_JVIEW_DELTA_MOD),
+            ),
+        ),
+        pa.scalar(0),
+    )
+    base_facts = facts.map_batches(
+        lambda t: t.filter(pc.invert(is_delta(t))), batch_format="pyarrow"
+    )
+    delta_facts = facts.map_batches(
+        lambda t: t.filter(is_delta(t)), batch_format="pyarrow"
+    )
+
+    from ocr_ray.functions.joins import auto_join
+
+    base_view = auto_join(base_facts, cust, on="o_custkey", right_on="c_custkey")
+    refreshed = join_view_refresh(
+        base_view, delta_facts, cust, on="o_custkey", right_on="c_custkey"
+    )
+    return refreshed.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "c_name": t.column("c_name"),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORDERS_CUST_JOIN_INCREMENTAL_SQL = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IS NOT NULL
+"""

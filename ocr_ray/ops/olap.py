@@ -1264,3 +1264,90 @@ REGISTRY["click_minus_view_users_bag"] = (
     click_minus_view_users_bag,
     CLICK_MINUS_VIEW_USERS_BAG_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# dense dimension matrix: CROSS JOIN zero-fill (type x day-of-week)
+# ---------------------------------------------------------------------------
+
+
+def type_dow_matrix(sf_dir: str) -> "Dataset":
+    """Dense (event_type × day-of-week) activity matrix with ZERO rows for
+    every absent combination — the CROSS JOIN + COALESCE(0) reshape that
+    feeds heatmaps and seasonality models (a sparse census silently reads
+    "no row" as "no signal"; models need the explicit zero). The global
+    dimension-product sibling of the per-entity resample
+    (``timeseries.user_days_gapfilled``).
+
+    Day-of-week is integer calendar arithmetic (``(epoch_days + 3) % 7``,
+    Monday = 0 — epoch day zero is a Thursday) so both engines agree
+    without locale-dependent DOW functions.
+
+    Plan: one per-batch (type, dow) census → driver fold of the tiny
+    dimension-bounded table → dense expansion |types| × 7 (dimensions are
+    bounded by the type domain, not the corpus). NULL type is a REAL
+    dimension row (SQL DISTINCT keeps it).
+
+    Contract (mirrored in SQL): NULL ts rows are excluded."""
+    import numpy as np
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        days = np.floor_divide(
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            86_400_000_000,
+        )
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "dow": pa.array(np.mod(days + 3, 7), pa.int64()),
+            }
+        )
+        out = g.group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "dow", "n"])
+
+    folds: dict = {}
+    for b in events.map_batches(census, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for ty, dw, n in zip(
+            b.column("event_type").to_pylist(),
+            b.column("dow").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            folds[(ty, dw)] = folds.get((ty, dw), 0) + n
+
+    types = sorted({k[0] for k in folds}, key=lambda x: (x is None, x))
+    rows_t, rows_d, rows_n = [], [], []
+    for ty in types:
+        for dw in range(7):
+            rows_t.append(ty)
+            rows_d.append(dw)
+            rows_n.append(folds.get((ty, dw), 0))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(rows_t, pa.string()),
+                "dow": pa.array(rows_d, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+    )
+
+
+TYPE_DOW_MATRIX_SQL = """
+WITH v AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+  FROM events WHERE ts IS NOT NULL
+),
+c AS (SELECT event_type, dow, COUNT(*) AS n FROM v GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM v),
+days AS (SELECT * FROM generate_series(0, 6) AS g(dow))
+SELECT t.event_type, CAST(d.dow AS BIGINT) AS dow,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM types t CROSS JOIN days d
+LEFT JOIN c ON c.event_type IS NOT DISTINCT FROM t.event_type AND c.dow = d.dow
+"""

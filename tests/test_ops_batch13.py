@@ -399,3 +399,74 @@ class TestUserValueScaled:
         assert rows[1] == 0 and rows[2] == 500_000 and rows[3] == 1_000_000
         # constant series: span 0 -> scaled 0 for every row
         assert rows[4] == 0 and rows[5] == 0
+
+
+class TestTypeDowMatrix:
+    def test_zero_fill_and_null_type_dimension(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from ocr_ray.ops.olap import type_dow_matrix
+
+        # 2024-01-01 is a Monday (dow 0); 2024-01-06 a Saturday (dow 5)
+        def us(d):
+            return int(dt.datetime(2024, 1, d).timestamp() * 1e6)
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    np.array([us(1), us(1), us(6)], np.int64), pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * 3, pa.int64()),
+                "event_type": pa.array(["click", None, "click"], pa.string()),
+                "value": pa.array([1.0] * 3, pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {
+            (r["event_type"], r["dow"]): r["n"]
+            for r in type_dow_matrix(str(tmp_path)).take_all()
+        }
+        # dense: 2 types (click, NULL) x 7 dows
+        assert len(rows) == 14
+        assert rows[("click", 0)] == 1 and rows[("click", 5)] == 1
+        assert rows[(None, 0)] == 1
+        assert rows[("click", 3)] == 0 and rows[(None, 6)] == 0
+
+
+class TestJoinViewRefresh:
+    def test_delta_refresh_equals_recompute(self, ray_session, tmp_path):
+        """Folding the delta into a standing view == one-shot full join,
+        for any base/delta split of the fact table."""
+        import ray.data as rd
+
+        from ocr_ray.functions.joins import auto_join
+        from ocr_ray.ops.incremental import join_view_refresh
+
+        facts = pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "cust": pa.array([10, 10, 20, 30, None], pa.int64()),
+            }
+        )
+        dim = pa.table(
+            {
+                "c": pa.array([10, 20], pa.int64()),
+                "name": pa.array(["a", "b"], pa.string()),
+            }
+        )
+        full = auto_join(
+            rd.from_arrow(facts), rd.from_arrow(dim), on="cust", right_on="c"
+        ).take_all()
+        for cut in (1, 3):
+            base = rd.from_arrow(facts.slice(0, cut))
+            delta = rd.from_arrow(facts.slice(cut))
+            view = auto_join(base, rd.from_arrow(dim), on="cust", right_on="c")
+            got = join_view_refresh(
+                view, delta, rd.from_arrow(dim), on="cust", right_on="c"
+            ).take_all()
+            key = lambda r: (r["k"], r["cust"])  # noqa: E731
+            assert sorted(got, key=key) == sorted(full, key=key)
+        # inner join: NULL cust and unmatched cust (30) rows are absent
+        assert {r["k"] for r in full} == {1, 2, 3}

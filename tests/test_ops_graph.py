@@ -181,3 +181,47 @@ class TestBfsHops:
         }
         assert a == b
         assert max(a.values()) <= 3 and a[0] == 0
+
+
+class TestSsspWeighted:
+    def test_cheap_multihop_beats_expensive_edge(self):
+        """Weights are endpoint-derived: pick endpoints so a 2-edge path is
+        cheaper than the direct edge, and assert relaxation prefers it."""
+        from ocr_ray.ops.graph import _edge_weights, sssp_weighted
+        import numpy as np
+
+        src = np.array([0, 0, 5], np.int64)
+        dst = np.array([9, 5, 9], np.int64)
+        w = _edge_weights(src, dst)
+        direct = int(w[0])
+        via = int(w[1] + w[2])
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(
+                rd.from_arrow(pa.table({"src": src, "dst": dst}))
+            ).take_all()
+        }
+        assert got[0] == 0
+        assert got[9] == min(direct, via)
+        assert got[5] == int(w[1])
+
+    def test_tiers_identical_and_round_cap(self):
+        import numpy as np
+
+        from ocr_ray.ops.graph import sssp_weighted
+
+        rs = np.random.RandomState(11)
+        src = rs.randint(0, 120, size=500).astype("int64")
+        dst = rs.randint(0, 120, size=500).astype("int64")
+        edges = pa.table({"src": src, "dst": dst})
+        a = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(rd.from_arrow(edges), rounds=3).take_all()
+        }
+        b = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(
+                rd.from_arrow(edges), rounds=3, local_edges_max=0
+            ).take_all()
+        }
+        assert a == b and a[0] == 0

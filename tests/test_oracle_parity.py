@@ -74,6 +74,9 @@ def _rebind_extract_oracles():
     _SQLS["connected_components_graph"] = connected_components_graph_sql(SF)
     _SQLS["triangle_count_graph"] = triangle_count_graph_sql(SF)
     _SQLS["bfs_hops_graph"] = bfs_hops_graph_sql(SF)
+    from ocr_ray.ops.graph import sssp_weighted_graph_sql
+
+    _SQLS["sssp_weighted_graph"] = sssp_weighted_graph_sql(SF)
     from ocr_ray.ops.fuzzy import fuzzy_name_clusters_sql, fuzzy_name_pairs_sql
 
     _SQLS["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(SF)
