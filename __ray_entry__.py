@@ -401,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.sources.evolving import orders_evolved_rollup_sql
 
         out["orders_evolved_rollup"] = orders_evolved_rollup_sql(_DRIVER_SF)
+        from ocr_ray.sources.evolving import orders_bitemporal_asof_sql
+
+        out["orders_bitemporal_asof"] = orders_bitemporal_asof_sql(_DRIVER_SF)
         from ocr_ray.ops.corpus import strip_common_lines_sql
 
         out["strip_common_lines"] = strip_common_lines_sql(_DRIVER_SF)

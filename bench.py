@@ -195,6 +195,8 @@ QUERY_NAMES = [
     "sssp_weighted_graph",
     "type_dow_matrix",
     "orders_cust_join_incremental",
+    "purchases_in_sessions",
+    "orders_bitemporal_asof",
 ]
 
 

@@ -704,3 +704,11 @@ REGISTRY["orders_cust_join_incremental"] = (
     orders_cust_join_incremental,
     ORDERS_CUST_JOIN_INCREMENTAL_SQL,
 )
+
+from ocr_ray.ops.timeseries import PURCHASES_IN_SESSIONS_SQL, purchases_in_sessions
+
+REGISTRY["purchases_in_sessions"] = (purchases_in_sessions, PURCHASES_IN_SESSIONS_SQL)
+
+from ocr_ray.sources.evolving import orders_bitemporal_asof
+
+REGISTRY["orders_bitemporal_asof"] = (orders_bitemporal_asof, None)  # SQL built per-sf

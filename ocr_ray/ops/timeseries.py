@@ -3687,3 +3687,148 @@ SELECT user_id, event_id,
        ) AS BIGINT) AS med3_cents
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# per-key point-in-interval join: purchases inside derived session windows
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+def purchases_in_sessions(sf_dir: str) -> Dataset:
+    """Point-in-interval join against DERIVED intervals: sessionize each
+    user's non-purchase activity (30-min gap rule), then place every
+    purchase inside its covering session — "did this purchase happen
+    during an active browsing session, and which one?". Two-sided shape
+    the matrix lacked: the intervals are computed, not stored, and the
+    probe stream joins per entity (``events_value_banded`` is a global
+    value-range join; ``purchases_concurrent_events`` is keyless).
+
+    Gap sessions are disjoint per user, so each purchase has AT MOST one
+    covering session — the join is one searchsorted per user segment, no
+    pair expansion.
+
+    Plan: ONE coarse-key ``grouped_scan`` co-locates both roles of a user
+    (tagged in the same stream — no self-join of the events table);
+    session building and interval placement are vectorized per segment.
+
+    Contract (mirrored in SQL): NULL user_id / ts rows are excluded from
+    both roles; purchases additionally need a non-NULL event_id; a NULL
+    event_type row belongs to the session stream (IS DISTINCT FROM)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        is_p = pc.equal(
+            pc.fill_null(t.column("event_type"), ""), pa.scalar("purchase")
+        )
+        keep = pc.or_(pc.invert(is_p), pc.is_valid(t.column("event_id")))
+        t = t.filter(keep)
+        is_p = pc.equal(pc.fill_null(t.column("event_type"), ""), pa.scalar("purchase"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "is_p": pc.cast(is_p, pa.int8()),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "us"])
+        out_eid, out_uid, out_st, out_cov = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            us = g["us"].to_numpy(np.int64)
+            isp = g["is_p"].to_numpy(np.int8).astype(bool)
+            e = us[~isp]
+            p_us = us[isp]
+            p_eid = g["event_id"].to_numpy()[isp]
+            if len(p_us) == 0:
+                continue
+            if len(e) == 0:
+                starts = np.array([], np.int64)
+                ends = np.array([], np.int64)
+            else:
+                new = np.empty(len(e), dtype=bool)
+                new[0] = True
+                new[1:] = (e[1:] - e[:-1]) > _SESS_GAP_US
+                sidx = np.flatnonzero(new)
+                starts = e[sidx]
+                ends = e[np.append(sidx[1:], len(e)) - 1]
+            if len(starts):
+                k = np.searchsorted(starts, p_us, side="right") - 1
+                cov = (k >= 0) & (p_us <= ends[np.maximum(k, 0)])
+                st = np.where(cov, starts[np.maximum(k, 0)], 0)
+            else:
+                cov = np.zeros(len(p_us), bool)
+                st = np.zeros(len(p_us), np.int64)
+            out_eid.extend(int(x) for x in p_eid)
+            out_uid.extend([int(uid)] * len(p_us))
+            out_st.extend(int(s) if c else None for s, c in zip(st, cov))
+            out_cov.extend(bool(c) for c in cov)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_id": pd.array(out_eid, dtype="int64"),
+                "user_id": pd.array(out_uid, dtype="int64"),
+                "session_start_us": pd.array(out_st, dtype="Int64"),
+                "covered": pd.array(out_cov, dtype="bool"),
+            }
+        )
+
+    out = grouped_scan(pre, "user_id", scan)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "session_start": pc.cast(t.column("session_start_us"), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "covered": t.column("covered"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+PURCHASES_IN_SESSIONS_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type IS DISTINCT FROM 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+s0 AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s1 AS (
+  SELECT user_id, ts,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s0
+),
+sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en FROM s1 GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, sess.st AS session_start,
+       sess.st IS NOT NULL AS covered
+FROM p LEFT JOIN sess
+  ON sess.user_id = p.user_id AND p.ts >= sess.st AND p.ts <= sess.en
+"""

@@ -157,3 +157,136 @@ SELECT COALESCE(o_channel, 'legacy') AS o_channel,
 FROM read_parquet(['{d}/gen1.parquet', '{d}/gen2.parquet'], union_by_name=true)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# bitemporal version store: (valid_from, tx_from) AS-OF reads
+# ---------------------------------------------------------------------------
+
+# AS OF query point: both clocks mid-range of the fixture's 1995-2001 span
+BITEMPORAL_VALID_Q = "1998-06-30 00:00:00"
+BITEMPORAL_TX_Q = "1998-07-15 00:00:00"
+_BT_REVISE_DAYS = 10  # revision lands on the tx clock 10 days later
+_BT_VALID_SHIFT_DAYS = 5  # and claims validity 5 days after the original
+_BT_PRICE_BUMP_CENTS = 500
+
+
+def ensure_bitemporal_orders(sf_dir: str, root: str = "/tmp/ocr_ray_fixtures") -> str:
+    """Deterministic bitemporal version store derived from orders: every
+    order has its original version (valid_from = tx_from = o_orderdate);
+    every third order additionally has a REVISION recorded 10 days later
+    on the transaction clock, claiming validity 5 days after the original
+    and a corrected price. The two clocks move independently — that's the
+    property a single-axis SCD2 table cannot represent."""
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(root, f"bitemporal_orders_{tag}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(root, exist_ok=True)
+    src = f"read_parquet('{sf_dir}/orders.parquet')"
+    duckdb.sql(
+        f"""
+COPY (
+  SELECT o_orderkey, o_orderdate AS valid_from, o_orderdate AS tx_from,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM {src} WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT o_orderkey,
+         o_orderdate + INTERVAL {_BT_VALID_SHIFT_DAYS} DAY,
+         o_orderdate + INTERVAL {_BT_REVISE_DAYS} DAY,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + {_BT_PRICE_BUMP_CENTS}
+  FROM {src} WHERE o_orderkey IS NOT NULL AND o_orderkey % 3 = 0
+  ORDER BY o_orderkey, tx_from
+) TO '{out}.tmp.parquet' (FORMAT PARQUET)
+"""
+    )
+    os.replace(f"{out}.tmp.parquet", out)
+    return out
+
+
+def orders_bitemporal_asof(sf_dir: str):
+    """Bitemporal AS-OF read: for each order, the version that was BOTH in
+    effect on the valid clock (greatest valid_from <= V) AND already
+    recorded on the transaction clock (tx_from <= T) at the query point —
+    "what did we believe on T about the state at V". Ties on valid_from
+    break to the newest transaction. Completes the temporal family:
+    SCD2 intervals (``cust_order_intervals``), snapshot/time-travel reads
+    (``state/sink.read_segments``), CDC diffs — this is the 2-clock query
+    those single-axis ops cannot answer.
+
+    Plan: predicate-pruned read (both clock filters pushed into the scan),
+    per-BATCH lexicographic argmax per key (sort + run boundary — at most
+    one row per key per batch survives to the shuffle), final per-key pick
+    in a coarse-key ``grouped_scan``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    path = ensure_bitemporal_orders(sf_dir)
+    v_q = pa.scalar(BITEMPORAL_VALID_Q).cast(pa.timestamp("us"))
+    t_q = pa.scalar(BITEMPORAL_TX_Q).cast(pa.timestamp("us"))
+    ds = rd.read_parquet(path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.less_equal(t.column("valid_from"), v_q),
+                pc.less_equal(t.column("tx_from"), t_q),
+            )
+        )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("o_orderkey", "ascending"),
+                    ("valid_from", "ascending"),
+                    ("tx_from", "ascending"),
+                ],
+            )
+        )
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        last = np.empty(len(k), dtype=bool)
+        if len(k):
+            last[:-1] = k[:-1] != k[1:]
+            last[-1] = True
+        return t.filter(pa.array(last))
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pick(df):
+        df = df.sort_values(["o_orderkey", "valid_from", "tx_from"]).drop_duplicates(
+            "o_orderkey", keep="last"
+        )
+        return df.drop(columns=["__part"])
+
+    out = grouped_scan(pre, "o_orderkey", pick)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "valid_from": t.column("valid_from").cast(pa.timestamp("us")),
+                "tx_from": t.column("tx_from").cast(pa.timestamp("us")),
+                "price_cents": pc.cast(t.column("price_cents"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_bitemporal_asof_sql(sf_dir: str) -> str:
+    path = ensure_bitemporal_orders(sf_dir)
+    return f"""
+SELECT o_orderkey, valid_from, tx_from, price_cents FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY valid_from DESC, tx_from DESC
+  ) AS rn
+  FROM read_parquet('{path}')
+  WHERE valid_from <= TIMESTAMP '{BITEMPORAL_VALID_Q}'
+    AND tx_from <= TIMESTAMP '{BITEMPORAL_TX_Q}'
+) WHERE rn = 1
+"""

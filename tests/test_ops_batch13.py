@@ -470,3 +470,81 @@ class TestJoinViewRefresh:
             assert sorted(got, key=key) == sorted(full, key=key)
         # inner join: NULL cust and unmatched cust (30) rows are absent
         assert {r["k"] for r in full} == {1, 2, 3}
+
+
+class TestPurchasesInSessions:
+    def test_coverage_and_session_attribution(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import purchases_in_sessions
+
+        M = 60_000_000  # one minute in us
+        # user 1: session A = clicks at 0, 10min; session B = click at 2h.
+        # purchases: 5min (inside A), 40min (between sessions), 2h+1min
+        # (inside B). user 2: purchase with no events at all -> uncovered.
+        rows = [
+            (1, 1, 0 * M, "click"),
+            (2, 1, 10 * M, "view"),
+            (3, 1, 120 * M, "click"),
+            (10, 1, 5 * M, "purchase"),
+            (11, 1, 40 * M, "purchase"),
+            (12, 1, 120 * M, "purchase"),  # boundary: exactly at B's only tick
+            (20, 2, 7 * M, "purchase"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[2] for r in rows], np.int64), pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = {
+            r["event_id"]: r for r in purchases_in_sessions(str(tmp_path)).take_all()
+        }
+        assert set(got) == {10, 11, 12, 20}
+        assert got[10]["covered"] and got[10]["session_start"].timestamp() == 0
+        assert not got[11]["covered"] and got[11]["session_start"] is None
+        assert got[12]["covered"] and got[12]["session_start"].timestamp() == 7200
+        assert not got[20]["covered"]
+
+
+class TestBitemporalAsof:
+    def test_two_clock_visibility(self, ray_session, tmp_path):
+        """Revision wins only when BOTH clocks admit it; rows whose valid
+        time starts after the query's valid point vanish entirely."""
+        import datetime as dt
+
+        from ocr_ray.sources.evolving import orders_bitemporal_asof
+
+        def us(y, m, d):
+            return int(dt.datetime(y, m, d).timestamp() * 1e6)
+
+        # keys % 3 == 0 get a revision (+5d valid, +10d tx, +500 cents)
+        keys = [1, 3, 6, 9]
+        dates = [us(1998, 1, 1), us(1998, 6, 20), us(1998, 6, 28), us(1998, 7, 10)]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([1] * 4, pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+                "o_orderdate": pa.array(np.array(dates, np.int64), pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = {
+            r["o_orderkey"]: r for r in orders_bitemporal_asof(str(tmp_path)).take_all()
+        }
+        # order 1: no revision -> original price
+        assert got[1]["price_cents"] == 1000
+        # order 3 (Jun 20): revision valid Jun 25 <= V, tx Jun 30 <= T -> wins
+        assert got[3]["price_cents"] == 2500
+        # order 6 (Jun 28): revision valid Jul 3 > V (Jun 30) -> original
+        assert got[6]["price_cents"] == 3000
+        # order 9 (Jul 10): original valid after V -> absent entirely
+        assert 9 not in got

@@ -53,6 +53,9 @@ def _rebind_extract_oracles():
     from ocr_ray.sources.evolving import orders_evolved_rollup_sql
 
     _SQLS["orders_evolved_rollup"] = orders_evolved_rollup_sql(SF)
+    from ocr_ray.sources.evolving import orders_bitemporal_asof_sql
+
+    _SQLS["orders_bitemporal_asof"] = orders_bitemporal_asof_sql(SF)
     from ocr_ray.sources.readers import csv_events_rollup_sql, jsonl_events_rollup_sql
 
     _SQLS["jsonl_events_rollup"] = jsonl_events_rollup_sql(SF)
