@@ -197,6 +197,8 @@ QUERY_NAMES = [
     "orders_cust_join_incremental",
     "purchases_in_sessions",
     "orders_bitemporal_asof",
+    "nation_supplier_hhi",
+    "orders_rule_violations",
 ]
 
 

@@ -712,3 +712,11 @@ REGISTRY["purchases_in_sessions"] = (purchases_in_sessions, PURCHASES_IN_SESSION
 from ocr_ray.sources.evolving import orders_bitemporal_asof
 
 REGISTRY["orders_bitemporal_asof"] = (orders_bitemporal_asof, None)  # SQL built per-sf
+
+from ocr_ray.ops.stats import NATION_SUPPLIER_HHI_SQL, nation_supplier_hhi
+
+REGISTRY["nation_supplier_hhi"] = (nation_supplier_hhi, NATION_SUPPLIER_HHI_SQL)
+
+from ocr_ray.ops.dq import ORDERS_RULE_VIOLATIONS_SQL, orders_rule_violations
+
+REGISTRY["orders_rule_violations"] = (orders_rule_violations, ORDERS_RULE_VIOLATIONS_SQL)

@@ -1410,3 +1410,111 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(COALESCE(MAX(nv), 0) AS BIGINT) AS max_variants
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# declarative CHECK-constraint sweep (rule engine census)
+# ---------------------------------------------------------------------------
+
+_ORDER_RULES = ("totalprice_nonneg", "status_enum", "orderdate_bounds", "custkey_present")
+_ORDER_STATUS_ENUM = ("F", "O", "P")
+_ORDERDATE_LO = "1990-01-01 00:00:00"
+_ORDERDATE_HI = "2030-01-01 00:00:00"
+
+
+def orders_rule_violations(sf_dir: str) -> Dataset:
+    """Data-contract sweep: every declarative CHECK rule over orders in ONE
+    pass, reporting per-rule violation counts — the rule-engine face of the
+    DQ family (orphans/FD/reconciliation each audit one structural
+    property; contracts bundle many row-local predicates and run on every
+    ingest). SQL CHECK semantics: a NULL operand PASSES a value rule
+    (three-valued logic), while presence rules name NULL explicitly.
+
+    Rules: non-negative total, status in its enum, order date within
+    sane bounds, customer key present.
+
+    Plan: embarrassingly parallel — per batch, each rule is one vectorized
+    predicate; only |rules| counters per batch reach the driver."""
+    import numpy as np
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_totalprice", "o_orderstatus", "o_orderdate", "o_custkey"],
+    )
+    lo = pa.scalar(_ORDERDATE_LO).cast(pa.timestamp("us"))
+    hi = pa.scalar(_ORDERDATE_HI).cast(pa.timestamp("us"))
+    enum = pa.array(_ORDER_STATUS_ENUM, pa.string())
+
+    def counts(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice")
+        status = t.column("o_orderstatus")
+        date = t.column("o_orderdate")
+        cust = t.column("o_custkey")
+        v = np.array(
+            [
+                pc.sum(
+                    pc.and_(pc.is_valid(price), pc.less(price, pa.scalar(0.0)))
+                ).as_py()
+                or 0,
+                pc.sum(
+                    pc.and_(
+                        pc.is_valid(status),
+                        pc.invert(pc.is_in(status, value_set=enum)),
+                    )
+                ).as_py()
+                or 0,
+                pc.sum(
+                    pc.and_(
+                        pc.is_valid(date),
+                        pc.or_(pc.less(date, lo), pc.greater(date, hi)),
+                    )
+                ).as_py()
+                or 0,
+                pc.sum(pc.is_null(cust)).as_py() or 0,
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "rule": pa.array(list(_ORDER_RULES), pa.string()),
+                "n_violations": pa.array(v),
+                "n_rows": pa.array([t.num_rows] * len(_ORDER_RULES), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        orders.map_batches(counts, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(
+            Sum("n_violations", alias_name="n_violations"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+ORDERS_RULE_VIOLATIONS_SQL = f"""
+SELECT 'totalprice_nonneg' AS rule,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'status_enum',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                               AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_bounds',
+       CAST(COUNT(*) FILTER (WHERE o_orderdate IS NOT NULL
+                               AND (o_orderdate < TIMESTAMP '{_ORDERDATE_LO}'
+                                    OR o_orderdate > TIMESTAMP '{_ORDERDATE_HI}')) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_present',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+"""

@@ -2465,3 +2465,88 @@ SELECT CAST(COALESCE(SUM(sign), 0) AS BIGINT) AS n_above,
             END AS BIGINT) AS n_runs
 FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index per market
+# ---------------------------------------------------------------------------
+
+
+def nation_supplier_hhi(sf_dir: str) -> Dataset:
+    """Herfindahl–Hirschman concentration of supplier revenue within each
+    nation, as the exact rational ``hhi_num / hhi_den`` = Σdᵢ² / (Σdᵢ)²
+    over whole-dollar supplier revenues — the market-concentration
+    complement of the Lorenz/Gini inequality census (``cust_spend_lorenz``):
+    HHI weights the TOP of the distribution (a monopoly nation → 1).
+
+    Dollars, not cents, keep the squared sums far from int64 range (the
+    same overflow lesson the correlation op hit at 150 customers); the
+    dollar truncation is toward zero in BOTH engines (DuckDB ``//``
+    truncates; the Ray side mirrors it explicitly for negative revenue).
+
+    Plan: per-batch (suppkey → cents) partials, ONE supplier-bounded
+    groupby, nation lookup via broadcast ``auto_join``, then a driver fold
+    of the supplier-bounded census (suppliers are a dimension, not the
+    corpus). NULL nation is a real group.
+
+    Contract (mirrored in SQL): NULL suppkey lineitems excluded; suppliers
+    with no lineitems absent (inner join)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.joins import auto_join
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice"])
+    supp = rd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("l_suppkey")))
+        g = pa.table(
+            {"l_suppkey": t.column("l_suppkey"), "c": to_cents(t.column("l_extendedprice"))}
+        )
+        return g.group_by(["l_suppkey"]).aggregate([("c", "sum")]).rename_columns(
+            ["l_suppkey", "c"]
+        )
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    joined = auto_join(rev, supp, on="l_suppkey", right_on="s_suppkey")
+
+    folds: dict = {}
+    for b in joined.iter_batches(batch_format="pyarrow", batch_size=None):
+        cs = b.column("c").to_numpy(zero_copy_only=False)
+        for nk, c in zip(b.column("s_nationkey").to_pylist(), cs):
+            c = int(c)
+            d = c // 100 if c >= 0 else -((-c) // 100)  # trunc like SQL //
+            n, s, sq = folds.get(nk, (0, 0, 0))
+            folds[nk] = (n + 1, s + d, sq + d * d)
+
+    keys = sorted(folds, key=lambda x: (x is None, x))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_nationkey": pa.array(keys, pa.int32()),
+                "n_suppliers": pa.array([folds[k][0] for k in keys], pa.int64()),
+                "hhi_num": pa.array([folds[k][2] for k in keys], pa.int64()),
+                "hhi_den": pa.array([folds[k][1] ** 2 for k in keys], pa.int64()),
+            }
+        )
+    )
+
+
+NATION_SUPPLIER_HHI_SQL = """
+WITH r AS (
+  SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT s.s_nationkey, r.c // 100 AS d
+  FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+)
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(d * d) AS BIGINT) AS hhi_num,
+       CAST(SUM(d) * SUM(d) AS BIGINT) AS hhi_den
+FROM j GROUP BY 1
+"""

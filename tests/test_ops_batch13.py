@@ -548,3 +548,64 @@ class TestBitemporalAsof:
         assert got[6]["price_cents"] == 3000
         # order 9 (Jul 10): original valid after V -> absent entirely
         assert 9 not in got
+
+
+class TestNationSupplierHhi:
+    def test_monopoly_and_split_markets(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import nation_supplier_hhi
+
+        supp = pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["a", "b", "c"], pa.string()),
+                "s_nationkey": pa.array([10, 20, 20], pa.int32()),
+                "s_acctbal": pa.array([0.0] * 3, pa.float64()),
+            }
+        )
+        li = pa.table(
+            {
+                "l_suppkey": pa.array([1, 2, 3, 3], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 300.0, 100.0, 200.0], pa.float64()),
+            }
+        )
+        pq.write_table(supp, str(tmp_path / "supplier.parquet"))
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        rows = {r["s_nationkey"]: r for r in nation_supplier_hhi(str(tmp_path)).take_all()}
+        # nation 10: one supplier -> HHI = 1 (num == den)
+        assert rows[10]["n_suppliers"] == 1
+        assert rows[10]["hhi_num"] == rows[10]["hhi_den"] == 100 * 100
+        # nation 20: suppliers with $300 and $300 -> HHI = 1/2
+        r = rows[20]
+        assert r["n_suppliers"] == 2
+        assert r["hhi_num"] * 2 == r["hhi_den"]
+
+
+class TestOrdersRuleViolations:
+    def test_planted_contract_breaks(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from ocr_ray.ops.dq import orders_rule_violations
+
+        def us(y):
+            return int(dt.datetime(y, 6, 1).timestamp() * 1e6)
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([1, None, 3, 4, 5], pa.int64()),
+                "o_orderstatus": pa.array(["F", "X", None, "O", "P"], pa.string()),
+                "o_totalprice": pa.array([10.0, -5.0, None, 20.0, 30.0], pa.float64()),
+                "o_orderdate": pa.array(
+                    np.array([us(1995), us(1970), us(2099), us(2000), us(2001)], np.int64),
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        rows = {r["rule"]: r for r in orders_rule_violations(str(tmp_path)).take_all()}
+        assert rows["totalprice_nonneg"]["n_violations"] == 1  # NULL passes
+        assert rows["status_enum"]["n_violations"] == 1  # 'X'; NULL passes
+        assert rows["orderdate_bounds"]["n_violations"] == 2  # 1970 + 2099
+        assert rows["custkey_present"]["n_violations"] == 1
+        assert all(r["n_rows"] == 5 for r in rows.values())
