@@ -199,6 +199,7 @@ QUERY_NAMES = [
     "orders_bitemporal_asof",
     "nation_supplier_hhi",
     "orders_rule_violations",
+    "user_conversion_survival",
 ]
 
 

@@ -720,3 +720,13 @@ REGISTRY["nation_supplier_hhi"] = (nation_supplier_hhi, NATION_SUPPLIER_HHI_SQL)
 from ocr_ray.ops.dq import ORDERS_RULE_VIOLATIONS_SQL, orders_rule_violations
 
 REGISTRY["orders_rule_violations"] = (orders_rule_violations, ORDERS_RULE_VIOLATIONS_SQL)
+
+from ocr_ray.ops.timeseries import (
+    USER_CONVERSION_SURVIVAL_SQL,
+    user_conversion_survival,
+)
+
+REGISTRY["user_conversion_survival"] = (
+    user_conversion_survival,
+    USER_CONVERSION_SURVIVAL_SQL,
+)

@@ -3832,3 +3832,152 @@ SELECT p.event_id, p.user_id, sess.st AS session_start,
 FROM p LEFT JOIN sess
   ON sess.user_id = p.user_id AND p.ts >= sess.st AND p.ts <= sess.en
 """
+
+
+# ---------------------------------------------------------------------------
+# survival analysis: Kaplan-Meier risk table for click -> purchase conversion
+# ---------------------------------------------------------------------------
+
+
+def user_conversion_survival(sf_dir: str) -> Dataset:
+    """Kaplan–Meier risk table for time-to-conversion: each user enters at
+    their first click; the event is their first purchase at-or-after it;
+    users who never convert are RIGHT-CENSORED at their last observed
+    activity. Output per distinct duration t (whole hours): the number
+    still at risk, conversions at t, and censorings at t — the exact
+    integer ingredients of the KM curve (the estimator itself is a product
+    of these rationals; shipping the table keeps the gate float-free).
+    Survival analysis is the churn/conversion shape none of the funnel
+    ops cover: funnels count WHO converted, KM says WHEN, correctly
+    handling users still "alive".
+
+    Plan: ONE coarse-key ``grouped_scan`` computes the 3 per-user
+    timestamps (first click, first purchase ≥ it, last activity); the
+    duration census is tiny (distinct hours) and the at-risk column is a
+    reverse cumulative sum over it on the driver.
+
+    Contract (mirrored in SQL): NULL user_id / ts rows are excluded;
+    durations floor to whole hours (non-negative, so SQL ``//`` agrees);
+    users with no click never enter the risk set."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        ty = pc.fill_null(t.column("event_type"), "")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "is_click": pc.cast(pc.equal(ty, pa.scalar("click")), pa.int8()),
+                "is_purchase": pc.cast(pc.equal(ty, pa.scalar("purchase")), pa.int8()),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        recs = []
+        for uid, g in df.groupby("user_id", sort=False):
+            us = g["us"].to_numpy(np.int64)
+            clicks = us[g["is_click"].to_numpy(np.int8) == 1]
+            if len(clicks) == 0:
+                continue
+            t0 = clicks.min()
+            buys = us[(g["is_purchase"].to_numpy(np.int8) == 1) & (us >= t0)]
+            if len(buys):
+                t = (int(buys.min()) - int(t0)) // 3_600_000_000
+                censored = False
+            else:
+                t = (int(us.max()) - int(t0)) // 3_600_000_000
+                censored = True
+            recs.append((t, censored))
+        import pandas as pd
+
+        out = pd.DataFrame(recs, columns=["t", "censored"])
+        if out.empty:
+            return pd.DataFrame(
+                {"t": pd.array([], dtype="int64"),
+                 "d": pd.array([], dtype="int64"),
+                 "c": pd.array([], dtype="int64")}
+            )
+        g = out.groupby("t")
+        return pd.DataFrame(
+            {
+                "t": g.size().index.to_numpy(np.int64),
+                "d": g.apply(lambda x: int((~x["censored"]).sum())).to_numpy(np.int64),
+                "c": g.apply(lambda x: int(x["censored"].sum())).to_numpy(np.int64),
+            }
+        )
+
+    census: dict = {}
+    for b in grouped_scan(pre, "user_id", scan).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for t, d, c in zip(
+            b.column("t").to_pylist(), b.column("d").to_pylist(), b.column("c").to_pylist()
+        ):
+            cur = census.get(t, (0, 0))
+            census[t] = (cur[0] + d, cur[1] + c)
+
+    ts_sorted = sorted(census, reverse=True)
+    risk = 0
+    rows = []
+    for t in ts_sorted:
+        d, c = census[t]
+        risk += d + c
+        rows.append((t, risk, d, c))
+    rows.reverse()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "t_hours": pa.array([r[0] for r in rows], pa.int64()),
+                "n_risk": pa.array([r[1] for r in rows], pa.int64()),
+                "n_events": pa.array([r[2] for r in rows], pa.int64()),
+                "n_censored": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+USER_CONVERSION_SURVIVAL_SQL = """
+WITH c AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL AND e.ts >= c.t0
+  GROUP BY 1
+),
+l AS (
+  SELECT e.user_id, MAX(e.ts) AS tl
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.ts IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT c.user_id,
+         CASE WHEN p.tp IS NOT NULL
+              THEN (epoch_us(p.tp) - epoch_us(c.t0)) // 3600000000
+              ELSE (epoch_us(l.tl) - epoch_us(c.t0)) // 3600000000 END AS t,
+         p.tp IS NULL AS censored
+  FROM c LEFT JOIN p ON p.user_id = c.user_id JOIN l ON l.user_id = c.user_id
+),
+cen AS (
+  SELECT t,
+         CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS d,
+         CAST(COUNT(*) FILTER (WHERE censored) AS BIGINT) AS c
+  FROM d GROUP BY t
+)
+SELECT t AS t_hours,
+       CAST(SUM(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+       d AS n_events, c AS n_censored
+FROM cen
+"""

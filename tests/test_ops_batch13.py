@@ -609,3 +609,38 @@ class TestOrdersRuleViolations:
         assert rows["orderdate_bounds"]["n_violations"] == 2  # 1970 + 2099
         assert rows["custkey_present"]["n_violations"] == 1
         assert all(r["n_rows"] == 5 for r in rows.values())
+
+
+class TestConversionSurvival:
+    def test_km_table(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import user_conversion_survival
+
+        H = 3_600_000_000
+        # u1: click at 0, purchase at 2h -> event at t=2
+        # u2: click at 0, no purchase, last activity 5h -> censored at t=5
+        # u3: purchase BEFORE any click (1h), click at 2h, last 4h ->
+        #     the pre-click purchase must NOT count; censored at t=2
+        # u4: no click at all -> never enters the risk set
+        rows = [
+            (1, 0, "click"), (1, 2 * H, "purchase"),
+            (2, 0, "click"), (2, 5 * H, "view"),
+            (3, 1 * H, "purchase"), (3, 2 * H, "click"), (3, 4 * H, "view"),
+            (4, 0, "purchase"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                "ts": pa.array(np.array([r[1] for r in rows], np.int64), pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = {r["t_hours"]: r for r in user_conversion_survival(str(tmp_path)).take_all()}
+        # t=2: u1 converts, u3 censored (last 4h - click 2h = 2h); risk = all 3
+        assert got[2] == {"t_hours": 2, "n_risk": 3, "n_events": 1, "n_censored": 1}
+        # t=5: only u2 remains
+        assert got[5] == {"t_hours": 5, "n_risk": 1, "n_events": 0, "n_censored": 1}
+        assert set(got) == {2, 5}
