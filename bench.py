@@ -435,12 +435,28 @@ def run_bench() -> dict:
             user_value_ewma,
         )
 
+        from ocr_ray.ops.mlprep import user_value_scaled
+        from ocr_ray.ops.timeseries import (
+            purchases_in_sessions,
+            user_conversion_survival,
+            user_hour_ohlc,
+            user_value_cusum,
+            user_value_moving_median,
+        )
+
         for label, fn in (
             ("key_skew_1m_events", events_key_skew),
             ("selfjoin_size_1m_events", events_selfjoin_size),
             ("ewma_1m_events", user_value_ewma),
             ("churn_census_1m_events", daily_churn_census),
             ("window_dedup_1m_events", events_window_dedup),
+            # session-11 window/scan family at volume
+            ("cusum_1m_events", user_value_cusum),
+            ("moving_median_1m_events", user_value_moving_median),
+            ("ohlc_1m_events", user_hour_ohlc),
+            ("minmax_scaled_1m_events", user_value_scaled),
+            ("purch_in_sessions_1m_events", purchases_in_sessions),
+            ("survival_1m_events", user_conversion_survival),
         ):
             t0 = time.monotonic()
             _consume(fn(ev1m))
