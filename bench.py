@@ -200,6 +200,7 @@ QUERY_NAMES = [
     "nation_supplier_hhi",
     "orders_rule_violations",
     "user_conversion_survival",
+    "user_event_pattern",
 ]
 
 

@@ -730,3 +730,7 @@ REGISTRY["user_conversion_survival"] = (
     user_conversion_survival,
     USER_CONVERSION_SURVIVAL_SQL,
 )
+
+from ocr_ray.ops.timeseries import USER_EVENT_PATTERN_SQL, user_event_pattern
+
+REGISTRY["user_event_pattern"] = (user_event_pattern, USER_EVENT_PATTERN_SQL)

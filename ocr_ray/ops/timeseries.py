@@ -3981,3 +3981,112 @@ SELECT t AS t_hours,
        d AS n_events, c AS n_censored
 FROM cen
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern matching (MATCH_RECOGNIZE shape): click -> view* -> purchase
+# ---------------------------------------------------------------------------
+
+_SEQ_PATTERN = rb"cv*p"  # click, any views, purchase — non-overlapping matches
+_SEQ_SYMBOLS = {"click": ord("c"), "view": ord("v"), "purchase": ord("p")}
+_SEQ_OTHER = ord("o")
+
+
+def user_event_pattern(sf_dir: str) -> Dataset:
+    """Complex-event-processing / MATCH_RECOGNIZE shape: per user, count
+    NON-OVERLAPPING occurrences of the symbolic pattern ``click view*
+    purchase`` in the time-ordered event stream — regex over a sequence of
+    ROWS, not characters of a text column. Funnels count stage reachability;
+    this recognizes the exact motif (a purchase directly fed by a click
+    through any number of views), the CEP primitive none of the window ops
+    express.
+
+    Both engines run the SAME regex on the SAME symbol string: the Ray side
+    builds each user's symbol bytes in one vectorized translate + slice,
+    the oracle builds it with ``string_agg(... ORDER BY ts, event_id)`` —
+    leftmost non-overlapping semantics agree between RE2 and Python ``re``
+    for this pattern family (no lookaround, no alternation overlap).
+
+    Plan: ONE coarse-key ``grouped_scan``; symbol translation is an
+    ``index_in`` gather per batch; per user segment one compiled-regex
+    ``findall`` over a bytes slice (Python per USER, not per event).
+
+    Contract (mirrored in SQL): NULL user_id / ts / event_id rows excluded;
+    unknown and NULL event types map to the neutral symbol 'o'."""
+    import re as _re
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    type_arr = pa.array(list(_SEQ_SYMBOLS), pa.string())
+    code_arr = np.array(list(_SEQ_SYMBOLS.values()) + [_SEQ_OTHER], np.uint8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t.column("user_id"))
+        for c in ("ts", "event_id"):
+            m = pc.and_(m, pc.is_valid(t.column(c)))
+        t = t.filter(m)
+        idx = pc.index_in(t.column("event_type"), value_set=type_arr)
+        idx = pc.fill_null(idx, len(_SEQ_SYMBOLS)).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "sym": pa.array(code_arr[idx], pa.uint8()),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    pat = _re.compile(_SEQ_PATTERN)
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "us", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        sym = df["sym"].to_numpy(np.uint8)
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "seq_len": pd.array([], dtype="int64"),
+                 "n_matches": pd.array([], dtype="int64")}
+            )
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.append(starts[1:], n)
+        buf = sym.tobytes()
+        uids, lens, hits = [], [], []
+        for a, b in zip(starts, ends):
+            uids.append(int(u[a]))
+            lens.append(b - a)
+            hits.append(len(pat.findall(buf[a:b])))
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(uids, dtype="int64"),
+                "seq_len": pd.array(lens, dtype="int64"),
+                "n_matches": pd.array(hits, dtype="int64"),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", scan)
+
+
+USER_EVENT_PATTERN_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                         WHEN 'purchase' THEN 'p' ELSE 'o' END AS sym
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+s AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM v GROUP BY 1
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
+FROM s
+"""

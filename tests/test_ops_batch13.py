@@ -644,3 +644,33 @@ class TestConversionSurvival:
         # t=5: only u2 remains
         assert got[5] == {"t_hours": 5, "n_risk": 1, "n_events": 0, "n_censored": 1}
         assert set(got) == {2, 5}
+
+
+class TestUserEventPattern:
+    def test_motif_counting(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import user_event_pattern
+
+        # u1 sequence: c v v p c p o c p -> 'cv*p' matches 3 times
+        # u2: v p c v (no complete motif) -> 0; NULL type maps to 'o'
+        seq1 = ["click", "view", "view", "purchase", "click", "purchase",
+                None, "click", "purchase"]
+        seq2 = ["view", "purchase", "click", "view"]
+        types = seq1 + seq2
+        users = [1] * len(seq1) + [2] * len(seq2)
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(len(types))), pa.int64()),
+                "ts": pa.array(
+                    np.arange(len(types), dtype=np.int64) * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array([1.0] * len(types), pa.float64()),
+                "props": pa.array(["{}"] * len(types), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {r["user_id"]: r for r in user_event_pattern(str(tmp_path)).take_all()}
+        assert rows[1]["n_matches"] == 3 and rows[1]["seq_len"] == 9
+        assert rows[2]["n_matches"] == 0 and rows[2]["seq_len"] == 4
