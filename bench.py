@@ -201,6 +201,7 @@ QUERY_NAMES = [
     "orders_rule_violations",
     "user_conversion_survival",
     "user_event_pattern",
+    "orders_cust_join_salted",
 ]
 
 

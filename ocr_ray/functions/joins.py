@@ -208,3 +208,66 @@ def hash_join(
         on=(on,),
         right_on=(right_on or on,),
     )
+
+
+def salted_hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    salts: int = 8,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Skew-resistant hash join: a hot key would land its entire row mass in
+    ONE join partition of ``hash_join`` (the straggler that burns a node at
+    10^8 rows per key). Salting splits every left key across ``salts``
+    sub-partitions (a per-batch round-robin salt column — any assignment is
+    correct, the join result never depends on which salt a row gets) and
+    REPLICATES the right side once per salt, so the join key becomes
+    (key, salt) and the hot key's mass spreads ~uniformly over ``salts``
+    partitions. Cost: right-side traffic × ``salts`` — use when the left is
+    skewed and the right is the smaller side (the classic fact × dimension
+    skew shape).
+
+    Inner/left joins only (a right/full join would multiply unmatched
+    right rows once per salt)."""
+    import numpy as np
+
+    if right_on is None:
+        right_on = on
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        s = np.arange(t.num_rows, dtype=np.int64) % salts
+        return t.append_column("__salt", pa.array(s, pa.int64()))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(salts):
+            parts.append(
+                t.append_column(
+                    "__salt", pa.array(np.full(t.num_rows, i, np.int64), pa.int64())
+                )
+            )
+        return pa.concat_tables(parts)
+
+    lsalted = left.map_batches(add_salt, batch_format="pyarrow")
+    rsalted = right.map_batches(replicate, batch_format="pyarrow")
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(int(ray.cluster_resources().get("CPU", 8)), salts)
+        except Exception:
+            num_partitions = max(8, salts)
+    joined = lsalted.join(
+        rsalted,
+        join_type="inner",
+        num_partitions=int(num_partitions),
+        on=(on, "__salt"),
+        right_on=(right_on, "__salt"),
+    )
+    return joined.map_batches(
+        lambda t: t.drop_columns([c for c in t.column_names if c.startswith("__salt")]),
+        batch_format="pyarrow",
+    )

@@ -734,3 +734,13 @@ REGISTRY["user_conversion_survival"] = (
 from ocr_ray.ops.timeseries import USER_EVENT_PATTERN_SQL, user_event_pattern
 
 REGISTRY["user_event_pattern"] = (user_event_pattern, USER_EVENT_PATTERN_SQL)
+
+from ocr_ray.ops.incremental import (
+    ORDERS_CUST_JOIN_SALTED_SQL,
+    orders_cust_join_salted,
+)
+
+REGISTRY["orders_cust_join_salted"] = (
+    orders_cust_join_salted,
+    ORDERS_CUST_JOIN_SALTED_SQL,
+)

@@ -253,3 +253,50 @@ SELECT o.o_orderkey, o.o_custkey, c.c_name,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderkey IS NOT NULL
 """
+
+
+def orders_cust_join_salted(sf_dir: str) -> Dataset:
+    """The same fact × dimension join routed through the SKEW-RESISTANT
+    ``salted_hash_join`` plan — gate-proves the salted (key, salt) join
+    produces exactly the plain join's rows (salting must never change
+    results, only partition balance)."""
+    import pyarrow.compute as pc
+
+    from ocr_ray.functions.joins import salted_hash_join
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "total_cents": to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    joined = salted_hash_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        salts=8,
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "c_name": t.column("c_name"),
+                "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORDERS_CUST_JOIN_SALTED_SQL = ORDERS_CUST_JOIN_INCREMENTAL_SQL

@@ -674,3 +674,36 @@ class TestUserEventPattern:
         rows = {r["user_id"]: r for r in user_event_pattern(str(tmp_path)).take_all()}
         assert rows[1]["n_matches"] == 3 and rows[1]["seq_len"] == 9
         assert rows[2]["n_matches"] == 0 and rows[2]["seq_len"] == 4
+
+
+class TestSaltedHashJoin:
+    def test_hot_key_equality(self, ray_session):
+        """A pathologically hot key (half of all rows) joins identically
+        through the salted path and the plain hash join."""
+        import ray.data as rd
+
+        from ocr_ray.functions.joins import hash_join, salted_hash_join
+
+        n = 2000
+        keys = np.where(np.arange(n) % 2 == 0, 7, np.arange(n) % 50)
+        left = pa.table(
+            {
+                "k": pa.array(keys.astype(np.int64)),
+                "v": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {
+                "rk": pa.array(np.arange(50, dtype=np.int64)),
+                "name": pa.array([f"n{i}" for i in range(50)], pa.string()),
+            }
+        )
+        a = salted_hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk", salts=4
+        ).take_all()
+        b = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk"
+        ).take_all()
+        key = lambda r: (r["k"], r["v"])  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)
+        assert len(a) == n  # every left row matched exactly once
