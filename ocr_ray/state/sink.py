@@ -1332,3 +1332,107 @@ def read_manifests(out_dir: str) -> pa.Table:
             "num_partitions": pa.array([r.get("num_partitions") for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sidecar index: point-lookup file skipping
+# ---------------------------------------------------------------------------
+
+_BLOOM_SIDE_BITS = 1 << 17  # 16 KiB bitmap per file
+_BLOOM_SIDE_K = 4
+
+
+def _file_bloom(path: str, key: str) -> bytes:
+    """Build one Bloom bitmap over a file's key column (int64 keys)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.mlprep import _mix64
+
+    col = pq.read_table(path, columns=[key]).column(key)
+    keys = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    bm = np.zeros(_BLOOM_SIDE_BITS, dtype=bool)
+    if len(keys):
+        x = keys.view(np.uint64)
+        h1 = _mix64(x, 0x9E3779B97F4A7C15)
+        h2 = _mix64(x, 0xD1B54A32D192ED03) | np.uint64(1)
+        for i in range(_BLOOM_SIDE_K):
+            bm[((h1 + np.uint64(i) * h2) % np.uint64(_BLOOM_SIDE_BITS)).astype(np.int64)] = True
+    return np.packbits(bm).tobytes()
+
+
+def write_bloom_sidecars(out_dir: str, *, key: str) -> int:
+    """Index an already-committed partitioned table for POINT LOOKUPS: one
+    Bloom bitmap per data file over ``key``, stored as a sidecar in the
+    manifest dir — the file-skipping complement of the range manifests
+    (ranges prune BETWEEN scans on the clustered key; Blooms prune
+    ``key = ?`` probes on ANY column, clustered or not). No false
+    negatives by construction; a false positive just reads one extra file.
+
+    One Ray task per data file (embarrassingly parallel, reads only the
+    key column); sidecars commit atomically. Returns files indexed."""
+    import base64
+    import glob as _glob
+
+    import ray
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    task = ray.remote(_file_bloom)
+    bitmaps = ray.get([task.remote(p, key) for p in files])
+    for p, bm in zip(files, bitmaps):
+        name = os.path.basename(p)
+        side = os.path.join(mdir, f"bloom-{name}.json")
+        with open(side + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "file": name,
+                    "key": key,
+                    "bits": _BLOOM_SIDE_BITS,
+                    "k": _BLOOM_SIDE_K,
+                    "bitmap": base64.b64encode(bm).decode(),
+                },
+                f,
+            )
+        os.replace(side + ".tmp", side)
+    return len(files)
+
+
+def prune_bloom_files(out_dir: str, *, key: str, values) -> list[str]:
+    """Data files that MIGHT contain any of the probed key values (no
+    false negatives). Files without a sidecar are conservatively kept."""
+    import base64
+    import glob as _glob
+
+    import numpy as np
+
+    from ocr_ray.ops.mlprep import _mix64
+
+    vals = np.asarray(list(values), dtype=np.int64)
+    x = vals.view(np.uint64)
+    h1 = _mix64(x, 0x9E3779B97F4A7C15)
+    h2 = _mix64(x, 0xD1B54A32D192ED03) | np.uint64(1)
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    keep = []
+    for p in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+        side = os.path.join(mdir, f"bloom-{os.path.basename(p)}.json")
+        if not os.path.exists(side):
+            keep.append(p)
+            continue
+        with open(side) as f:
+            m = json.load(f)
+        if m.get("key") != key:
+            keep.append(p)
+            continue
+        bm = np.unpackbits(
+            np.frombuffer(base64.b64decode(m["bitmap"]), dtype=np.uint8)
+        ).astype(bool)
+        hit = np.zeros(len(vals), dtype=bool)
+        hit[:] = True
+        for i in range(int(m["k"])):
+            pos = ((h1 + np.uint64(i) * h2) % np.uint64(int(m["bits"]))).astype(np.int64)
+            hit &= bm[pos]
+        if hit.any():
+            keep.append(p)
+    return keep

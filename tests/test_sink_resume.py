@@ -655,3 +655,56 @@ def test_read_manifests_reconciles(tmp_path, ray_session):
     rep2 = read_manifests(out)
     assert rep2.num_rows == 3
     assert 2 not in rep2.column("partition_id").to_pylist()
+
+
+class TestBloomSidecar:
+    def test_point_lookup_skips_files(self, ray_session, tmp_path):
+        """Sidecar pruning: no false negatives (every probed key's rows are
+        found), real skipping (a key confined to one file prunes to ~1
+        file), unindexed files conservatively kept."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.state.sink import prune_bloom_files, write_bloom_sidecars
+
+        import pyarrow.parquet as pq
+
+        n = 4000
+        out = str(tmp_path / "table")
+        os.makedirs(out)
+        # 8 part files, uid range-sliced so each key lives in exactly one
+        for i in range(8):
+            lo, hi = i * (n // 8), (i + 1) * (n // 8)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            pq.write_table(
+                pa.table({"uid": pa.array(ids), "v": pa.array(ids * 2)}),
+                os.path.join(out, f"part-{i:05d}.parquet"),
+            )
+        n_indexed = write_bloom_sidecars(out, key="uid")
+        assert n_indexed == 8
+
+        import glob
+
+        all_files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        probe = [123]
+        keep = prune_bloom_files(out, key="uid", values=probe)
+        # the key lives in exactly one partition; FPs may add a file or two
+        assert 1 <= len(keep) < len(all_files)
+        got = rd.read_parquet(keep).filter(lambda r: r["uid"] == 123).take_all()
+        assert [r["v"] for r in got] == [246]
+
+        # absent key: usually prunes everything; never errors
+        none_keep = prune_bloom_files(out, key="uid", values=[10**12 + 7])
+        assert isinstance(none_keep, list)
+
+        # drop one sidecar -> that file must be conservatively kept
+        side = sorted(
+            glob.glob(os.path.join(out, "_manifest", "bloom-*.json"))
+        )[0]
+        victim = os.path.join(out, __import__("json").load(open(side))["file"])
+        os.remove(side)
+        keep2 = prune_bloom_files(out, key="uid", values=[10**12 + 7])
+        assert victim in keep2
