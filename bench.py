@@ -202,6 +202,7 @@ QUERY_NAMES = [
     "user_conversion_survival",
     "user_event_pattern",
     "orders_cust_join_salted",
+    "purchase_click_pressure",
 ]
 
 

@@ -744,3 +744,7 @@ REGISTRY["orders_cust_join_salted"] = (
     orders_cust_join_salted,
     ORDERS_CUST_JOIN_SALTED_SQL,
 )
+
+from ocr_ray.ops.timeseries import PURCHASE_CLICK_PRESSURE_SQL, purchase_click_pressure
+
+REGISTRY["purchase_click_pressure"] = (purchase_click_pressure, PURCHASE_CLICK_PRESSURE_SQL)

@@ -4090,3 +4090,115 @@ SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
        CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# stream enrichment: trailing-window aggregate of ANOTHER stream at event time
+# ---------------------------------------------------------------------------
+
+_ENRICH_WINDOW_US = 3_600_000_000  # trailing hour
+
+
+def purchase_click_pressure(sf_dir: str) -> Dataset:
+    """Stream enrichment with windowed state: every purchase annotated with
+    the user's CLICK count in the trailing hour ending at the purchase —
+    the feature-at-event-time join of online feature stores ("how hot was
+    this user when they bought"). Differs from the RANGE-frame window
+    (``user_trailing_hour_spend``) in that the aggregate is over a
+    DIFFERENT stream than the one being annotated — an interval-join +
+    aggregate, not a self-window.
+
+    Plan: ONE coarse-key ``grouped_scan`` co-locates both streams of a
+    user; per segment the trailing count is TWO searchsorted probes into
+    the user's sorted click timestamps (count ≤ t minus count < t − W) —
+    no pair expansion, no per-row Python.
+
+    Contract (mirrored in SQL): NULL user_id / ts rows excluded from both
+    roles; purchases need a non-NULL event_id; the window is half-open
+    ``(t−W, t]``."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts")))
+        )
+        ty = pc.fill_null(t.column("event_type"), "")
+        is_p = pc.equal(ty, pa.scalar("purchase"))
+        is_c = pc.equal(ty, pa.scalar("click"))
+        t = t.filter(pc.or_(is_c, pc.and_(is_p, pc.is_valid(t.column("event_id")))))
+        ty = pc.fill_null(t.column("event_type"), "")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "us": t.column("ts").cast(pa.int64()),
+                "is_p": pc.cast(pc.equal(ty, pa.scalar("purchase")), pa.int8()),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out_eid, out_uid, out_us, out_n = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            us = g["us"].to_numpy(np.int64)
+            isp = g["is_p"].to_numpy(np.int8) == 1
+            clicks = np.sort(us[~isp])
+            p_us = us[isp]
+            if len(p_us) == 0:
+                continue
+            p_eid = g["event_id"].to_numpy()[isp]
+            hi = np.searchsorted(clicks, p_us, side="right")
+            lo = np.searchsorted(clicks, p_us - _ENRICH_WINDOW_US, side="right")
+            n = (hi - lo).astype(np.int64)
+            out_eid.extend(int(x) for x in p_eid)
+            out_uid.extend([int(uid)] * len(p_us))
+            out_us.extend(int(x) for x in p_us)
+            out_n.extend(int(x) for x in n)
+        return pd.DataFrame(
+            {
+                "event_id": pd.array(out_eid, dtype="int64"),
+                "user_id": pd.array(out_uid, dtype="int64"),
+                "us": pd.array(out_us, dtype="int64"),
+                "clicks_1h": pd.array(out_n, dtype="int64"),
+            }
+        )
+
+    out = grouped_scan(pre, "user_id", scan)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "ts": pc.cast(t.column("us"), pa.int64()).cast(pa.timestamp("us")),
+                "clicks_1h": pc.cast(t.column("clicks_1h"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PURCHASE_CLICK_PRESSURE_SQL = f"""
+WITH c AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COUNT(c.ts) AS BIGINT) AS clicks_1h
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND epoch_us(c.ts) > epoch_us(p.ts) - {_ENRICH_WINDOW_US}
+GROUP BY p.event_id, p.user_id, p.ts
+"""

@@ -707,3 +707,32 @@ class TestSaltedHashJoin:
         key = lambda r: (r["k"], r["v"])  # noqa: E731
         assert sorted(a, key=key) == sorted(b, key=key)
         assert len(a) == n  # every left row matched exactly once
+
+
+class TestPurchaseClickPressure:
+    def test_window_boundaries(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import purchase_click_pressure
+
+        M = 60_000_000
+        H = 60 * M
+        # clicks at 0, 30min, 61min; purchase at 61min: window (1min, 61min]
+        # -> clicks at 30min and 61min count, the one at 0 is exactly W old
+        # and falls OUT of the half-open window; purchase at 2h: only the
+        # 61-min click is within (60min, 120min]
+        rows = [
+            (1, 0, "click"), (2, 30 * M, "click"), (3, 61 * M, "click"),
+            (10, 61 * M, "purchase"), (11, 120 * M, "purchase"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(np.array([r[1] for r in rows], np.int64), pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = {r["event_id"]: r["clicks_1h"] for r in purchase_click_pressure(str(tmp_path)).take_all()}
+        assert got == {10: 2, 11: 1}
