@@ -176,7 +176,6 @@ QUERY_NAMES = [
     "cumulative_distinct_users",
     "session_paths_topk",
     "events_systematic_sample",
-    "user_golden_record",
     "click_minus_view_users_bag",
     "doc_compression_ratio",
     "custs_ldiversity_audit",
