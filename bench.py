@@ -202,6 +202,7 @@ QUERY_NAMES = [
     "user_event_pattern",
     "orders_cust_join_salted",
     "purchase_click_pressure",
+    "embedding_quantize_int8",
 ]
 
 

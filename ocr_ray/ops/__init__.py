@@ -748,3 +748,7 @@ REGISTRY["orders_cust_join_salted"] = (
 from ocr_ray.ops.timeseries import PURCHASE_CLICK_PRESSURE_SQL, purchase_click_pressure
 
 REGISTRY["purchase_click_pressure"] = (purchase_click_pressure, PURCHASE_CLICK_PRESSURE_SQL)
+
+from ocr_ray.ops.ann import EMBEDDING_QUANTIZE_INT8_SQL, embedding_quantize_int8
+
+REGISTRY["embedding_quantize_int8"] = (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL)

@@ -1515,3 +1515,100 @@ SELECT vec_id, CAST(i - 1 AS BIGINT) AS arg_dim, qv AS max_q
 FROM q
 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qv DESC, i) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (per-dimension min-max codes, exact fixed point)
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_int8(sf_dir: str) -> "Dataset":
+    """Scalar quantization of the embedding table: each dimension's values
+    mapped to 0..255 codes by per-dimension min/max — the 4× memory cut
+    every planet-scale vector index takes before ANN search (IVF/LSH here
+    search fewer vectors; quantization shrinks each one). Exactly gated:
+    floats enter integer space FIRST (``floor(x · 10⁶)``, the
+    ``embedding_jl_project`` fixed-point trick), so code arithmetic is
+    pure int64 and identical in DuckDB ((xi−mn)·255 // span — non-negative
+    numerator, truncation == floor).
+
+    Plan: one per-batch flatten + per-dim partial min/max (64 rows per
+    batch through the fold), broadcast of the 64-entry (mn, span) table,
+    then a second streaming pass emits (vec_id, dim, code) rows. A
+    constant dimension (span 0) codes to 0.
+
+    Contract (mirrored in SQL): NULL vec_id / NULL embedding rows are
+    excluded; dims are 0-based."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def _flat(t: pa.Table):
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("vec_id")), pc.is_valid(t.column("embedding")))
+        )
+        col = t.column("embedding").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = np.floor(flat * 1_000_000.0).astype(np.int64)
+        dims = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) if len(lens) else np.array([], np.int64)
+        ids = np.repeat(t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        return ids, dims, xi
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _ids, dims, xi = _flat(t)
+        g = pa.table({"dim": pa.array(dims), "xi": pa.array(xi)})
+        out = g.group_by(["dim"]).aggregate([("xi", "min"), ("xi", "max")])
+        return out.rename_columns(["dim", "mn", "mx"])
+
+    folds: dict = {}
+    for b in emb.map_batches(stats_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for d, mn, mx in zip(
+            b.column("dim").to_pylist(), b.column("mn").to_pylist(), b.column("mx").to_pylist()
+        ):
+            cur = folds.get(d)
+            folds[d] = (mn, mx) if cur is None else (min(cur[0], mn), max(cur[1], mx))
+
+    ndim = max(folds) + 1 if folds else 0
+    mn = np.zeros(ndim, np.int64)
+    span = np.ones(ndim, np.int64)
+    for d, (lo, hi) in folds.items():
+        mn[d] = lo
+        span[d] = max(hi - lo, 1)
+    is_const = np.array([folds[d][0] == folds[d][1] if d in folds else True for d in range(ndim)])
+
+    def codes(t: pa.Table) -> pa.Table:
+        ids, dims, xi = _flat(t)
+        c = (xi - mn[dims]) * 255 // span[dims]
+        c[is_const[dims]] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "dim": pa.array(dims),
+                "code": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return emb.map_batches(codes, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH u AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xi
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+s AS (SELECT dim, MIN(xi) AS mn, MAX(xi) AS mx FROM u GROUP BY 1)
+SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
+       CAST(CASE WHEN s.mx > s.mn
+                 THEN (u.xi - s.mn) * 255 // (s.mx - s.mn)
+                 ELSE 0 END AS BIGINT) AS code
+FROM u JOIN s USING (dim)
+"""

@@ -736,3 +736,28 @@ class TestPurchaseClickPressure:
         pq.write_table(t, str(tmp_path / "events.parquet"))
         got = {r["event_id"]: r["clicks_1h"] for r in purchase_click_pressure(str(tmp_path)).take_all()}
         assert got == {10: 2, 11: 1}
+
+
+class TestEmbeddingQuantize:
+    def test_codes_and_constant_dim(self, ray_session, tmp_path):
+        from ocr_ray.ops.ann import embedding_quantize_int8
+
+        vecs = [[0.0, 5.0, 0.25], [1.0, 5.0, 0.75], [0.5, 5.0, -0.25]]
+        t = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        rows = {
+            (r["vec_id"], r["dim"]): r["code"]
+            for r in embedding_quantize_int8(str(tmp_path)).take_all()
+        }
+        # dim 0 spans [0,1]: codes 0 / 255 / 127 ((500000-0)*255//1000000)
+        assert rows[(0, 0)] == 0 and rows[(1, 0)] == 255 and rows[(2, 0)] == 127
+        # dim 1 constant -> 0 everywhere
+        assert rows[(0, 1)] == rows[(1, 1)] == rows[(2, 1)] == 0
+        # dim 2 spans [-0.25, 0.75]: 0.25 -> (500000)*255//1000000 = 127
+        assert rows[(2, 2)] == 0 and rows[(1, 2)] == 255 and rows[(0, 2)] == 127
