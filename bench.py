@@ -203,6 +203,7 @@ QUERY_NAMES = [
     "orders_cust_join_salted",
     "purchase_click_pressure",
     "embedding_quantize_int8",
+    "doc_kfold_stratified",
 ]
 
 

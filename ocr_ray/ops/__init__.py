@@ -752,3 +752,7 @@ REGISTRY["purchase_click_pressure"] = (purchase_click_pressure, PURCHASE_CLICK_P
 from ocr_ray.ops.ann import EMBEDDING_QUANTIZE_INT8_SQL, embedding_quantize_int8
 
 REGISTRY["embedding_quantize_int8"] = (embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL)
+
+from ocr_ray.ops.mlprep import DOC_KFOLD_STRATIFIED_SQL, doc_kfold_stratified
+
+REGISTRY["doc_kfold_stratified"] = (doc_kfold_stratified, DOC_KFOLD_STRATIFIED_SQL)

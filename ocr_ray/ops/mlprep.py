@@ -1100,3 +1100,65 @@ SELECT v.user_id, v.event_id,
                  ELSE 0 END AS BIGINT) AS scaled_e6
 FROM v JOIN s ON v.user_id = s.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified k-fold assignment (balanced within every stratum)
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def doc_kfold_stratified(sf_dir: str, *, k: int = _KFOLD_K) -> Dataset:
+    """Stratified k-fold cross-validation assignment: within each language
+    stratum, docs are ranked by md5-hash order (uniform, seedless,
+    rerun-stable) and dealt round-robin into ``k`` folds — so every
+    (stratum, fold) cell is balanced to within one doc, the property
+    ``split_train_test``'s independent coin flips cannot guarantee on
+    small strata.
+
+    Plan: the rank-within-stratum runs in ONE coarse-key ``grouped_scan``
+    over (doc_id, lang, md5) rows — strata co-locate, the deal is a
+    vectorized argsort per stratum. NULL lang is a real stratum.
+
+    Contract (mirrored in SQL): NULL doc_id rows are excluded (hash order
+    is a function of the id)."""
+    import hashlib as _hashlib
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        ids = t.column("doc_id").to_pylist()
+        h = [_hashlib.md5(str(i).encode("ascii")).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    pre = docs.map_batches(prep, batch_format="pyarrow")
+
+    def deal(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        # dropna=False: NULL lang is a stratum (SQL PARTITION BY keeps it)
+        df = df.sort_values(["h", "doc_id"])
+        df["fold"] = df.groupby("lang", sort=False, dropna=False).cumcount() % k
+        return df[["doc_id", "lang", "fold"]].astype({"fold": "int64"})
+
+    return grouped_scan(pre, "lang", deal)
+
+
+DOC_KFOLD_STRATIFIED_SQL = f"""
+SELECT doc_id, lang,
+       CAST((row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1) % {_KFOLD_K} AS BIGINT) AS fold
+FROM documents
+WHERE doc_id IS NOT NULL
+"""

@@ -761,3 +761,30 @@ class TestEmbeddingQuantize:
         assert rows[(0, 1)] == rows[(1, 1)] == rows[(2, 1)] == 0
         # dim 2 spans [-0.25, 0.75]: 0.25 -> (500000)*255//1000000 = 127
         assert rows[(2, 2)] == 0 and rows[(1, 2)] == 255 and rows[(0, 2)] == 127
+
+
+class TestKfoldStratified:
+    def test_balanced_within_stratum(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import doc_kfold_stratified
+
+        # 12 'en' docs, 3 'fr', 2 NULL-lang: per stratum fold counts must
+        # be balanced to within one
+        langs = ["en"] * 12 + ["fr"] * 3 + [None] * 2
+        sf = _write_docs(
+            tmp_path, ids=list(range(1, len(langs) + 1)), texts=["x"] * len(langs)
+        )
+        import pyarrow.parquet as pq2
+
+        t = pq2.read_table(str(tmp_path / "documents.parquet"))
+        t = t.set_column(
+            t.schema.get_field_index("lang"), "lang", pa.array(langs, pa.string())
+        )
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        rows = doc_kfold_stratified(sf).take_all()
+        from collections import Counter
+
+        for lang in ("en", "fr", None):
+            counts = Counter(r["fold"] for r in rows if r["lang"] == lang)
+            vals = [counts.get(f, 0) for f in range(5)]
+            assert max(vals) - min(vals) <= 1, (lang, vals)
+        assert len(rows) == len(langs)
