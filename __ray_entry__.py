@@ -434,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.graph import sssp_weighted_graph_sql
 
         out["sssp_weighted_graph"] = sssp_weighted_graph_sql(_DRIVER_SF)
+        from ocr_ray.ops.graph import graph_reciprocity_graph_sql
+
+        out["graph_reciprocity_graph"] = graph_reciprocity_graph_sql(_DRIVER_SF)
         from ocr_ray.ops.fuzzy import fuzzy_name_pairs_sql
 
         out["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(_DRIVER_SF)

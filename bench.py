@@ -204,6 +204,7 @@ QUERY_NAMES = [
     "purchase_click_pressure",
     "embedding_quantize_int8",
     "doc_kfold_stratified",
+    "graph_reciprocity_graph",
 ]
 
 

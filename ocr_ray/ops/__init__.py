@@ -756,3 +756,7 @@ REGISTRY["embedding_quantize_int8"] = (embedding_quantize_int8, EMBEDDING_QUANTI
 from ocr_ray.ops.mlprep import DOC_KFOLD_STRATIFIED_SQL, doc_kfold_stratified
 
 REGISTRY["doc_kfold_stratified"] = (doc_kfold_stratified, DOC_KFOLD_STRATIFIED_SQL)
+
+from ocr_ray.ops.graph import graph_reciprocity_graph
+
+REGISTRY["graph_reciprocity_graph"] = (graph_reciprocity_graph, None)  # SQL built per-sf

@@ -935,3 +935,106 @@ d(node, dist, hops) AS (
 )
 SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# edge reciprocity (mutual-link share)
+# ---------------------------------------------------------------------------
+
+
+def graph_reciprocity(edges: Dataset, *, local_edges_max: int = 30_000_000) -> Dataset:
+    """Reciprocity of a directed graph: of all distinct non-loop edges, how
+    many have their reverse present — the mutual-link share that separates
+    follow-graphs (~low) from friendship-graphs (1.0), and a one-line QA
+    check on any edge ingest ("did we accidentally symmetrize?").
+
+    Plan: distinct edges → join against their own reversal on the packed
+    (src, dst) pair — keys only, never payloads. Below the edge gate the
+    membership test is one sorted np.searchsorted over packed pairs."""
+    import numpy as np
+
+    if local_edges_max > 0:
+        local = _collect_edges_gated(edges, local_edges_max)
+        if local is not None:
+            src, dst = local
+            m = src != dst
+            src, dst = src[m], dst[m]
+            # canonical distinct pairs via packed views (ids are int64; pack
+            # into structured sort for exactness at any magnitude)
+            pairs = np.stack([src, dst], axis=1)
+            pairs = np.unique(pairs, axis=0)
+            fwd = pairs.view([("a", np.int64), ("b", np.int64)]).reshape(-1)
+            rev = np.stack([pairs[:, 1], pairs[:, 0]], axis=1).view(
+                [("a", np.int64), ("b", np.int64)]
+            ).reshape(-1)
+            fwd_sorted = np.sort(fwd)
+            idx = np.searchsorted(fwd_sorted, rev)
+            idx = np.minimum(idx, len(fwd_sorted) - 1) if len(fwd_sorted) else idx
+            mutual = int((fwd_sorted[idx] == rev).sum()) if len(fwd_sorted) else 0
+            n = int(len(pairs))
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "n_edges": pa.array([n], pa.int64()),
+                        "n_mutual": pa.array([mutual], pa.int64()),
+                    }
+                )
+            )
+
+    from ray.data.aggregate import Count
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("src")), pc.is_valid(t.column("dst")))
+        )
+        t = t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    dedup = (
+        edges.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+        .materialize()
+    )
+    n = dedup.count()
+    rev = dedup.map_batches(
+        lambda t: pa.table(
+            {"src": t.column("dst").combine_chunks(), "dst": t.column("src").combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    mutual = dedup.join(
+        rev, join_type="inner", num_partitions=16, on=("src", "dst"),
+        right_on=("src", "dst"),
+    ).count()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([int(n)], pa.int64()),
+                "n_mutual": pa.array([int(mutual)], pa.int64()),
+            }
+        )
+    )
+
+
+def graph_reciprocity_graph(sf_dir: str) -> Dataset:
+    """queries() entry over the sf-scaled fixture (local tier at these
+    sizes; the fixture is far below the edge gate)."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return graph_reciprocity(rd.read_parquet(path))
+
+
+def graph_reciprocity_graph_sql(sf_dir: str) -> str:
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM read_parquet('{path}')
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) FILTER (
+           WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+       ) AS BIGINT) AS n_mutual
+FROM e
+"""

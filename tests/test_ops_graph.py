@@ -225,3 +225,22 @@ class TestSsspWeighted:
             ).take_all()
         }
         assert a == b and a[0] == 0
+
+
+class TestReciprocity:
+    def test_hand_graph_and_tier_parity(self):
+        import numpy as np
+
+        from ocr_ray.ops.graph import graph_reciprocity
+
+        # 0<->1 mutual; 0->2 one-way; 2->2 loop dropped; dup edge collapses
+        edges = pa.table(
+            {
+                "src": pa.array([0, 1, 0, 2, 0], pa.int64()),
+                "dst": pa.array([1, 0, 2, 2, 1], pa.int64()),
+            }
+        )
+        a = graph_reciprocity(rd.from_arrow(edges)).take_all()[0]
+        assert a == {"n_edges": 3, "n_mutual": 2}
+        b = graph_reciprocity(rd.from_arrow(edges), local_edges_max=0).take_all()[0]
+        assert b == a

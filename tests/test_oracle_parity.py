@@ -80,6 +80,9 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.graph import sssp_weighted_graph_sql
 
     _SQLS["sssp_weighted_graph"] = sssp_weighted_graph_sql(SF)
+    from ocr_ray.ops.graph import graph_reciprocity_graph_sql
+
+    _SQLS["graph_reciprocity_graph"] = graph_reciprocity_graph_sql(SF)
     from ocr_ray.ops.fuzzy import fuzzy_name_clusters_sql, fuzzy_name_pairs_sql
 
     _SQLS["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(SF)
