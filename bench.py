@@ -442,8 +442,10 @@ def run_bench() -> dict:
 
         from ocr_ray.ops.mlprep import user_value_scaled
         from ocr_ray.ops.timeseries import (
+            purchase_click_pressure,
             purchases_in_sessions,
             user_conversion_survival,
+            user_event_pattern,
             user_hour_ohlc,
             user_value_cusum,
             user_value_moving_median,
@@ -462,6 +464,8 @@ def run_bench() -> dict:
             ("minmax_scaled_1m_events", user_value_scaled),
             ("purch_in_sessions_1m_events", purchases_in_sessions),
             ("survival_1m_events", user_conversion_survival),
+            ("event_pattern_1m_events", user_event_pattern),
+            ("click_pressure_1m_events", purchase_click_pressure),
         ):
             t0 = time.monotonic()
             _consume(fn(ev1m))
