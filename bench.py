@@ -205,6 +205,7 @@ QUERY_NAMES = [
     "embedding_quantize_int8",
     "doc_kfold_stratified",
     "graph_reciprocity_graph",
+    "docs_proportional_sample",
 ]
 
 

@@ -760,3 +760,10 @@ REGISTRY["doc_kfold_stratified"] = (doc_kfold_stratified, DOC_KFOLD_STRATIFIED_S
 from ocr_ray.ops.graph import graph_reciprocity_graph
 
 REGISTRY["graph_reciprocity_graph"] = (graph_reciprocity_graph, None)  # SQL built per-sf
+
+from ocr_ray.ops.mlprep import DOCS_PROPORTIONAL_SAMPLE_SQL, docs_proportional_sample
+
+REGISTRY["docs_proportional_sample"] = (
+    docs_proportional_sample,
+    DOCS_PROPORTIONAL_SAMPLE_SQL,
+)

@@ -1162,3 +1162,120 @@ SELECT doc_id, lang,
 FROM documents
 WHERE doc_id IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# proportional stratified sample (largest-remainder allocation)
+# ---------------------------------------------------------------------------
+
+_PROP_SAMPLE_K = 50
+
+
+def docs_proportional_sample(sf_dir: str, *, k: int = _PROP_SAMPLE_K) -> Dataset:
+    """Proportional-allocation stratified sample: EXACTLY ``k`` docs total,
+    split across language strata in proportion to their sizes by the
+    largest-remainder (Hamilton) method — the survey-sampling allocation
+    that ``stratified_sample_docs`` (fixed k per stratum) and
+    ``split_train_test`` (independent coins) both lack: fixed total, no
+    stratum over- or under-represented by more than one doc.
+
+    Each stratum then contributes its quota by md5-hash order (uniform,
+    seedless, rerun-stable). Remainder ties break (remainder DESC, stratum
+    size DESC, lang ASC NULLS LAST) — total order, mirrored exactly.
+
+    Plan: the stratum census folds to the driver (|langs| rows — a
+    dimension); allocation is driver arithmetic; quotas broadcast into one
+    coarse-key grouped scan that ranks within stratum. NULL lang is a real
+    stratum.
+
+    Contract (mirrored in SQL): NULL doc_id rows are excluded; a stratum
+    smaller than its quota contributes all its docs (total may then fall
+    short — mirrored, not padded)."""
+    import hashlib as _hashlib
+
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        ids = t.column("doc_id").to_pylist()
+        h = [_hashlib.md5(str(i).encode("ascii")).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    pre = docs.map_batches(prep, batch_format="pyarrow").materialize()
+
+    # stratum census -> largest-remainder quotas (driver: |langs| rows)
+    counts: dict = {}
+    for b in pre.map_batches(
+        lambda t: t.group_by(["lang"]).aggregate([([], "count_all")]).rename_columns(
+            ["lang", "n"]
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for lang, n in zip(b.column("lang").to_pylist(), b.column("n").to_pylist()):
+            counts[lang] = counts.get(lang, 0) + n
+    total = sum(counts.values())
+    quotas: dict = {}
+    if total:
+        base_sum = 0
+        rows = []
+        for lang, n in counts.items():
+            base = n * k // total
+            rem = n * k % total
+            rows.append((lang, n, base, rem))
+            base_sum += base
+        # tie rule: remainder DESC, size DESC, lang ASC with NULL last
+        rows.sort(key=lambda r: (-r[3], -r[1], r[0] is None, r[0] or ""))
+        extra = k - base_sum
+        for i, (lang, n, base, _rem) in enumerate(rows):
+            quotas[lang] = base + (1 if i < extra else 0)
+
+    def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["h", "doc_id"])
+        df["__rk"] = df.groupby("lang", sort=False, dropna=False).cumcount()
+        q = df["lang"].map(lambda x: quotas.get(x, 0)).to_numpy()
+        out = df[df["__rk"].to_numpy() < q]
+        return out[["doc_id", "lang"]]
+
+    return grouped_scan(pre, "lang", pick)
+
+
+def docs_proportional_sample_sql(k: int = _PROP_SAMPLE_K) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL),
+c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+tot AS (SELECT SUM(n) AS t FROM c),
+alloc AS (
+  SELECT lang, n, n * {k} // t AS base, n * {k} % t AS rem FROM c, tot
+),
+sb AS (SELECT SUM(base) AS s FROM alloc),
+ranked AS (
+  SELECT lang, base,
+         row_number() OVER (ORDER BY rem DESC, n DESC, lang ASC NULLS LAST) AS rnk
+  FROM alloc
+),
+quota AS (
+  SELECT r.lang, r.base + CASE WHEN r.rnk <= {k} - sb.s THEN 1 ELSE 0 END AS q
+  FROM ranked r, sb
+),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM d
+)
+SELECT rk.doc_id, rk.lang
+FROM rk JOIN quota ON quota.lang IS NOT DISTINCT FROM rk.lang
+WHERE rk.rn <= quota.q
+"""
+
+
+DOCS_PROPORTIONAL_SAMPLE_SQL = docs_proportional_sample_sql()

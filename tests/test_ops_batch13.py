@@ -788,3 +788,45 @@ class TestKfoldStratified:
             vals = [counts.get(f, 0) for f in range(5)]
             assert max(vals) - min(vals) <= 1, (lang, vals)
         assert len(rows) == len(langs)
+
+
+class TestProportionalSample:
+    def test_largest_remainder_allocation(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import docs_proportional_sample
+
+        # strata: 60 en / 30 fr / 10 de; k=50 -> exact shares 30/15/5
+        langs = ["en"] * 60 + ["fr"] * 30 + ["de"] * 10
+        sf = _write_docs(
+            tmp_path, ids=list(range(1, 101)), texts=["x"] * 100
+        )
+        import pyarrow.parquet as pq2
+
+        t = pq2.read_table(str(tmp_path / "documents.parquet"))
+        t = t.set_column(
+            t.schema.get_field_index("lang"), "lang", pa.array(langs, pa.string())
+        )
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        from collections import Counter
+
+        rows = docs_proportional_sample(sf).take_all()
+        got = Counter(r["lang"] for r in rows)
+        assert got == {"en": 30, "fr": 15, "de": 5}
+        assert len(rows) == 50
+
+    def test_remainder_distribution_sums_to_k(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import docs_proportional_sample
+
+        # 7/5/3 over k=50: exact shares 23.33/16.67/10 -> largest remainder
+        # hands the two leftover units to the biggest remainders
+        langs = ["a"] * 7 + ["b"] * 5 + ["c"] * 3
+        sf = _write_docs(tmp_path, ids=list(range(1, 16)), texts=["x"] * 15)
+        import pyarrow.parquet as pq2
+
+        t = pq2.read_table(str(tmp_path / "documents.parquet"))
+        t = t.set_column(
+            t.schema.get_field_index("lang"), "lang", pa.array(langs, pa.string())
+        )
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        rows = docs_proportional_sample(sf).take_all()
+        # every stratum smaller than its quota contributes everything
+        assert len(rows) == 15
