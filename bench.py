@@ -206,6 +206,7 @@ QUERY_NAMES = [
     "doc_kfold_stratified",
     "graph_reciprocity_graph",
     "docs_proportional_sample",
+    "stump_train_events",
 ]
 
 

@@ -767,3 +767,7 @@ REGISTRY["docs_proportional_sample"] = (
     docs_proportional_sample,
     DOCS_PROPORTIONAL_SAMPLE_SQL,
 )
+
+from ocr_ray.ops.mlprep import STUMP_TRAIN_EVENTS_SQL, stump_train_events
+
+REGISTRY["stump_train_events"] = (stump_train_events, STUMP_TRAIN_EVENTS_SQL)

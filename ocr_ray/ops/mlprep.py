@@ -1279,3 +1279,114 @@ WHERE rk.rn <= quota.q
 
 
 DOCS_PROPORTIONAL_SAMPLE_SQL = docs_proportional_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# decision-stump training (exact best split by Gini, as pure dataflow)
+# ---------------------------------------------------------------------------
+
+
+def stump_train_events(sf_dir: str) -> Dataset:
+    """Train a depth-1 decision tree EXACTLY: the value threshold that best
+    separates purchases from non-purchases under the Gini criterion — ML
+    training expressed as dataflow (a value-class census, one cumulative
+    scan, an argmax), no iteration, no seed, bit-reproducible. The split
+    objective maximizes Σ_side (Σ_cls count²)/n_side; both engines rank by
+    the SAME int64-over-int64 double quotient (numerators < 2^53 at these
+    scales, so the quotient is computed identically), ties to the smallest
+    threshold; the OUTPUT columns are pure integers.
+
+    Plan: per-batch (cents, class) census partials → driver fold of the
+    distinct-value census (ints only — the corpus never moves) → one
+    vectorized cumulative scan scores every candidate threshold.
+
+    Contract (mirrored in SQL): NULL values excluded; class =
+    (event_type = 'purchase'), NULL type counts as the negative class;
+    splits are ``value <= threshold``; degenerate inputs (no valid rows or
+    a single distinct value) return zero rows."""
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["value", "event_type"])
+
+    from ocr_ray.functions.scalars import to_cents
+
+    def census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        cls = pc.cast(
+            pc.equal(pc.fill_null(t.column("event_type"), ""), pa.scalar("purchase")),
+            pa.int64(),
+        )
+        g = pa.table({"c": to_cents(t.column("value")), "cls": cls})
+        out = g.group_by(["c"]).aggregate([([], "count_all"), ("cls", "sum")])
+        return out.rename_columns(["c", "n", "p"])
+
+    folds: dict = {}
+    for b in events.map_batches(census, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for c, n, p in zip(
+            b.column("c").to_pylist(), b.column("n").to_pylist(), b.column("p").to_pylist()
+        ):
+            cur = folds.get(c, (0, 0))
+            folds[c] = (cur[0] + n, cur[1] + p)
+
+    empty = pa.table(
+        {
+            k: pa.array([], pa.int64())
+            for k in ("threshold_cents", "n_left", "p_left", "n_right", "p_right")
+        }
+    )
+    if len(folds) < 2:
+        return rd.from_arrow(empty)
+    cs = np.array(sorted(folds), dtype=np.int64)
+    n = np.array([folds[c][0] for c in cs], dtype=np.int64)
+    p = np.array([folds[c][1] for c in cs], dtype=np.int64)
+    N, P = int(n.sum()), int(p.sum())
+    nL = np.cumsum(n)[:-1]  # split at c: left = values <= c (last excluded)
+    pL = np.cumsum(p)[:-1]
+    nR, pR = N - nL, P - pL
+    num = (pL * pL + (nL - pL) ** 2) * nR + (pR * pR + (nR - pR) ** 2) * nL
+    score = num.astype(np.float64) / (nL * nR).astype(np.float64)
+    best = int(np.argmax(score))  # np.argmax takes the FIRST max: smallest c
+    return rd.from_arrow(
+        pa.table(
+            {
+                "threshold_cents": pa.array([int(cs[best])], pa.int64()),
+                "n_left": pa.array([int(nL[best])], pa.int64()),
+                "p_left": pa.array([int(pL[best])], pa.int64()),
+                "n_right": pa.array([int(nR[best])], pa.int64()),
+                "p_right": pa.array([int(pR[best])], pa.int64()),
+            }
+        )
+    )
+
+
+STUMP_TRAIN_EVENTS_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cls
+  FROM events WHERE value IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cls) AS BIGINT) AS p FROM v),
+cen AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cls) AS BIGINT) AS p
+        FROM v GROUP BY c),
+cum AS (
+  SELECT c,
+         SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS nL,
+         SUM(p) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS pL
+  FROM cen
+),
+sc AS (
+  SELECT c, CAST(nL AS BIGINT) AS nL, CAST(pL AS BIGINT) AS pL,
+         CAST(tot.n - nL AS BIGINT) AS nR, CAST(tot.p - pL AS BIGINT) AS pR
+  FROM cum, tot WHERE nL > 0 AND tot.n - nL > 0
+),
+scored AS (
+  SELECT *,
+         CAST((pL * pL + (nL - pL) * (nL - pL)) * nR
+              + (pR * pR + (nR - pR) * (nR - pR)) * nL AS BIGINT) * 1.0
+           / CAST(nL * nR AS BIGINT) AS s
+  FROM sc
+)
+SELECT CAST(c AS BIGINT) AS threshold_cents,
+       nL AS n_left, pL AS p_left, nR AS n_right, pR AS p_right
+FROM scored ORDER BY s DESC, c ASC LIMIT 1
+"""

@@ -830,3 +830,45 @@ class TestProportionalSample:
         rows = docs_proportional_sample(sf).take_all()
         # every stratum smaller than its quota contributes everything
         assert len(rows) == 15
+
+
+class TestStumpTrain:
+    def test_perfect_split_found(self, ray_session, tmp_path):
+        """All purchases above $5, all clicks at/below -> the stump finds
+        the exact boundary with a pure split."""
+        from ocr_ray.ops.mlprep import stump_train_events
+
+        vals = [1.0, 2.0, 5.0, 6.0, 7.0, 8.0]
+        types = ["click", "click", "click", "purchase", "purchase", "purchase"]
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(6)), pa.int64()),
+                "ts": pa.array(np.zeros(6, np.int64), pa.timestamp("us")),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * 6, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        r = stump_train_events(str(tmp_path)).take_all()[0]
+        assert r == {
+            "threshold_cents": 500, "n_left": 3, "p_left": 0,
+            "n_right": 3, "p_right": 3,
+        }
+
+    def test_degenerate_single_value(self, ray_session, tmp_path):
+        from ocr_ray.ops.mlprep import stump_train_events
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(np.zeros(2, np.int64), pa.timestamp("us")),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([3.0, 3.0], pa.float64()),
+                "props": pa.array(["{}"] * 2, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        assert stump_train_events(str(tmp_path)).take_all() == []
