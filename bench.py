@@ -207,6 +207,7 @@ QUERY_NAMES = [
     "graph_reciprocity_graph",
     "docs_proportional_sample",
     "stump_train_events",
+    "cust_abc_classes",
 ]
 
 

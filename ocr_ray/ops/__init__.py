@@ -771,3 +771,7 @@ REGISTRY["docs_proportional_sample"] = (
 from ocr_ray.ops.mlprep import STUMP_TRAIN_EVENTS_SQL, stump_train_events
 
 REGISTRY["stump_train_events"] = (stump_train_events, STUMP_TRAIN_EVENTS_SQL)
+
+from ocr_ray.ops.olap import CUST_ABC_CLASSES_SQL, cust_abc_classes
+
+REGISTRY["cust_abc_classes"] = (cust_abc_classes, CUST_ABC_CLASSES_SQL)

@@ -1351,3 +1351,88 @@ SELECT t.event_type, CAST(d.dow AS BIGINT) AS dow,
 FROM types t CROSS JOIN days d
 LEFT JOIN c ON c.event_type IS NOT DISTINCT FROM t.event_type AND c.dow = d.dow
 """
+
+
+# ---------------------------------------------------------------------------
+# ABC analysis (Pareto revenue classing)
+# ---------------------------------------------------------------------------
+
+
+def cust_abc_classes(sf_dir: str) -> "Dataset":
+    """ABC / Pareto classification of customers by revenue: ranked by spend
+    (descending, customer key tie-break), class A while cumulative revenue
+    ≤ 80% of total, B through 95%, C beyond — the inventory-management
+    cut that tells a team where the value mass is. Thresholds are the
+    exact integer cross-products ``cum·5 ≤ tot·4`` and ``cum·20 ≤ tot·19``
+    so no percentage is ever a float.
+
+    Plan: per-batch customer-spend partials through ONE keyed groupby
+    (ints only), then the customer-bounded census folds on the driver for
+    the ordered cumulative scan (customers are a dimension here; at
+    dimension-breaking cardinality the spend-histogram threshold plan of
+    the rank family applies — find the two spend cutoffs from the bucket
+    census, label per row by comparison).
+
+    Contract (mirrored in SQL): NULL custkey orders excluded; NULL prices
+    contribute nothing; a customer whose orders all have NULL prices
+    keeps spend 0 and sorts by the tie-break."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.scalars import to_cents
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        c = pc.fill_null(to_cents(t.column("o_totalprice")), 0)
+        g = pa.table({"o_custkey": t.column("o_custkey"), "c": c})
+        return g.group_by(["o_custkey"]).aggregate([("c", "sum")]).rename_columns(
+            ["o_custkey", "c"]
+        )
+
+    spend = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    keys, cents = [], []
+    for b in spend.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys.extend(b.column("o_custkey").to_pylist())
+        cents.extend(b.column("c").to_pylist())
+    k = np.array(keys, dtype=np.int64)
+    c = np.array(cents, dtype=np.int64)
+    order = np.lexsort((k, -c))
+    k, c = k[order], c[order]
+    cum = np.cumsum(c)
+    tot = int(c.sum())
+    cls = np.where(cum * 5 <= tot * 4, "A", np.where(cum * 20 <= tot * 19, "B", "C"))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array(k),
+                "spend_cents": pa.array(c),
+                "abc": pa.array(cls.tolist(), pa.string()),
+            }
+        )
+    )
+
+
+CUST_ABC_CLASSES_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS c
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT o_custkey, c,
+         SUM(c) OVER (ORDER BY c DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS tot
+  FROM s
+)
+SELECT o_custkey, c AS spend_cents,
+       CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+            WHEN cum * 20 <= tot * 19 THEN 'B'
+            ELSE 'C' END AS abc
+FROM r
+"""

@@ -872,3 +872,25 @@ class TestStumpTrain:
         )
         pq.write_table(t, str(tmp_path / "events.parquet"))
         assert stump_train_events(str(tmp_path)).take_all() == []
+
+
+class TestAbcClasses:
+    def test_pareto_cuts(self, ray_session, tmp_path):
+        from ocr_ray.ops.olap import cust_abc_classes
+
+        # spends 70/10/10/5/5 of total 100: cumulative 70, 80, 90, 95, 100
+        # -> A (<=80): custs 1,2; B (<=95): 3,4; C: 5
+        spends = [70.0, 10.0, 10.0, 5.0, 5.0]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(list(range(1, 6)), pa.int64()),
+                "o_custkey": pa.array(list(range(1, 6)), pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 5, pa.string()),
+                "o_totalprice": pa.array(spends, pa.float64()),
+                "o_orderdate": pa.array(np.zeros(5, np.int64), pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = {r["o_custkey"]: r["abc"] for r in cust_abc_classes(str(tmp_path)).take_all()}
+        assert got == {1: "A", 2: "A", 3: "B", 4: "B", 5: "C"}
