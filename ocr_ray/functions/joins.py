@@ -254,12 +254,18 @@ def salted_hash_join(
     lsalted = left.map_batches(add_salt, batch_format="pyarrow")
     rsalted = right.map_batches(replicate, batch_format="pyarrow")
     if num_partitions is None:
+        # size-based like hash_join, but floored at ``salts`` rather than
+        # the CPU count: each join partition costs ~100s of ms of
+        # aggregator setup, so a dimension-scale demo join at 32
+        # partitions pays ~2x the wall of an 8-partition plan (measured
+        # 5.7->2.7 s at sf0.1); at real scale the byte term dominates
         try:
-            import ray
-
-            num_partitions = max(int(ray.cluster_resources().get("CPU", 8)), salts)
+            big = max(left.size_bytes() or 0, right.size_bytes() or 0)
         except Exception:
-            num_partitions = max(8, salts)
+            big = 0
+        num_partitions = max(
+            salts, (big + _TARGET_JOIN_PARTITION_BYTES - 1) // _TARGET_JOIN_PARTITION_BYTES
+        )
     joined = lsalted.join(
         rsalted,
         join_type="inner",
