@@ -82,6 +82,7 @@ def grouped_scan(
     *,
     num_parts: int = 64,
     batch_format: str = "pandas",
+    exchange: str | None = None,
 ) -> Dataset:
     """Co-located per-key scan WITHOUT per-key ``map_groups`` overhead.
 
@@ -92,8 +93,28 @@ def grouped_scan(
     and boundary-masked vectorized. Same co-location guarantee (all rows of
     a key land in one call); Python overhead drops from O(keys) to
     O(num_parts). A pathological hot key still lands in one partition —
-    salt the key upstream if a single key exceeds a worker's memory."""
+    salt the key upstream if a single key exceeds a worker's memory.
+
+    ``exchange`` picks the co-location transport: ``"ray"`` (default) is
+    Ray's sort-based all-to-all on the coarse key; ``"fs"`` routes through
+    :func:`grouped_scan_fs` (map-side lz4 fragment fan-out + per-partition
+    assemble — no sort, sequential I/O), which measured faster whenever the
+    Sort operator's fixed cost dominates the wall (conv_texts 8.9 → 5.1 s
+    at sf0.1).  Unset, the ``OCR_RAY_GS_EXCHANGE`` env var decides (for
+    A/B harnesses); callers that measured a win pass it explicitly."""
     import zlib
+
+    if exchange is None:
+        exchange = os.environ.get("OCR_RAY_GS_EXCHANGE", "ray")
+    if exchange == "fs":
+        if batch_format == "pandas":
+
+            def wrapped(t: pa.Table) -> pa.Table:
+                return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
+
+        else:
+            wrapped = fn
+        return grouped_scan_fs(ds, key, wrapped, num_parts=num_parts)
 
     def add_part(t: pa.Table) -> pa.Table:
         pids = pa.array(
