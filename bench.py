@@ -106,6 +106,8 @@ QUERY_NAMES = [
     "dedup_incremental_docs",
     "order_percentile_cont",
     "user_value_trend",
+    "user_value_autocorr",
+    "orders_events_join_size",
     "events_props_k_stats",
     "orders_partition_checksums",
     "event_value_percentile_cont",

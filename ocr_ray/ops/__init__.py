@@ -775,3 +775,20 @@ REGISTRY["stump_train_events"] = (stump_train_events, STUMP_TRAIN_EVENTS_SQL)
 from ocr_ray.ops.olap import CUST_ABC_CLASSES_SQL, cust_abc_classes
 
 REGISTRY["cust_abc_classes"] = (cust_abc_classes, CUST_ABC_CLASSES_SQL)
+
+from ocr_ray.ops.stats import (
+    ORDERS_EVENTS_JOIN_SIZE_SQL,
+    USER_VALUE_AUTOCORR_SQL,
+    orders_events_join_size,
+    user_value_autocorr,
+)
+
+REGISTRY.update(
+    {
+        "user_value_autocorr": (user_value_autocorr, USER_VALUE_AUTOCORR_SQL),
+        "orders_events_join_size": (
+            orders_events_join_size,
+            ORDERS_EVENTS_JOIN_SIZE_SQL,
+        ),
+    }
+)

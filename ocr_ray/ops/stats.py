@@ -2550,3 +2550,208 @@ SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
        CAST(SUM(d) * SUM(d) AS BIGINT) AS hhi_den
 FROM j GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# lag-1 serial dependence (autocorrelation ingredients) per user
+# ---------------------------------------------------------------------------
+
+
+def user_value_autocorr(sf_dir: str) -> Dataset:
+    """Per-user lag-1 autocorrelation ingredients over the ordered event
+    value series — the serial-dependence profile (is a user's next spend
+    predicted by their last?) that distinguishes drift (user_value_trend's
+    OLS against *time*) from momentum (value against *previous value*).
+
+    Exact integer outputs per the module contract: over consecutive pairs
+    (x = value_t, y = value_{t+1}) in (ts, event_id) order,
+    ``ac_num = n·Σxy − Σx·Σy`` and the two variance legs
+    ``ac_den_x / ac_den_y``; the consumer forms r = num / sqrt(dx·dy).
+    Pairing crosses block boundaries, so this is a co-located ordered scan
+    (``grouped_scan`` by user), not a mergeable partial — the exchange
+    carries (user_id, ts, event_id, cents) = 32 B/row.
+
+    Contract (mirrored in SQL): NULL user_id / ts / value / event_id rows
+    are excluded (key, order tiebreak, observation); users with fewer than
+    two qualifying events emit no row. Overflow: cents ≤ 10^7 and pairs
+    per user ≤ 10^4 keeps n·Σx² ≤ 10^18 inside int64."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t.column("user_id"))
+        for c in ("ts", "event_id", "value"):
+            m = pc.and_(m, pc.is_valid(t.column(c)))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "v": to_cents(t.column("value")),
+            }
+        )
+
+    def scan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "ac_num": pa.array([], pa.int64()),
+                "ac_den_x": pa.array([], pa.int64()),
+                "ac_den_y": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        x, y, uu = v[:-1][same], v[1:][same], u[:-1][same]
+        pairs = (
+            pa.table(
+                {
+                    "user_id": pa.array(uu),
+                    "n": pa.array(np.ones(len(uu), np.int64)),
+                    "sx": pa.array(x),
+                    "sy": pa.array(y),
+                    "sxy": pa.array(x * y),
+                    "sxx": pa.array(x * x),
+                    "syy": pa.array(y * y),
+                }
+            )
+            .group_by(["user_id"])
+            .aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+                 ("sxx", "sum"), ("syy", "sum")]
+            )
+            .rename_columns(["user_id", "n", "sx", "sy", "sxy", "sxx", "syy"])
+        )
+        n, sx, sy = (pairs.column(c) for c in ("n", "sx", "sy"))
+        sxy, sxx, syy = (pairs.column(c) for c in ("sxy", "sxx", "syy"))
+        return pa.table(
+            {
+                "user_id": pairs.column("user_id"),
+                "n_pairs": n,
+                "ac_num": pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy)),
+                "ac_den_x": pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+                "ac_den_y": pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
+            }
+        )
+
+    pre = events.map_batches(prep, batch_format="pyarrow")
+    return grouped_scan(pre, "user_id", scan, batch_format="pyarrow")
+
+
+USER_VALUE_AUTOCORR_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL
+),
+pairs AS (
+  SELECT user_id, v AS x,
+         lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM p
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS ac_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS ac_den_x,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS ac_den_y
+FROM pairs WHERE y IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-table equi-join output-size estimate (the planner's question)
+# ---------------------------------------------------------------------------
+
+
+def orders_events_join_size(sf_dir: str) -> pa.Table:
+    """EXACT output cardinality of the many-to-many equi-join
+    ``orders.o_custkey = events.user_id`` WITHOUT running the join — the
+    question a cost-based planner (or a pre-flight skew audit before a
+    large join) asks: Σ_k c_orders(k)·c_events(k), plus the key-overlap
+    census and the single largest contribution (the hot key a salted plan
+    would split). events_selfjoin_size is the self-join (F2) special case;
+    this is the two-table generalization.
+
+    Plan: both sides reduce to keys-only per-batch censuses (one int64
+    count per distinct key per batch), merge through one groupby each,
+    then ONE C++ inner join of the two count tables — join traffic is
+    bounded by distinct keys, never by rows. NULL keys never join
+    (mirrored: SQL inner join drops them)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def census(path: str, col: str) -> pa.Table:
+        ds = rd.read_parquet(path, columns=[col])
+
+        def part(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column(col)))
+            g = (
+                pa.table({"k": t.column(col).cast(pa.int64())})
+                .group_by(["k"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["k", "c"])
+
+        agg = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(_Sum("c", alias_name="c"))
+        )
+        out = []
+        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+            out.append(b)
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table({"k": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        )
+
+    lhs = census(_pq(sf_dir, "orders"), "o_custkey")
+    rhs = census(_pq(sf_dir, "events"), "user_id")
+    j = lhs.rename_columns(["k", "cl"]).join(
+        rhs.rename_columns(["k", "cr"]), keys=["k"], join_type="inner"
+    )
+    prod = pc.multiply(j.column("cl"), j.column("cr"))
+    est = int(pc.sum(prod).as_py() or 0)
+    top = 0 if j.num_rows == 0 else int(pc.max(prod).as_py())
+    return pa.table(
+        {
+            "est_rows": pa.array([est], pa.int64()),
+            "n_keys_orders": pa.array([lhs.num_rows], pa.int64()),
+            "n_keys_events": pa.array([rhs.num_rows], pa.int64()),
+            "n_keys_both": pa.array([j.num_rows], pa.int64()),
+            "top_key_rows": pa.array([top], pa.int64()),
+        }
+    )
+
+
+ORDERS_EVENTS_JOIN_SIZE_SQL = """
+WITH lo AS (
+  SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS cl
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+re AS (
+  SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS cr
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+j AS (SELECT lo.cl * re.cr AS p FROM lo JOIN re USING (k))
+SELECT CAST(COALESCE((SELECT SUM(p) FROM j), 0) AS BIGINT) AS est_rows,
+       CAST((SELECT COUNT(*) FROM lo) AS BIGINT) AS n_keys_orders,
+       CAST((SELECT COUNT(*) FROM re) AS BIGINT) AS n_keys_events,
+       CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_keys_both,
+       CAST(COALESCE((SELECT MAX(p) FROM j), 0) AS BIGINT) AS top_key_rows
+"""

@@ -1,0 +1,131 @@
+"""Planted-input tests for the session-12 op batch: lag-1 autocorrelation
+ingredients per user and the cross-table exact join-size estimate."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s) if s is not None else None
+
+
+def _write_events(dirpath, rows):
+    """rows: list of (event_id, sec_or_None, user_id, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([_ts(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(dirpath / "events.parquet"))
+    return str(dirpath)
+
+
+class TestUserValueAutocorr:
+    def test_planted_series(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import user_value_autocorr
+
+        sf = _write_events(
+            tmp_path,
+            [
+                # user 1: 1, 2, 3 in time order -> perfectly linear lag pairs
+                (3, 2, 1, 3.0),
+                (1, 0, 1, 1.0),
+                (2, 1, 1, 2.0),
+                # user 2: alternating 1, 3, 1, 3 -> negative serial dependence
+                (4, 0, 2, 1.0),
+                (5, 1, 2, 3.0),
+                (6, 2, 2, 1.0),
+                (7, 3, 2, 3.0),
+                # user 3: single event -> no pair, no row
+                (8, 0, 3, 9.0),
+                # user 4: second event has NULL value -> excluded, no pair
+                (9, 0, 4, 1.0),
+                (10, 1, 4, None),
+                # NULL user / ts / event_id rows excluded entirely
+                (11, 0, None, 1.0),
+                (12, None, 1, 1.0),
+                (None, 5, 1, 1.0),
+            ],
+        )
+        rows = {r["user_id"]: r for r in user_value_autocorr(sf).take_all()}
+        assert set(rows) == {1, 2}
+        # user 1 pairs (100,200),(200,300) cents
+        assert rows[1] == {
+            "user_id": 1,
+            "n_pairs": 2,
+            "ac_num": 2 * (100 * 200 + 200 * 300) - (100 + 200) * (200 + 300),
+            "ac_den_x": 2 * (100 * 100 + 200 * 200) - 300 * 300,
+            "ac_den_y": 2 * (200 * 200 + 300 * 300) - 500 * 500,
+        }
+        assert rows[1]["ac_num"] == rows[1]["ac_den_x"] == rows[1]["ac_den_y"] > 0
+        # user 2 pairs (100,300),(300,100),(100,300): anti-correlated
+        assert rows[2]["n_pairs"] == 3 and rows[2]["ac_num"] < 0
+
+    def test_order_is_ts_then_event_id(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import user_value_autocorr
+
+        # same-second events order by event_id: series is 1, 5, 2 (NOT 1, 2, 5)
+        sf = _write_events(
+            tmp_path, [(1, 0, 7, 1.0), (3, 1, 7, 2.0), (2, 1, 7, 5.0)]
+        )
+        (r,) = user_value_autocorr(sf).take_all()
+        # pairs (100,500),(500,200)
+        assert r["n_pairs"] == 2
+        assert r["ac_num"] == 2 * (100 * 500 + 500 * 200) - 600 * 700
+
+
+class TestOrdersEventsJoinSize:
+    def test_planted_counts(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import orders_events_join_size
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, 3, None], pa.int64()),
+                "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+                "o_orderdate": pa.array([dt.date(2024, 1, 1)] * 5),
+                "o_orderstatus": pa.array(["F"] * 5, pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        _write_events(
+            tmp_path,
+            [
+                (1, 0, 1, 1.0),
+                (2, 1, 2, 1.0),
+                (3, 2, 2, 1.0),
+                (4, 3, 2, 1.0),
+                (5, 4, None, 1.0),
+                (6, 5, 9, 1.0),
+            ],
+        )
+        (r,) = orders_events_join_size(str(tmp_path)).to_pylist()
+        # lo = {1:2, 2:1, 3:1}; re = {1:1, 2:3, 9:1}
+        assert r == {
+            "est_rows": 2 * 1 + 1 * 3,
+            "n_keys_orders": 3,
+            "n_keys_events": 3,
+            "n_keys_both": 2,
+            "top_key_rows": 3,
+        }
+
+    def test_empty_overlap(self, ray_session, tmp_path):
+        from ocr_ray.ops.stats import orders_events_join_size
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([100], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        _write_events(tmp_path, [(1, 0, 200, 1.0)])
+        (r,) = orders_events_join_size(str(tmp_path)).to_pylist()
+        assert r["est_rows"] == 0 and r["n_keys_both"] == 0 and r["top_key_rows"] == 0
