@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "order_percentile_cont",
     "user_value_trend",
     "user_value_autocorr",
+    "user_burst_profile",
     "orders_events_join_size",
     "events_props_k_stats",
     "orders_partition_checksums",

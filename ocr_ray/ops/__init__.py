@@ -792,3 +792,9 @@ REGISTRY.update(
         ),
     }
 )
+
+from ocr_ray.ops.timeseries import USER_BURST_PROFILE_SQL, user_burst_profile
+
+REGISTRY.update(
+    {"user_burst_profile": (user_burst_profile, USER_BURST_PROFILE_SQL)}
+)

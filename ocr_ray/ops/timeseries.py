@@ -4202,3 +4202,104 @@ FROM p LEFT JOIN c
  AND epoch_us(c.ts) > epoch_us(p.ts) - {_ENRICH_WINDOW_US}
 GROUP BY p.event_id, p.user_id, p.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user hourly burst profile (stream anomaly census)
+# ---------------------------------------------------------------------------
+
+_US_PER_HOUR_B = 3_600_000_000
+
+
+def user_burst_profile(sf_dir: str) -> Dataset:
+    """Per-user burst census over hourly rate cells — the bot / runaway-
+    client screen a stream-ingest pipeline runs before per-user rates feed
+    downstream features. One row per user (zeros included, so the gate can
+    never be vacuously empty): total events, active hours, the hottest
+    hour, and how many hours were BURSTS — at least 2 events AND at least
+    2x the user's own average per-active-hour rate, evaluated as the exact
+    integer cross-product ``n_cell * m_user >= 2 * n_user`` (no division).
+
+    Plan: per-batch (user, hour) count partials (Arrow group_by), ONE
+    coarse-key exchange co-locating each user (16 B per observed cell — a
+    direct (user, hour) hash aggregate is the measured ~170k rows/s Ray
+    hash-Aggregate census wall, BASELINE.md), then one vectorized
+    per-partition pass merges cross-block partials and reduces the
+    profile. NULL user_id / ts rows are excluded (mirrored in SQL)."""
+    from ocr_ray.pipelines.conversation import grouped_scan
+
+    events = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("ts")), pc.is_valid(t.column("user_id")))
+        )
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // _US_PER_HOUR_B
+        g = (
+            pa.table({"user_id": t.column("user_id"), "hour": pa.array(hour)})
+            .group_by(["user_id", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "hour", "n"])
+
+    pre = events.map_batches(partial, batch_format="pyarrow")
+
+    def profile(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_active_hours": pa.array([], pa.int64()),
+                "max_hour_events": pa.array([], pa.int64()),
+                "n_burst_hours": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.group_by(["user_id", "hour"])
+            .aggregate([("n", "sum")])
+            .sort_by([("user_id", "ascending"), ("hour", "ascending")])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(u)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [m]))
+        seg = np.repeat(np.arange(len(starts)), ends - starts)
+        m_user = (ends - starts)[seg]
+        n_user = np.add.reduceat(n, starts)[seg]
+        burst = ((n >= 2) & (n * m_user >= 2 * n_user)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n_events": pa.array(np.add.reduceat(n, starts)),
+                "n_active_hours": pa.array((ends - starts).astype(np.int64)),
+                "max_hour_events": pa.array(np.maximum.reduceat(n, starts)),
+                "n_burst_hours": pa.array(np.add.reduceat(burst, starts)),
+            }
+        )
+
+    return grouped_scan(pre, "user_id", profile, batch_format="pyarrow")
+
+
+USER_BURST_PROFILE_SQL = f"""
+WITH cells AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_HOUR_B} AS hour, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT user_id, COUNT(*) AS m_user, SUM(n) AS n_user FROM cells GROUP BY 1
+)
+SELECT c.user_id,
+       CAST(SUM(c.n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+       CAST(MAX(c.n) AS BIGINT) AS max_hour_events,
+       CAST(COUNT(*) FILTER (
+         WHERE c.n >= 2 AND c.n * b.m_user >= 2 * b.n_user
+       ) AS BIGINT) AS n_burst_hours
+FROM cells c JOIN base b USING (user_id)
+GROUP BY 1
+"""

@@ -129,3 +129,46 @@ class TestOrdersEventsJoinSize:
         _write_events(tmp_path, [(1, 0, 200, 1.0)])
         (r,) = orders_events_join_size(str(tmp_path)).to_pylist()
         assert r["est_rows"] == 0 and r["n_keys_both"] == 0 and r["top_key_rows"] == 0
+
+
+class TestUserBurstProfile:
+    def test_planted_burst(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import user_burst_profile
+
+        # user 1: hours 0..3 hold 1,1,1,9 events -> hour 3 is a burst
+        # (9 >= 2 and 9*4 >= 2*12); user 2: uniform 2,2 -> 2*2 < 2*4 fails
+        rows = []
+        eid = 0
+        for h, k in ((0, 1), (1, 1), (2, 1), (3, 9)):
+            for i in range(k):
+                eid += 1
+                rows.append((eid, h * 3600 + i, 1, 1.0))
+        for h, k in ((0, 2), (1, 2)):
+            for i in range(k):
+                eid += 1
+                rows.append((eid, h * 3600 + i, 2, 1.0))
+        sf = _write_events(tmp_path, rows)
+        got = {r["user_id"]: r for r in user_burst_profile(sf).take_all()}
+        assert got[1] == {
+            "user_id": 1,
+            "n_events": 12,
+            "n_active_hours": 4,
+            "max_hour_events": 9,
+            "n_burst_hours": 1,
+        }
+        assert got[2]["n_burst_hours"] == 0 and got[2]["max_hour_events"] == 2
+
+    def test_exact_boundary(self, ray_session, tmp_path):
+        from ocr_ray.ops.timeseries import user_burst_profile
+
+        # hours (3, 3, 3, 9): the 9-hour sits EXACTLY at the threshold
+        # (9 * 4 active hours = 36 == 2 * 18 total events) and must count
+        rows = []
+        eid = 0
+        for h, k in ((0, 3), (1, 3), (2, 3), (3, 9)):
+            for i in range(k):
+                eid += 1
+                rows.append((eid, h * 3600 + i, 5, 1.0))
+        sf = _write_events(tmp_path, rows)
+        (r,) = user_burst_profile(sf).take_all()
+        assert r["n_burst_hours"] == 1  # >= is inclusive at the boundary
