@@ -302,6 +302,17 @@ def _clean_corpus_neardup(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"])
 
 
+
+def _conv_token_novelty(sf_dir: str):
+    """Per-turn token-novelty curve (first-appearance census per
+    conversation), SQL-gated via a distinct-token MIN(turn) mirror."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_token_novelty
+
+    return conv_token_novelty(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
@@ -353,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dedup_exact": _conv_dedup_exact,
         "sft_examples": _sft_examples,
         "conv_assistant_echo": _conv_assistant_echo,
+        "conv_token_novelty": _conv_token_novelty,
         "tool_latency_stats": _tool_latency_stats,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,

@@ -173,6 +173,7 @@ QUERY_NAMES = [
     "lineitem_weighted_quantiles",
     "value_drift_ks",
     "conv_assistant_echo",
+    "conv_token_novelty",
     "activity_spend_corr",
     "doc_casefold_collisions",
     "order_price_mad",

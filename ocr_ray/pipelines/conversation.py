@@ -1241,3 +1241,105 @@ SELECT conv_id,
        )) AS BIGINT) AS n_echo
 FROM a GROUP BY conv_id
 """
+
+
+def conv_token_novelty(transcripts: Dataset) -> Dataset:
+    """Per-turn token-novelty curve: for every (conv, turn), the DISTINCT
+    token count and how many of those tokens appear for the FIRST time in
+    that conversation at that turn — the within-dialogue repetition
+    profile (a flat novelty curve means the conversation is rehashing
+    itself; SFT gates drop the stale tail).
+
+    Tokenizer is the repo-wide UNNEST convention (split on single spaces,
+    empties preserved — ``string_split(text, ' ')`` in the mirror).
+
+    Plan: co-locate each conversation via ``grouped_scan`` (first
+    appearance crosses turns, so partials cannot merge); inside a
+    partition everything is integer codes — Arrow split + dictionary
+    encode, one C-speed drop_duplicates over (conv, turn, token) codes,
+    a groupby-transform(min) for first turns, and one code-level groupby
+    for the per-turn census. Token STRINGS never leave the split batch.
+    At 10^12-turn scale the exchange payload is the turn text itself
+    (same contract as conv_texts); a 8-byte token-hash exchange variant
+    would cut that at a documented collision bound.
+
+    Contract (mirrored in SQL): NULL conv_id / turn_idx rows are
+    excluded (key and order); NULL text reads as '' (one empty token)."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "text": pc.coalesce(t.column("text"), pa.scalar("")),
+            }
+        )
+
+    def scan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "n_new": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        parts = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts).combine_chunks()
+        kcodes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        conv_dict = pc.dictionary_encode(t.column("conv_id").combine_chunks())
+        ccodes_row = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        conv_values = conv_dict.dictionary
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        turns = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        tok = pd.DataFrame(
+            {"c": ccodes_row[rows], "t": turns[rows], "k": kcodes}
+        ).drop_duplicates()
+        first = tok.groupby(["c", "k"])["t"].transform("min")
+        tok["new"] = (tok["t"] == first).astype(np.int64)
+        out = (
+            tok.groupby(["c", "t"], sort=False)
+            .agg(n_distinct=("k", "size"), n_new=("new", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "conv_id": conv_values.take(pa.array(out["c"].to_numpy())),
+                "turn_idx": pa.array(out["t"].to_numpy(), pa.int64()),
+                "n_distinct": pa.array(out["n_distinct"].to_numpy(), pa.int64()),
+                "n_new": pa.array(out["n_new"].to_numpy(), pa.int64()),
+            }
+        )
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    return grouped_scan(slim.map_batches(prep, batch_format="pyarrow"), "conv_id", scan, batch_format="pyarrow")
+
+
+CONV_TOKEN_NOVELTY_SQL_TMPL = """
+WITH tok AS (
+  SELECT DISTINCT conv_id, turn_idx, tok
+  FROM (
+    SELECT conv_id, turn_idx,
+           unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    FROM read_parquet('{path}/*.parquet')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+  )
+),
+firsts AS (
+  SELECT conv_id, tok, MIN(turn_idx) AS ft FROM tok GROUP BY 1, 2
+)
+SELECT k.conv_id, CAST(k.turn_idx AS BIGINT) AS turn_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) FILTER (WHERE f.ft = k.turn_idx) AS BIGINT) AS n_new
+FROM tok k JOIN firsts f ON f.conv_id = k.conv_id AND f.tok = k.tok
+GROUP BY 1, 2
+"""

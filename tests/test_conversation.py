@@ -392,3 +392,73 @@ def test_new_conv_ops_dirty_parity(tmp_path):
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False), fn.__name__
+
+
+class TestConvTokenNovelty:
+    def test_planted_curve(self, ray_session):
+        from ocr_ray.pipelines.conversation import conv_token_novelty
+
+        t = pa.table(
+            {
+                "conv_id": ["a", "a", "a", "b", None, "c"],
+                "turn_idx": pa.array([0, 1, 2, 0, 0, None], pa.int32()),
+                "role": ["user"] * 6,
+                "text": [
+                    "x y x",        # turn 0: distinct {x, y}, both new
+                    "y z",          # turn 1: {y, z}, only z new
+                    "x y z",        # turn 2: {x, y, z}, none new
+                    None,           # NULL text -> one '' token, new
+                    "ghost",        # NULL conv_id -> dropped
+                    "ghost",        # NULL turn_idx -> dropped
+                ],
+                "tool": [""] * 6,
+                "ts": pa.array([None] * 6, pa.timestamp("us")),
+            }
+        )
+        rows = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in conv_token_novelty(rd.from_arrow(t)).take_all()
+        }
+        assert set(rows) == {("a", 0), ("a", 1), ("a", 2), ("b", 0)}
+        assert rows[("a", 0)]["n_distinct"] == 2 and rows[("a", 0)]["n_new"] == 2
+        assert rows[("a", 1)]["n_distinct"] == 2 and rows[("a", 1)]["n_new"] == 1
+        assert rows[("a", 2)]["n_distinct"] == 3 and rows[("a", 2)]["n_new"] == 0
+        assert rows[("b", 0)] == {
+            "conv_id": "b", "turn_idx": 0, "n_distinct": 1, "n_new": 1,
+        }
+
+    def test_dirty_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ocr_ray.pipelines.conversation import (
+            CONV_TOKEN_NOVELTY_SQL_TMPL,
+            conv_token_novelty,
+        )
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(
+                    ["a", "a", None, "b", "b", "c", "c"], pa.string()
+                ),
+                "turn_idx": pa.array([0, 1, 0, None, 1, 0, 0], pa.int64()),
+                "role": pa.array(["user", None, "user", "x", "", "u", "u"]),
+                "text": pa.array(
+                    ["a  b", "b a", "zz", "q", None, " ", "  "], pa.string()
+                ),
+                "tool": pa.array([None] * 7, pa.string()),
+                "ts": pa.array([None] * 7, pa.timestamp("us")),
+            }
+        )
+        d = tmp_path / "dirty"
+        d.mkdir()
+        pq.write_table(t, str(d / "part.parquet"))
+        got = conv_token_novelty(rd.read_parquet(str(d))).to_pandas()
+        con = duckdb.connect()
+        want = con.sql(CONV_TOKEN_NOVELTY_SQL_TMPL.format(path=str(d))).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
