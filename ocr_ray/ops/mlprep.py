@@ -319,10 +319,14 @@ def events_global_rank(sf_dir: str) -> Dataset:
     globally exact because chunks partition the sort order. NULL ts sorts
     last (int64 max sentinel), matching SQL ASC NULLS LAST.
 
-    Skew floor: the finest splittable unit is one census minute — a single
-    minute hotter than the target still forms one oversized chunk (the
-    same machinery applies recursively at second grain if a domain needs
-    it)."""
+    Skew recursion: a single minute hotter than the target is re-censused
+    at SECOND grain by one extra filtered pass (run only when skew is
+    detected — zero cost on well-behaved data) and its second-grain
+    entries replace the minute entry, so a hot minute spreads across
+    second-grain chunks. Remaining floor: one hot SECOND, and equal-(ts)
+    ties can never split — an identical-timestamp flood is the true lower
+    bound of any time-bucket chunking (tie-break chunking on event_id
+    ranges would be the next recursion if a domain needs it)."""
     from ocr_ray.pipelines.conversation import grouped_scan
 
     _NULL_TS = np.iinfo(np.int64).max
@@ -369,7 +373,46 @@ def events_global_rank(sf_dir: str) -> Dataset:
     )
     minutes = hist.index.to_numpy(np.int64)
     counts = hist.to_numpy(np.int64)
-    # greedy contiguous packing: chunk boundaries at minutes where the
+    # SECOND-grain recursion for hot minutes: a single census minute hotter
+    # than the target cannot be split by minute boundaries, so those
+    # minutes (and only those — the extra filtered pass costs nothing when
+    # there is no skew) are re-censused at second grain and their entries
+    # replace the minute entry. All boundaries then live in SECOND units
+    # (minute*60 for cold minutes), which preserves the sort-order
+    # partition. Remaining documented floor: one hot SECOND — and equal
+    # (us) ties can never be split, so an identical-timestamp flood is the
+    # true lower bound of any time-bucket chunking.
+    hot_mask = counts > _RANK_CHUNK_TARGET
+    bounds_sec = minutes * 60
+    if hot_mask.any():
+        hot_minutes = minutes[hot_mask]
+
+        def sec_census(t: pa.Table) -> pa.Table:
+            b = t.column("bucket").to_numpy(zero_copy_only=False)
+            m = np.isin(b, hot_minutes)
+            us = t.column("us").to_numpy(zero_copy_only=False)[m]
+            uniq, cnt = np.unique(us // 1_000_000, return_counts=True)
+            return pa.table(
+                {"sec": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+            )
+
+        sec_frames = [
+            f
+            for f in pre.map_batches(sec_census, batch_format="pyarrow").iter_batches(
+                batch_format="pandas"
+            )
+        ]
+        sec_hist = (
+            pd.concat(sec_frames).groupby("sec", sort=True)["n"].sum()
+            if sec_frames
+            else pd.Series(dtype=np.int64)
+        )
+        keep = ~hot_mask
+        merged = np.concatenate((bounds_sec[keep], sec_hist.index.to_numpy(np.int64)))
+        merged_n = np.concatenate((counts[keep], sec_hist.to_numpy(np.int64)))
+        order = np.argsort(merged, kind="stable")
+        bounds_sec, counts = merged[order], merged_n[order]
+    # greedy contiguous packing: chunk boundaries at buckets where the
     # running total would exceed the target (vector-friendly loop over the
     # CENSUS, never the rows)
     starts_idx: list[int] = []
@@ -379,14 +422,14 @@ def events_global_rank(sf_dir: str) -> Dataset:
             starts_idx.append(i)
             running = 0
         running += int(c)
-    chunk_start_minute = minutes[starts_idx] if len(minutes) else minutes
+    chunk_start_sec = bounds_sec[starts_idx] if len(bounds_sec) else bounds_sec
     totals = np.add.reduceat(counts, starts_idx) if len(counts) else counts
     chunk_offsets = np.concatenate(([0], np.cumsum(totals)[:-1])) if len(totals) else totals
-    off_ref = ray.put((chunk_start_minute, chunk_offsets))
+    off_ref = ray.put((chunk_start_sec, chunk_offsets))
 
     def to_chunk(t: pa.Table) -> pa.Table:
         bounds, _ = ray.get(off_ref)
-        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        b = t.column("us").to_numpy(zero_copy_only=False) // 1_000_000
         chunk = np.searchsorted(bounds, b, side="right") - 1
         return pa.table(
             {

@@ -138,3 +138,76 @@ class TestSplit:
         frac = a["split"].value_counts(normalize=True)
         assert 0.7 < frac.get("train", 0) < 0.9
         assert set(a["split"]) <= {"train", "val", "test"}
+
+
+class TestGlobalRankHotMinute:
+    def test_hot_single_minute_splits_at_second_grain(self, tmp_path, monkeypatch):
+        """ONE minute holding 12x the chunk target must subdivide into
+        second-grain chunks (the recursion added for the documented skew
+        floor) and still produce exact global row_numbers."""
+        import numpy as np
+
+        from ocr_ray.ops import mlprep
+        from ocr_ray.ops.mlprep import events_global_rank, EVENTS_GLOBAL_RANK_SQL
+
+        monkeypatch.setattr(mlprep, "_RANK_CHUNK_TARGET", 50)
+        base = dt.datetime(2024, 6, 1, 12, 0, 0)
+        rng = np.random.default_rng(11)
+        rows = []
+        eid = 0
+        for _ in range(600):  # ALL inside one minute, spread over seconds
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(microseconds=int(rng.integers(0, 59_000_000))))
+            )
+        for i in range(40):  # cold tail on later days
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=1 + i)))
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        d = tmp_path / "sf_hot_minute"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = events_global_rank(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.sql(EVENTS_GLOBAL_RANK_SQL).df()
+        g = got.sort_values("event_id").reset_index(drop=True)
+        w = want.sort_values("event_id").reset_index(drop=True)
+        assert g["ts_rank"].tolist() == w["ts_rank"].tolist()
+
+    def test_identical_timestamp_flood_still_exact(self, tmp_path, monkeypatch):
+        """The documented remaining floor: every event at the SAME us.
+        One oversized chunk forms (ties cannot split) but ranks stay the
+        exact row_number by event_id tiebreak."""
+        from ocr_ray.ops import mlprep
+        from ocr_ray.ops.mlprep import events_global_rank
+
+        monkeypatch.setattr(mlprep, "_RANK_CHUNK_TARGET", 10)
+        same = dt.datetime(2024, 6, 1, 12, 0, 0)
+        n = 100
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(n, 0, -1)), pa.int64()),
+                "ts": pa.array([same] * n, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([0.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "sf_flood"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        got = events_global_rank(str(d)).to_pandas().sort_values("event_id")
+        assert got["ts_rank"].tolist() == list(range(1, n + 1))
