@@ -1436,3 +1436,118 @@ def prune_bloom_files(out_dir: str, *, key: str, values) -> list[str]:
         if hit.any():
             keep.append(p)
     return keep
+
+
+# ---------------------------------------------------------------------------
+# zone-map sidecars: per-file min/max over arbitrary columns
+# ---------------------------------------------------------------------------
+# The third leg of the file-skipping story: range manifests prune BETWEEN
+# scans on the CLUSTERED key, Bloom sidecars prune equality probes, zone
+# maps prune range predicates on ANY column without re-clustering — the
+# lakehouse "zone map" / parquet-footer-statistics pattern, but computed by
+# an exact column read (parquet footer stats may be truncated for strings,
+# which would silently break the no-false-negative contract).
+
+
+def _zone_encode(v, typ: str):
+    if v is None:
+        return None
+    if typ == "ts_us":
+        return int(v)
+    return v
+
+
+def _file_zonemap(path: str, columns: list[str]) -> dict:
+    """Exact per-column (min, max, null_count, n_rows) for one data file."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=columns)
+    out: dict = {"n_rows": t.num_rows, "cols": {}}
+    for c in columns:
+        col = t.column(c)
+        nulls = int(col.null_count)
+        typ = (
+            "ts_us"
+            if _pa.types.is_timestamp(col.type)
+            else "str"
+            if _pa.types.is_string(col.type) or _pa.types.is_large_string(col.type)
+            else "float"
+            if _pa.types.is_floating(col.type)
+            else "int"
+        )
+        if typ == "ts_us":
+            col = col.cast(_pa.int64())
+        valid = col.drop_null()
+        if len(valid) == 0:
+            mn = mx = None
+        else:
+            mm = _pc.min_max(valid)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        out["cols"][c] = {
+            "type": typ,
+            "min": _zone_encode(mn, typ),
+            "max": _zone_encode(mx, typ),
+            "nulls": nulls,
+        }
+    return out
+
+
+def write_zonemap_sidecars(out_dir: str, *, columns: list[str]) -> int:
+    """Index an already-committed partitioned table for RANGE predicates on
+    arbitrary columns: one exact (min, max, null_count) record per data
+    file per column, stored as a sidecar in the manifest dir. One Ray task
+    per file (reads only the requested columns); sidecars commit
+    atomically; re-running overwrites in place (idempotent). Returns the
+    number of files indexed."""
+    import glob as _glob
+
+    import ray
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    task = ray.remote(_file_zonemap)
+    maps = ray.get([task.remote(p, list(columns)) for p in files])
+    for p, zm in zip(files, maps):
+        name = os.path.basename(p)
+        side = os.path.join(mdir, f"zonemap-{name}.json")
+        with open(side + ".tmp", "w") as f:
+            json.dump({"file": name, **zm}, f)
+        os.replace(side + ".tmp", side)
+    return len(files)
+
+
+def prune_zonemap_files(out_dir: str, *, column: str, lo=None, hi=None) -> list[str]:
+    """Data files whose ``column`` range MIGHT intersect [lo, hi] (either
+    bound may be None for a half-open predicate) — the read set for
+    ``WHERE column BETWEEN lo AND hi``. SQL range predicates never match
+    NULL, so an all-NULL file prunes. No false negatives: a file is kept
+    unless its exact [min, max] provably misses; files without a sidecar
+    (or without this column in theirs) are conservatively kept. Timestamp
+    bounds are int microseconds (the sidecar's own encoding)."""
+    import glob as _glob
+
+    keep = []
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    for p in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+        side = os.path.join(mdir, f"zonemap-{os.path.basename(p)}.json")
+        if not os.path.exists(side):
+            keep.append(p)
+            continue
+        with open(side) as f:
+            m = json.load(f)
+        info = m.get("cols", {}).get(column)
+        if info is None:
+            keep.append(p)
+            continue
+        mn, mx = info["min"], info["max"]
+        if mn is None:  # no non-null values: no range predicate can match
+            continue
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(p)
+    return keep
