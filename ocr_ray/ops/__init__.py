@@ -780,6 +780,7 @@ from ocr_ray.ops.stats import (
     ORDERS_EVENTS_JOIN_SIZE_SQL,
     USER_VALUE_AUTOCORR_SQL,
     orders_events_join_size,
+    orders_events_join_size_ams,
     user_value_autocorr,
 )
 
@@ -790,6 +791,7 @@ REGISTRY.update(
             orders_events_join_size,
             ORDERS_EVENTS_JOIN_SIZE_SQL,
         ),
+        "orders_events_join_size_ams": (orders_events_join_size_ams, None),
     }
 )
 

@@ -172,3 +172,39 @@ class TestUserBurstProfile:
         sf = _write_events(tmp_path, rows)
         (r,) = user_burst_profile(sf).take_all()
         assert r["n_burst_hours"] == 1  # >= is inclusive at the boundary
+
+
+class TestJoinSizeAms:
+    def test_tracks_exact_sibling_at_sf(self, ray_session):
+        from ocr_ray.ops.stats import (
+            orders_events_join_size,
+            orders_events_join_size_ams,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = orders_events_join_size(sf).column("est_rows")[0].as_py()
+        est = orders_events_join_size_ams(sf).column("join_size_est")[0].as_py()
+        assert exact > 0
+        # AMS with 4 groups of 32 counters: generous 60% relative band
+        assert abs(est - exact) <= max(0.6 * exact, 50)
+
+    def test_disjoint_sides_estimate_near_zero(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.ops.stats import orders_events_join_size_ams
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(list(range(100)), pa.int64()),
+                "o_custkey": pa.array([10_000 + i for i in range(100)], pa.int64()),
+            }
+        )
+        pq_.write_table(t, str(tmp_path / "orders.parquet"))
+        _write_events(tmp_path, [(i, i, i % 50, 1.0) for i in range(1, 300)])
+        est = (
+            orders_events_join_size_ams(str(tmp_path))
+            .column("join_size_est")[0]
+            .as_py()
+        )
+        # true join size is 0; sketch noise is bounded by the sides' masses
+        assert abs(est) < 300
