@@ -448,6 +448,8 @@ def run_bench() -> dict:
         )
 
         from ocr_ray.ops.mlprep import user_value_scaled
+        from ocr_ray.ops.stats import user_value_autocorr
+        from ocr_ray.ops.timeseries import user_burst_profile
         from ocr_ray.ops.timeseries import (
             purchase_click_pressure,
             purchases_in_sessions,
@@ -473,6 +475,8 @@ def run_bench() -> dict:
             ("survival_1m_events", user_conversion_survival),
             ("event_pattern_1m_events", user_event_pattern),
             ("click_pressure_1m_events", purchase_click_pressure),
+            ("autocorr_1m_events", user_value_autocorr),
+            ("burst_profile_1m_events", user_burst_profile),
         ):
             t0 = time.monotonic()
             _consume(fn(ev1m))

@@ -1,0 +1,66 @@
+"""grouped_scan exchange-transport parity: the filesystem fan-out path
+must be bit-identical to the Ray sort path for both batch formats (pandas
+fn via the conversion wrapper, pyarrow fn direct)."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _sorted(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+class TestExchangeParity:
+    def test_pyarrow_fn_gapfill(self, ray_session, tmp_path, monkeypatch):
+        import datetime as dt
+
+        from ocr_ray.ops.timeseries import user_days_gapfilled
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(40)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(days=(i * 3) % 11, hours=i) for i in range(40)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([i % 5 for i in range(40)], pa.int64()),
+                "event_type": pa.array(["view"] * 40),
+                "value": pa.array([1.0] * 40, pa.float64()),
+                "props": pa.array(["{}"] * 40),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        monkeypatch.delenv("OCR_RAY_GS_EXCHANGE", raising=False)
+        a = user_days_gapfilled(str(d)).to_pandas()
+        monkeypatch.setenv("OCR_RAY_GS_EXCHANGE", "fs")
+        b = user_days_gapfilled(str(d)).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(b, cols))
+
+    def test_pandas_fn_assistant_echo(self, ray_session, monkeypatch):
+        from ocr_ray.pipelines.conversation import conv_assistant_echo
+
+        t = pa.table(
+            {
+                "conv_id": ["a"] * 4 + ["b"] * 3,
+                "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 2], pa.int32()),
+                "role": ["assistant"] * 7,
+                "text": ["x", "y", "x", "x", "q", "q", "r"],
+                "tool": [""] * 7,
+                "ts": pa.array([None] * 7, pa.timestamp("us")),
+            }
+        )
+        monkeypatch.delenv("OCR_RAY_GS_EXCHANGE", raising=False)
+        a = conv_assistant_echo(rd.from_arrow(t)).to_pandas()
+        monkeypatch.setenv("OCR_RAY_GS_EXCHANGE", "fs")
+        b = conv_assistant_echo(rd.from_arrow(t)).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            _sorted(a, cols), _sorted(b, cols), check_dtype=False
+        )
+        assert a.set_index("conv_id").loc["a", "n_echo"] == 2
