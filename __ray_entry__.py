@@ -313,6 +313,17 @@ def _conv_token_novelty(sf_dir: str):
     return conv_token_novelty(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+
+def _turn_markup_stats(sf_dir: str):
+    """Per-turn markup-density census (tag-ratio ingredients of the HTML
+    boilerplate heuristics), SQL-gated via replace-arithmetic mirrors."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import turn_markup_stats
+
+    return turn_markup_stats(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
@@ -365,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_examples": _sft_examples,
         "conv_assistant_echo": _conv_assistant_echo,
         "conv_token_novelty": _conv_token_novelty,
+        "turn_markup_stats": _turn_markup_stats,
         "tool_latency_stats": _tool_latency_stats,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,

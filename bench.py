@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "value_drift_ks",
     "conv_assistant_echo",
     "conv_token_novelty",
+    "turn_markup_stats",
     "activity_spend_corr",
     "doc_casefold_collisions",
     "order_price_mad",

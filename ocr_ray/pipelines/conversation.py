@@ -1343,3 +1343,56 @@ SELECT k.conv_id, CAST(k.turn_idx AS BIGINT) AS turn_idx,
 FROM tok k JOIN firsts f ON f.conv_id = k.conv_id AND f.tok = k.tok
 GROUP BY 1, 2
 """
+
+
+def turn_markup_stats(transcripts: Dataset) -> Dataset:
+    """Per-turn markup-density census — the tag-ratio / text-density
+    ingredients the HTML boilerplate heuristics score on
+    (extract-data-from-pdf.ts's DOM-payload path generalized), exposed as
+    a gated dataflow surface: raw char count, '<' occurrences, paragraph
+    opens, hyperlink opens, and data-URI flag per turn. Integer counts
+    only (the classifier forms ratios downstream) so the gate is exact.
+
+    Embarrassingly parallel: one vectorized count_substring pass per
+    batch, zero shuffle. Contract (mirrored in SQL): NULL conv_id /
+    turn_idx rows are excluded; NULL text reads as ''."""
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
+        )
+        txt = pc.coalesce(t.column("text"), pa.scalar(""))
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_lt": pc.cast(pc.count_substring(txt, "<"), pa.int64()),
+                "n_p_open": pc.cast(pc.count_substring(txt, "<p>"), pa.int64()),
+                "n_href": pc.cast(pc.count_substring(txt, "href="), pa.int64()),
+                "is_data_uri": pc.cast(
+                    pc.starts_with(txt, "data:"), pa.int64()
+                ),
+            }
+        )
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    return slim.map_batches(stats, batch_format="pyarrow")
+
+
+TURN_MARKUP_STATS_SQL_TMPL = """
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+       CAST(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '<', ''))
+            AS BIGINT) AS n_lt,
+       CAST((length(coalesce(text, '')) - length(replace(coalesce(text, ''), '<p>', ''))) // 3
+            AS BIGINT) AS n_p_open,
+       CAST((length(coalesce(text, '')) - length(replace(coalesce(text, ''), 'href=', ''))) // 5
+            AS BIGINT) AS n_href,
+       CAST(CASE WHEN coalesce(text, '') LIKE 'data:%' THEN 1 ELSE 0 END AS BIGINT)
+            AS is_data_uri
+FROM read_parquet('{path}/*.parquet')
+WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+"""

@@ -532,6 +532,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     from ocr_ray.pipelines.conversation import (
         CONV_ASSISTANT_ECHO_SQL_TMPL,
         CONV_TOKEN_NOVELTY_SQL_TMPL,
+        TURN_MARKUP_STATS_SQL_TMPL,
         CONV_DEDUP_EXACT_SQL_TMPL,
         CONV_RESPONSE_LATENCY_SQL_TMPL,
         CONV_TEXTS_SQL_TMPL,
@@ -549,6 +550,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "conv_dedup_exact": CONV_DEDUP_EXACT_SQL_TMPL.format(path=path),
         "conv_assistant_echo": CONV_ASSISTANT_ECHO_SQL_TMPL.format(path=path),
         "conv_token_novelty": CONV_TOKEN_NOVELTY_SQL_TMPL.format(path=path),
+        "turn_markup_stats": TURN_MARKUP_STATS_SQL_TMPL.format(path=path),
         "sft_examples": SFT_EXAMPLES_SQL_TMPL.format(path=path),
         "tool_latency_stats": TOOL_LATENCY_SQL_TMPL.format(path=path),
         "conv_texts": CONV_TEXTS_SQL_TMPL.format(path=path),

@@ -462,3 +462,52 @@ class TestConvTokenNovelty:
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestTurnMarkupStats:
+    def test_planted_counts_and_dirty_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ocr_ray.pipelines.conversation import (
+            TURN_MARKUP_STATS_SQL_TMPL,
+            turn_markup_stats,
+        )
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "b", None, "c"], pa.string()),
+                "turn_idx": pa.array([0, 1, 0, 0, None], pa.int64()),
+                "role": pa.array(["user"] * 5),
+                "text": pa.array(
+                    [
+                        "<html><p>hi</p><a href=x>go</a></html>",
+                        None,                         # '' -> all zeros
+                        "data:text/html;base64,AAA",  # data-URI flag
+                        "dropped",
+                        "dropped",
+                    ],
+                    pa.string(),
+                ),
+                "tool": pa.array([""] * 5),
+                "ts": pa.array([None] * 5, pa.timestamp("us")),
+            }
+        )
+        d = tmp_path / "markup"
+        d.mkdir()
+        pq.write_table(t, str(d / "part.parquet"))
+        got = turn_markup_stats(rd.read_parquet(str(d))).to_pandas()
+        rows = {(r.conv_id, r.turn_idx): r for r in got.itertuples()}
+        assert set(rows) == {("a", 0), ("a", 1), ("b", 0)}
+        r = rows[("a", 0)]
+        assert (r.n_lt, r.n_p_open, r.n_href, r.is_data_uri) == (6, 1, 1, 0)
+        assert rows[("a", 1)].n_chars == 0
+        assert rows[("b", 0)].is_data_uri == 1
+        con = duckdb.connect()
+        want = con.sql(TURN_MARKUP_STATS_SQL_TMPL.format(path=str(d))).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
