@@ -452,6 +452,9 @@ def oracle_sql() -> dict[str, str]:
         )
 
         out["pagerank_graph"] = pagerank_graph_sql(_DRIVER_SF)
+        from ocr_ray.ops.graph import graph_kcore_graph_sql
+
+        out["graph_kcore_graph"] = graph_kcore_graph_sql(_DRIVER_SF)
         out["connected_components_graph"] = connected_components_graph_sql(_DRIVER_SF)
         out["triangle_count_graph"] = triangle_count_graph_sql(_DRIVER_SF)
         out["bfs_hops_graph"] = bfs_hops_graph_sql(_DRIVER_SF)

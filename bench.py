@@ -210,6 +210,7 @@ QUERY_NAMES = [
     "embedding_quantize_int8",
     "doc_kfold_stratified",
     "graph_reciprocity_graph",
+    "graph_kcore_graph",
     "docs_proportional_sample",
     "stump_train_events",
     "cust_abc_classes",

@@ -75,6 +75,8 @@ from ocr_ray.ops.graph import (
     connected_components_graph_sql,
     pagerank_graph,
     pagerank_graph_sql,
+    graph_kcore_graph,
+    graph_kcore_graph_sql,
 )
 from ocr_ray.ops.markdown import extract_markdown, extract_markdown_sql
 from ocr_ray.ops.mlprep import (
@@ -199,6 +201,7 @@ REGISTRY: dict[str, tuple] = {
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql
     "extract_markdown": (extract_markdown, None),  # SQL built per-sf
     "pagerank_graph": (pagerank_graph, None),  # SQL built per-sf: pagerank_graph_sql
+    "graph_kcore_graph": (graph_kcore_graph, None),  # SQL built per-sf
     "connected_components_graph": (connected_components_graph, None),  # SQL built per-sf
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),

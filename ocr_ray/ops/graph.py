@@ -1038,3 +1038,176 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
        ) AS BIGINT) AS n_mutual
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (bounded-round iterative degree filtering)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def graph_kcore(
+    edges: Dataset,
+    *,
+    k: int = _KCORE_K,
+    rounds: int = _KCORE_ROUNDS,
+    local_edges_max: int = 30_000_000,
+) -> Dataset:
+    """Bounded-round k-core peeling over the undirected distinct edge set:
+    ``rounds`` iterations of "drop every node with degree < k, and every
+    edge touching one", then report each remaining endpoint with its
+    degree in the surviving subgraph — the density filter community
+    detection and graph-ML sampling run before touching a hairball. The
+    round count is part of the operator contract (both engines run EXACTLY
+    ``rounds`` peels, so the gate is exact whether or not the peel has
+    reached its fixpoint; at fixpoint extra rounds are no-ops and the
+    output IS the true k-core).
+
+    Size-gated tiers (the graph-family pattern): below ``local_edges_max``
+    distinct edges the whole peel runs as one numpy solve on the driver
+    (searchsorted codes + bincount per round — Ray shuffle fixed costs
+    dwarf the arithmetic at this size, measured for pagerank in
+    BASELINE.md); above it, each round is one degree census of the
+    shrinking edge set (per-batch partials through a small groupby) and
+    the per-round DEAD set — peeling removes few nodes per round, so dead,
+    not alive, is the broadcastable side — filters edges via a broadcast
+    ``is_in`` scan. A domain where a single round kills billions of nodes
+    would swap the filter for a hash anti-join (functions/joins) — the
+    documented trade, same as the near-dup survivor filter."""
+    got = _collect_edges_gated(edges, local_edges_max)
+    if got is not None:
+        a, b = got
+        return _kcore_local(a, b, k=k, rounds=rounds)
+
+    import ray as _ray
+
+    cur = _canonical_edges(edges)
+    for _ in range(rounds):
+        deg = _endpoint_census(cur)
+        dead_tbl = deg.filter(pc.less(deg.column("c"), k))
+        if dead_tbl.num_rows == 0:
+            continue  # fixpoint: remaining rounds are no-ops
+        dead_ref = _ray.put(dead_tbl.column("node").combine_chunks())
+
+        def drop_dead(t: pa.Table, _dead=dead_ref) -> pa.Table:
+            dead = _ray.get(_dead)
+            keep = pc.and_(
+                pc.invert(pc.is_in(t.column("a"), value_set=dead)),
+                pc.invert(pc.is_in(t.column("b"), value_set=dead)),
+            )
+            return t.filter(keep)
+
+        cur = cur.map_batches(drop_dead, batch_format="pyarrow")
+    final = _endpoint_census(cur)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": final.column("node"),
+                "deg": pc.cast(final.column("c"), pa.int64()),
+            }
+        )
+    )
+
+
+def _endpoint_census(edge_ds: Dataset) -> pa.Table:
+    """Driver-folded degree census of an edge Dataset: per-batch endpoint
+    counts through one arrow group_by (the size-gated census pattern —
+    distinct nodes bound the fold, batch_size=None per BASELINE rule)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pa.table(
+            {"node": pa.concat_arrays(
+                [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+            )}
+        )
+        g = both.group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "c"])
+
+    parts = [
+        b
+        for b in edge_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table({"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).group_by(["node"]).aggregate([("c", "sum")])
+    return merged.rename_columns(["node", "c"])
+
+
+def _kcore_local(a: np.ndarray, b: np.ndarray, *, k: int, rounds: int) -> Dataset:
+    """Exact local peel over the deduped canonical edge list: identical
+    round semantics as the distributed plan and the generated oracle."""
+    # canonicalize + dedup (collector returns directed distinct pairs)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keys = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
+    lo = (keys >> np.uint64(32)).astype(np.int64)
+    hi = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ids = np.unique(np.concatenate([lo, hi])) if len(lo) else np.zeros(0, np.int64)
+    ai = np.searchsorted(ids, lo)
+    bi = np.searchsorted(ids, hi)
+    ekeep = np.ones(len(ai), dtype=bool)
+    for _ in range(rounds):
+        deg = np.bincount(ai[ekeep], minlength=len(ids)) + np.bincount(
+            bi[ekeep], minlength=len(ids)
+        )
+        dead = deg < k
+        if not dead.any() or not ekeep.any():
+            break
+        ekeep &= ~(dead[ai] | dead[bi])
+    deg = np.bincount(ai[ekeep], minlength=len(ids)) + np.bincount(
+        bi[ekeep], minlength=len(ids)
+    )
+    m = deg > 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(ids[m], pa.int64()),
+                "deg": pa.array(deg[m].astype(np.int64)),
+            }
+        )
+    )
+
+
+def graph_kcore_graph(sf_dir: str) -> Dataset:
+    """queries() entry: 6 peeling rounds at k=3 over the sf-scaled
+    fixture (fixpoint on this fixture — verified by the parity pytest)."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    return graph_kcore(rd.read_parquet(path))
+
+
+def graph_kcore_graph_sql(sf_dir: str) -> str:
+    """DuckDB mirror: R chained (census -> alive -> edge-filter) CTEs over
+    the identical fixture file — the same bounded-round contract."""
+    path = ensure_graph(_n_nodes_for_sf(sf_dir))
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    body = ""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        # MATERIALIZED: each CTE is referenced up to 3x per round; default
+        # inlining would expand e0 ~3^rounds times (measured: fd exhaustion)
+        body += f""",
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS c
+  FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node
+),
+al{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN al{i} x ON e.a = x.node JOIN al{i} y ON e.b = y.node
+)"""
+        prev = f"e{i}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM read_parquet('{path}')
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+){body}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+GROUP BY node
+"""

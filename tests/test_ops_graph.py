@@ -244,3 +244,58 @@ class TestReciprocity:
         assert a == {"n_edges": 3, "n_mutual": 2}
         b = graph_reciprocity(rd.from_arrow(edges), local_edges_max=0).take_all()[0]
         assert b == a
+
+
+class TestGraphKcore:
+    def _edges(self, pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def test_chain_peels_away_clique_survives(self, ray_session):
+        from ocr_ray.ops.graph import graph_kcore
+
+        # 4-clique (nodes 0-3, every pair) + a chain 3-10-11-12: the chain
+        # peels off under k=3 round by round; the clique survives with deg 3
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        chain = [(3, 10), (10, 11), (11, 12)]
+        out = {
+            r["node"]: r["deg"]
+            for r in graph_kcore(self._edges(clique + chain), k=3, rounds=6).take_all()
+        }
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_bounded_rounds_contract(self, ray_session):
+        from ocr_ray.ops.graph import graph_kcore
+
+        # a long chain needs one round per tail node; rounds=1 only strips
+        # the outermost layer -- the bounded-round semantics are the spec
+        chain = [(i, i + 1) for i in range(6)]
+        one = {r["node"] for r in graph_kcore(self._edges(chain), k=2, rounds=1).take_all()}
+        assert one == {1, 2, 3, 4, 5}  # endpoints 0 and 6 stripped
+        full = graph_kcore(self._edges(chain), k=2, rounds=6).take_all()
+        assert full == []  # a chain has no 2-core
+
+    def test_tiers_identical(self, ray_session):
+        import numpy as np
+
+        from ocr_ray.ops.graph import ensure_graph, graph_kcore
+
+        path = ensure_graph(1000)
+        ds = rd.read_parquet(path)
+        a = graph_kcore(ds).to_pandas().sort_values("node").reset_index(drop=True)
+        b = (
+            graph_kcore(rd.read_parquet(path), local_edges_max=0)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        # fixture reaches fixpoint within the contract rounds: every
+        # surviving degree is >= k
+        assert (a["deg"] >= 3).all()
