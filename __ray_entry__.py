@@ -324,6 +324,17 @@ def _turn_markup_stats(sf_dir: str):
     return turn_markup_stats(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+
+def _conv_lang_profile(sf_dir: str):
+    """Per-conversation language-mixture census; the oracle composes the
+    same generated stopword-profile SQL as the Ray scorer."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_lang_profile
+
+    return conv_lang_profile(rd.read_parquet(_transcripts_for(sf_dir)))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; driver smoke-checks rows>=0."""
     return _extract_turns("/root/testdata/sf0.001")
@@ -377,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_assistant_echo": _conv_assistant_echo,
         "conv_token_novelty": _conv_token_novelty,
         "turn_markup_stats": _turn_markup_stats,
+        "conv_lang_profile": _conv_lang_profile,
         "tool_latency_stats": _tool_latency_stats,
         "extract_links": _extract_links,
         "jsonl_events_rollup": _jsonl_events_rollup,

@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "conv_assistant_echo",
     "conv_token_novelty",
     "turn_markup_stats",
+    "conv_lang_profile",
     "activity_spend_corr",
     "doc_casefold_collisions",
     "order_price_mad",

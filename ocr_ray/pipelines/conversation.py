@@ -1406,3 +1406,74 @@ SELECT conv_id,
 FROM read_parquet('{path}/*.parquet')
 WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
 """
+
+
+def conv_lang_profile(transcripts: Dataset) -> Dataset:
+    """Per-conversation language mixture: one row per (conv, predicted
+    language) with the turn count — the mixture report an SFT curation
+    pass uses to route or drop code-switched dialogues. Scoring is the
+    repo's deterministic lang-ID heuristic (``ops.textstats.lang_of``)
+    over the RAW turn text; the oracle composes the SAME generated
+    stopword-profile SQL (one source of truth, the
+    ``lang_confusion_matrix`` pattern).
+
+    Plan: per-batch scoring + (conv, lang) census partials, one small
+    groupby Sum — the census, not the text, transits the shuffle.
+    Contract (mirrored in SQL): NULL conv_id rows are excluded; NULL text
+    scores as '' ('und')."""
+    import pyarrow.compute as pc
+
+    from ocr_ray.ops.textstats import lang_of
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("conv_id")))
+        langs = [lang_of(x or "")[0] for x in t.column("text").to_pylist()]
+        g = (
+            pa.table(
+                {"conv_id": t.column("conv_id"), "lang_pred": pa.array(langs, pa.string())}
+            )
+            .group_by(["conv_id", "lang_pred"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["conv_id", "lang_pred", "n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        transcripts.select_columns(["conv_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n_turns"))
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "lang_pred": t.column("lang_pred"),
+                "n_turns": pc.cast(t.column("n_turns"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def conv_lang_profile_sql(path: str) -> str:
+    """Oracle: the generated lang-ID SQL scored per turn, then the census.
+    Built by composition (not .format — the generated scoring SQL contains
+    regex character classes that a template formatter would mangle)."""
+    from ocr_ray.ops.textstats import _lang_id_sql
+
+    scored = _lang_id_sql(
+        source=(
+            f"(SELECT conv_id, coalesce(text, '') AS text "
+            f"FROM read_parquet('{path}/*.parquet') WHERE conv_id IS NOT NULL)"
+        ),
+        id_cols="conv_id",
+        text_col="text",
+    )
+    return f"""
+WITH scored AS ({scored})
+SELECT conv_id, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM scored GROUP BY conv_id, lang_pred
+"""

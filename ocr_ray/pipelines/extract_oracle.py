@@ -530,6 +530,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
     deterministic transcripts fixture for ``sf_dir`` (the fixture is
     (re)generated here so the path exists when the oracle runs)."""
     from ocr_ray.pipelines.conversation import (
+        conv_lang_profile_sql as _conv_lang_profile_sql,
         CONV_ASSISTANT_ECHO_SQL_TMPL,
         CONV_TOKEN_NOVELTY_SQL_TMPL,
         TURN_MARKUP_STATS_SQL_TMPL,
@@ -551,6 +552,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "conv_assistant_echo": CONV_ASSISTANT_ECHO_SQL_TMPL.format(path=path),
         "conv_token_novelty": CONV_TOKEN_NOVELTY_SQL_TMPL.format(path=path),
         "turn_markup_stats": TURN_MARKUP_STATS_SQL_TMPL.format(path=path),
+        "conv_lang_profile": _conv_lang_profile_sql(path),
         "sft_examples": SFT_EXAMPLES_SQL_TMPL.format(path=path),
         "tool_latency_stats": TOOL_LATENCY_SQL_TMPL.format(path=path),
         "conv_texts": CONV_TEXTS_SQL_TMPL.format(path=path),

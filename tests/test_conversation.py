@@ -511,3 +511,42 @@ class TestTurnMarkupStats:
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestConvLangProfile:
+    def test_planted_mixture_and_dirty_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ocr_ray.pipelines.conversation import (
+            conv_lang_profile,
+            conv_lang_profile_sql,
+        )
+
+        en = "the quick fox and the lazy dog are of the same mind for all days"
+        fr = "le chat et la chatte sont dans les jardins de la ville pour une nuit"
+        zh = "中文文本内容测试样例段落"
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "a", "b", None], pa.string()),
+                "turn_idx": pa.array([0, 1, 2, 0, 0], pa.int64()),
+                "role": pa.array(["user"] * 5),
+                "text": pa.array([en, fr, en, zh, en], pa.string()),
+                "tool": pa.array([""] * 5),
+                "ts": pa.array([None] * 5, pa.timestamp("us")),
+            }
+        )
+        d = tmp_path / "langs"
+        d.mkdir()
+        pq.write_table(t, str(d / "part.parquet"))
+        got = conv_lang_profile(rd.read_parquet(str(d))).to_pandas()
+        rows = {(r.conv_id, r.lang_pred): r.n_turns for r in got.itertuples()}
+        assert rows == {("a", "en"): 2, ("a", "fr"): 1, ("b", "zh"): 1}
+        con = duckdb.connect()
+        want = con.sql(conv_lang_profile_sql(str(d))).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
