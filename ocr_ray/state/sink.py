@@ -1551,3 +1551,47 @@ def prune_zonemap_files(out_dir: str, *, column: str, lo=None, hi=None) -> list[
             continue
         keep.append(p)
     return keep
+
+
+def read_pruned(
+    out_dir: str,
+    *,
+    column: str | None = None,
+    lo=None,
+    hi=None,
+    keys=None,
+    columns: list[str] | None = None,
+):
+    """Read a committed hash-partitioned table with the applicable
+    file-skipping sidecars applied in one call: zone maps answer
+    ``column BETWEEN lo AND hi``; Bloom sidecars answer ``column IN keys``
+    (pass ``keys``). Skipping layers intersect (each is
+    no-false-negative, so their intersection is); files without the
+    relevant sidecar are conservatively kept by each layer.
+    (Range-partitioned tables have their own ``prune_range_files`` reader
+    — a different file layout.) Returns a ``ray.data.Dataset`` over the
+    surviving files — the caller still applies the row-level filter (file
+    skipping bounds I/O, it does not filter rows)."""
+    import glob as _glob
+
+    import ray.data as _rd
+
+    files = set(sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet"))))
+    if column is not None and (lo is not None or hi is not None):
+        files &= set(prune_zonemap_files(out_dir, column=column, lo=lo, hi=hi))
+    if column is not None and keys is not None:
+        files &= set(prune_bloom_files(out_dir, key=column, values=keys))
+    if not files:
+        # typed-empty read: preserve the schema from any data file
+        any_file = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        if not any_file:
+            return _rd.from_items([])
+        import pyarrow.parquet as _pq
+
+        schema = _pq.read_schema(any_file[0])
+        sel = columns or schema.names
+        empty = pa.table(
+            {c: pa.array([], schema.field(c).type) for c in sel}
+        )
+        return _rd.from_arrow(empty)
+    return _rd.read_parquet(sorted(files), columns=columns)

@@ -120,3 +120,27 @@ class TestZonemapSidecars:
         write_zonemap_sidecars(out, columns=["v"])
         # a range predicate never matches NULL: nothing to read
         assert prune_zonemap_files(out, column="v", lo=0, hi=10) == []
+
+
+class TestReadPruned:
+    def test_equals_full_scan_filter(self, ray_session, tmp_path):
+        from ocr_ray.state.sink import read_pruned, write_bloom_sidecars
+
+        out, t = _committed_table(tmp_path, ray_session)
+        write_zonemap_sidecars(out, columns=["v"])
+        write_bloom_sidecars(out, key="id")
+        # range predicate through zone maps
+        ds = read_pruned(out, column="v", lo=995, hi=2005)
+        got = sorted(
+            r["id"] for r in ds.take_all() if 995 <= r["v"] <= 2005
+        )
+        want = sorted(i for i in range(400) if 995 <= i * 10 <= 2005)
+        assert got == want
+        # point probes through blooms
+        ds2 = read_pruned(out, column="id", keys=[7, 399])
+        ids = {r["id"] for r in ds2.take_all()}
+        assert {7, 399} <= ids
+        # disjoint range -> typed empty dataset, schema preserved
+        ds3 = read_pruned(out, column="v", lo=10**9, hi=None)
+        assert ds3.count() == 0
+        assert "v" in ds3.schema().names
