@@ -495,6 +495,11 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         _ = bfs_hops(scaled_read_parquet(g1m)).count()
         qtimes["bfs_1m_nodes"] = round(time.monotonic() - t0, 3)
+        from ocr_ray.ops.graph import graph_kcore
+
+        t0 = time.monotonic()
+        _ = graph_kcore(scaled_read_parquet(g1m)).count()
+        qtimes["kcore_1m_nodes"] = round(time.monotonic() - t0, 3)
 
         # rolling windowed distinct at volume (7x cover expansion of the
         # distinct (user, day) pairs through one dedup shuffle)

@@ -74,6 +74,9 @@ def _rebind_extract_oracles():
     )
 
     _SQLS["pagerank_graph"] = pagerank_graph_sql(SF)
+    from ocr_ray.ops.graph import graph_kcore_graph_sql
+
+    _SQLS["graph_kcore_graph"] = graph_kcore_graph_sql(SF)
     _SQLS["connected_components_graph"] = connected_components_graph_sql(SF)
     _SQLS["triangle_count_graph"] = triangle_count_graph_sql(SF)
     _SQLS["bfs_hops_graph"] = bfs_hops_graph_sql(SF)
