@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "user_value_autocorr",
     "user_burst_profile",
     "orders_events_join_size",
+    "events_ab_lift",
     "events_props_k_stats",
     "orders_partition_checksums",
     "event_value_percentile_cont",

@@ -780,8 +780,10 @@ from ocr_ray.ops.olap import CUST_ABC_CLASSES_SQL, cust_abc_classes
 REGISTRY["cust_abc_classes"] = (cust_abc_classes, CUST_ABC_CLASSES_SQL)
 
 from ocr_ray.ops.stats import (
+    EVENTS_AB_LIFT_SQL,
     ORDERS_EVENTS_JOIN_SIZE_SQL,
     USER_VALUE_AUTOCORR_SQL,
+    events_ab_lift,
     orders_events_join_size,
     orders_events_join_size_ams,
     user_value_autocorr,
@@ -795,6 +797,7 @@ REGISTRY.update(
             ORDERS_EVENTS_JOIN_SIZE_SQL,
         ),
         "orders_events_join_size_ams": (orders_events_join_size_ams, None),
+        "events_ab_lift": (events_ab_lift, EVENTS_AB_LIFT_SQL),
     }
 )
 

@@ -2810,3 +2810,121 @@ def orders_events_join_size_ams(sf_dir: str, r: int = _AMS_R) -> pa.Table:
     means = prod.reshape(4, r // 4).mean(axis=1)
     est = int(round(float(np.median(means))))
     return pa.table({"join_size_est": pa.array([est], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (deterministic hash assignment + conversion lift)
+# ---------------------------------------------------------------------------
+
+
+def events_ab_lift(sf_dir: str) -> pa.Table:
+    """Online-experiment readout over the event log: users are assigned a
+    variant by the top bit of md5 of their decimal id (the deterministic,
+    rerun-stable assignment an experimentation platform derives — no
+    stored assignment table needed), and each variant reports its exact
+    user count, converted-user count (any 'purchase' event) and purchase
+    revenue in cents. The consumer forms lift = (c1/n1) / (c0/n0) from
+    the integers; everything the gate hashes is exact.
+
+    Plan: per-batch per-user partials (conv flag max, revenue sum) merge
+    through ONE groupby(user); the variant census then folds two rows per
+    block on the driver. Exact distinct-user semantics with no driver
+    sets — the grouped-counts pattern. Contract (mirrored in SQL): NULL
+    user_id rows are excluded; NULL event_type never converts; NULL value
+    purchases add 0 revenue."""
+    import hashlib as _h
+
+    from ray.data.aggregate import Max as _Max
+
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("user_id")))
+        is_p = pc.equal(pc.coalesce(t.column("event_type"), pa.scalar("")), "purchase")
+        conv = pc.cast(is_p, pa.int64())
+        rev = pc.if_else(
+            pc.and_(is_p, pc.is_valid(t.column("value"))),
+            to_cents(pc.coalesce(t.column("value"), pa.scalar(0.0))),
+            pa.scalar(0, pa.int64()),
+        )
+        g = (
+            pa.table({"user_id": t.column("user_id"), "conv": conv, "rev": rev})
+            .group_by(["user_id"])
+            .aggregate([("conv", "max"), ("rev", "sum")])
+        )
+        return g.rename_columns(["user_id", "conv", "rev"])
+
+    per_user = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Max("conv", alias_name="conv"), Sum("rev", alias_name="rev"))
+    )
+
+    def variant_census(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_pylist()
+        var = np.fromiter(
+            (
+                1 if int(_h.md5(str(i).encode("ascii")).hexdigest()[0], 16) >= 8 else 0
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        g = (
+            pa.table(
+                {
+                    "variant": pa.array(var),
+                    "n_users": pa.array(np.ones(len(ids), np.int64)),
+                    "n_converted": t.column("conv"),
+                    "revenue_cents": t.column("rev"),
+                }
+            )
+            .group_by(["variant"])
+            .aggregate([("n_users", "sum"), ("n_converted", "sum"), ("revenue_cents", "sum")])
+        )
+        return g.rename_columns(["variant", "n_users", "n_converted", "revenue_cents"])
+
+    parts = [
+        b
+        for b in per_user.map_batches(variant_census, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "variant": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    folded = (
+        pa.concat_tables(parts)
+        .group_by(["variant"])
+        .aggregate([("n_users", "sum"), ("n_converted", "sum"), ("revenue_cents", "sum")])
+    )
+    return folded.rename_columns(["variant", "n_users", "n_converted", "revenue_cents"]).sort_by(
+        "variant"
+    )
+
+
+EVENTS_AB_LIFT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS rev
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')
+            THEN 1 ELSE 0 END AS BIGINT) AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents
+FROM per_user GROUP BY 1
+"""

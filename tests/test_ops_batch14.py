@@ -208,3 +208,45 @@ class TestJoinSizeAms:
         )
         # true join size is 0; sketch noise is bounded by the sides' masses
         assert abs(est) < 300
+
+
+class TestEventsAbLift:
+    def test_planted_assignment_and_conversion(self, ray_session, tmp_path):
+        import hashlib
+
+        from ocr_ray.ops.stats import events_ab_lift
+
+        # choose ids with known variants from the same md5 rule
+        def variant(u):
+            return 1 if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) >= 8 else 0
+
+        v0 = [u for u in range(1, 50) if variant(u) == 0][:3]
+        v1 = [u for u in range(1, 50) if variant(u) == 1][:3]
+        rows, eid = [], 0
+        for u in v0 + v1:
+            eid += 1
+            rows.append((eid, eid, u, 1.0))  # a click for every user
+        # first user of each variant converts; v1's purchase has NULL value
+        rows.append((100, 100, v0[0], 2.5))
+        rows.append((101, 101, v1[0], None))
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([_ts(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(
+                    ["click"] * 6 + ["purchase", "purchase"], pa.string()
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = {r["variant"]: r for r in events_ab_lift(str(tmp_path)).to_pylist()}
+        assert out[0] == {
+            "variant": 0, "n_users": 3, "n_converted": 1, "revenue_cents": 250,
+        }
+        # NULL-value purchase converts but adds no revenue
+        assert out[1] == {
+            "variant": 1, "n_users": 3, "n_converted": 1, "revenue_cents": 0,
+        }
