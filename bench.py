@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "user_burst_profile",
     "orders_events_join_size",
     "events_ab_lift",
+    "orders_naive_forecast_error",
     "events_props_k_stats",
     "orders_partition_checksums",
     "event_value_percentile_cont",

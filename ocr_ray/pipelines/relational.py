@@ -4224,3 +4224,85 @@ REGISTRY["props_schema_infer"] = (props_schema_infer, PROPS_SCHEMA_INFER_SQL)
 from ocr_ray.pipelines.tpch_more import REGISTRY as _TPCH_MORE_REGISTRY  # noqa: E402
 
 REGISTRY.update(_TPCH_MORE_REGISTRY)
+
+
+def orders_naive_forecast_error(sf_dir: str) -> pa.Table:
+    """Forecast-evaluation shape: score the seasonal-naive baseline
+    (forecast for a month = the previous PRESENT month's actual) against
+    the monthly revenue series — per-month absolute error in exact cents,
+    the MAE/MASE ingredient a forecasting pipeline reports before trusting
+    any model. "Previous present month" mirrors orders_monthly_mom's lag
+    convention (a gap month forecasts from the last observed one).
+
+    Plan: the monthly rollup is the tiny partial-pre-agg census
+    (calendar-bounded — a century of data is 1200 rows), so the ordered
+    lag runs on the driver; all heavy work is the same one pre-aggregated
+    pass as orders_monthly. NULL o_orderdate rows are excluded (mirrored);
+    months with no predecessor emit no row (lag is NULL in SQL)."""
+    import numpy as np
+
+    monthly = orders_monthly(sf_dir)
+    rows = [
+        b
+        for b in monthly.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    t = (
+        pa.concat_tables(rows)
+        if rows
+        else pa.table(
+            {
+                "y": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+            }
+        )
+    )
+    t = t.sort_by([("y", "ascending"), ("m", "ascending")])
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    m = t.column("m").to_numpy(zero_copy_only=False)
+    v = t.column("total_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(v) < 2:
+        return pa.table(
+            {
+                "y": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                "actual_cents": pa.array([], pa.int64()),
+                "forecast_cents": pa.array([], pa.int64()),
+                "abs_err_cents": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "y": pa.array(y[1:]),
+            "m": pa.array(m[1:]),
+            "actual_cents": pa.array(v[1:]),
+            "forecast_cents": pa.array(v[:-1]),
+            "abs_err_cents": pa.array(np.abs(v[1:] - v[:-1])),
+        }
+    )
+
+
+ORDERS_NAIVE_FORECAST_ERROR_SQL = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         CAST(SUM(COALESCE(CAST(ROUND(o_totalprice*100) AS BIGINT), 0)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT y, m, v AS actual_cents,
+         lag(v) OVER (ORDER BY y, m) AS forecast_cents
+  FROM monthly
+)
+SELECT y, m, actual_cents,
+       CAST(forecast_cents AS BIGINT) AS forecast_cents,
+       CAST(abs(actual_cents - forecast_cents) AS BIGINT) AS abs_err_cents
+FROM lagged WHERE forecast_cents IS NOT NULL
+"""
+
+REGISTRY["orders_naive_forecast_error"] = (
+    orders_naive_forecast_error,
+    ORDERS_NAIVE_FORECAST_ERROR_SQL,
+)

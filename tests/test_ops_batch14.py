@@ -250,3 +250,33 @@ class TestEventsAbLift:
         assert out[1] == {
             "variant": 1, "n_users": 3, "n_converted": 1, "revenue_cents": 0,
         }
+
+
+class TestNaiveForecastError:
+    def test_gap_month_forecasts_from_last_observed(self, ray_session, tmp_path):
+        from ocr_ray.pipelines.relational import orders_naive_forecast_error
+
+        # months 2024-01 (100.00), 2024-02 (150.00), 2024-04 (90.00): the
+        # gap (no March) means April forecasts from February
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+                "o_totalprice": pa.array([60.0, 40.0, 150.0, 90.0], pa.float64()),
+                "o_orderdate": pa.array(
+                    [
+                        dt.date(2024, 1, 10),
+                        dt.date(2024, 1, 20),
+                        dt.date(2024, 2, 5),
+                        dt.date(2024, 4, 1),
+                    ]
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        rows = {(r["y"], r["m"]): r for r in orders_naive_forecast_error(str(tmp_path)).to_pylist()}
+        assert set(rows) == {(2024, 2), (2024, 4)}
+        assert rows[(2024, 2)]["forecast_cents"] == 10000
+        assert rows[(2024, 2)]["abs_err_cents"] == 5000
+        assert rows[(2024, 4)]["forecast_cents"] == 15000
+        assert rows[(2024, 4)]["abs_err_cents"] == 6000
