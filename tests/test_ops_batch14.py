@@ -1,5 +1,6 @@
-"""Planted-input tests for the session-12 op batch: lag-1 autocorrelation
-ingredients per user and the cross-table exact join-size estimate."""
+"""Planted-input tests for the session-12 op batch: lag-1 autocorrelation,
+cross-table join-size estimate (exact + AMS sketch sibling), per-user burst
+profile, A/B experiment readout, and seasonal-naive forecast scoring."""
 
 import datetime as dt
 
