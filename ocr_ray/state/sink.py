@@ -1595,3 +1595,44 @@ def read_pruned(
         )
         return _rd.from_arrow(empty)
     return _rd.read_parquet(sorted(files), columns=columns)
+
+
+def vacuum_segments(out_dir: str) -> list[str]:
+    """Remove TORN segment debris: ``seg-*`` data directories (and stray
+    ``*.tmp`` files) left by a crashed producer that never committed a
+    segment manifest. Readers already never see them
+    (``read_segments`` is committed-manifest-only), so vacuum changes no
+    query result — it reclaims the storage a crash stranded. Committed
+    segments are never touched; the manifest directory is the source of
+    truth, read BEFORE scanning the data dirs (a producer committing
+    concurrently can only ADD manifests, so a dir that looks torn here
+    was torn at read time or is newer — newer dirs are skipped by
+    re-checking each candidate's manifest immediately before deletion).
+    Returns the paths removed."""
+    import glob as _glob
+    import shutil as _shutil
+
+    removed: list[str] = []
+    done = set(committed_segments(out_dir))
+    for d in sorted(_glob.glob(os.path.join(out_dir, "seg-*"))):
+        if not os.path.isdir(d):
+            continue
+        try:
+            sid = int(os.path.basename(d).split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if sid in done:
+            continue
+        # re-check: the manifest may have landed since the first scan
+        manifest = os.path.join(out_dir, SEGMENTS_DIR, f"seg-{sid:04d}.json")
+        if os.path.exists(manifest):
+            continue
+        _shutil.rmtree(d, ignore_errors=True)
+        removed.append(d)
+    for tmp in _glob.glob(os.path.join(out_dir, "**", "*.tmp"), recursive=True):
+        try:
+            os.remove(tmp)
+            removed.append(tmp)
+        except OSError:
+            pass
+    return removed

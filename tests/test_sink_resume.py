@@ -708,3 +708,35 @@ class TestBloomSidecar:
         os.remove(side)
         keep2 = prune_bloom_files(out, key="uid", values=[10**12 + 7])
         assert victim in keep2
+
+
+class TestVacuumSegments:
+    def test_removes_torn_keeps_committed(self, ray_session, seg_inputs, tmp_path):
+        import glob as _glob
+
+        import pyarrow as pa
+
+        from ocr_ray.state.sink import read_segments, vacuum_segments
+
+        out = str(tmp_path / "seg_vac")
+        _run_segmented(seg_inputs, out)
+        full = read_segments(out).count()
+
+        # plant crash debris: a torn segment dir and a stray tmp file
+        torn = os.path.join(out, "seg-0009")
+        os.makedirs(torn)
+        pq.write_table(
+            pa.table({"conv_id": ["torn"], "turn_idx": [0]}),
+            os.path.join(torn, "part-00000.parquet"),
+        )
+        stray = os.path.join(out, "seg-0000", "junk.parquet.tmp")
+        open(stray, "w").write("partial")
+
+        removed = vacuum_segments(out)
+        assert torn in removed and stray in removed
+        assert not os.path.exists(torn) and not os.path.exists(stray)
+        # committed segments untouched, reads identical
+        assert read_segments(out).count() == full
+        assert sorted(_glob.glob(os.path.join(out, "seg-*/")))  # data dirs remain
+        # idempotent
+        assert vacuum_segments(out) == []
