@@ -190,9 +190,14 @@ def grouped_scan_fs(
         return fn(t.drop_columns(["part_id"]))
 
     task = ray.remote(assemble)
-    refs = [task.remote(pid) for pid in pending]
-    ray.wait(refs, num_returns=len(refs))
-    shutil.rmtree(frag_root, ignore_errors=True)
+    try:
+        refs = [task.remote(pid) for pid in pending]
+        ray.get(refs)  # surface assemble failures HERE, not at consume time
+    finally:
+        # scratch is safe to drop either way: results live in the object
+        # store once ray.get returns, and on failure the run is abandoned
+        # (a leak in /dev/shm would otherwise outlive the job)
+        shutil.rmtree(frag_root, ignore_errors=True)
     return rd.from_arrow_refs(refs)
 
 
