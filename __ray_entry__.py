@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.extract_oracle import (
         clean_corpus_plain,
         engine_dispatch_counts,
+        extract_html_turns,
+        extract_pdf_blocks,
+        extract_pdf_turns,
         extract_plain_blocks,
         extract_plain_summaries,
         extract_plain_turns,
@@ -364,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summaries": _extract_summaries,
         "extract_metrics": _extract_metrics,
         "extract_plain_turns": extract_plain_turns,
+        "extract_html_turns": extract_html_turns,
+        "extract_pdf_turns": extract_pdf_turns,
+        "extract_pdf_blocks": extract_pdf_blocks,
         "extract_plain_blocks": extract_plain_blocks,
         "extract_plain_summaries": extract_plain_summaries,
         "engine_dispatch_counts": engine_dispatch_counts,

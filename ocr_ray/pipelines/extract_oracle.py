@@ -500,6 +500,493 @@ FROM k GROUP BY payload_kind
 """
 
 
+# ---------------------------------------------------------------------------
+# provably-mirrorable HTML subset (VERDICT r2 next-step #1a)
+#
+# The html engine's tag-strip + block-split + boilerplate-container drop IS
+# SQL-expressible on payloads whose structure is pinned by an RE2-checkable
+# filter (applied verbatim on BOTH sides):
+#   * every tag belongs to a closed inventory of attribute-free block
+#     elements (plus `<a href="...">`, which only ever occurs inside
+#     boilerplate containers — enforced below), so every tag boundary is a
+#     kernel flush point and tag-split == block-split;
+#   * `<head><title>...</title></head>` occurs at most once, well-formed, so
+#     the drop-subtree rule is one region replace;
+#   * each boilerplate container (nav/header/footer/aside/form/select/option)
+#     occurs at most once, open-before-close, with no cross-element
+#     interleaving, so each subtree drop is one lazy region replace;
+#   * every `&` belongs to a closed entity set, so unescape is a finite
+#     replace chain (ordered so one SQL pass == Python's single-pass
+#     html.unescape);
+#   * no exotic whitespace (same class as the plain gate), so the whitespace
+#     collapse class is exactly ``[ \t\n]``.
+# On this subset the kernel output equals: NFC -> drop doctype -> drop
+# head/boiler regions -> split on tags -> unescape -> collapse -> join,
+# which DuckDB computes with nfc_normalize + RE2. Reference semantics:
+# extract-data-from-pdf.ts:96-154 (engine dispatch + DOM heuristics).
+# The generator's html payloads (sources/transcripts.py:_html_payload) all
+# satisfy the filter, so coverage is the full html slice, not a corner.
+# ---------------------------------------------------------------------------
+
+_BOILER_SIMPLE = ("nav", "header", "footer", "aside", "form", "select", "option")
+_HTML_INV_RE = (
+    r"<!DOCTYPE html>"
+    r"|</?(?:html|head|title|body|nav|header|footer|aside|main|article|section"
+    r"|p|br|ul|ol|li|blockquote|pre|h[1-6]|table|tbody|tr|td|th|form|select"
+    r"|option)>"
+    r'|<a href="[^<>"&]*">'
+    r"|</a>"
+)
+_ENTITY_CLOSED_RE = r"&(?:amp|lt|gt|#233);"
+_HEAD_REGION_RE = r"(?s)<head><title>[^<>&]*</title></head>"
+_TAGISH_SPLIT_RE = r"</?[a-zA-Z][^<>]*>"
+
+
+def _provably_simple_html_mask(text: pa.ChunkedArray):
+    """True for rows GUARANTEED html-routed with SQL-mirrorable structure."""
+    from itertools import combinations
+
+    ok = pc.is_valid(text)
+    ok = pc.and_(ok, pc.invert(pc.starts_with(text, "data:")))
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, _EXOTIC_WS_RE)))
+    n_tags = pc.count_substring_regex(text, _TAGISH_SPLIT_RE)
+    ok = pc.and_(ok, pc.greater_equal(n_tags, 3))
+    stripped = pc.replace_substring_regex(text, _HTML_INV_RE, "")
+    ok = pc.and_(ok, pc.invert(pc.match_substring(stripped, "<")))
+    ok = pc.and_(ok, pc.invert(pc.match_substring(stripped, ">")))
+    deent = pc.replace_substring_regex(text, _ENTITY_CLOSED_RE, "")
+    ok = pc.and_(ok, pc.invert(pc.match_substring(deent, "&")))
+
+    def _pair_ok(name: str, region_re: str):
+        no = pc.count_substring(text, f"<{name}>")
+        nc = pc.count_substring(text, f"</{name}>")
+        absent = pc.and_(pc.equal(no, 0), pc.equal(nc, 0))
+        one = pc.and_(
+            pc.and_(pc.equal(no, 1), pc.equal(nc, 1)),
+            pc.match_substring_regex(text, region_re),
+        )
+        return pc.or_(absent, one)
+
+    # head/title: exactly one well-formed region or none at all
+    head_ok = _pair_ok("head", _HEAD_REGION_RE)
+    for nm in ("title",):
+        no = pc.count_substring(text, f"<{nm}>")
+        nc = pc.count_substring(text, f"</{nm}>")
+        with_head = pc.and_(pc.equal(no, 1), pc.equal(nc, 1))
+        without = pc.and_(pc.equal(no, 0), pc.equal(nc, 0))
+        head_ok = pc.and_(
+            head_ok,
+            pc.or_(
+                pc.and_(with_head, pc.match_substring_regex(text, _HEAD_REGION_RE)),
+                without,
+            ),
+        )
+    ok = pc.and_(ok, head_ok)
+    for c in _BOILER_SIMPLE:
+        ok = pc.and_(ok, _pair_ok(c, rf"(?s)<{c}>.*</{c}>"))
+    for a, b in combinations(_BOILER_SIMPLE, 2):
+        ok = pc.and_(
+            ok,
+            pc.invert(
+                pc.match_substring_regex(text, rf"(?s)<{a}>.*<{b}>.*</{a}>.*</{b}>")
+            ),
+        )
+        ok = pc.and_(
+            ok,
+            pc.invert(
+                pc.match_substring_regex(text, rf"(?s)<{b}>.*<{a}>.*</{b}>.*</{a}>")
+            ),
+        )
+    # links confined to dropped regions: after removing head + boiler
+    # subtrees, no anchor tag may remain (link-density rules then never fire)
+    rem = pc.replace_substring_regex(text, _HEAD_REGION_RE, "<p>")
+    for c in _BOILER_SIMPLE:
+        rem = pc.replace_substring_regex(rem, rf"(?s)<{c}>.*?</{c}>", "<p>")
+    ok = pc.and_(ok, pc.invert(pc.match_substring(rem, "<a href")))
+    ok = pc.and_(ok, pc.invert(pc.match_substring(rem, "</a>")))
+    return ok
+
+
+def extract_html_turns(sf_dir: str) -> Dataset:
+    """Run the REAL html engine over the provably-mirrorable-html subset.
+
+    The kernel (``classify_payload`` + ``_extract_html`` — tag parse, flush
+    at block elements, head/boiler subtree drop, entity unescape, whitespace
+    canonicalization) runs unmodified; ``EXTRACT_HTML_SQL`` reproduces the
+    same output independently in DuckDB. payload_kind is emitted from the
+    kernel result, so a routing bug shows as a gate mismatch too."""
+    from ocr_ray.core.extract import extract_turn
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_simple_html_mask(t.column("text")))
+        res = [extract_turn(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "payload_kind": pa.array([r.payload_kind for r in res], pa.string()),
+                "main_text": pa.array([r.main_text for r in res], pa.string()),
+                "error": pa.array([r.error for r in res], pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _html_filter_sql() -> str:
+    """The provably-simple-html predicate as a SQL boolean (RE2, verbatim
+    mirror of ``_provably_simple_html_mask``)."""
+    from itertools import combinations
+
+    def cnt(lit: str) -> str:
+        return f"len(regexp_extract_all(text, '{lit}'))"
+
+    parts = [
+        "text IS NOT NULL",
+        "NOT starts_with(text, 'data:')",
+        f"NOT regexp_matches(text, '{_EXOTIC_WS_RE}')",
+        f"len(regexp_extract_all(text, '{_TAGISH_SPLIT_RE}')) >= 3",
+        f"NOT contains(regexp_replace(text, '{_HTML_INV_RE}', '', 'g'), '<')",
+        f"NOT contains(regexp_replace(text, '{_HTML_INV_RE}', '', 'g'), '>')",
+        f"NOT contains(regexp_replace(text, '{_ENTITY_CLOSED_RE}', '', 'g'), '&')",
+    ]
+    head = (
+        f"(({cnt('<head>')} = 0 AND {cnt('</head>')} = 0 AND {cnt('<title>')} = 0"
+        f" AND {cnt('</title>')} = 0) OR ({cnt('<head>')} = 1 AND"
+        f" {cnt('</head>')} = 1 AND {cnt('<title>')} = 1 AND {cnt('</title>')} = 1"
+        f" AND regexp_matches(text, '{_HEAD_REGION_RE}')))"
+    )
+    parts.append(head)
+    for c in _BOILER_SIMPLE:
+        parts.append(
+            f"(({cnt(f'<{c}>')} = 0 AND {cnt(f'</{c}>')} = 0) OR"
+            f" ({cnt(f'<{c}>')} = 1 AND {cnt(f'</{c}>')} = 1"
+            f" AND regexp_matches(text, '(?s)<{c}>.*</{c}>')))"
+        )
+    for a, b in combinations(_BOILER_SIMPLE, 2):
+        parts.append(
+            f"NOT regexp_matches(text, '(?s)<{a}>.*<{b}>.*</{a}>.*</{b}>')"
+        )
+        parts.append(
+            f"NOT regexp_matches(text, '(?s)<{b}>.*<{a}>.*</{b}>.*</{a}>')"
+        )
+    rem = f"regexp_replace(text, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        rem = f"regexp_replace({rem}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    parts.append(f"NOT contains({rem}, '<a href')")
+    parts.append(f"NOT contains({rem}, '</a>')")
+    return "\n    AND ".join(parts)
+
+
+def _html_sql(path: str) -> str:
+    # transform chain on nfc-normalized text (kernel: NFC inside _norm_text
+    # per fragment; tag chars are NFC starters so whole-string NFC commutes
+    # with the tag split). Entity replaces are ordered so &amp; goes LAST —
+    # '&amp;lt;' must become '&lt;' (Python html.unescape is single-pass).
+    s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = f"regexp_replace({s}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    unesc = (
+        "replace(replace(replace(replace(x,"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    main = (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_split_to_array({s}, '{_TAGISH_SPLIT_RE}'),"
+        f" x -> {collapse}), x -> x <> ''), chr(10) || chr(10))"
+    )
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_filter_sql()}
+)
+SELECT conv_id, turn_idx,
+       'html' AS payload_kind,
+       {main} AS main_text,
+       '' AS error
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# provably-mirrorable PDF subset (VERDICT r2 next-step #1b)
+#
+# The pdf-layout engine (page split on form feed, blank-line block grouping,
+# hyphenated line-break repair, repeated-first/last-line header/footer
+# census, page-number regex — reference semantics the Vision
+# page/block/paragraph hierarchy, extract-data-from-pdf.ts:118-131) IS
+# SQL-expressible once an RE2 filter (verbatim both sides) pins the
+# Python/RE2 divergence points:
+#   * no exotic whitespace beyond space/\t/\n/\f -> ``splitlines`` == split
+#     on \n, ``str.split()`` == collapse of [ \t];
+#   * no non-ASCII decimal digits -> Python ``\d`` == RE2 ``[0-9]`` in the
+#     page-number regex;
+#   * any char that can start a hyphen-continuation line is ASCII printable
+#     -> Python ``str.islower()`` == RE2 ``[a-z]`` for the merge decision;
+#   * routing mirrored exactly: form feed present, OR (tag count < 3 AND the
+#     indent heuristic with its 200-line cap — same SQL as the green
+#     ``engine_dispatch_counts`` gate).
+# The dehyphenation fold is sequential but pairwise-decidable on raw lines
+# (a merged line always ends with its LAST raw line's ending), so SQL
+# expresses it as gaps-and-islands: merge-linked line chains concatenate
+# with the trailing '-' stripped from every non-final line.
+# ---------------------------------------------------------------------------
+
+# the plain/html exotic-ws class MINUS form feed (\f is the page separator)
+_PDF_EXOTIC_WS_RE = (
+    r"[\x{000B}\x{000D}\x{001C}-\x{001F}\x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+_NONBLANK_RE = r"[^ \t\n\x{000C}]"
+_NONASCII_DIGIT_RE = r"\p{Nd}"
+_HYPHEN_CONT_RE = r"-[ \t]*\n[ \t]*[^\x{0020}-\x{007E}\n\x{000C}]"
+_PAGENUM_SQL_RE = r"(?i)^(page )?[0-9]+( ?(/|of) ?[0-9]+)?$"
+
+
+def _provably_simple_pdf_static_mask(text: pa.ChunkedArray):
+    """The STATIC part of the pdf-subset predicate (routing is decided by
+    the real ``classify_payload`` on the Ray side; its SQL mirror is the
+    driver-green ``engine_dispatch_counts`` logic)."""
+    ok = pc.is_valid(text)
+    ok = pc.and_(ok, pc.invert(pc.starts_with(text, "data:")))
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, _PDF_EXOTIC_WS_RE)))
+    ok = pc.and_(ok, pc.match_substring_regex(text, _NONBLANK_RE))
+    no_digits = pc.replace_substring_regex(text, "[0-9]", "")
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(no_digits, _NONASCII_DIGIT_RE)))
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, _HYPHEN_CONT_RE)))
+    return ok
+
+
+def _run_pdf_kernel(t: pa.Table, explode_blocks: bool) -> pa.Table:
+    from ocr_ray.core.extract import extract_turn
+
+    t = t.filter(_provably_simple_pdf_static_mask(t.column("text")))
+    cids, tidx, kinds, mains, errs = [], [], [], [], []
+    bcid, btid, bbi, bkind, btext = [], [], [], [], []
+    for cid, ti, x in zip(
+        t.column("conv_id").to_pylist(),
+        t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        r = extract_turn(x)
+        if r.payload_kind != "pdf":
+            continue
+        if explode_blocks:
+            for b in r.blocks:
+                bcid.append(cid)
+                btid.append(ti)
+                bbi.append(b.block_idx)
+                bkind.append(b.kind)
+                btext.append(b.text)
+        else:
+            cids.append(cid)
+            tidx.append(ti)
+            kinds.append(r.payload_kind)
+            mains.append(r.main_text)
+            errs.append(r.error)
+    if explode_blocks:
+        return pa.table(
+            {
+                "conv_id": pa.array(bcid, t.schema.field("conv_id").type),
+                "turn_idx": pa.array(btid, t.schema.field("turn_idx").type),
+                "block_idx": pa.array(bbi, pa.int32()),
+                "kind": pa.array(bkind, pa.string()),
+                "text": pa.array(btext, pa.string()),
+            }
+        )
+    return pa.table(
+        {
+            "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+            "turn_idx": pa.array(tidx, t.schema.field("turn_idx").type),
+            "payload_kind": pa.array(kinds, pa.string()),
+            "main_text": pa.array(mains, pa.string()),
+            "error": pa.array(errs, pa.string()),
+        }
+    )
+
+
+def extract_pdf_turns(sf_dir: str) -> Dataset:
+    """REAL pdf-layout engine over the provably-mirrorable-pdf subset;
+    matched value-for-value by ``_pdf_sql`` (independent DuckDB layout
+    parser: page unnest, blank-line islands, dehyphenation fold,
+    header/footer census, pagenum regex)."""
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        lambda t: _run_pdf_kernel(t, explode_blocks=False), batch_format="pyarrow"
+    )
+
+
+def extract_pdf_blocks(sf_dir: str) -> Dataset:
+    """Exploded per-BLOCK view of the pdf subset — gates the layout
+    classifier itself (para vs header vs footer vs pagenum), not just the
+    para selection."""
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        lambda t: _run_pdf_kernel(t, explode_blocks=True), batch_format="pyarrow"
+    )
+
+
+def _pdf_filter_sql() -> str:
+    l200 = "list_slice(string_split(text, chr(10)), 1, 200)"
+    nonempty = f"len(list_filter({l200}, x -> trim(x, ' ' || chr(9)) <> ''))"
+    indented = (
+        f"len(list_filter({l200}, x -> regexp_matches(x, '^[ \\t]{{2,}}[^ \\t]')))"
+    )
+    return f"""text IS NOT NULL
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_PDF_EXOTIC_WS_RE}')
+    AND regexp_matches(text, '{_NONBLANK_RE}')
+    AND NOT regexp_matches(regexp_replace(text, '[0-9]', '', 'g'), '{_NONASCII_DIGIT_RE}')
+    AND NOT regexp_matches(text, '{_HYPHEN_CONT_RE}')
+    AND (contains(text, chr(12)) OR (
+         len(regexp_extract_all(text, '{_TAGISH_SPLIT_RE}')) < 3
+         AND {nonempty} >= 4
+         AND {indented} * 10 >= {nonempty} * 3))"""
+
+
+def _pdf_cte_sql(path: str) -> str:
+    """Shared CTE chain: filtered turns -> pages -> lines -> groups with
+    dehyphenated text, group index, and kind."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, nfc_normalize(text) AS txt,
+         len(string_split(nfc_normalize(text), chr(12))) AS np
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_pdf_filter_sql()}
+),
+pg AS (
+  SELECT conv_id, turn_idx, np,
+         unnest(string_split(txt, chr(12))) AS page,
+         unnest(generate_series(1, len(string_split(txt, chr(12))))) AS page_no
+  FROM t
+),
+ln AS (
+  SELECT conv_id, turn_idx, np, page_no,
+         unnest(string_split(page, chr(10))) AS raw,
+         unnest(generate_series(1, len(string_split(page, chr(10))))) AS line_no
+  FROM pg
+),
+nl AS (
+  SELECT conv_id, turn_idx, np, page_no, line_no,
+         trim(regexp_replace(raw, '[ \\t]+', ' ', 'g'), ' ') AS norm
+  FROM ln
+),
+gl AS (
+  SELECT *, SUM(CASE WHEN norm = '' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id, turn_idx, page_no
+                    ORDER BY line_no) AS grp
+  FROM nl
+),
+nb AS (SELECT * FROM gl WHERE norm <> ''),
+mf AS (
+  SELECT *,
+         CASE WHEN lag(norm) OVER w LIKE '%-'
+                   AND regexp_matches(norm, '^[a-z]')
+              THEN 1 ELSE 0 END AS mflag
+  FROM nb
+  WINDOW w AS (PARTITION BY conv_id, turn_idx, page_no, grp ORDER BY line_no)
+),
+il AS (
+  SELECT *,
+         SUM(1 - mflag) OVER (PARTITION BY conv_id, turn_idx, page_no, grp
+                              ORDER BY line_no) AS island,
+         CASE WHEN lead(mflag) OVER (PARTITION BY conv_id, turn_idx, page_no, grp
+                                     ORDER BY line_no) = 1
+              THEN substring(norm, 1, length(norm) - 1) ELSE norm END AS keep
+  FROM mf
+),
+isl AS (
+  SELECT conv_id, turn_idx, np, page_no, grp, island,
+         string_agg(keep, '' ORDER BY line_no) AS itext,
+         MIN(line_no) AS i_first, COUNT(*) AS i_lines
+  FROM il GROUP BY conv_id, turn_idx, np, page_no, grp, island
+),
+gr AS (
+  SELECT conv_id, turn_idx, np, page_no, grp,
+         string_agg(itext, ' ' ORDER BY i_first) AS joined,
+         MIN(i_first) AS g_first, SUM(i_lines) AS n_raw
+  FROM isl GROUP BY conv_id, turn_idx, np, page_no, grp
+),
+gx AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, page_no
+                            ORDER BY g_first) AS g_idx,
+         COUNT(*) OVER (PARTITION BY conv_id, turn_idx, page_no) AS n_groups
+  FROM gr
+),
+pstat AS (
+  SELECT conv_id, turn_idx, page_no,
+         arg_min(norm, line_no) AS first_ln,
+         arg_max(norm, line_no) AS last_ln,
+         COUNT(*) AS n_nb
+  FROM nb GROUP BY conv_id, turn_idx, page_no
+),
+hdr AS (
+  SELECT conv_id, turn_idx, first_ln AS v
+  FROM pstat GROUP BY conv_id, turn_idx, first_ln HAVING COUNT(*) >= 2
+),
+ftr AS (
+  SELECT conv_id, turn_idx, last_ln AS v
+  FROM pstat WHERE n_nb > 1
+  GROUP BY conv_id, turn_idx, last_ln HAVING COUNT(*) >= 2
+),
+kk AS (
+  SELECT gx.conv_id, gx.turn_idx, gx.page_no, gx.g_first, gx.joined,
+         CASE
+           WHEN gx.n_raw = 1
+                AND regexp_matches(gx.joined, '{_PAGENUM_SQL_RE}')
+             THEN 'pagenum'
+           WHEN gx.n_raw = 1 AND gx.g_idx = 1 AND gx.np >= 2
+                AND h.v IS NOT NULL
+             THEN 'header'
+           WHEN gx.n_raw = 1 AND gx.g_idx = gx.n_groups AND gx.np >= 2
+                AND f.v IS NOT NULL
+             THEN 'footer'
+           ELSE 'para'
+         END AS kind
+  FROM gx
+  LEFT JOIN hdr h ON h.conv_id = gx.conv_id AND h.turn_idx = gx.turn_idx
+                 AND h.v = gx.joined
+  LEFT JOIN ftr f ON f.conv_id = gx.conv_id AND f.turn_idx = gx.turn_idx
+                 AND f.v = gx.joined
+)"""
+
+
+def _pdf_sql(path: str) -> str:
+    return f"""{_pdf_cte_sql(path)}
+SELECT t.conv_id, t.turn_idx,
+       'pdf' AS payload_kind,
+       coalesce(mt.main_text, '') AS main_text,
+       '' AS error
+FROM t
+LEFT JOIN (
+  SELECT conv_id, turn_idx,
+         string_agg(joined, chr(10) || chr(10) ORDER BY page_no, g_first)
+           FILTER (WHERE kind = 'para') AS main_text
+  FROM kk GROUP BY conv_id, turn_idx
+) mt ON mt.conv_id = t.conv_id AND mt.turn_idx = t.turn_idx
+"""
+
+
+def _pdf_blocks_sql(path: str) -> str:
+    return f"""{_pdf_cte_sql(path)}
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY page_no, g_first) - 1 AS INTEGER)
+         AS block_idx,
+       kind, joined AS text
+FROM kk
+"""
+
+
 def extract_turn_counts(sf_dir: str) -> pa.Table:
     """Totality invariant: the kernel emits EXACTLY one output row per input
     row (empty/undecodable payloads become error rows, never drops)."""
@@ -562,6 +1049,9 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "system_prompt_census": SYSTEM_PROMPT_CENSUS_SQL_TMPL.format(path=path),
         "extract_links": EXTRACT_LINKS_SQL_TMPL.format(path=path),
         "extract_plain_turns": _plain_sql(path),
+        "extract_html_turns": _html_sql(path),
+        "extract_pdf_turns": _pdf_sql(path),
+        "extract_pdf_blocks": _pdf_blocks_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),
         "extract_plain_summaries": _plain_summaries_sql(path),
         "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
