@@ -2573,8 +2573,11 @@ def user_value_autocorr(sf_dir: str) -> Dataset:
 
     Contract (mirrored in SQL): NULL user_id / ts / value / event_id rows
     are excluded (key, order tiebreak, observation); users with fewer than
-    two qualifying events emit no row. Overflow: cents ≤ 10^7 and pairs
-    per user ≤ 10^4 keeps n·Σx² ≤ 10^18 inside int64."""
+    two qualifying events emit no row. Overflow: |cents| ≤ 10^5 and pairs
+    per user ≤ 10^4 keeps n·Σx² ≤ 10^4 · (10^4 · 10^10) = 10^18 inside
+    int64; the combine uses CHECKED arithmetic so data beyond the bound
+    fails loudly instead of silently diverging from the DuckDB mirror
+    (which computes in HUGEINT)."""
     from ocr_ray.pipelines.conversation import grouped_scan
 
     events = rd.read_parquet(
@@ -2641,9 +2644,15 @@ def user_value_autocorr(sf_dir: str) -> Dataset:
             {
                 "user_id": pairs.column("user_id"),
                 "n_pairs": n,
-                "ac_num": pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy)),
-                "ac_den_x": pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
-                "ac_den_y": pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
+                "ac_num": pc.subtract_checked(
+                    pc.multiply_checked(n, sxy), pc.multiply_checked(sx, sy)
+                ),
+                "ac_den_x": pc.subtract_checked(
+                    pc.multiply_checked(n, sxx), pc.multiply_checked(sx, sx)
+                ),
+                "ac_den_y": pc.subtract_checked(
+                    pc.multiply_checked(n, syy), pc.multiply_checked(sy, sy)
+                ),
             }
         )
 

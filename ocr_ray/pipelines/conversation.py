@@ -150,8 +150,13 @@ def grouped_scan_fs(
     sequential I/O, no sort), and one task per partition concatenates its
     fragments and runs ``fn`` on the co-located arrow table. On a cluster
     the scratch dir must be on shared storage (S3/NFS) — the same
-    requirement as the sink's exchange. Results return as one block per
-    partition via ``from_arrow_refs``."""
+    requirement as the sink's exchange, ENFORCED at runtime: on a
+    multi-node cluster a node-local default (/dev/shm, /tmp) would split
+    fragments across nodes and each assemble task would silently
+    concatenate only its local subset, so the call refuses unless the
+    caller names a shared ``scratch_root`` (or sets
+    ``OCR_RAY_GS_SCRATCH``). Results return as one block per partition
+    via ``from_arrow_refs``."""
     import shutil
     import uuid
     import zlib
@@ -161,9 +166,21 @@ def grouped_scan_fs(
 
     from ocr_ray.state.sink import _fanout_batch
 
-    scratch_root = scratch_root or (
-        "/dev/shm/ocr_ray_scratch" if os.access("/dev/shm", os.W_OK) else "/tmp/ocr_ray_scratch"
-    )
+    scratch_root = scratch_root or os.environ.get("OCR_RAY_GS_SCRATCH")
+    if scratch_root is None:
+        n_alive = sum(1 for n in ray.nodes() if n.get("Alive", False))
+        if n_alive > 1:
+            raise RuntimeError(
+                "grouped_scan_fs: the default scratch root is node-local; on a "
+                f"{n_alive}-node cluster fragments would be split per node and "
+                "assembled partially. Pass scratch_root=<shared dir (NFS/S3-"
+                "mounted)> or set OCR_RAY_GS_SCRATCH, or use exchange='ray'."
+            )
+        scratch_root = (
+            "/dev/shm/ocr_ray_scratch"
+            if os.access("/dev/shm", os.W_OK)
+            else "/tmp/ocr_ray_scratch"
+        )
     frag_root = os.path.join(scratch_root, f"gsfs-{uuid.uuid4().hex[:12]}")
     os.makedirs(frag_root, exist_ok=True)
 
@@ -176,10 +193,19 @@ def grouped_scan_fs(
 
     summaries = ds.map_batches(fan, batch_format="pyarrow").take_all()
     pending = sorted({r["part_id"] for r in summaries})
-    if not pending and empty_result is not None:
+    if not pending:
         # an all-empty input writes no fragments; hand back a TYPED empty
-        # (from_arrow_refs([]) would yield a schema-less dataset)
+        # (from_arrow_refs([]) would yield a schema-less dataset). Without
+        # an explicit empty_result, derive one by running fn on a typed
+        # empty input table — the same result the Ray-sort path produces.
         shutil.rmtree(frag_root, ignore_errors=True)
+        if empty_result is None:
+            try:
+                sch = ds.schema()
+                pa_sch = getattr(sch, "base_schema", sch)
+                empty_result = fn(pa_sch.empty_table())
+            except Exception:
+                return rd.from_arrow_refs([])
         return rd.from_arrow(empty_result)
 
     def assemble(pid: int) -> pa.Table:

@@ -4227,12 +4227,14 @@ REGISTRY.update(_TPCH_MORE_REGISTRY)
 
 
 def orders_naive_forecast_error(sf_dir: str) -> pa.Table:
-    """Forecast-evaluation shape: score the seasonal-naive baseline
-    (forecast for a month = the previous PRESENT month's actual) against
-    the monthly revenue series — per-month absolute error in exact cents,
-    the MAE/MASE ingredient a forecasting pipeline reports before trusting
-    any model. "Previous present month" mirrors orders_monthly_mom's lag
-    convention (a gap month forecasts from the last observed one).
+    """Forecast-evaluation shape: score the NAIVE (persistence, lag-1)
+    baseline — forecast for a month = the previous PRESENT month's actual
+    — against the monthly revenue series: per-month absolute error in
+    exact cents, the MAE/MASE ingredient a forecasting pipeline reports
+    before trusting any model. (NOT seasonal-naive, which would lag 12
+    months — same-month-last-year.) "Previous present month" mirrors
+    orders_monthly_mom's lag convention (a gap month forecasts from the
+    last observed one).
 
     Plan: the monthly rollup is the tiny partial-pre-agg census
     (calendar-bounded — a century of data is 1200 rows), so the ordered

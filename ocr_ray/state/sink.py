@@ -1597,20 +1597,45 @@ def read_pruned(
     return _rd.read_parquet(sorted(files), columns=columns)
 
 
-def vacuum_segments(out_dir: str) -> list[str]:
+def vacuum_segments(out_dir: str, *, grace_seconds: float = 900.0) -> list[str]:
     """Remove TORN segment debris: ``seg-*`` data directories (and stray
     ``*.tmp`` files) left by a crashed producer that never committed a
     segment manifest. Readers already never see them
     (``read_segments`` is committed-manifest-only), so vacuum changes no
     query result — it reclaims the storage a crash stranded. Committed
     segments are never touched; the manifest directory is the source of
-    truth, read BEFORE scanning the data dirs (a producer committing
-    concurrently can only ADD manifests, so a dir that looks torn here
-    was torn at read time or is newer — newer dirs are skipped by
-    re-checking each candidate's manifest immediately before deletion).
-    Returns the paths removed."""
+    truth, read BEFORE scanning the data dirs.
+
+    Concurrent-producer safety: a LIVE producer is indistinguishable from
+    a crashed one by manifest absence alone — its segment dir exists for
+    the whole data-write-to-manifest-commit window, and its atomic-commit
+    ``*.tmp`` files exist mid-``os.replace``. ``grace_seconds`` closes
+    that window: a candidate is deleted only when nothing under it has
+    been modified for at least the grace period (default 15 min — far
+    beyond any commit window), so in-flight work is skipped and retried
+    by the next vacuum. Pass ``grace_seconds=0`` ONLY on a quiescent
+    table (no producers running). The manifest is additionally re-checked
+    immediately before each deletion. Returns the paths removed."""
     import glob as _glob
     import shutil as _shutil
+    import time as _time
+
+    now = _time.time()
+
+    def _quiet(path: str) -> bool:
+        """True when nothing at/under ``path`` was modified within grace."""
+        try:
+            newest = os.path.getmtime(path)
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(root),
+                        *(os.path.getmtime(os.path.join(root, f)) for f in files),
+                    )
+        except OSError:
+            return False  # mutated under us -> a producer is live, skip
+        return (now - newest) >= grace_seconds
 
     removed: list[str] = []
     done = set(committed_segments(out_dir))
@@ -1621,7 +1646,7 @@ def vacuum_segments(out_dir: str) -> list[str]:
             sid = int(os.path.basename(d).split("-")[1])
         except (IndexError, ValueError):
             continue
-        if sid in done:
+        if sid in done or not _quiet(d):
             continue
         # re-check: the manifest may have landed since the first scan
         manifest = os.path.join(out_dir, SEGMENTS_DIR, f"seg-{sid:04d}.json")
@@ -1630,6 +1655,8 @@ def vacuum_segments(out_dir: str) -> list[str]:
         _shutil.rmtree(d, ignore_errors=True)
         removed.append(d)
     for tmp in _glob.glob(os.path.join(out_dir, "**", "*.tmp"), recursive=True):
+        if not _quiet(tmp):
+            continue  # a concurrent writer's in-flight atomic-commit temp
         try:
             os.remove(tmp)
             removed.append(tmp)

@@ -732,11 +732,16 @@ class TestVacuumSegments:
         stray = os.path.join(out, "seg-0000", "junk.parquet.tmp")
         open(stray, "w").write("partial")
 
-        removed = vacuum_segments(out)
+        # default grace period: fresh debris is indistinguishable from an
+        # in-flight producer -> must be KEPT
+        assert vacuum_segments(out) == []
+        assert os.path.exists(torn) and os.path.exists(stray)
+
+        removed = vacuum_segments(out, grace_seconds=0)
         assert torn in removed and stray in removed
         assert not os.path.exists(torn) and not os.path.exists(stray)
         # committed segments untouched, reads identical
         assert read_segments(out).count() == full
         assert sorted(_glob.glob(os.path.join(out, "seg-*/")))  # data dirs remain
         # idempotent
-        assert vacuum_segments(out) == []
+        assert vacuum_segments(out, grace_seconds=0) == []
