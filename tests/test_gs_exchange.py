@@ -64,3 +64,45 @@ class TestExchangeParity:
             _sorted(a, cols), _sorted(b, cols), check_dtype=False
         )
         assert a.set_index("conv_id").loc["a", "n_echo"] == 2
+
+
+class TestPartIds:
+    """The vectorized exchange partitioner (VERDICT r2 #4)."""
+
+    def test_pinned_assignment(self):
+        """Cross-process / cross-version stability pin: pandas hash_array
+        uses a FIXED siphash key, so these golden ids must never drift —
+        a drift would split a key's rows across partitions mid-job."""
+        from ocr_ray.pipelines.conversation import _part_ids
+
+        keys = pa.chunked_array(
+            [pa.array(["conv-00000000", "conv-00000001", "alpha", "beta", None, ""])]
+        )
+        assert _part_ids(keys, 64).to_pylist() == [1, 31, 26, 40, 18, 6]
+        ints = pa.chunked_array([pa.array([0, 1, 2, 12345678901], pa.int64())])
+        assert _part_ids(ints, 64).to_pylist() == [0, 37, 10, 40]
+
+    def test_same_key_same_part_across_batches(self):
+        from ocr_ray.pipelines.conversation import _part_ids
+
+        a = _part_ids(pa.chunked_array([pa.array(["k1", "k2", "k3"])]), 16)
+        b = _part_ids(pa.chunked_array([pa.array(["k3", "k1"])]), 16)
+        assert a.to_pylist()[0] == b.to_pylist()[1]
+        assert a.to_pylist()[2] == b.to_pylist()[0]
+
+    def test_balance(self):
+        import collections
+
+        from ocr_ray.pipelines.conversation import _part_ids
+
+        keys = pa.chunked_array([pa.array([f"conv-{i:08d}" for i in range(20000)])])
+        c = collections.Counter(_part_ids(keys, 64).to_pylist())
+        assert len(c) == 64
+        assert max(c.values()) < 2 * min(c.values())
+
+    def test_null_matches_str_contract(self):
+        """null hashes as the string 'None' (the str(v) contract)."""
+        from ocr_ray.pipelines.conversation import _part_ids
+
+        got = _part_ids(pa.chunked_array([pa.array([None, "None"])]), 64)
+        assert got.to_pylist()[0] == got.to_pylist()[1]
