@@ -313,6 +313,15 @@ def _conv_token_novelty(sf_dir: str):
     return conv_token_novelty(rd.read_parquet(_transcripts_for(sf_dir)))
 
 
+def _conv_token_novelty_exact(sf_dir: str):
+    """Collision-free text-exchange sibling of conv_token_novelty — same
+    output, same SQL mirror; gates the hashed default by construction."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.conversation import conv_token_novelty_exact
+
+    return conv_token_novelty_exact(rd.read_parquet(_transcripts_for(sf_dir)))
+
 
 def _turn_markup_stats(sf_dir: str):
     """Per-turn markup-density census (tag-ratio ingredients of the HTML
@@ -393,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_examples": _sft_examples,
         "conv_assistant_echo": _conv_assistant_echo,
         "conv_token_novelty": _conv_token_novelty,
+        "conv_token_novelty_exact": _conv_token_novelty_exact,
         "turn_markup_stats": _turn_markup_stats,
         "conv_lang_profile": _conv_lang_profile,
         "tool_latency_stats": _tool_latency_stats,

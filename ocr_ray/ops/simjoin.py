@@ -427,7 +427,7 @@ WHERE d.doc_id IS NOT NULL AND (l.node IS NULL OR l.label = d.doc_id)
 
 def cosine_dup_pairs(
     ds: Dataset, *, vec_col: str = "embedding", id_col: str = "vec_id",
-    threshold: float = _COS_T,
+    threshold: float = _COS_T, max_broadcast_bytes: int = 2 << 30,
 ) -> Dataset:
     """All pairs (a < b) with cosine >= threshold — exact block product.
 
@@ -436,7 +436,29 @@ def cosine_dup_pairs(
     GEMM and emits only qualifying pairs. O(n^2/p) flops by construction —
     the ground-truth tool; calibrates the LSH variant. Similarities are
     rounded to 9 decimals before the threshold compare so numpy and the SQL
-    oracle agree at the boundary."""
+    oracle agree at the boundary.
+
+    SIZE-GATED (VERDICT r2 #3): the corpus matrix is driver-materialized
+    and broadcast whole — correct for the calibration fixture, fatal on a
+    real embedding table. Above ``max_broadcast_bytes`` (default 2 GiB of
+    float64 matrix) the call REFUSES with a pointer to the scale path
+    (``embedding_near_dups`` — LSH-bucketed candidates, no broadcast)
+    instead of OOMing the driver mid-take_all."""
+    n_rows = ds.count()
+    head = ds.take(1)
+    dim = len(head[0][vec_col]) if head else 0
+    est = n_rows * dim * 8
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"cosine_dup_pairs: corpus matrix would be ~{est >> 20} MiB "
+            f"({n_rows} vectors x dim {dim}) — beyond the "
+            f"{max_broadcast_bytes >> 20} MiB broadcast gate. This exact "
+            "all-pairs product is the fixture-scale calibration tool; use "
+            "ocr_ray.ops.dedup.embedding_near_dups (LSH-bucketed, no "
+            "driver materialization) for corpus-scale near-dup detection, "
+            "or raise max_broadcast_bytes explicitly if the matrix truly "
+            "fits every worker."
+        )
     rows = ds.select_columns([id_col, vec_col]).take_all()  # corpus matrix: the broadcast side, like ann_topk's query matrix
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     m = np.asarray([r[vec_col] for r in rows], dtype=np.float64)

@@ -1292,6 +1292,52 @@ FROM a GROUP BY conv_id
 """
 
 
+_NOVELTY_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),
+        "n_distinct": pa.array([], pa.int64()),
+        "n_new": pa.array([], pa.int64()),
+    }
+)
+
+
+def _novelty_census(tok: pd.DataFrame, conv_values) -> pa.Table:
+    """Shared per-partition census: ``tok`` holds one row per DISTINCT
+    (conv code c, turn t, token code/hash k); first-appearance turns via
+    groupby-transform(min), then the per-turn rollup."""
+    first = tok.groupby(["c", "k"])["t"].transform("min")
+    tok = tok.assign(new=(tok["t"] == first).astype(np.int64))
+    out = (
+        tok.groupby(["c", "t"], sort=False)
+        .agg(n_distinct=("k", "size"), n_new=("new", "sum"))
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "conv_id": conv_values.take(pa.array(out["c"].to_numpy())),
+            "turn_idx": pa.array(out["t"].to_numpy(), pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"].to_numpy(), pa.int64()),
+            "n_new": pa.array(out["n_new"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _novelty_prep_filter(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    t = t.filter(
+        pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
+    )
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "text": pc.coalesce(t.column("text"), pa.scalar("")),
+        }
+    )
+
+
 def conv_token_novelty(transcripts: Dataset) -> Dataset:
     """Per-turn token-novelty curve: for every (conv, turn), the DISTINCT
     token count and how many of those tokens appear for the FIRST time in
@@ -1302,72 +1348,115 @@ def conv_token_novelty(transcripts: Dataset) -> Dataset:
     Tokenizer is the repo-wide UNNEST convention (split on single spaces,
     empties preserved — ``string_split(text, ' ')`` in the mirror).
 
-    Plan: co-locate each conversation via ``grouped_scan`` (first
-    appearance crosses turns, so partials cannot merge); inside a
-    partition everything is integer codes — Arrow split + dictionary
-    encode, one C-speed drop_duplicates over (conv, turn, token) codes,
-    a groupby-transform(min) for first turns, and one code-level groupby
-    for the per-turn census. Token STRINGS never leave the split batch.
-    At 10^12-turn scale the exchange payload is the turn text itself
-    (same contract as conv_texts); a 8-byte token-hash exchange variant
-    would cut that at a documented collision bound.
+    Plan (VERDICT r2 #2 — the TOKEN-HASH exchange): tokenize MAP-SIDE and
+    ship each turn as (conv_id, turn_idx, large_list<int64> of distinct
+    64-bit token hashes) — fixed 8 bytes per distinct token, conv_id once
+    per TURN, so the co-location exchange never carries token text (the
+    round-1/2 payload-heavy-class criticism). Per-turn distinctness is
+    exact map-side because a turn is one input row. Inside the partition
+    the census is the same integer-code pipeline as before, minus the
+    tokenize (already done) and minus any string traffic.
+
+    Collision bound: the census compares hashes only WITHIN one
+    conversation; with d distinct tokens per conversation the probability
+    any pair collides is <= d^2/2^65 (d = 10^6 -> 2.7e-8 per conversation),
+    and a collision shifts one turn's n_new by at most 1. The
+    text-payload sibling :func:`conv_token_novelty_exact` is collision-
+    free and gated against the same SQL mirror.
 
     Contract (mirrored in SQL): NULL conv_id / turn_idx rows are
     excluded (key and order); NULL text reads as '' (one empty token)."""
+    import pandas.util as pdu
     import pyarrow.compute as pc
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.and_(pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx")))
+        t = _novelty_prep_filter(t)
+        parts = pc.split_pattern(t.column("text"), " ")
+        lens = (
+            pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(parts).combine_chunks()
+        h = pdu.hash_array(
+            flat.to_numpy(zero_copy_only=False), categorize=False
+        ).view(np.int64)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        d = pd.DataFrame({"r": rows, "k": h}).drop_duplicates()
+        counts = np.bincount(d["r"].to_numpy(), minlength=t.num_rows)
+        order = np.argsort(d["r"].to_numpy(), kind="stable")
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(d["k"].to_numpy()[order], pa.int64()),
         )
         return pa.table(
             {
                 "conv_id": t.column("conv_id"),
-                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
-                "text": pc.coalesce(t.column("text"), pa.scalar("")),
+                "turn_idx": t.column("turn_idx"),
+                "tok_hashes": lists,
             }
         )
 
     def scan(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int64()),
-                "n_distinct": pa.array([], pa.int64()),
-                "n_new": pa.array([], pa.int64()),
-            }
-        )
         if t.num_rows == 0:
-            return empty
-        parts = pc.split_pattern(t.column("text"), " ")
-        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(parts).combine_chunks()
-        kcodes = pc.dictionary_encode(flat).indices.to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+            return _NOVELTY_EMPTY
+        lens = (
+            pc.list_value_length(t.column("tok_hashes"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = (
+            pc.list_flatten(t.column("tok_hashes"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         conv_dict = pc.dictionary_encode(t.column("conv_id").combine_chunks())
         ccodes_row = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        conv_values = conv_dict.dictionary
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        turns = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        tok = pd.DataFrame(
+            {"c": ccodes_row[rows], "t": turns[rows], "k": flat}
+        ).drop_duplicates()  # no-op on unique (conv, turn) inputs
+        return _novelty_census(tok, conv_dict.dictionary)
+
+    slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+    # fs exchange (measured win for this family) now carries only
+    # fixed-width hashes; see grouped_scan_fs for the shared-storage rule
+    return grouped_scan(
+        slim.map_batches(prep, batch_format="pyarrow"),
+        "conv_id",
+        scan,
+        batch_format="pyarrow",
+        exchange="fs",
+    )
+
+
+def conv_token_novelty_exact(transcripts: Dataset) -> Dataset:
+    """Collision-free sibling of :func:`conv_token_novelty`: the exchange
+    payload is the turn TEXT (same contract as conv_texts); tokens are
+    dictionary-coded inside the partition and never hashed. Same output,
+    same SQL mirror — the calibration/audit path for the hashed default."""
+    import pyarrow.compute as pc
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _NOVELTY_EMPTY
+        parts = pc.split_pattern(t.column("text"), " ")
+        lens = (
+            pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(parts).combine_chunks()
+        kcodes = (
+            pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        conv_dict = pc.dictionary_encode(t.column("conv_id").combine_chunks())
+        ccodes_row = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
         turns = t.column("turn_idx").to_numpy(zero_copy_only=False)
         tok = pd.DataFrame(
             {"c": ccodes_row[rows], "t": turns[rows], "k": kcodes}
         ).drop_duplicates()
-        first = tok.groupby(["c", "k"])["t"].transform("min")
-        tok["new"] = (tok["t"] == first).astype(np.int64)
-        out = (
-            tok.groupby(["c", "t"], sort=False)
-            .agg(n_distinct=("k", "size"), n_new=("new", "sum"))
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "conv_id": conv_values.take(pa.array(out["c"].to_numpy())),
-                "turn_idx": pa.array(out["t"].to_numpy(), pa.int64()),
-                "n_distinct": pa.array(out["n_distinct"].to_numpy(), pa.int64()),
-                "n_new": pa.array(out["n_new"].to_numpy(), pa.int64()),
-            }
-        )
+        return _novelty_census(tok, conv_dict.dictionary)
 
     slim = transcripts.select_columns(["conv_id", "turn_idx", "text"])
     # fs exchange: the co-location payload is the turn TEXT itself — the
@@ -1375,7 +1464,7 @@ def conv_token_novelty(transcripts: Dataset) -> Dataset:
     # all-to-all (measured back-to-back at sf0.1: ray 18.7-39.4 s vs fs
     # 13.1 s stable, identical rows; same class as conv_texts 8.9 -> 5.1)
     return grouped_scan(
-        slim.map_batches(prep, batch_format="pyarrow"),
+        slim.map_batches(_novelty_prep_filter, batch_format="pyarrow"),
         "conv_id",
         scan,
         batch_format="pyarrow",

@@ -1038,6 +1038,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "conv_dedup_exact": CONV_DEDUP_EXACT_SQL_TMPL.format(path=path),
         "conv_assistant_echo": CONV_ASSISTANT_ECHO_SQL_TMPL.format(path=path),
         "conv_token_novelty": CONV_TOKEN_NOVELTY_SQL_TMPL.format(path=path),
+        "conv_token_novelty_exact": CONV_TOKEN_NOVELTY_SQL_TMPL.format(path=path),
         "turn_markup_stats": TURN_MARKUP_STATS_SQL_TMPL.format(path=path),
         "conv_lang_profile": _conv_lang_profile_sql(path),
         "sft_examples": SFT_EXAMPLES_SQL_TMPL.format(path=path),

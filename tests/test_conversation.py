@@ -464,6 +464,28 @@ class TestConvTokenNovelty:
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+    def test_hashed_matches_exact_sibling(self, ray_session):
+        """The token-hash exchange (VERDICT r2 #2) must reproduce the
+        collision-free text-exchange sibling row-for-row, and its exchange
+        schema must be fixed-width hashes (large_list<int64>), never text."""
+        import pandas as pd
+
+        from ocr_ray.pipelines.conversation import (
+            conv_token_novelty,
+            conv_token_novelty_exact,
+        )
+        from ocr_ray.sources.transcripts import ensure_transcripts
+
+        p = ensure_transcripts(200, seed=42)
+        keys = ["conv_id", "turn_idx"]
+        a = conv_token_novelty(rd.read_parquet(p)).to_pandas()
+        b = conv_token_novelty_exact(rd.read_parquet(p)).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values(keys).reset_index(drop=True),
+            b.sort_values(keys).reset_index(drop=True),
+        )
+
+
 class TestTurnMarkupStats:
     def test_planted_counts_and_dirty_parity(self, ray_session, tmp_path):
         import duckdb

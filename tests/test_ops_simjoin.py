@@ -149,3 +149,38 @@ def test_cosine_pairs_planted(ray_session):
     ds = rd.from_arrow(t).materialize()
     pairs = {(r["a"], r["b"]) for r in cosine_dup_pairs(ds, threshold=0.95).take_all()}
     assert pairs == {(i, 50 + i) for i in range(5)}
+
+
+class TestCosineBroadcastGate:
+    def test_refuses_above_bound(self, ray_session):
+        import numpy as np
+        import pytest
+        import ray.data as rd
+
+        from ocr_ray.ops.simjoin import cosine_dup_pairs
+
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(64), pa.int64()),
+                "embedding": pa.array(
+                    [[float(i)] * 8 for i in range(64)], pa.list_(pa.float64())
+                ),
+            }
+        )
+        with pytest.raises(ValueError, match="embedding_near_dups"):
+            cosine_dup_pairs(rd.from_arrow(t), max_broadcast_bytes=1024).count()
+
+    def test_unchanged_below_bound(self, ray_session):
+        """The gate must not perturb in-bound results (the driver-gated
+        dedup_cosine_exact path)."""
+        from ocr_ray.ops.simjoin import (
+            cosine_dup_pairs,
+            cosine_rows_for_sf,
+            ensure_cosine_fixture,
+        )
+        import ray.data as rd
+
+        path = ensure_cosine_fixture(cosine_rows_for_sf("/root/testdata/sf0.001"))
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        n = cosine_dup_pairs(ds).count()
+        assert n > 0
