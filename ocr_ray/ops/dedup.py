@@ -55,9 +55,13 @@ from ray.data.aggregate import Count, Max, Min
 logger = logging.getLogger(__name__)
 
 _P = (1 << 31) - 1  # Mersenne prime for universal hashing (31-bit: see below)
-_N_PERM = 128
-_BANDS = 16  # 16 bands x 8 rows -> Jaccard threshold ~0.71
-_ROWS = _N_PERM // _BANDS
+_N_PERM = 128  # default; see minhash_signatures(n_perms=...) for the 64-perm option
+_ROWS = 8  # rows per band (fixed); band count = signature width // _ROWS:
+#   128 perms -> 16 bands x 8 rows -> Jaccard threshold ~(1/16)^(1/8) = 0.71
+#   64 perms  ->  8 bands x 8 rows -> threshold ~(1/8)^(1/8) = 0.77 (cheaper
+#   signatures, slightly blunter recall near the threshold — documented
+#   tradeoff; the default stays 128 and bit-identical)
+_BANDS = _N_PERM // _ROWS
 # Cap on LSH bucket size for pair generation: a bucket of n emits n(n-1)/2
 # pairs; above the cap the bucket is skipped WITH A LOGGED DROP (no silent
 # truncation). 64 -> at most ~2k pairs per bucket.
@@ -95,7 +99,7 @@ def _coerce_schema(ds: Dataset, schema: pa.Schema, parts: int = _PAIR_JOIN_PARTS
     return ds.repartition(parts).map_batches(fix, batch_format="pyarrow")
 
 
-def _perm_params(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+def _perm_params(seed: int = 1234, n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
     """(a, b) for the universal hash ``(a * (x mod P) + b) mod P`` over the
     31-bit Mersenne prime P = 2^31 - 1.
 
@@ -108,8 +112,8 @@ def _perm_params(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     product is < 2^62 (no uint64 overflow) AND wraps the modulus ~2^31 times
     — a genuine Carter–Wegman hash."""
     rs = np.random.RandomState(seed)
-    a = rs.randint(1, _P, size=_N_PERM, dtype=np.int64).astype(np.uint64)
-    b = rs.randint(0, _P, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    a = rs.randint(1, _P, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rs.randint(0, _P, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -130,12 +134,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=4)
-def _cached_perms(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+def _cached_perms(seed: int = 1234, n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
     """Per-worker-process cache of the permutation parameters (derived from
     a fixed seed, deterministic across the cluster). Computing them is ~µs,
     so TASK-mode map_batches with this cache beats an actor pool: no pool
     startup latency, and scheduling stays fully elastic."""
-    return _perm_params(seed)
+    return _perm_params(seed, n_perm)
 
 
 # Elementwise-compute chunk (shingles per pass) and per-worker scratch for
@@ -157,20 +161,22 @@ _HV_CHUNK = 1 << 12
 _SCRATCH: dict[str, np.ndarray] = {}
 
 
-def _hv_scratch() -> tuple[np.ndarray, np.ndarray]:
-    hv = _SCRATCH.get("hv")
+def _hv_scratch(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
+    hv = _SCRATCH.get(("hv", n_perm))
     if hv is None:
-        hv = np.empty((_N_PERM, _HV_CHUNK), np.uint64)
-        _SCRATCH["hv"] = hv
-        _SCRATCH["xm"] = np.empty(_HV_CHUNK, np.uint64)
-    return hv, _SCRATCH["xm"]
+        hv = np.empty((n_perm, _HV_CHUNK), np.uint64)
+        _SCRATCH[("hv", n_perm)] = hv
+    xm = _SCRATCH.get("xm")
+    if xm is None:
+        xm = _SCRATCH["xm"] = np.empty(_HV_CHUNK, np.uint64)
+    return hv, xm
 
 
 def _hash_chunk(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a * (x mod P) + b) mod P for one shingle chunk (len <= _HV_CHUNK),
     computed entirely in warm scratch; returns a VIEW into the scratch
     buffer (consume before the next call)."""
-    hv_buf, xm_buf = _hv_scratch()
+    hv_buf, xm_buf = _hv_scratch(len(a))
     n = len(x)
     xv = xm_buf[:n]
     np.mod(x, np.uint64(_P), out=xv)
@@ -181,7 +187,8 @@ def _hash_chunk(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return h
 
 
-def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+def _minhash_batch(batch: pa.Table, text_col: str, id_col: str,
+                   n_perm: int = _N_PERM) -> pa.Table:
     """text -> 128-perm MinHash signature (uint64 list). Docs with zero
     shingles (empty/whitespace text) get the all-``_P`` sentinel.
 
@@ -190,12 +197,12 @@ def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     warm scratch, see above), then per-doc minima fall out of one
     ``np.minimum.reduceat`` at the doc offsets. A single doc larger than
     the chunk is sub-chunked with running minima."""
-    a, b = _cached_perms()
+    a, b = _cached_perms(n_perm=n_perm)
     texts = batch.column(text_col).to_pylist()
     shingles = [_word_shingles(t or "") for t in texts]
     lens = np.array([len(s) for s in shingles], dtype=np.int64)
     n_docs = len(texts)
-    sig_mat = np.full((n_docs, _N_PERM), _P, dtype=np.uint64)  # sentinel rows
+    sig_mat = np.full((n_docs, n_perm), _P, dtype=np.uint64)  # sentinel rows
     i = 0
     while i < n_docs:
         j, tot = i, 0
@@ -220,7 +227,7 @@ def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
                 h = _hash_chunk(x[s : s + _HV_CHUNK], a, b)
                 np.minimum(sig_mat[k], h.min(axis=1), out=sig_mat[k])
     flat = pa.array(sig_mat.ravel(), pa.uint64())
-    offs = pa.array(np.arange(0, (n_docs + 1) * _N_PERM, _N_PERM, dtype=np.int32))
+    offs = pa.array(np.arange(0, (n_docs + 1) * n_perm, n_perm, dtype=np.int32))
     return pa.table(
         {
             "doc_id": batch.column(id_col),
@@ -229,10 +236,22 @@ def _minhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     )
 
 
-def minhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+def minhash_signatures(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    n_perms: int = _N_PERM,
+) -> Dataset:
+    """text -> n_perms-perm MinHash signatures. ``n_perms`` trades
+    signature-compute cost against banding sharpness: 128 (default,
+    bit-identical to always) = 16 bands x 8 rows, LSH threshold ~0.71;
+    64 = 8 bands x 8 rows, threshold ~0.77 — half the signature flops for
+    slightly blunter recall just above the threshold (the verify stage is
+    unchanged, so precision does not move). All downstream stages infer
+    the width from the signature rows."""
+    if n_perms % _ROWS != 0:
+        raise ValueError(f"n_perms must be a multiple of {_ROWS} (rows/band)")
     return ds.map_batches(
         _minhash_batch,
-        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n_perm": n_perms},
         batch_format="pyarrow",
         batch_size=256,
     )
@@ -266,20 +285,22 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     # hashing (bit-identical band_hash; equality verified), but without
     # materializing 128-element Python lists per doc (measured 9x faster)
     col = batch.column("sig").combine_chunks()
-    mat = np.asarray(col.flatten()).reshape(n, _N_PERM)
+    mat = np.asarray(col.flatten()).reshape(n, -1)
+    n_perm = mat.shape[1]
+    bands = n_perm // _ROWS
     mv = memoryview(mat.tobytes())
-    row_bytes = _N_PERM * 8
+    row_bytes = n_perm * 8
     band_bytes = _ROWS * 8
-    bh = np.empty(n * _BANDS, dtype=np.int64)
+    bh = np.empty(n * bands, dtype=np.int64)
     crc = zlib.crc32
     k = 0
     for i in range(n):
         base = i * row_bytes
-        for b in range(_BANDS):
+        for b in range(bands):
             bh[k] = (b << 32) | crc(mv[base + b * band_bytes : base + (b + 1) * band_bytes], b)
             k += 1
     ids = batch.column("doc_id").take(
-        pa.array(np.repeat(np.arange(n, dtype=np.int64), _BANDS))
+        pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
     )
     return pa.table({"band_hash": pa.array(bh, pa.int64()), "doc_id": ids})
 
@@ -551,7 +572,7 @@ def verified_pairs_minhash(
             mat = _sig_matrix(st)
             ia, ib = _pair_rows(pt, st, "doc_id")
             agree = (mat[ia] == mat[ib]).sum(axis=1)
-            return pt.filter(pa.array(agree * 10_000 >= _N_PERM * threshold_bp))
+            return pt.filter(pa.array(agree * 10_000 >= mat.shape[1] * threshold_bp))
 
         task = _ray.remote(_vfy_local)
         ref = task.remote(pairs.to_arrow_refs(), side.to_arrow_refs())
@@ -580,7 +601,7 @@ def verified_pairs_minhash(
         sa = _unpack_lists(t.column("sig_a"), np.uint64)
         sb = _unpack_lists(t.column("sig_b"), np.uint64)
         agree = (sa == sb).sum(axis=1)
-        keep = agree * 10_000 >= _N_PERM * threshold_bp
+        keep = agree * 10_000 >= sa.shape[1] * threshold_bp
         return t.select(["a", "b"]).filter(pa.array(keep))
 
     return j.map_batches(check, batch_format="pyarrow")
@@ -997,10 +1018,11 @@ def _local_near_dup(
 
 
 def _sig_matrix(sig_tbl: pa.Table) -> np.ndarray:
-    """(n, _N_PERM) uint64 matrix from the list<uint64> ``sig`` column via
-    the Arrow values buffer (``flatten`` respects list offsets)."""
+    """(n, n_perm) uint64 matrix from the list<uint64> ``sig`` column via
+    the Arrow values buffer (``flatten`` respects list offsets); width is
+    inferred, so 64- and 128-perm signatures both work."""
     col = sig_tbl.column("sig").combine_chunks()
-    return np.asarray(col.flatten()).reshape(len(col), _N_PERM)
+    return np.asarray(col.flatten()).reshape(len(col), -1)
 
 
 def near_dup_survivors(
@@ -1010,6 +1032,7 @@ def near_dup_survivors(
     id_col: str = "doc_id",
     threshold_bp: int = 7000,
     max_bucket: int = _MAX_BUCKET,
+    n_perms: int = _N_PERM,
 ) -> Dataset:
     """MinHash+LSH near-dup pipeline, end-to-end distributed: signatures ->
     banded buckets -> capped collision pairs -> join-verified agreement ->
@@ -1017,7 +1040,9 @@ def near_dup_survivors(
 
     Size-gated: corpora at or under ``_LOCAL_NEARDUP_MAX_ROWS`` are solved
     on one worker from the collected signature table (identical output)."""
-    sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col).materialize()
+    sigs = minhash_signatures(
+        ds, text_col=text_col, id_col=id_col, n_perms=n_perms
+    ).materialize()
     id_type = sigs.schema().base_schema.field("doc_id").type
     if sigs.count() <= _LOCAL_NEARDUP_MAX_ROWS:
         tbl = _collect_table(sigs)
@@ -1028,7 +1053,7 @@ def near_dup_survivors(
             mat = _sig_matrix(t)
             ia, ib = _pair_rows(pairs, t, "doc_id")
             agree = (mat[ia] == mat[ib]).sum(axis=1)
-            return pairs.filter(pa.array(agree * 10_000 >= _N_PERM * threshold_bp))
+            return pairs.filter(pa.array(agree * 10_000 >= mat.shape[1] * threshold_bp))
 
         return rd.from_arrow(
             _local_near_dup(

@@ -42,6 +42,54 @@ def _part_ids(col, num_parts: int) -> pa.Array:
     return pa.array((h % num_parts).astype(np.int32), pa.int32())
 
 
+def _hot_keys(ds: Dataset, key: str, budget: int) -> list[str]:
+    """Exact per-key census (count-only, fixed-width rows) returning the
+    keys whose TOTAL row count exceeds ``budget`` — the grouped_scan
+    hot-key detector (VERDICT r2 #5). Keys are compared in their
+    null-normalized string form (the :func:`_part_ids` contract). The
+    census pre-aggregates per batch (one row per distinct key per batch)
+    so the shuffle carries counts, never payload; only the keys ABOVE
+    budget reach the driver (bounded by total_rows / budget)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.fill_null(pc.cast(t.column(key), pa.string()), "None")
+        g = pa.table({"__k": k}).group_by(["__k"]).aggregate([("__k", "count")])
+        return g.rename_columns(["__k", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), budget)).select(["__k"]),
+        batch_format="pyarrow",
+    ).take_all()
+    return sorted(r["__k"] for r in hot)
+
+
+def _apply_hot_override(t: pa.Table, key: str, pids: pa.Array, hot: list[str],
+                        num_parts: int) -> pa.Array:
+    """Route hot keys to DEDICATED partition ids beyond ``num_parts``.
+
+    This is key ISOLATION, not within-key salting: grouped_scan's contract
+    (all rows of a key in ONE fn call) forbids splitting a key, so the
+    co-location floor is the largest single key; isolation guarantees no
+    partition exceeds max(budget-ish, that floor) instead of
+    hot-key + everything-else-that-hashed-with-it."""
+    import pyarrow.compute as pc
+
+    ks = pc.fill_null(pc.cast(t.column(key), pa.string()), "None")
+    idx = pc.index_in(ks, value_set=pa.array(hot, pa.string()))
+    return pc.if_else(
+        pc.is_valid(idx),
+        pc.cast(pc.add(idx, num_parts), pa.int32()),
+        pids,
+    )
+
+
 def conversation_stats(transcripts: Dataset) -> Dataset:
     """Per-conversation rollup: turn counts by role, byte totals, wall span.
 
@@ -109,6 +157,8 @@ def grouped_scan(
     num_parts: int = 64,
     batch_format: str = "pandas",
     exchange: str | None = None,
+    hot_key_budget: int | None = None,
+    hot_keys: list[str] | None = None,
 ) -> Dataset:
     """Co-located per-key scan WITHOUT per-key ``map_groups`` overhead.
 
@@ -118,8 +168,19 @@ def grouped_scan(
     runs once per PARTITION and ``fn`` receives a multi-key frame, sorted
     and boundary-masked vectorized. Same co-location guarantee (all rows of
     a key land in one call); Python overhead drops from O(keys) to
-    O(num_parts). A pathological hot key still lands in one partition —
-    salt the key upstream if a single key exceeds a worker's memory.
+    O(num_parts).
+
+    HOT KEYS (VERDICT r2 #5): a pathological hot key lands in one
+    partition together with every other key that hashed there. Pass
+    ``hot_key_budget=N`` to run a count-only census pass (an extra read
+    of ``ds`` — enable when skew would otherwise blow a worker, not by
+    default) that detects keys with more than N rows and ISOLATES each
+    into a dedicated partition id beyond ``num_parts``; or pass known
+    ``hot_keys`` directly (null-normalized string form) and skip the
+    census. This is isolation, not within-key salting — the co-location
+    contract forbids splitting a key, so the floor is the largest single
+    key; isolation guarantees no partition exceeds
+    max(budget + slack, that floor). Output is IDENTICAL either way.
 
     Partition ids come from :func:`_part_ids` — vectorized, process-stable
     hashing (the same key hashed in different map tasks MUST land in the
@@ -134,6 +195,8 @@ def grouped_scan(
     A/B harnesses); callers that measured a win pass it explicitly."""
     if exchange is None:
         exchange = os.environ.get("OCR_RAY_GS_EXCHANGE", "ray")
+    if hot_keys is None and hot_key_budget is not None:
+        hot_keys = _hot_keys(ds, key, hot_key_budget)
     if exchange == "fs":
         if batch_format == "pandas":
 
@@ -142,10 +205,15 @@ def grouped_scan(
 
         else:
             wrapped = fn
-        return grouped_scan_fs(ds, key, wrapped, num_parts=num_parts)
+        return grouped_scan_fs(
+            ds, key, wrapped, num_parts=num_parts, hot_keys=hot_keys
+        )
 
     def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column("__part", _part_ids(t.column(key), num_parts))
+        pids = _part_ids(t.column(key), num_parts)
+        if hot_keys:
+            pids = _apply_hot_override(t, key, pids, hot_keys, num_parts)
+        return t.append_column("__part", pids)
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
     out = parted.groupby("__part").map_groups(fn, batch_format=batch_format)
@@ -160,9 +228,13 @@ def grouped_scan_fs(
     num_parts: int = 64,
     scratch_root: str | None = None,
     empty_result: pa.Table | None = None,
+    hot_keys: list[str] | None = None,
 ) -> Dataset:
     """``grouped_scan`` with a FILESYSTEM exchange instead of Ray's sort
-    shuffle — for PAYLOAD-HEAVY grouped scans.
+    shuffle — for PAYLOAD-HEAVY grouped scans. ``hot_keys`` routes the
+    named keys to dedicated partitions beyond ``num_parts`` (see
+    :func:`grouped_scan`); dedicated fragment dirs assemble exactly like
+    hashed ones.
 
     Ray's sort-based all-to-all moves every byte through the object store
     with a full sort (measured: 7.3 s of conv_texts' 8.9 s at sf0.1 is the
@@ -207,6 +279,8 @@ def grouped_scan_fs(
 
     def fan(t: pa.Table) -> pa.Table:
         pids = _part_ids(t.column(key), num_parts)
+        if hot_keys:
+            pids = _apply_hot_override(t, key, pids, hot_keys, num_parts)
         return _fanout_batch(t.append_column("part_id", pids), frag_root=frag_root)
 
     summaries = ds.map_batches(fan, batch_format="pyarrow").take_all()

@@ -195,6 +195,7 @@ def dedup_near_turns(
     *,
     checkpoint_dir: str | None = None,
     winner_join: str = "auto",
+    n_perms: int = 128,
 ) -> Dataset:
     """MinHash-LSH near-dup pass over ``main_text`` (run after exact dedup):
     signatures over ``uid = conv_id#turn_idx``, banded buckets, capped
@@ -214,6 +215,7 @@ def dedup_near_turns(
         with_uid.select_columns(["uid", "main_text"]),
         text_col="main_text",
         id_col="uid",
+        n_perms=n_perms,
     ).map_batches(
         lambda t: pa.table({"uid": t.column("doc_id")}), batch_format="pyarrow"
     )
@@ -229,6 +231,7 @@ def clean_corpus(
     near_dedup: bool = False,
     checkpoint_dir: str | None = None,
     winner_join: str = "auto",
+    n_perms: int = 128,
 ) -> Dataset:
     """transcripts -> deduplicated, quality-gated, annotated corpus.
 
@@ -239,7 +242,9 @@ def clean_corpus(
     ``near_dedup=True`` chains the MinHash-LSH near-dup pass after exact
     dedup. ``checkpoint_dir`` bounds memory via storage checkpoints (pass a
     per-stage subdirectory is handled internally); ``winner_join`` as in
-    ``dedup_exact_turns``."""
+    ``dedup_exact_turns``; ``n_perms=64`` halves the MinHash signature
+    flops (the composed pipeline's measured wall) at a documented recall
+    tradeoff — see ``ops.dedup.minhash_signatures``."""
     annotated = annotate(quality_gate(extract_dataset(transcripts), min_chars))
     slim = annotated.select_columns(
         ["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens", "main_text"]
@@ -248,7 +253,9 @@ def clean_corpus(
     out = dedup_exact_turns(slim, checkpoint_dir=exact_ckpt, winner_join=winner_join)
     if near_dedup:
         near_ckpt = os.path.join(checkpoint_dir, "near") if checkpoint_dir else None
-        out = dedup_near_turns(out, checkpoint_dir=near_ckpt, winner_join=winner_join)
+        out = dedup_near_turns(
+            out, checkpoint_dir=near_ckpt, winner_join=winner_join, n_perms=n_perms
+        )
     return out
 
 

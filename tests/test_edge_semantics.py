@@ -189,7 +189,7 @@ def test_auto_join_empty_small_side_with_schema(ray_session):
     )
     empty_small = rd.from_arrow(
         pa.table({"rk": pa.array([9], pa.int64()), "w": pa.array([9], pa.int64())})
-    ).filter(lambda r: False)
+    ).filter(expr="rk < 0")
     out = auto_join(
         big,
         empty_small,

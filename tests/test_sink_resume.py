@@ -693,7 +693,7 @@ class TestBloomSidecar:
         keep = prune_bloom_files(out, key="uid", values=probe)
         # the key lives in exactly one partition; FPs may add a file or two
         assert 1 <= len(keep) < len(all_files)
-        got = rd.read_parquet(keep).filter(lambda r: r["uid"] == 123).take_all()
+        got = rd.read_parquet(keep).filter(expr="uid == 123").take_all()
         assert [r["v"] for r in got] == [246]
 
         # absent key: usually prunes everything; never errors

@@ -1,5 +1,6 @@
 """Compare Ray queries vs DuckDB oracle, mimicking the driver's check."""
-import sys, ray, duckdb
+import os, sys, ray, duckdb
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 only = sys.argv[2:] if len(sys.argv) > 2 else None
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
