@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.extract_oracle import (
         clean_corpus_plain,
         engine_dispatch_counts,
+        extract_html_blocks,
         extract_html_turns,
         extract_pdf_blocks,
         extract_pdf_turns,
@@ -377,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metrics": _extract_metrics,
         "extract_plain_turns": extract_plain_turns,
         "extract_html_turns": extract_html_turns,
+        "extract_html_blocks": extract_html_blocks,
         "extract_pdf_turns": extract_pdf_turns,
         "extract_pdf_blocks": extract_pdf_blocks,
         "extract_plain_blocks": extract_plain_blocks,

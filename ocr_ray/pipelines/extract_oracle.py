@@ -26,6 +26,8 @@ on the oracle side, so filter parity is by construction, not coincidence.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -714,6 +716,184 @@ FROM t
 """
 
 
+# --- html BLOCKS gate: exploded per-block view with kinds ------------------
+#
+# Extends the turns gate to the block CLASSIFIER (content vs heading vs
+# boilerplate) in document order. SQL technique: boiler/heading regions are
+# rewritten to control-char markers at fragment edges
+# (<nav>... -> '<p>'+\x01, </nav> -> \x02+'<p>'; heading tags -> \x03/\x04),
+# anchor tags are REMOVED (they never flush — fragments concatenate across
+# them, exactly the kernel's buf behavior), the stream splits on the
+# remaining block tags, and per-fragment marker counts + a window cumsum
+# reconstruct the region depths: a fragment is inside a region iff
+# (sum of opens-closes over PRIOR fragments) + (opens in this fragment) > 0
+# — exact because markers only ever sit at fragment edges. The blocks
+# subset additionally requires properly-alternating heading tags per level
+# (counts equal + two lookahead-free RE2 checks built on a
+# complement-unrolled "no '</hN>' between" character class) and no literal
+# \x01-\x04 in the payload.
+
+_HEADINGS = tuple(f"h{i}" for i in range(1, 7))
+
+
+def _no_seq_re(lit: str) -> str:
+    """RE2 for 'any sequence not containing the literal tag ``lit``'
+    (lookahead-free complement unrolling; safe here because the closed
+    inventory filter guarantees no partial tag literals)."""
+    inner = lit[1:-1]  # strip < >
+    alts = ["[^<]"]
+    for i in range(1, len(inner) + 1):
+        prefix = inner[: i - 1]
+        alts.append("<" + re.escape(prefix) + f"[^{re.escape(inner[i - 1])}]")
+    alts.append("<" + re.escape(inner) + "[^>]")
+    return "(?:" + "|".join(alts) + ")*"
+
+
+def _heading_alternation_clauses() -> list[tuple[str, str, str, str]]:
+    """Per heading level: (open, close, bad_open_open, bad_close_first) —
+    counts equal + neither bad pattern => properly alternating pairs."""
+    out = []
+    for h in _HEADINGS:
+        o, c = f"<{h}>", f"</{h}>"
+        bad_open_open = f"(?s){re.escape(o)}{_no_seq_re(c)}{re.escape(o)}"
+        bad_close_first = f"(?s)^{_no_seq_re(o)}{re.escape(c)}"
+        out.append((o, c, bad_open_open, bad_close_first))
+    return out
+
+
+def _provably_simple_html_blocks_mask(text: pa.ChunkedArray):
+    ok = _provably_simple_html_mask(text)
+    ok = pc.and_(
+        ok, pc.invert(pc.match_substring_regex(text, "[\\x{0001}-\\x{0004}]"))
+    )
+    for o, c, bad_oo, bad_cf in _heading_alternation_clauses():
+        ok = pc.and_(
+            ok, pc.equal(pc.count_substring(text, o), pc.count_substring(text, c))
+        )
+        ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, bad_oo)))
+        ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, bad_cf)))
+    return ok
+
+
+def extract_html_blocks(sf_dir: str) -> Dataset:
+    """Exploded per-BLOCK view of the html subset — gates the boilerplate
+    scorer's block CLASSIFIER (content / heading / boilerplate) and the
+    document-order block_idx, not just the main_text selection."""
+    from ocr_ray.core.extract import extract_turn
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_simple_html_blocks_mask(t.column("text")))
+        cids, tidx, bidx, kinds, texts = [], [], [], [], []
+        for cid, ti, x in zip(
+            t.column("conv_id").to_pylist(),
+            t.column("turn_idx").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            for b in extract_turn(x).blocks:
+                cids.append(cid)
+                tidx.append(ti)
+                bidx.append(b.block_idx)
+                kinds.append(b.kind)
+                texts.append(b.text)
+        return pa.table(
+            {
+                "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+                "turn_idx": pa.array(tidx, t.schema.field("turn_idx").type),
+                "block_idx": pa.array(bidx, pa.int32()),
+                "kind": pa.array(kinds, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _html_blocks_filter_sql() -> str:
+    parts = [_html_filter_sql()]
+    parts.append(r"NOT regexp_matches(text, '[\x{0001}-\x{0004}]')")
+    for o, c, bad_oo, bad_cf in _heading_alternation_clauses():
+        parts.append(
+            f"len(regexp_extract_all(text, '{o}')) ="
+            f" len(regexp_extract_all(text, '{c}'))"
+        )
+        parts.append(f"NOT regexp_matches(text, '{bad_oo}')")
+        parts.append(f"NOT regexp_matches(text, '{bad_cf}')")
+    return "\n    AND ".join(parts)
+
+
+def _html_blocks_sql(path: str) -> str:
+    s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = (
+            f"regexp_replace({s}, '(?s)<{c}>(.*?)</{c}>',"
+            f" '<p>' || chr(1) || '\\1' || chr(2) || '<p>')"
+        )
+    for h in _HEADINGS:
+        s = f"replace({s}, '<{h}>', '<p>' || chr(3))"
+        s = f"replace({s}, '</{h}>', chr(4) || '<p>')"
+    # anchors never flush -> remove (NOT the general '</?a[^<>]*>', which
+    # would also eat '<article>'); the closed inventory guarantees every
+    # anchor matches exactly these two literal forms
+    s = f"""regexp_replace({s}, '<a href="[^<>"&]*">', '', 'g')"""
+    s = f"replace({s}, '</a>', '')"
+    strip_marks = (
+        "replace(replace(replace(replace(frag,"
+        " chr(1), ''), chr(2), ''), chr(3), ''), chr(4), '')"
+    )
+    unesc = (
+        f"replace(replace(replace(replace({strip_marks},"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse_frag = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    win = "PARTITION BY conv_id, turn_idx ORDER BY fi"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_blocks_filter_sql()}
+),
+st AS (
+  SELECT conv_id, turn_idx, {s} AS stream FROM t
+),
+f AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_split_to_array(stream, '{_TAGISH_SPLIT_RE}')) AS frag,
+         unnest(generate_series(1,
+             len(regexp_split_to_array(stream, '{_TAGISH_SPLIT_RE}')))) AS fi
+  FROM st
+),
+c AS (
+  SELECT conv_id, turn_idx, fi,
+         len(string_split(frag, chr(1))) - 1 AS n1,
+         len(string_split(frag, chr(2))) - 1 AS n2,
+         len(string_split(frag, chr(3))) - 1 AS n3,
+         len(string_split(frag, chr(4))) - 1 AS n4,
+         {collapse_frag} AS txt
+  FROM f
+),
+d AS (
+  SELECT *,
+         coalesce(SUM(n1 - n2) OVER ({win}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n1 AS bdep,
+         coalesce(SUM(n3 - n4) OVER ({win}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n3 AS hdep
+  FROM c
+)
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER ({win}) - 1 AS INTEGER) AS block_idx,
+       CASE WHEN bdep > 0 THEN 'boilerplate'
+            WHEN hdep > 0 THEN 'heading'
+            ELSE 'content' END AS kind,
+       txt AS text
+FROM d
+WHERE txt <> ''
+"""
+
+
 # ---------------------------------------------------------------------------
 # provably-mirrorable PDF subset (VERDICT r2 next-step #1b)
 #
@@ -1051,6 +1231,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_links": EXTRACT_LINKS_SQL_TMPL.format(path=path),
         "extract_plain_turns": _plain_sql(path),
         "extract_html_turns": _html_sql(path),
+        "extract_html_blocks": _html_blocks_sql(path),
         "extract_pdf_turns": _pdf_sql(path),
         "extract_pdf_blocks": _pdf_blocks_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),

@@ -245,3 +245,95 @@ class TestPlantedParity:
         assert "example of a merge" in by["plant-0001"]  # dehyphenated
         assert "hyphen- Next" in by["plant-0002"]  # NOT merged
         assert "supercalifragilistic" in by["plant-0003"]  # chain merge
+
+
+class TestHtmlBlocksGate:
+    """extract_html_blocks: the block classifier (content/heading/
+    boilerplate) + document-order block_idx, SQL-mirrored via the
+    marker-stream technique."""
+
+    def _side_by_side(self, path):
+        from ocr_ray.pipelines.extract_oracle import (
+            _html_blocks_sql,
+            _provably_simple_html_blocks_mask,
+        )
+
+        t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+        sub = t.filter(_provably_simple_html_blocks_mask(t.column("text")))
+        rows = []
+        for cid, ti, x in zip(
+            sub.column("conv_id").to_pylist(),
+            sub.column("turn_idx").to_pylist(),
+            sub.column("text").to_pylist(),
+        ):
+            for b in extract_turn(x).blocks:
+                rows.append((cid, ti, b.block_idx, b.kind, b.text))
+        ray_df = (
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "block_idx", "kind", "text"])
+            .sort_values(["conv_id", "turn_idx", "block_idx"])
+            .reset_index(drop=True)
+        )
+        ora = (
+            duckdb.sql(_html_blocks_sql(path))
+            .df()
+            .sort_values(["conv_id", "turn_idx", "block_idx"])
+            .reset_index(drop=True)
+        )
+        return ray_df, ora
+
+    def test_fixture_parity_and_kinds(self, transcripts_sf0001):
+        ray_df, ora = self._side_by_side(transcripts_sf0001)
+        assert len(ray_df) == len(ora) > 3000
+        pd.testing.assert_frame_equal(ray_df, ora[ray_df.columns], check_dtype=False)
+        kinds = set(ray_df["kind"])
+        assert {"content", "heading", "boilerplate"} <= kinds
+
+    def test_blocks_reconstruct_main_text(self, transcripts_sf0001):
+        """Invariant: main_text == content+heading blocks joined in order
+        (ties the blocks gate to the turns gate)."""
+        ray_b, _ = self._side_by_side(transcripts_sf0001)
+        ray_t, _ = _html_side_by_side(transcripts_sf0001)
+        # blocks subset is a sub-filter of the turns subset
+        keys = set(zip(ray_b.conv_id, ray_b.turn_idx))
+        recon = (
+            ray_b[ray_b.kind.isin(["content", "heading"])]
+            .sort_values(["conv_id", "turn_idx", "block_idx"])
+            .groupby(["conv_id", "turn_idx"])["text"]
+            .apply(lambda s: "\n\n".join(s))
+        )
+        by_turn = ray_t.set_index(["conv_id", "turn_idx"])["main_text"]
+        for k in list(keys)[:500]:
+            assert by_turn[k] == recon.get(k, ""), k
+
+    def test_planted_marker_stream(self, tmp_path):
+        """Planted: nested boiler, heading inside boiler (boiler wins),
+        repeated well-formed headings, and the heading-misnesting
+        EXCLUSIONS agree on both sides."""
+        plants = [
+            # in-subset: kinds in document order
+            "<h1>Head A</h1><p>body one</p>"
+            "<nav><ul><li>menu menu</li></ul></nav>"
+            "<h2>Head B</h2><p>body two</p>",
+            # in-subset: heading inside boiler container -> boilerplate
+            "<header><h1>hero title</h1></header><p>x</p><p>y</p>",
+            # in-subset: repeated h2 pairs
+            "<h2>a</h2><p>m</p><h2>b</h2><p>n</p>",
+            # EXCLUDED: nested same-level heading
+            "<h2>a<h2>b</h2></h2><p>x</p><p>y</p>",
+            # EXCLUDED: stray heading close before open
+            "</h2>x<h2>y</h2><p>a</p><p>b</p>",
+            # EXCLUDED: unbalanced heading
+            "<h2>a<p>b</p><p>c</p>",
+            # EXCLUDED: literal control marker in payload
+            "<p>a\x01b</p><p>c</p><p>d</p>",
+        ]
+        d = tmp_path / "plants"
+        d.mkdir()
+        pq.write_table(_plant_table(plants), str(d / "p.parquet"))
+        ray_df, ora = self._side_by_side(str(d))
+        assert set(ray_df.conv_id) == {"plant-0000", "plant-0001", "plant-0002"}
+        pd.testing.assert_frame_equal(ray_df, ora[ray_df.columns], check_dtype=False)
+        k0 = ray_df[ray_df.conv_id == "plant-0000"]["kind"].tolist()
+        assert k0 == ["heading", "content", "boilerplate", "heading", "content"]
+        k1 = ray_df[ray_df.conv_id == "plant-0001"]["kind"].tolist()
+        assert k1 == ["boilerplate", "content", "content"]
