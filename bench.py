@@ -176,6 +176,11 @@ QUERY_NAMES = [
     "value_drift_ks",
     "conv_assistant_echo",
     "conv_token_novelty",
+    "conv_token_novelty_exact",
+    "extract_html_turns",
+    "extract_html_blocks",
+    "extract_pdf_turns",
+    "extract_pdf_blocks",
     "turn_markup_stats",
     "conv_lang_profile",
     "activity_spend_corr",
@@ -598,14 +603,22 @@ def run_scaling() -> dict:
 
     # (4,16) is the cluster-size analogy pair: at 32 the box is fully
     # saturated and Ray's own system processes contend (an artifact a real
-    # 4N-node cluster does not have).
-    p416 = pair(4, 16)
+    # 4N-node cluster does not have). GRAFT_SCALING_PAIR="8,32" selects the
+    # saturated pair instead.
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "4,16").split(",")
+    )
+    p = pair(lo, hi)
     return {
-        "metric": "scaling efficiency N->4N (headline pipeline, fresh ray.init per level, min-of-2 interleaved legs with cooldown, compute-dominated 1.4M-turn input)",
-        "pair_4_16": p416,
-        "scaling_efficiency": p416["scaling_efficiency"],
-        "sf": p416["sf"],
-        "rows": p416["rows"],
+        "metric": (
+            f"scaling efficiency N->4N (headline pipeline, fresh ray.init per "
+            f"level, min-of-k interleaved legs with cooldown, compute-dominated "
+            f"1.4M-turn input, pair {lo}->{hi})"
+        ),
+        f"pair_{lo}_{hi}": p,
+        "scaling_efficiency": p["scaling_efficiency"],
+        "sf": p["sf"],
+        "rows": p["rows"],
     }
 
 
