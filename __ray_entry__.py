@@ -359,7 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.extract_oracle import (
         clean_corpus_plain,
         engine_dispatch_counts,
+        extract_datauri_turns,
         extract_html_blocks,
+        extract_html_summaries,
         extract_html_turns,
         extract_pdf_blocks,
         extract_pdf_turns,
@@ -379,10 +381,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_plain_turns": extract_plain_turns,
         "extract_html_turns": extract_html_turns,
         "extract_html_blocks": extract_html_blocks,
+        "extract_datauri_turns": extract_datauri_turns,
         "extract_pdf_turns": extract_pdf_turns,
         "extract_pdf_blocks": extract_pdf_blocks,
         "extract_plain_blocks": extract_plain_blocks,
         "extract_plain_summaries": extract_plain_summaries,
+        "extract_html_summaries": extract_html_summaries,
         "engine_dispatch_counts": engine_dispatch_counts,
         "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,

@@ -280,41 +280,23 @@ def extract_plain_summaries(sf_dir: str) -> Dataset:
     return ds.map_batches(run, batch_format="pyarrow")
 
 
-def _plain_summaries_sql(path: str) -> str:
+def _summaries_tail_sql() -> str:
+    """The A5 summarizer mirror (first-sentence split, 160-char ellipsis,
+    (count desc, term asc) top-5 terms — summarize-pdf-data.ts:28-45) as
+    the CTE chain AFTER a ``s(conv_id, turn_idx, main_text)`` CTE. Shared
+    by the plain- and html-engine summary gates: both engines' main_text
+    contains only space/\\t/\\n whitespace, which is exactly the trim
+    charset the mirror uses.
+
+    Python's lookbehind split ``(?<=[.!?])\\s+`` = RE2 lazy prefix ending
+    at the first [.!?] followed by whitespace ((?s) lets it cross the
+    \\n\\n paragraph joins)."""
     from ocr_ray.stages.summarize import _STOP
 
-    # Python's lookbehind split `(?<=[.!?])\s+` = RE2 lazy prefix ending at
-    # the first [.!?] followed by whitespace ((?s) lets it cross the \n\n
-    # paragraph joins). Trim/rtrim charsets are exactly space/\t/\n — the
-    # only whitespace that survives the plain main_text pipeline.
     stop_sql = ", ".join(f"'{w}'" for w in sorted(_STOP))
     ws = "' ' || chr(9) || chr(10)"
     first_re = r"regexp_extract(main_text, '(?s)^(.*?[.!?])[ \t\n]', 1)"
-    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
-    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
     return f"""
-WITH t AS (
-  SELECT conv_id, turn_idx, text
-  FROM read_parquet('{path}/*.parquet')
-  WHERE text IS NOT NULL
-    AND NOT contains(text, '<')
-    AND NOT starts_with(text, 'data:')
-    AND NOT regexp_matches(text, '{_INDENT_RE}')
-    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
-),
-s AS (
-  SELECT conv_id, turn_idx,
-       CASE WHEN {norm_all} = '' THEN ''
-            ELSE array_to_string(
-                   list_filter(
-                     list_transform(
-                       regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
-                       x -> {collapse}),
-                     x -> x <> ''),
-                   chr(10) || chr(10))
-       END AS main_text
-  FROM t
-),
 f AS (
   SELECT conv_id, turn_idx, main_text,
          trim(CASE WHEN {first_re} = '' THEN main_text ELSE {first_re} END,
@@ -353,6 +335,93 @@ SELECT fs.conv_id, fs.turn_idx,
             ELSE fs.first || ' [' || tm.terms || ']' END AS summary
 FROM fs LEFT JOIN tm ON fs.conv_id = tm.conv_id AND fs.turn_idx = tm.turn_idx
 """
+
+
+def extract_html_summaries(sf_dir: str) -> Dataset:
+    """A5 summarizer over the HTML engine's output: the REAL kernel +
+    REAL ``summarize_text`` over the provably-simple-html subset; the
+    oracle composes the html main_text pipeline with the shared
+    summarizer mirror — extends the A5 gate beyond the plain engine."""
+    from ocr_ray.core.extract import extract_turn
+    from ocr_ray.stages.summarize import summarize_text
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_simple_html_mask(t.column("text")))
+        sums = [
+            summarize_text(extract_turn(x).main_text)
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "summary": pa.array(sums, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _html_summaries_sql(path: str) -> str:
+    s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = f"regexp_replace({s}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    unesc = (
+        "replace(replace(replace(replace(x,"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    main = (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_split_to_array({s}, '{_TAGISH_SPLIT_RE}'),"
+        f" x -> {collapse}), x -> x <> ''), chr(10) || chr(10))"
+    )
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_filter_sql()}
+),
+s AS (
+  SELECT conv_id, turn_idx, {main} AS main_text FROM t
+),
+{_summaries_tail_sql()}
+"""
+
+
+def _plain_summaries_sql(path: str) -> str:
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+s AS (
+  SELECT conv_id, turn_idx,
+       CASE WHEN {norm_all} = '' THEN ''
+            ELSE array_to_string(
+                   list_filter(
+                     list_transform(
+                       regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),
+                       x -> {collapse}),
+                     x -> x <> ''),
+                   chr(10) || chr(10))
+       END AS main_text
+  FROM t
+),
+{_summaries_tail_sql()}
+"""
+
 
 
 def clean_corpus_plain(sf_dir: str) -> Dataset:
@@ -707,6 +776,107 @@ WITH t AS (
   SELECT conv_id, turn_idx, text
   FROM read_parquet('{path}/*.parquet')
   WHERE {_html_filter_sql()}
+)
+SELECT conv_id, turn_idx,
+       'html' AS payload_kind,
+       {main} AS main_text,
+       '' AS error
+FROM t
+"""
+
+
+# --- data-URI gate: the S2 base64 loader, end-to-end -----------------------
+#
+# The last uncovered kernel path: ``data:<mime>;base64,`` strip + base64
+# decode (reference: extract-data-from-pdf.ts:116) feeding the decoded body
+# back through engine dispatch. DuckDB mirrors it with
+# ``decode(from_base64(payload))`` + the html pipeline applied to the
+# decoded column. Subset filter (verbatim both sides): strict base64
+# charset with end-only '='-padding and length % 4 == 0 — exactly the
+# domain where Python's ``b64decode(validate=True)`` and DuckDB's
+# ``from_base64`` agree — and the DECODED body must pass the
+# provably-simple-html filter. CAVEAT (documented, deterministic-fixture
+# safe): DuckDB 1.0 has no TRY(), so a payload decoding to INVALID UTF-8
+# would error the oracle instead of being excluded; such rows cannot occur
+# in the deterministic transcripts fixture (data-URIs are generated from
+# UTF-8), which is the only domain this SQL runs on.
+
+_DATAURI_STRICT_RE = r"^data:[^;,]*;base64,[A-Za-z0-9+/]*={0,2}$"
+_DATAURI_PREFIX_RE = r"^data:[^;,]*;base64,"
+
+
+def extract_datauri_turns(sf_dir: str) -> Dataset:
+    """REAL kernel over strict-base64 data-URI rows whose DECODED body is
+    provably-simple html: gates prefix strip + base64 decode + dispatch +
+    the html engine in one chain (S2 + M2 + M1 + A2 driver-verified)."""
+    from ocr_ray.core.extract import decode_data_uri, extract_turn
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        cand = pc.is_valid(txt)
+        cand = pc.and_(cand, pc.match_substring_regex(txt, _DATAURI_STRICT_RE))
+        payload = pc.replace_substring_regex(txt, _DATAURI_PREFIX_RE, "")
+        plen = pc.utf8_length(payload)
+        cand = pc.and_(cand, pc.equal(pc.bit_wise_and(plen, 3), 0))
+        cand = pc.and_(cand, pc.greater(plen, 0))
+        t = t.filter(cand)
+        decoded = pa.array(
+            [decode_data_uri(x)[0] for x in t.column("text").to_pylist()],
+            pa.string(),
+        )
+        t = t.filter(_provably_simple_html_mask(pa.chunked_array([decoded])))
+        res = [extract_turn(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "payload_kind": pa.array([r.payload_kind for r in res], pa.string()),
+                "main_text": pa.array([r.main_text for r in res], pa.string()),
+                "error": pa.array([r.error for r in res], pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _datauri_sql(path: str) -> str:
+    payload = f"regexp_replace(text, '{_DATAURI_PREFIX_RE}', '')"
+    # the html filter re-targeted at the decoded column ("text" appears in
+    # the filter SQL only as the column reference — no pattern literal
+    # contains the substring; asserted to stay that way)
+    html_filter_on_body = _html_filter_sql().replace("text", "body")
+    assert "text" not in html_filter_on_body
+    s = "replace(nfc_normalize(body), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = f"regexp_replace({s}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    unesc = (
+        "replace(replace(replace(replace(x,"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    main = (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_split_to_array({s}, '{_TAGISH_SPLIT_RE}'),"
+        f" x -> {collapse}), x -> x <> ''), chr(10) || chr(10))"
+    )
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx,
+         decode(from_base64({payload})) AS body
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND regexp_matches(text, '{_DATAURI_STRICT_RE}')
+    AND length({payload}) % 4 = 0
+    AND length({payload}) > 0
+),
+t AS (
+  SELECT conv_id, turn_idx, body
+  FROM raw
+  WHERE {html_filter_on_body}
 )
 SELECT conv_id, turn_idx,
        'html' AS payload_kind,
@@ -1232,10 +1402,12 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_plain_turns": _plain_sql(path),
         "extract_html_turns": _html_sql(path),
         "extract_html_blocks": _html_blocks_sql(path),
+        "extract_datauri_turns": _datauri_sql(path),
         "extract_pdf_turns": _pdf_sql(path),
         "extract_pdf_blocks": _pdf_blocks_sql(path),
         "extract_plain_blocks": _plain_blocks_sql(path),
         "extract_plain_summaries": _plain_summaries_sql(path),
+        "extract_html_summaries": _html_summaries_sql(path),
         "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
         "clean_corpus_plain": _clean_corpus_plain_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),

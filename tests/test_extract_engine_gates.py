@@ -337,3 +337,115 @@ class TestHtmlBlocksGate:
         assert k0 == ["heading", "content", "boilerplate", "heading", "content"]
         k1 = ray_df[ray_df.conv_id == "plant-0001"]["kind"].tolist()
         assert k1 == ["boilerplate", "content", "content"]
+
+
+class TestDataUriGate:
+    """extract_datauri_turns: prefix strip + base64 decode + dispatch +
+    html engine, mirrored with decode(from_base64(...)) in DuckDB."""
+
+    def _side_by_side(self, path):
+        import pyarrow.compute as pc
+
+        from ocr_ray.core.extract import decode_data_uri
+        from ocr_ray.pipelines.extract_oracle import (
+            _DATAURI_PREFIX_RE,
+            _DATAURI_STRICT_RE,
+            _datauri_sql,
+        )
+
+        t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+        txt = t.column("text")
+        cand = pc.and_(pc.is_valid(txt), pc.match_substring_regex(txt, _DATAURI_STRICT_RE))
+        payload = pc.replace_substring_regex(txt, _DATAURI_PREFIX_RE, "")
+        plen = pc.utf8_length(payload)
+        cand = pc.and_(cand, pc.equal(pc.bit_wise_and(plen, 3), 0))
+        cand = pc.and_(cand, pc.greater(plen, 0))
+        sub = t.filter(cand)
+        decoded = pa.array(
+            [decode_data_uri(x)[0] for x in sub.column("text").to_pylist()],
+            pa.string(),
+        )
+        sub = sub.filter(_provably_simple_html_mask(pa.chunked_array([decoded])))
+        res = [extract_turn(x) for x in sub.column("text").to_pylist()]
+        ray_df = (
+            pd.DataFrame(
+                {
+                    "conv_id": sub.column("conv_id").to_pylist(),
+                    "turn_idx": sub.column("turn_idx").to_pylist(),
+                    "payload_kind": [r.payload_kind for r in res],
+                    "main_text": [r.main_text for r in res],
+                    "error": [r.error for r in res],
+                }
+            )
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        ora = (
+            duckdb.sql(_datauri_sql(path))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        return ray_df, ora
+
+    def test_fixture_parity(self, transcripts_sf0001):
+        ray_df, ora = self._side_by_side(transcripts_sf0001)
+        assert len(ray_df) > 10  # the 2% data-URI slice at sf0.001
+        assert set(ray_df["payload_kind"]) == {"html"}
+        _assert_frames_equal(ray_df, ora)
+
+    def test_planted(self, tmp_path):
+        import base64
+
+        def uri(s):
+            return "data:text/html;base64," + base64.b64encode(s.encode()).decode()
+
+        plants = [
+            uri("<html><body><p>hello from a data uri</p></body></html>"),  # in
+            uri("<p>a</p><p>b</p><p>c</p>"),  # in
+            uri("just plain text"),  # EXCLUDED: decoded not html-routed
+            "data:text/html;base64,@@@@",  # EXCLUDED: invalid charset
+            "data:text/html;base64,YWJj YWJj",  # EXCLUDED: space in payload
+            "data:text/plain,not base64 at all",  # EXCLUDED: no ;base64
+            uri("<p>x</p>")[:-2],  # EXCLUDED: truncated (length % 4 != 0)
+        ]
+        d = tmp_path / "uri_plants"
+        d.mkdir()
+        pq.write_table(_plant_table(plants), str(d / "p.parquet"))
+        ray_df, ora = self._side_by_side(str(d))
+        assert set(ray_df.conv_id) == {"plant-0000", "plant-0001"}
+        _assert_frames_equal(ray_df, ora)
+        assert ray_df.main_text.iloc[0] == "hello from a data uri"
+
+
+class TestHtmlSummariesGate:
+    def test_fixture_parity(self, transcripts_sf0001):
+        """A5 summarizer over the html engine's main_text, vs the shared
+        summarizer mirror composed with the html pipeline."""
+        from ocr_ray.pipelines.extract_oracle import _html_summaries_sql
+        from ocr_ray.stages.summarize import summarize_text
+
+        t = pq.read_table(transcripts_sf0001, columns=["conv_id", "turn_idx", "text"])
+        sub = t.filter(_provably_simple_html_mask(t.column("text")))
+        ray_df = (
+            pd.DataFrame(
+                {
+                    "conv_id": sub.column("conv_id").to_pylist(),
+                    "turn_idx": sub.column("turn_idx").to_pylist(),
+                    "summary": [
+                        summarize_text(extract_turn(x).main_text)
+                        for x in sub.column("text").to_pylist()
+                    ],
+                }
+            )
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        ora = (
+            duckdb.sql(_html_summaries_sql(transcripts_sf0001))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(ray_df) > 300
+        _assert_frames_equal(ray_df, ora)
