@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_html_summaries,
         extract_html_turns,
         extract_pdf_blocks,
+        extract_pdf_summaries,
         extract_pdf_turns,
         extract_plain_blocks,
         extract_plain_summaries,
@@ -387,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_plain_blocks": extract_plain_blocks,
         "extract_plain_summaries": extract_plain_summaries,
         "extract_html_summaries": extract_html_summaries,
+        "extract_pdf_summaries": extract_pdf_summaries,
         "engine_dispatch_counts": engine_dispatch_counts,
         "extract_turn_counts": extract_turn_counts,
         "clean_corpus": _clean_corpus,

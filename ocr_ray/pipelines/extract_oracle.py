@@ -1337,6 +1337,58 @@ FROM kk
 """
 
 
+def extract_pdf_summaries(sf_dir: str) -> Dataset:
+    """A5 summarizer over the PDF engine's output (third engine under the
+    shared summarizer mirror): REAL kernel + REAL ``summarize_text`` over
+    the pdf subset; the oracle composes the pdf layout-parse CTE chain
+    with ``_summaries_tail_sql``."""
+    from ocr_ray.core.extract import extract_turn
+    from ocr_ray.stages.summarize import summarize_text
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.filter(_provably_simple_pdf_static_mask(t.column("text")))
+        cids, tidx, sums = [], [], []
+        for cid, ti, x in zip(
+            t.column("conv_id").to_pylist(),
+            t.column("turn_idx").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            r = extract_turn(x)
+            if r.payload_kind != "pdf":
+                continue
+            cids.append(cid)
+            tidx.append(ti)
+            sums.append(summarize_text(r.main_text))
+        return pa.table(
+            {
+                "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+                "turn_idx": pa.array(tidx, t.schema.field("turn_idx").type),
+                "summary": pa.array(sums, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _pdf_summaries_sql(path: str) -> str:
+    return f"""{_pdf_cte_sql(path)}
+, s AS (
+  SELECT t.conv_id, t.turn_idx, coalesce(mt.main_text, '') AS main_text
+  FROM t
+  LEFT JOIN (
+    SELECT conv_id, turn_idx,
+           string_agg(joined, chr(10) || chr(10) ORDER BY page_no, g_first)
+             FILTER (WHERE kind = 'para') AS main_text
+    FROM kk GROUP BY conv_id, turn_idx
+  ) mt ON mt.conv_id = t.conv_id AND mt.turn_idx = t.turn_idx
+),
+{_summaries_tail_sql()}
+"""
+
+
 def extract_turn_counts(sf_dir: str) -> pa.Table:
     """Totality invariant: the kernel emits EXACTLY one output row per input
     row (empty/undecodable payloads become error rows, never drops)."""
@@ -1408,6 +1460,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_plain_blocks": _plain_blocks_sql(path),
         "extract_plain_summaries": _plain_summaries_sql(path),
         "extract_html_summaries": _html_summaries_sql(path),
+        "extract_pdf_summaries": _pdf_summaries_sql(path),
         "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
         "clean_corpus_plain": _clean_corpus_plain_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),

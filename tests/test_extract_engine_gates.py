@@ -449,3 +449,39 @@ class TestHtmlSummariesGate:
         )
         assert len(ray_df) > 300
         _assert_frames_equal(ray_df, ora)
+
+
+class TestPdfSummariesGate:
+    def test_fixture_parity(self, transcripts_sf0001):
+        """A5 summarizer over the pdf engine's main_text (third engine
+        under the shared summarizer mirror)."""
+        from ocr_ray.pipelines.extract_oracle import (
+            _pdf_summaries_sql,
+            _provably_simple_pdf_static_mask,
+        )
+        from ocr_ray.stages.summarize import summarize_text
+
+        t = pq.read_table(transcripts_sf0001, columns=["conv_id", "turn_idx", "text"])
+        sub = t.filter(_provably_simple_pdf_static_mask(t.column("text")))
+        rows = []
+        for cid, ti, x in zip(
+            sub.column("conv_id").to_pylist(),
+            sub.column("turn_idx").to_pylist(),
+            sub.column("text").to_pylist(),
+        ):
+            r = extract_turn(x)
+            if r.payload_kind == "pdf":
+                rows.append((cid, ti, summarize_text(r.main_text)))
+        ray_df = (
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "summary"])
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        ora = (
+            duckdb.sql(_pdf_summaries_sql(transcripts_sf0001))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(ray_df) > 200
+        _assert_frames_equal(ray_df, ora)
