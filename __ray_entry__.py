@@ -357,6 +357,7 @@ _DRIVER_SF = os.environ.get("GRAFT_DRIVER_SF", "/root/testdata/sf0.01")
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.extract_oracle import (
+        clean_corpus_html,
         clean_corpus_plain,
         engine_dispatch_counts,
         extract_datauri_turns,
@@ -396,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_data_full": _training_data_full,
         "sft_dataset_full": _sft_dataset_full,
         "clean_corpus_plain": clean_corpus_plain,
+        "clean_corpus_html": clean_corpus_html,
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,
         "plain_dialogue_pairs": plain_dialogue_pairs,

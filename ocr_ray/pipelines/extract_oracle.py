@@ -493,6 +493,72 @@ FROM d JOIN l ON d.conv_id = l.conv_id AND d.turn_idx = l.turn_idx
 """
 
 
+def clean_corpus_html(sf_dir: str) -> Dataset:
+    """Driver-gated COMPOSED pipeline on the SECOND engine: the REAL
+    ``clean_corpus`` (extract -> quality gate -> lang-ID + token counts ->
+    exact min-uid dedup) over the provably-simple-HTML subset; the oracle
+    composes the html main_text pipeline with the same gate/lang/token/
+    dedup SQL as the plain sibling — the whole training-data pipeline is
+    now gated over boilerplate-stripped html documents too."""
+    from ocr_ray.pipelines.training_data import clean_corpus
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_provably_simple_html_mask(t.column("text"))),
+        batch_format="pyarrow",
+    )
+    return clean_corpus(ds).select_columns(
+        ["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"]
+    )
+
+
+def _clean_corpus_html_sql(path: str) -> str:
+    from ocr_ray.pipelines.training_data import MIN_CHARS
+    from ocr_ray.ops.textstats import _lang_id_sql
+
+    s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = f"regexp_replace({s}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    unesc = (
+        "replace(replace(replace(replace(x,"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    main = (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_split_to_array({s}, '{_TAGISH_SPLIT_RE}'),"
+        f" x -> {collapse}), x -> x <> ''), chr(10) || chr(10))"
+    )
+    lang_sql = _lang_id_sql(source="g", id_cols="conv_id, turn_idx", text_col="main_text")
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_filter_sql()}
+),
+s AS (
+  SELECT conv_id, turn_idx, {main} AS main_text FROM t
+),
+g AS (
+  SELECT conv_id, turn_idx, main_text FROM s
+  WHERE length(main_text) >= {MIN_CHARS}
+),
+l AS ({lang_sql}),
+d AS (
+  SELECT conv_id, turn_idx, main_text FROM g
+  QUALIFY row_number() OVER (PARTITION BY main_text
+                             ORDER BY conv_id, turn_idx) = 1
+)
+SELECT d.conv_id, d.turn_idx,
+       'html' AS payload_kind,
+       l.lang_pred,
+       CAST(len(regexp_extract_all(d.main_text, '\\S+')) AS BIGINT) AS n_tokens
+FROM d JOIN l ON d.conv_id = l.conv_id AND d.turn_idx = l.turn_idx
+"""
+
+
 def engine_dispatch_counts(sf_dir: str) -> Dataset:
     """M1 engine dispatch, driver-gated: per-payload_kind row counts from
     the REAL ``classify_payload`` vs an independent SQL reimplementation of
@@ -1463,6 +1529,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_pdf_summaries": _pdf_summaries_sql(path),
         "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
         "clean_corpus_plain": _clean_corpus_plain_sql(path),
+        "clean_corpus_html": _clean_corpus_html_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),

@@ -485,3 +485,28 @@ class TestPdfSummariesGate:
         )
         assert len(ray_df) > 200
         _assert_frames_equal(ray_df, ora)
+
+
+class TestCleanCorpusHtml:
+    def test_parity_sf0001(self, ray_session, transcripts_sf0001):
+        """Composed clean_corpus over the html subset vs the one-query SQL
+        mirror (html main pipeline + gate + lang-ID + tokens + dedup)."""
+        from ocr_ray.pipelines.extract_oracle import (
+            _clean_corpus_html_sql,
+            clean_corpus_html,
+        )
+
+        got = (
+            clean_corpus_html("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(_clean_corpus_html_sql(transcripts_sf0001))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 300
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
