@@ -2573,11 +2573,15 @@ def user_value_autocorr(sf_dir: str) -> Dataset:
 
     Contract (mirrored in SQL): NULL user_id / ts / value / event_id rows
     are excluded (key, order tiebreak, observation); users with fewer than
-    two qualifying events emit no row. Overflow: |cents| ≤ 10^5 and pairs
-    per user ≤ 10^4 keeps n·Σx² ≤ 10^4 · (10^4 · 10^10) = 10^18 inside
-    int64; the combine uses CHECKED arithmetic so data beyond the bound
-    fails loudly instead of silently diverging from the DuckDB mirror
-    (which computes in HUGEINT)."""
+    two qualifying events emit no row. Overflow: the combine runs in
+    decimal256 (exact wide integers — the Arrow analog of the DuckDB
+    mirror's HUGEINT), so the n·Σxy / Σx·Σy products never wrap; only
+    the FINAL differences are cast back to int64, raising loudly iff the
+    RESULT itself exceeds int64 — the same failure DuckDB's
+    CAST(huge AS BIGINT) produces. The results fit whenever
+    n_pairs · |cents|max ≲ 6·10^9 per user (ac_den ≤ (n·c)²/4 ≤ 9.2·10^18)
+    — e.g. 10^4 pairs at |cents| ≤ 6·10^5, or 2·10^5 pairs at ≤ 3·10^4;
+    beyond that, fail-loud is the contract (never silent wrap)."""
     from ocr_ray.pipelines.conversation import grouped_scan
 
     events = rd.read_parquet(
@@ -2638,21 +2642,22 @@ def user_value_autocorr(sf_dir: str) -> Dataset:
             )
             .rename_columns(["user_id", "n", "sx", "sy", "sxy", "sxx", "syy"])
         )
-        n, sx, sy = (pairs.column(c) for c in ("n", "sx", "sy"))
-        sxy, sxx, syy = (pairs.column(c) for c in ("sxy", "sxx", "syy"))
+        d = pa.decimal256(19, 0)
+        n, sx, sy, sxy, sxx, syy = (
+            pc.cast(pairs.column(c), d)
+            for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+        )
+
+        def wide(prod_l, prod_r):
+            return pc.cast(pc.subtract(prod_l, prod_r), pa.int64())
+
         return pa.table(
             {
                 "user_id": pairs.column("user_id"),
-                "n_pairs": n,
-                "ac_num": pc.subtract_checked(
-                    pc.multiply_checked(n, sxy), pc.multiply_checked(sx, sy)
-                ),
-                "ac_den_x": pc.subtract_checked(
-                    pc.multiply_checked(n, sxx), pc.multiply_checked(sx, sx)
-                ),
-                "ac_den_y": pc.subtract_checked(
-                    pc.multiply_checked(n, syy), pc.multiply_checked(sy, sy)
-                ),
+                "n_pairs": pairs.column("n"),
+                "ac_num": wide(pc.multiply(n, sxy), pc.multiply(sx, sy)),
+                "ac_den_x": wide(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+                "ac_den_y": wide(pc.multiply(n, syy), pc.multiply(sy, sy)),
             }
         )
 
