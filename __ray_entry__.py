@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_plain_summaries,
         extract_plain_turns,
         extract_turn_counts,
+        html_dialogue_pairs,
         plain_dialogue_pairs,
     )
     from ocr_ray.pipelines.relational import REGISTRY
@@ -401,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": _conversation_stats,
         "dialogue_pairs": _dialogue_pairs,
         "plain_dialogue_pairs": plain_dialogue_pairs,
+        "html_dialogue_pairs": html_dialogue_pairs,
         "turn_context_stats": _turn_context_stats,
         "tool_usage_stats": _tool_usage_stats,
         "conv_texts": _conv_texts,

@@ -251,6 +251,56 @@ FROM s
 """
 
 
+def html_dialogue_pairs(sf_dir: str) -> Dataset:
+    """Cross-turn context over the HTML engine: the REAL kernel + the REAL
+    ``dialogue_pairs`` grouped-scan run on the provably-simple-html subset;
+    the oracle is a lag() window over the html main_text pipeline — the
+    conversation-context machinery gated on boilerplate-stripped output
+    (the plain sibling gates it on whitespace-canonicalized output)."""
+    from ocr_ray.pipelines.conversation import dialogue_pairs
+    from ocr_ray.pipelines.extract_pipeline import extract_dataset
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_provably_simple_html_mask(t.column("text"))),
+        batch_format="pyarrow",
+    )
+    return dialogue_pairs(extract_dataset(ds))
+
+
+def _html_dialogue_pairs_sql(path: str) -> str:
+    s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = f"regexp_replace({s}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    unesc = (
+        "replace(replace(replace(replace(x,"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    main = (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_split_to_array({s}, '{_TAGISH_SPLIT_RE}'),"
+        f" x -> {collapse}), x -> x <> ''), chr(10) || chr(10))"
+    )
+    win = "PARTITION BY conv_id ORDER BY turn_idx"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_filter_sql()}
+),
+s AS (
+  SELECT conv_id, turn_idx, role, {main} AS main_text FROM t
+)
+SELECT conv_id, turn_idx, role,
+       coalesce(lag(role) OVER ({win}), '') AS prev_role,
+       coalesce(substring(lag(main_text) OVER ({win}), 1, 80), '') AS prev_text_head
+FROM s
+"""
+
+
 def extract_plain_summaries(sf_dir: str) -> Dataset:
     """Driver-gated summarizer (A5): the REAL kernel + REAL ``summarize_text``
     run over the provably-plain subset; the oracle reproduces first-sentence
@@ -1528,6 +1578,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_html_summaries": _html_summaries_sql(path),
         "extract_pdf_summaries": _pdf_summaries_sql(path),
         "plain_dialogue_pairs": _plain_dialogue_pairs_sql(path),
+        "html_dialogue_pairs": _html_dialogue_pairs_sql(path),
         "clean_corpus_plain": _clean_corpus_plain_sql(path),
         "clean_corpus_html": _clean_corpus_html_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),

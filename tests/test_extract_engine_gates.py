@@ -510,3 +510,27 @@ class TestCleanCorpusHtml:
         )
         assert len(got) > 300
         pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+class TestHtmlDialoguePairs:
+    def test_parity_sf0001(self, ray_session, transcripts_sf0001):
+        from ocr_ray.pipelines.extract_oracle import (
+            _html_dialogue_pairs_sql,
+            html_dialogue_pairs,
+        )
+
+        keys = ["conv_id", "turn_idx"]
+        got = (
+            html_dialogue_pairs("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(_html_dialogue_pairs_sql(transcripts_sf0001))
+            .df()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        assert len(got) > 300
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
