@@ -130,6 +130,71 @@ def _word_shingles(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX_C = np.uint64(0x165667B19E3779F9)
+
+
+def _mix_fin(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, wrapping uint64)."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _shingle_batch_fast(texts: list, k: int = 3) -> list:
+    """Vectorized batch shingler (opt-in ``shingle_hasher='sip64'``):
+    Arrow lower+whitespace-split over the whole batch, fixed-key siphash
+    per token (pandas C kernel), rolling positional 3-gram combine +
+    splitmix64 finalize on the FLAT token-hash array, per-doc unique.
+
+    vs the default per-doc ``_word_shingles`` (string k-gram join + crc32
+    per gram): 64-bit gram identities instead of crc32's 32 bits — at
+    25M grams crc32 expects ~70k birthday collisions (distinct grams
+    conflated into one shingle id, silently inflating similarity), 64-bit
+    ~0.02 — the QUALITY option for corpus-scale runs. Wall-clock measured
+    within noise of the default at fixture scale (the universal-hash
+    signature compute dominates, not shingling). Different hash universe
+    => NOT bit-identical to the default; same MinHash semantics. Docs
+    with fewer than k tokens hash their whole token sequence as one gram
+    (mirroring the default's single joined gram); empty docs have zero
+    shingles."""
+    import pandas.util as pdu
+
+    col = pa.array(["" if t is None else t for t in texts], pa.string())
+    split = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    toks = pc.list_flatten(split)
+    lens0 = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(texts)
+    rows = np.repeat(np.arange(n_docs, dtype=np.int64), lens0)
+    nonempty = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+    lens = np.bincount(rows[nonempty], minlength=n_docs)
+    flat = toks.filter(pa.array(nonempty))
+    h = pdu.hash_array(flat.to_numpy(zero_copy_only=False), categorize=False)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    if len(h) >= k:
+        g = _mix_fin(h[:-2] * _MIX_A + h[1:-1] * _MIX_B + h[2:] * _MIX_C)
+    else:
+        g = np.empty(0, np.uint64)
+    out = []
+    weights = (_MIX_A, _MIX_B, _MIX_C)
+    for i in range(n_docs):
+        s, e = offs[i], offs[i + 1]
+        t = e - s
+        if t == 0:
+            out.append(np.zeros(0, dtype=np.uint64))
+        elif t < k:
+            acc = (h[s:e] * np.array(weights[:t], np.uint64)).sum(dtype=np.uint64)
+            out.append(_mix_fin(np.array([acc], np.uint64)))
+        else:
+            out.append(np.unique(g[s : e - 2]))
+    return out
+
+
 import functools
 
 
@@ -188,7 +253,7 @@ def _hash_chunk(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _minhash_batch(batch: pa.Table, text_col: str, id_col: str,
-                   n_perm: int = _N_PERM) -> pa.Table:
+                   n_perm: int = _N_PERM, shingle_hasher: str = "crc32") -> pa.Table:
     """text -> 128-perm MinHash signature (uint64 list). Docs with zero
     shingles (empty/whitespace text) get the all-``_P`` sentinel.
 
@@ -199,7 +264,10 @@ def _minhash_batch(batch: pa.Table, text_col: str, id_col: str,
     the chunk is sub-chunked with running minima."""
     a, b = _cached_perms(n_perm=n_perm)
     texts = batch.column(text_col).to_pylist()
-    shingles = [_word_shingles(t or "") for t in texts]
+    if shingle_hasher == "sip64":
+        shingles = _shingle_batch_fast(texts)
+    else:
+        shingles = [_word_shingles(t or "") for t in texts]
     lens = np.array([len(s) for s in shingles], dtype=np.int64)
     n_docs = len(texts)
     sig_mat = np.full((n_docs, n_perm), _P, dtype=np.uint64)  # sentinel rows
@@ -238,7 +306,7 @@ def _minhash_batch(batch: pa.Table, text_col: str, id_col: str,
 
 def minhash_signatures(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
-    n_perms: int = _N_PERM,
+    n_perms: int = _N_PERM, shingle_hasher: str = "crc32",
 ) -> Dataset:
     """text -> n_perms-perm MinHash signatures. ``n_perms`` trades
     signature-compute cost against banding sharpness: 128 (default,
@@ -249,9 +317,12 @@ def minhash_signatures(
     the width from the signature rows."""
     if n_perms % _ROWS != 0:
         raise ValueError(f"n_perms must be a multiple of {_ROWS} (rows/band)")
+    if shingle_hasher not in ("crc32", "sip64"):
+        raise ValueError("shingle_hasher must be 'crc32' (default) or 'sip64'")
     return ds.map_batches(
         _minhash_batch,
-        fn_kwargs={"text_col": text_col, "id_col": id_col, "n_perm": n_perms},
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n_perm": n_perms,
+                   "shingle_hasher": shingle_hasher},
         batch_format="pyarrow",
         batch_size=256,
     )
@@ -1033,6 +1104,7 @@ def near_dup_survivors(
     threshold_bp: int = 7000,
     max_bucket: int = _MAX_BUCKET,
     n_perms: int = _N_PERM,
+    shingle_hasher: str = "crc32",
 ) -> Dataset:
     """MinHash+LSH near-dup pipeline, end-to-end distributed: signatures ->
     banded buckets -> capped collision pairs -> join-verified agreement ->
@@ -1041,7 +1113,8 @@ def near_dup_survivors(
     Size-gated: corpora at or under ``_LOCAL_NEARDUP_MAX_ROWS`` are solved
     on one worker from the collected signature table (identical output)."""
     sigs = minhash_signatures(
-        ds, text_col=text_col, id_col=id_col, n_perms=n_perms
+        ds, text_col=text_col, id_col=id_col, n_perms=n_perms,
+        shingle_hasher=shingle_hasher,
     ).materialize()
     id_type = sigs.schema().base_schema.field("doc_id").type
     if sigs.count() <= _LOCAL_NEARDUP_MAX_ROWS:

@@ -354,3 +354,51 @@ class TestPermOption:
         t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["x"]})
         with pytest.raises(ValueError, match="multiple"):
             minhash_signatures(rd.from_arrow(t), n_perms=60)
+
+
+class TestShingleHasherOption:
+    """shingle_hasher='sip64': 64-bit gram identities (corpus-scale
+    collision quality); same MinHash semantics, same survivors on the
+    planted fixture; default crc32 bit-identical (pinned elsewhere)."""
+
+    def test_edge_parity_with_default(self):
+        import numpy as np
+
+        from ocr_ray.ops.dedup import _shingle_batch_fast, _word_shingles
+
+        cases = ["", "  ", "one", "one two", None, "a b c d", "x\ty\nz w"]
+        fast = _shingle_batch_fast(cases)
+        slow = [_word_shingles(t or "") for t in cases]
+        assert [len(a) for a in fast] == [len(b) for b in slow]
+        # identical docs -> identical shingle sets; prefix-perturbed doc
+        # keeps every original gram
+        a = _shingle_batch_fast(["p q r s t u", "p q r s t u", "zz p q r s t u"])
+        assert (a[0] == a[1]).all()
+        assert np.isin(a[0], a[2]).all()
+
+    def test_survivors_match_default(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_ray.ops.dedup import near_dup_survivors
+
+        rng = np.random.default_rng(9)
+        words = [f"w{i}" for i in range(400)]
+        docs, ids = [], []
+        for i in range(100):
+            base = " ".join(rng.choice(words, 50))
+            docs.append(base)
+            ids.append(2 * i)
+            if i % 3 == 0:
+                docs.append(base + " tail")
+                ids.append(2 * i + 1)
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+        s_crc = {r["doc_id"] for r in near_dup_survivors(rd.from_arrow(t)).take_all()}
+        s_sip = {
+            r["doc_id"]
+            for r in near_dup_survivors(
+                rd.from_arrow(t), shingle_hasher="sip64"
+            ).take_all()
+        }
+        assert s_crc == s_sip
+        assert all(i % 2 == 0 for i in s_sip)
