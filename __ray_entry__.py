@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         engine_dispatch_counts,
         extract_datauri_turns,
         extract_html_blocks,
+        extract_metrics_gated,
         extract_html_summaries,
         extract_html_turns,
         extract_pdf_blocks,
@@ -393,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_summaries": extract_pdf_summaries,
         "engine_dispatch_counts": engine_dispatch_counts,
         "extract_turn_counts": extract_turn_counts,
+        "extract_metrics_gated": extract_metrics_gated,
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,
         "training_data_full": _training_data_full,

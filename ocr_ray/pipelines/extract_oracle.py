@@ -1505,6 +1505,105 @@ def _pdf_summaries_sql(path: str) -> str:
 """
 
 
+# --- gated extraction-metrics rollup (G1/G2 on kernel output) --------------
+
+
+def _metrics_union_mask(t: pa.Table):
+    """Union of the three engine subsets (plain | html-blocks | pdf), the
+    provably-mirrorable metrics domain. Masks are mutually exclusive by
+    construction (plain forbids '<' and indent-fire; html needs >=3 tags
+    and no form feed; the pdf route needs a form feed or the indent
+    heuristic with <3 tags)."""
+    from ocr_ray.core.extract import classify_payload
+
+    txt = t.column("text")
+    m_plain = _provably_plain_mask(txt)
+    m_html = _provably_simple_html_blocks_mask(txt)
+    m_pdf_static = _provably_simple_pdf_static_mask(txt)
+    pdf_flags = []
+    static_np = m_pdf_static.to_pylist() if hasattr(m_pdf_static, "to_pylist") else list(m_pdf_static)
+    texts = txt.to_pylist()
+    for ok, x in zip(static_np, texts):
+        pdf_flags.append(bool(ok) and classify_payload(x) == "pdf")
+    m_pdf = pa.array(pdf_flags)
+    ok = pc.or_kleene(pc.fill_null(m_plain, False), pc.fill_null(m_html, False))
+    return pc.or_kleene(ok, m_pdf)
+
+
+def extract_metrics_gated(sf_dir: str) -> pa.Table:
+    """The REAL ``extraction_metrics`` rollup (per-payload-kind rows /
+    bytes_in / n_blocks / n_errors — the lineage sidecar, G1/G2) over the
+    union of the provably-mirrorable subsets; the oracle reproduces every
+    cell from the three engine mirrors (paragraph counts for plain, the
+    marker-stream block count for html, the layout-group count for pdf,
+    the empty-input error rule)."""
+    from ocr_ray.pipelines.extract_pipeline import extract_dataset
+    from ocr_ray.state.metrics import extraction_metrics
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    filtered = ds.map_batches(
+        lambda t: t.filter(_metrics_union_mask(t)), batch_format="pyarrow"
+    )
+    return extraction_metrics(extract_dataset(filtered))
+
+
+def _metrics_gated_sql(path: str) -> str:
+    collapse = r"trim(regexp_replace(x, '[ \t\n]+', ' ', 'g'))"
+    norm_all = r"trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+    n_paras = (
+        "len(list_filter(list_transform("
+        "regexp_split_to_array(nfc_normalize(text), '\n[ \t]*\n'),"
+        f" x -> {collapse}), x -> x <> ''))"
+    )
+    plain_filter = f"""text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')"""
+    return f"""
+WITH plain_rows AS (
+  SELECT strlen(text) AS b, {n_paras} AS nb,
+         CASE WHEN {norm_all} = '' THEN 1 ELSE 0 END AS ne
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {plain_filter}
+),
+html_rows AS (
+  SELECT strlen(text) AS b
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_blocks_filter_sql()}
+),
+html_blocks AS (SELECT COUNT(*) AS nb FROM ({_html_blocks_sql(path)})),
+pdf_rows AS (
+  SELECT strlen(text) AS b
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_pdf_filter_sql()}
+),
+pdf_blocks AS (SELECT COUNT(*) AS nb FROM ({_pdf_blocks_sql(path)}))
+SELECT * FROM (
+  SELECT 'plain' AS payload_kind,
+         CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(coalesce(SUM(b), 0) AS BIGINT) AS bytes_in,
+         CAST(coalesce(SUM(nb), 0) AS BIGINT) AS n_blocks,
+         CAST(coalesce(SUM(ne), 0) AS BIGINT) AS n_errors
+  FROM plain_rows
+  UNION ALL
+  SELECT 'html',
+         CAST((SELECT COUNT(*) FROM html_rows) AS BIGINT),
+         CAST((SELECT coalesce(SUM(b), 0) FROM html_rows) AS BIGINT),
+         CAST((SELECT nb FROM html_blocks) AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'pdf',
+         CAST((SELECT COUNT(*) FROM pdf_rows) AS BIGINT),
+         CAST((SELECT coalesce(SUM(b), 0) FROM pdf_rows) AS BIGINT),
+         CAST((SELECT nb FROM pdf_blocks) AS BIGINT),
+         CAST(0 AS BIGINT)
+)
+ORDER BY payload_kind
+"""
+
+
 def extract_turn_counts(sf_dir: str) -> pa.Table:
     """Totality invariant: the kernel emits EXACTLY one output row per input
     row (empty/undecodable payloads become error rows, never drops)."""
@@ -1582,6 +1681,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "clean_corpus_plain": _clean_corpus_plain_sql(path),
         "clean_corpus_html": _clean_corpus_html_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),
+        "extract_metrics_gated": _metrics_gated_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),

@@ -534,3 +534,22 @@ class TestHtmlDialoguePairs:
         )
         assert len(got) > 300
         pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+class TestMetricsGated:
+    def test_parity_sf0001(self, ray_session, transcripts_sf0001):
+        """The lineage-metrics rollup (rows/bytes/blocks/errors per kind)
+        over the union of the engine subsets, cell-for-cell vs SQL."""
+        from ocr_ray.pipelines.extract_oracle import (
+            _metrics_gated_sql,
+            extract_metrics_gated,
+        )
+
+        got = extract_metrics_gated("/root/testdata/sf0.001").to_pandas()
+        want = duckdb.sql(_metrics_gated_sql(transcripts_sf0001)).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert set(g.payload_kind) == {"plain", "html", "pdf"}
+        assert int(g[g.payload_kind == "plain"].n_errors.iloc[0]) > 0  # empty_input rule
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
