@@ -37,6 +37,18 @@ def _extract_turns(sf_dir: str):
     )
 
 
+def _extract_records(sf_dir: str):
+    """Canonical typed record per turn (the reference's zod-record output
+    with M4 defaults; stages/records.py) over the FULL corpus; the
+    driver-verifiable sibling is extract_records_gated."""
+    from ocr_ray.pipelines.extract_pipeline import extract_from_path
+    from ocr_ray.stages.records import records_from_extracted
+
+    return extract_from_path(_transcripts_for(sf_dir)).map_batches(
+        records_from_extracted, batch_format="pyarrow"
+    )
+
+
 def _extract_blocks(sf_dir: str):
     """Exploded one-row-per-block view (sheet-sink explode analog,
     save-to-google-sheet.ts:199-215)."""
@@ -363,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_datauri_turns,
         extract_html_blocks,
         extract_metrics_gated,
+        extract_records_gated,
         extract_html_summaries,
         extract_html_turns,
         extract_pdf_blocks,
@@ -395,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_dispatch_counts": engine_dispatch_counts,
         "extract_turn_counts": extract_turn_counts,
         "extract_metrics_gated": extract_metrics_gated,
+        "extract_records": _extract_records,
+        "extract_records_gated": extract_records_gated,
         "clean_corpus": _clean_corpus,
         "clean_corpus_neardup": _clean_corpus_neardup,
         "training_data_full": _training_data_full,

@@ -1604,6 +1604,65 @@ ORDER BY payload_kind
 """
 
 
+def extract_records_gated(sf_dir: str) -> Dataset:
+    """The canonical typed-record derivation (``stages/records.py`` — the
+    reference's zod-enforced record with M4 canonical defaults,
+    pdf-data-schema.ts via extract-data-from-pdf.ts:43,:87-91) over the
+    union of the provably-mirrorable subsets; every field — title arg-min,
+    doc_no parse-or-0, item/heading counts, word count, error — reproduced
+    by ``_records_gated_sql`` from the three engine mirrors."""
+    from ocr_ray.pipelines.extract_pipeline import extract_dataset
+    from ocr_ray.stages.records import records_from_extracted
+
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "role", "text"])
+    filtered = ds.map_batches(
+        lambda t: t.filter(_metrics_union_mask(t)), batch_format="pyarrow"
+    )
+    return extract_dataset(filtered).map_batches(
+        records_from_extracted, batch_format="pyarrow"
+    )
+
+
+def _records_gated_sql(path: str) -> str:
+    # main_text within the subsets contains only single spaces and \n\n
+    # joins (the kernel's _norm_text collapse), so whitespace tokens are
+    # exactly the [^ \n]+ runs; title digits parse identically under RE2
+    # leftmost-first on both sides; CAST of a leading-zero run matches
+    # Python int() (e.g. '0042' -> 42).
+    words = r"CAST(len(regexp_extract_all(t.main_text, '[^ \n]+')) AS BIGINT)"
+    return f"""
+WITH turns AS (
+  SELECT * FROM ({_plain_sql(path)})
+  UNION ALL SELECT * FROM ({_html_sql(path)})
+  UNION ALL SELECT * FROM ({_pdf_sql(path)})
+),
+blk AS (
+  SELECT * FROM ({_plain_blocks_sql(path)})
+  UNION ALL SELECT * FROM ({_html_blocks_sql(path)})
+  UNION ALL SELECT * FROM ({_pdf_blocks_sql(path)})
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+         coalesce(arg_min(text, block_idx)
+                    FILTER (WHERE kind IN ('heading', 'header')), '') AS title,
+         COUNT(*) FILTER (WHERE kind IN ('content', 'para')) AS n_items,
+         COUNT(*) FILTER (WHERE kind IN ('heading', 'header')) AS n_headings
+  FROM blk GROUP BY conv_id, turn_idx
+)
+SELECT t.conv_id, t.turn_idx, t.payload_kind,
+       coalesce(a.title, '') AS title,
+       coalesce(CAST(nullif(regexp_extract(coalesce(a.title, ''), '[0-9]+'), '')
+                     AS BIGINT), 0) AS doc_no,
+       CAST(coalesce(a.n_items, 0) AS INTEGER) AS n_items,
+       CAST(coalesce(a.n_headings, 0) AS INTEGER) AS n_headings,
+       {words} AS n_words,
+       t.error
+FROM turns t
+LEFT JOIN agg a ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx
+"""
+
+
 def extract_turn_counts(sf_dir: str) -> pa.Table:
     """Totality invariant: the kernel emits EXACTLY one output row per input
     row (empty/undecodable payloads become error rows, never drops)."""
@@ -1682,6 +1741,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "clean_corpus_html": _clean_corpus_html_sql(path),
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_metrics_gated": _metrics_gated_sql(path),
+        "extract_records_gated": _records_gated_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),
