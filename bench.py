@@ -374,6 +374,15 @@ def run_bench() -> dict:
             scaled_read_parquet(docs100k, columns=["doc_id", "text"])
         ).count()
         qtimes["dedup_minhash_100k"] = round(time.monotonic() - t0, 3)
+        # the 64-perm lever (VERDICT r2 #7): same pipeline, half-width
+        # signatures (8 bands @ ~0.77 LSH threshold) — the documented
+        # recall/throughput tradeoff, measured at the same volume
+        t0 = time.monotonic()
+        n_surv64 = near_dup_survivors(
+            scaled_read_parquet(docs100k, columns=["doc_id", "text"]), n_perms=64
+        ).count()
+        qtimes["dedup_minhash_100k_p64"] = round(time.monotonic() - t0, 3)
+        recalls["minhash_p64_survivor_delta"] = int(n_surv64 - n_surv)
         from ocr_ray.ops.dedup import dedup_incremental_over
 
         t0 = time.monotonic()
