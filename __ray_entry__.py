@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_pdf_summaries,
         extract_pdf_turns,
         extract_plain_blocks,
+        extract_plain_spans,
         extract_plain_summaries,
         extract_plain_turns,
         extract_turn_counts,
@@ -402,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_turns": extract_pdf_turns,
         "extract_pdf_blocks": extract_pdf_blocks,
         "extract_plain_blocks": extract_plain_blocks,
+        "extract_plain_spans": extract_plain_spans,
         "extract_plain_summaries": extract_plain_summaries,
         "extract_html_summaries": extract_html_summaries,
         "extract_pdf_summaries": extract_pdf_summaries,

@@ -1604,6 +1604,128 @@ ORDER BY payload_kind
 """
 
 
+_SPAN_SEP_RE = re.compile(r"\n[ \t]*\n")
+_SPAN_WS = " \t\n"
+
+
+def _plain_spans_table(t: pa.Table) -> pa.Table:
+    """Per-block SOURCE char-offset spans for the provably-plain subset.
+
+    The north rule's "extracted text/spans per turn": each emitted block
+    carries ``[span_start, span_end)`` char offsets into the RAW payload
+    such that ``_norm_text(raw[span_start:span_end]) == text`` and the
+    span is trimmed to its non-whitespace core. Trimming makes the span
+    independent of how separator whitespace is apportioned, so the RE2
+    split convention here provably yields the same nonempty blocks (idx,
+    text, span) as the kernel's greedy ``\\n\\s*\\n`` split — within the
+    subset both separators consume only ``[ \\t\\n]`` runs and every RE2
+    separator lies inside a kernel separator region (pinned by pytest
+    against the kernel's blocks).
+    """
+    from ocr_ray.core.extract import _norm_text
+
+    t = t.filter(_provably_plain_mask(t.column("text")))
+    cids, tids, bidx, starts, ends, texts = [], [], [], [], [], []
+    for cid, ti, raw in zip(
+        t.column("conv_id").to_pylist(),
+        t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        pos = 0
+        b = 0
+        bounds = [m.span() for m in _SPAN_SEP_RE.finditer(raw)] + [(len(raw), len(raw))]
+        for s_start, s_end in bounds:
+            seg = raw[pos:s_start]
+            seg_off = pos
+            pos = s_end
+            norm = _norm_text(seg)
+            if not norm:
+                continue
+            lead = len(seg) - len(seg.lstrip(_SPAN_WS))
+            cids.append(cid)
+            tids.append(ti)
+            bidx.append(b)
+            starts.append(seg_off + lead)
+            ends.append(seg_off + len(seg.rstrip(_SPAN_WS)))
+            texts.append(norm)
+            b += 1
+    return pa.table(
+        {
+            "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+            "turn_idx": pa.array(tids, t.schema.field("turn_idx").type),
+            "block_idx": pa.array(bidx, pa.int32()),
+            "span_start": pa.array(starts, pa.int64()),
+            "span_end": pa.array(ends, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def extract_plain_spans(sf_dir: str) -> Dataset:
+    """Block spans (source char offsets) over the provably-plain subset;
+    mirrored by ``_plain_spans_sql`` (zipped part/separator unnests with a
+    window cumsum over RAW char lengths)."""
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(_plain_spans_table, batch_format="pyarrow")
+
+
+def _plain_spans_sql(path: str) -> str:
+    # offsets are computed on the RAW text (length() = chars, same as
+    # Python len); content goes through the same nfc+collapse chain as the
+    # plain blocks mirror — NFC commutes with the split because the
+    # separators are ASCII newlines, which never participate in
+    # canonical composition.
+    collapse = r"trim(regexp_replace(nfc_normalize(part), '[ \t\n]+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '<')
+    AND NOT starts_with(text, 'data:')
+    AND NOT regexp_matches(text, '{_INDENT_RE}')
+    AND NOT regexp_matches(text, '{_EXOTIC_WS_RE}')
+),
+p AS (
+  SELECT conv_id, turn_idx,
+         regexp_split_to_array(text, '\n[ \t]*\n') AS parts,
+         regexp_extract_all(text, '\n[ \t]*\n') AS seps
+  FROM t
+),
+z AS (
+  SELECT conv_id, turn_idx,
+         unnest(range(len(parts))) AS i,
+         unnest(parts) AS part,
+         parts, seps
+  FROM p
+),
+zz AS (
+  SELECT conv_id, turn_idx, i, part,
+         length(part) AS plen,
+         coalesce(length(seps[CAST(i AS INTEGER) + 1]), 0) AS slen
+  FROM z
+),
+c AS (
+  SELECT conv_id, turn_idx, i, part,
+         coalesce(SUM(plen + slen) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_start
+  FROM zz
+)
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1
+            AS INTEGER) AS block_idx,
+       CAST(seg_start + length(regexp_extract(part, '^[ \t\n]*')) AS BIGINT)
+         AS span_start,
+       CAST(seg_start + length(rtrim(part, ' ' || chr(9) || chr(10))) AS BIGINT)
+         AS span_end,
+       {collapse} AS text
+FROM c
+WHERE {collapse} <> ''
+"""
+
+
 def extract_records_gated(sf_dir: str) -> Dataset:
     """The canonical typed-record derivation (``stages/records.py`` — the
     reference's zod-enforced record with M4 canonical defaults,
@@ -1742,6 +1864,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "engine_dispatch_counts": _dispatch_sql(path),
         "extract_metrics_gated": _metrics_gated_sql(path),
         "extract_records_gated": _records_gated_sql(path),
+        "extract_plain_spans": _plain_spans_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),

@@ -1,0 +1,123 @@
+"""Source-span gate for the plain engine (north rule: "extracted
+text/spans per turn").
+
+Every emitted block carries [span_start, span_end) char offsets into the
+RAW payload with the invariants:
+* _norm_text(raw[span_start:span_end]) == text (content round-trip)
+* the span is trimmed to its non-whitespace core (edges non-whitespace)
+* (block_idx, text) match the kernel's blocks exactly — the RE2 split
+  convention used for offsets provably coarsens to the kernel's greedy
+  \\n\\s*\\n split on the subset
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_ray.core.extract import _norm_text, extract_turn
+from ocr_ray.pipelines.extract_oracle import _plain_spans_sql, _plain_spans_table
+
+
+@pytest.fixture(scope="module")
+def transcripts_sf0001():
+    from ocr_ray.sources.transcripts import ensure_transcripts
+
+    return ensure_transcripts(200, seed=42)
+
+
+def _side_by_side(path: str):
+    t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+    keys = ["conv_id", "turn_idx", "block_idx"]
+    got = (
+        _plain_spans_table(t)
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(_plain_spans_sql(path)).df().sort_values(keys).reset_index(drop=True)
+    return t, got, want
+
+
+class TestPlainSpans:
+    def test_fixture_parity(self, transcripts_sf0001):
+        t, got, want = _side_by_side(transcripts_sf0001)
+        assert len(got) > 1000
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
+
+    def test_invariants_vs_kernel(self, transcripts_sf0001):
+        t, got, _ = _side_by_side(transcripts_sf0001)
+        raw = {
+            (c, i): x
+            for c, i, x in zip(
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        }
+        per_turn: dict = {}
+        for row in got.itertuples():
+            x = raw[(row.conv_id, row.turn_idx)]
+            seg = x[row.span_start : row.span_end]
+            assert _norm_text(seg) == row.text
+            assert seg == seg.strip()
+            per_turn.setdefault((row.conv_id, row.turn_idx), []).append(
+                (row.block_idx, row.text)
+            )
+        for (c, i), blocks in per_turn.items():
+            r = extract_turn(raw[(c, i)])
+            assert [b.text for b in r.blocks] == [t for _, t in sorted(blocks)]
+
+    def test_planted_conventions(self, tmp_path):
+        """Separator-apportionment divergence cases: the trimmed span must be
+        identical under the kernel's greedy split and the mirror's RE2
+        split; NFD content must round-trip through NFC while offsets stay
+        raw."""
+        payloads = [
+            "a\n \n \nb",  # greedy separator eats ' \n ' ; RE2 leaves ' \nb'
+            "\n\nlead\n\n\n\ntail\n\n",  # empty edge segments + 3-sep run
+            "x\n\t\ny\n \nz",  # tab/space separator variants
+            "  séance  déjà\n\nw",  # NFD chars: NFC shrinks, offsets raw
+            "one two\tthree",  # single block, inner tabs
+            "\t\n \n\t",  # whitespace-only -> zero blocks
+        ]
+        t = pa.table(
+            {
+                "conv_id": [f"p-{i}" for i in range(len(payloads))],
+                "turn_idx": pa.array([0] * len(payloads), pa.int32()),
+                "text": payloads,
+            }
+        )
+        d = str(tmp_path / "planted")
+        import os
+
+        os.makedirs(d)
+        pq.write_table(t, f"{d}/part-0.parquet")
+        got = (
+            _plain_spans_table(t)
+            .to_pandas()
+            .sort_values(["conv_id", "block_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(_plain_spans_sql(d))
+            .df()
+            .sort_values(["conv_id", "block_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
+        for row in got.itertuples():
+            x = payloads[int(row.conv_id.split("-")[1])]
+            seg = x[row.span_start : row.span_end]
+            assert _norm_text(seg) == row.text and seg == seg.strip()
+        # conv p-0: kernel and span blocks agree despite split divergence
+        r = extract_turn(payloads[0])
+        g0 = got[got.conv_id == "p-0"]
+        assert [b.text for b in r.blocks] == list(g0.text)
+        # whitespace-only payload yields no rows
+        assert (got.conv_id == "p-5").sum() == 0
