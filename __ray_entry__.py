@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         extract_html_summaries,
         extract_html_turns,
         extract_pdf_blocks,
+        extract_pdf_spans,
         extract_pdf_summaries,
         extract_pdf_turns,
         extract_plain_blocks,
@@ -402,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_datauri_turns": extract_datauri_turns,
         "extract_pdf_turns": extract_pdf_turns,
         "extract_pdf_blocks": extract_pdf_blocks,
+        "extract_pdf_spans": extract_pdf_spans,
         "extract_plain_blocks": extract_plain_blocks,
         "extract_plain_spans": extract_plain_spans,
         "extract_plain_summaries": extract_plain_summaries,

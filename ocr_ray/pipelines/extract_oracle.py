@@ -1726,6 +1726,172 @@ WHERE {collapse} <> ''
 """
 
 
+def _pdf_spans_table(t: pa.Table) -> pa.Table:
+    """Covering source spans for pdf-layout blocks: ``[span_start,
+    span_end)`` char offsets into the RAW payload from the first
+    contributing line's first non-ws char to the last line's core end.
+
+    Unlike plain spans, the content is NOT a norm-roundtrip of the span
+    (dehyphenation removes chars; lines join with single spaces) — the
+    contract is the covering span plus ``text`` equal to the kernel's
+    block text. Offsets are raw-text chars; page/line boundaries (\\f,
+    \\n) are NFC-stable, so the raw scan sees the kernel's exact line
+    structure (pinned by pytest against the kernel's blocks)."""
+    from ocr_ray.core.extract import _dehyphenate_join, classify_payload
+
+    t = t.filter(_provably_simple_pdf_static_mask(t.column("text")))
+    cids, tids, bidx, ss, ee, txts = [], [], [], [], [], []
+    for cid, ti, raw in zip(
+        t.column("conv_id").to_pylist(),
+        t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        if classify_payload(raw) != "pdf":
+            continue
+        b = 0
+        off = 0
+        for page in raw.split("\f"):
+            loff = off
+            off += len(page) + 1
+            groups = []  # (lines, span_start, span_end)
+            cur = None
+            for ln in page.split("\n"):
+                l_off = loff
+                loff += len(ln) + 1
+                if ln.strip(" \t"):
+                    s = l_off + (len(ln) - len(ln.lstrip(" \t")))
+                    e = l_off + len(ln.rstrip(" \t"))
+                    cur = ([ln], s, e) if cur is None else (cur[0] + [ln], cur[1], e)
+                elif cur is not None:
+                    groups.append(cur)
+                    cur = None
+            if cur is not None:
+                groups.append(cur)
+            for lines, s, e in groups:
+                joined = _dehyphenate_join(lines)
+                if not joined:
+                    continue
+                cids.append(cid)
+                tids.append(ti)
+                bidx.append(b)
+                ss.append(s)
+                ee.append(e)
+                txts.append(joined)
+                b += 1
+    return pa.table(
+        {
+            "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+            "turn_idx": pa.array(tids, t.schema.field("turn_idx").type),
+            "block_idx": pa.array(bidx, pa.int32()),
+            "span_start": pa.array(ss, pa.int64()),
+            "span_end": pa.array(ee, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+        }
+    )
+
+
+def extract_pdf_spans(sf_dir: str) -> Dataset:
+    """Block covering-spans over the provably-simple-pdf subset; mirrored
+    by ``_pdf_spans_sql`` (raw-text page/line offset cumsums zipped with
+    the NFC layout parse)."""
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(_pdf_spans_table, batch_format="pyarrow")
+
+
+def _pdf_spans_sql(path: str) -> str:
+    # Offsets accumulate RAW char lengths (+1 per \n / \f separator);
+    # line content normalizes per line (NFC commutes with the ASCII
+    # page/line splits). The dehyphenation fold is the blocks mirror's
+    # gaps-and-islands chain, re-derived here over the offset-carrying
+    # line stream.
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text AS raw
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_pdf_filter_sql()}
+),
+pg AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split(raw, chr(12))) AS page,
+         unnest(generate_series(1, len(string_split(raw, chr(12))))) AS page_no
+  FROM t
+),
+pgo AS (
+  SELECT *, coalesce(SUM(length(page) + 1) OVER (
+              PARTITION BY conv_id, turn_idx ORDER BY page_no
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page_off
+  FROM pg
+),
+ln AS (
+  SELECT conv_id, turn_idx, page_no, page_off,
+         unnest(string_split(page, chr(10))) AS rawln,
+         unnest(generate_series(1, len(string_split(page, chr(10))))) AS line_no
+  FROM pgo
+),
+lno AS (
+  SELECT *,
+         page_off + coalesce(SUM(length(rawln) + 1) OVER (
+             PARTITION BY conv_id, turn_idx, page_no ORDER BY line_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_off,
+         trim(regexp_replace(nfc_normalize(rawln), '[ \t]+', ' ', 'g'), ' ') AS norm
+  FROM ln
+),
+gl AS (
+  SELECT *, SUM(CASE WHEN norm = '' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id, turn_idx, page_no
+                    ORDER BY line_no) AS grp
+  FROM lno
+),
+nb AS (SELECT * FROM gl WHERE norm <> ''),
+mf AS (
+  SELECT *,
+         CASE WHEN lag(norm) OVER w LIKE '%-'
+                   AND regexp_matches(norm, '^[a-z]')
+              THEN 1 ELSE 0 END AS mflag
+  FROM nb
+  WINDOW w AS (PARTITION BY conv_id, turn_idx, page_no, grp ORDER BY line_no)
+),
+il AS (
+  SELECT *,
+         SUM(1 - mflag) OVER (PARTITION BY conv_id, turn_idx, page_no, grp
+                              ORDER BY line_no) AS island,
+         CASE WHEN lead(mflag) OVER (PARTITION BY conv_id, turn_idx, page_no, grp
+                                     ORDER BY line_no) = 1
+              THEN substring(norm, 1, length(norm) - 1) ELSE norm END AS keep
+  FROM mf
+),
+isl AS (
+  SELECT conv_id, turn_idx, page_no, grp, island,
+         string_agg(keep, '' ORDER BY line_no) AS itext,
+         MIN(line_no) AS i_first
+  FROM il GROUP BY conv_id, turn_idx, page_no, grp, island
+),
+gr AS (
+  SELECT conv_id, turn_idx, page_no, grp,
+         string_agg(itext, ' ' ORDER BY i_first) AS joined,
+         MIN(i_first) AS g_first
+  FROM isl GROUP BY conv_id, turn_idx, page_no, grp
+),
+gsp AS (
+  SELECT conv_id, turn_idx, page_no, grp,
+         MIN(line_off + length(regexp_extract(rawln, '^[ \t]*'))) AS span_start,
+         MAX(line_off + length(rtrim(rawln, ' ' || chr(9)))) AS span_end
+  FROM nb GROUP BY conv_id, turn_idx, page_no, grp
+)
+SELECT gr.conv_id, gr.turn_idx,
+       CAST(row_number() OVER (PARTITION BY gr.conv_id, gr.turn_idx
+                               ORDER BY gr.page_no, gr.g_first) - 1
+            AS INTEGER) AS block_idx,
+       CAST(gsp.span_start AS BIGINT) AS span_start,
+       CAST(gsp.span_end AS BIGINT) AS span_end,
+       gr.joined AS text
+FROM gr
+JOIN gsp ON gsp.conv_id = gr.conv_id AND gsp.turn_idx = gr.turn_idx
+        AND gsp.page_no = gr.page_no AND gsp.grp = gr.grp
+"""
+
+
 def extract_records_gated(sf_dir: str) -> Dataset:
     """The canonical typed-record derivation (``stages/records.py`` — the
     reference's zod-enforced record with M4 canonical defaults,
@@ -1865,6 +2031,7 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_metrics_gated": _metrics_gated_sql(path),
         "extract_records_gated": _records_gated_sql(path),
         "extract_plain_spans": _plain_spans_sql(path),
+        "extract_pdf_spans": _pdf_spans_sql(path),
         "extract_turn_counts": _counts_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),

@@ -121,3 +121,89 @@ class TestPlainSpans:
         assert [b.text for b in r.blocks] == list(g0.text)
         # whitespace-only payload yields no rows
         assert (got.conv_id == "p-5").sum() == 0
+
+
+class TestPdfSpans:
+    def test_fixture_parity_and_invariants(self, transcripts_sf0001):
+        from ocr_ray.pipelines.extract_oracle import (
+            _pdf_spans_sql,
+            _pdf_spans_table,
+        )
+
+        t = pq.read_table(
+            transcripts_sf0001, columns=["conv_id", "turn_idx", "text"]
+        )
+        keys = ["conv_id", "turn_idx", "block_idx"]
+        got = _pdf_spans_table(t).to_pandas().sort_values(keys).reset_index(drop=True)
+        want = (
+            duckdb.sql(_pdf_spans_sql(transcripts_sf0001))
+            .df()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        assert len(got) > 1000
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
+        raw = {
+            (c, i): x
+            for c, i, x in zip(
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        }
+        per: dict = {}
+        for row in got.itertuples():
+            x = raw[(row.conv_id, row.turn_idx)]
+            seg = x[row.span_start : row.span_end]
+            assert seg == seg.strip()
+            # without a hyphen merge the covering span norm-roundtrips
+            if "-" not in seg:
+                assert _norm_text(seg) == row.text
+            per.setdefault((row.conv_id, row.turn_idx), []).append(
+                (row.block_idx, row.text)
+            )
+        for k, blocks in per.items():
+            r = extract_turn(raw[k])
+            assert [b.text for b in r.blocks] == [t for _, t in sorted(blocks)]
+
+    def test_planted_pdf(self, tmp_path):
+        """Hyphen chains, multi-page offsets, indented groups: spans cover
+        the contributing lines exactly and texts match the kernel."""
+        from ocr_ray.pipelines.extract_oracle import (
+            _pdf_spans_sql,
+            _pdf_spans_table,
+        )
+
+        p1 = "TITLE 7\n\n    exam-\n    ple merge\n\n1 / 2"
+        p2 = "TITLE 7\n\n    Upper-\n    Case no merge\n\n2 / 2"
+        payloads = [p1 + "\f" + p2, "    lone\tgroup\n\n\n    second   one"]
+        t = pa.table(
+            {
+                "conv_id": [f"q-{i}" for i in range(len(payloads))],
+                "turn_idx": pa.array([0] * len(payloads), pa.int32()),
+                "text": payloads,
+            }
+        )
+        d = str(tmp_path / "planted_pdf")
+        import os
+
+        os.makedirs(d)
+        pq.write_table(t, f"{d}/part-0.parquet")
+        keys = ["conv_id", "turn_idx", "block_idx"]
+        got = _pdf_spans_table(t).to_pandas().sort_values(keys).reset_index(drop=True)
+        want = duckdb.sql(_pdf_spans_sql(d)).df().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
+        g0 = got[got.conv_id == "q-0"].reset_index(drop=True)
+        texts = list(g0.text)
+        assert "example merge" in texts  # dehyphenation fold
+        assert "Upper- Case no merge" in texts  # uppercase continuation keeps '-'
+        # page-2 spans land past the \f boundary
+        assert g0.span_start[g0.text == "Upper- Case no merge"].iloc[0] > len(p1)
+        full = payloads[0]
+        for row in g0.itertuples():
+            seg = full[row.span_start : row.span_end]
+            assert seg == seg.strip()
