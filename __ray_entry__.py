@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         engine_dispatch_counts,
         extract_datauri_turns,
         extract_html_blocks,
+        extract_html_spans,
         extract_metrics_gated,
         extract_records_gated,
         extract_html_summaries,
@@ -400,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_plain_turns": extract_plain_turns,
         "extract_html_turns": extract_html_turns,
         "extract_html_blocks": extract_html_blocks,
+        "extract_html_spans": extract_html_spans,
         "extract_datauri_turns": extract_datauri_turns,
         "extract_pdf_turns": extract_pdf_turns,
         "extract_pdf_blocks": extract_pdf_blocks,

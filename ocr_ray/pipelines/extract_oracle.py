@@ -1892,6 +1892,160 @@ JOIN gsp ON gsp.conv_id = gr.conv_id AND gsp.turn_idx = gr.turn_idx
 """
 
 
+def _html_spans_rows(doc: str):
+    """Offset-tracking replay of the html kernel: same control flow as
+    ``core.extract._extract_html`` with per-block covering spans.
+
+    The kernel's comment/script pre-substitution is replaced by
+    EQUAL-LENGTH space padding, which preserves every char offset while
+    producing identical blocks (the padding is whitespace, which the
+    per-fragment normalization collapses exactly like the kernel's single
+    space). Yields ``(block_idx, kind, span_start, span_end, text)`` with
+    offsets into the engine's input document (the decoded body for
+    data-URI payloads); spans run from the first contributing fragment's
+    first non-ws char to the last one's core end. No SQL mirror exists
+    (positional regex is not expressible in DuckDB) — parity vs the
+    kernel's blocks is pinned by pytest instead.
+    """
+    from ocr_ray.core.extract import (
+        _BLOCK_ELEMS,
+        _BOILER_ELEMS,
+        _COMMENT_RE,
+        _DROP_ELEMS,
+        _HEADING_ELEMS,
+        _MIN_CONTENT_CHARS,
+        _SCRIPTLIKE_RE,
+        _TAG_WITH_NAME_RE,
+        _norm_text,
+    )
+    import html as _html
+
+    pad = lambda m: " " * (m.end() - m.start())
+    text = _SCRIPTLIKE_RE.sub(pad, _COMMENT_RE.sub(pad, doc))
+
+    out = []
+    buf: list[str] = []
+    span_lo = span_hi = -1
+    link_chars = 0
+    total_chars = 0
+    a_depth = 0
+    boiler_depth = 0
+    drop_depth = 0
+    heading_depth = 0
+    block_boiler = False
+    block_heading = False
+
+    def flush() -> None:
+        nonlocal buf, link_chars, total_chars, block_boiler, block_heading
+        nonlocal span_lo, span_hi
+        txt = _norm_text("".join(buf))
+        if txt:
+            if block_boiler or 5 * link_chars > 2 * total_chars:
+                kind = "boilerplate"
+            elif block_heading:
+                kind = "heading"
+            elif len(txt) < _MIN_CONTENT_CHARS and link_chars > 0:
+                kind = "boilerplate"
+            else:
+                kind = "content"
+            out.append((len(out), kind, span_lo, span_hi, txt))
+        buf = []
+        span_lo = span_hi = -1
+        link_chars = 0
+        total_chars = 0
+        block_boiler = boiler_depth > 0
+        block_heading = heading_depth > 0
+
+    def feed(frag: str, frag_off: int) -> None:
+        nonlocal link_chars, total_chars, span_lo, span_hi
+        plain = _html.unescape(frag) if "&" in frag else frag
+        buf.append(plain)
+        n = len(plain.strip())
+        total_chars += n
+        if a_depth > 0:
+            link_chars += n
+        if frag.strip():
+            lead = len(frag) - len(frag.lstrip())
+            if span_lo < 0:
+                span_lo = frag_off + lead
+            span_hi = frag_off + len(frag.rstrip())
+
+    pos = 0
+    for m in _TAG_WITH_NAME_RE.finditer(text):
+        frag, frag_off = text[pos : m.start()], pos
+        pos = m.end()
+        if frag and drop_depth == 0:
+            feed(frag, frag_off)
+        name = m.group(2)
+        if name is None:
+            continue
+        closing, name = m.group(1) == "/", name.lower()
+        if name == "a":
+            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+            continue
+        if name in _BLOCK_ELEMS:
+            flush()
+            if name in _BOILER_ELEMS:
+                boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+            if name in _DROP_ELEMS:
+                drop_depth = max(0, drop_depth - 1) if closing else drop_depth + 1
+            if name in _HEADING_ELEMS:
+                heading_depth = (
+                    max(0, heading_depth - 1) if closing else heading_depth + 1
+                )
+            block_boiler = boiler_depth > 0
+            block_heading = heading_depth > 0
+    tail = text[pos:]
+    if tail and drop_depth == 0:
+        feed(tail, pos)
+    flush()
+    return out
+
+
+def _html_spans_table(t: pa.Table) -> pa.Table:
+    """Per-block covering spans for every html-classified turn (full html
+    route, no subset restriction — this op is kernel-pinned, not
+    SQL-gated)."""
+    from ocr_ray.core.extract import classify_payload, decode_data_uri
+
+    cids, tids, bidx, kinds, ss, ee, txts = [], [], [], [], [], [], []
+    for cid, ti, raw in zip(
+        t.column("conv_id").to_pylist(),
+        t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        if raw is None:
+            continue
+        doc, err = decode_data_uri(raw)
+        if err or classify_payload(doc) != "html":
+            continue
+        for b, kind, s, e, txt in _html_spans_rows(doc):
+            cids.append(cid)
+            tids.append(ti)
+            bidx.append(b)
+            kinds.append(kind)
+            ss.append(s)
+            ee.append(e)
+            txts.append(txt)
+    return pa.table(
+        {
+            "conv_id": pa.array(cids, t.schema.field("conv_id").type),
+            "turn_idx": pa.array(tids, t.schema.field("turn_idx").type),
+            "block_idx": pa.array(bidx, pa.int32()),
+            "kind": pa.array(kinds, pa.string()),
+            "span_start": pa.array(ss, pa.int64()),
+            "span_end": pa.array(ee, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+        }
+    )
+
+
+def extract_html_spans(sf_dir: str) -> Dataset:
+    path = _transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(_html_spans_table, batch_format="pyarrow")
+
+
 def extract_records_gated(sf_dir: str) -> Dataset:
     """The canonical typed-record derivation (``stages/records.py`` — the
     reference's zod-enforced record with M4 canonical defaults,

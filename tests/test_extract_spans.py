@@ -123,6 +123,82 @@ class TestPlainSpans:
         assert (got.conv_id == "p-5").sum() == 0
 
 
+class TestHtmlSpans:
+    """No SQL mirror (positional regex not expressible in DuckDB): the gate
+    is block-for-block kernel parity over EVERY html-classified row —
+    including the generator's broken/unclosed-markup branch — plus span
+    invariants."""
+
+    def test_kernel_parity_and_invariants(self, transcripts_sf0001):
+        from ocr_ray.core.extract import classify_payload, decode_data_uri
+        from ocr_ray.pipelines.extract_oracle import _html_spans_table
+
+        t = pq.read_table(
+            transcripts_sf0001, columns=["conv_id", "turn_idx", "text"]
+        )
+        got = _html_spans_table(t).to_pylist()
+        assert len(got) > 3000
+        raw = {
+            (c, i): x
+            for c, i, x in zip(
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        }
+        per: dict = {}
+        for row in got:
+            doc, _ = decode_data_uri(raw[(row["conv_id"], row["turn_idx"])])
+            seg = doc[row["span_start"] : row["span_end"]]
+            assert seg == seg.strip()
+            if "<" not in seg and "&" not in seg:
+                assert _norm_text(seg) == row["text"]
+            per.setdefault((row["conv_id"], row["turn_idx"]), []).append(row)
+        # every html-classified turn with blocks is present and matches
+        n_html = 0
+        for (c, i), x in raw.items():
+            doc, err = decode_data_uri(x)
+            if err or classify_payload(doc) != "html":
+                continue
+            r = extract_turn(x)
+            rows = sorted(per.get((c, i), []), key=lambda d: d["block_idx"])
+            assert [(b.block_idx, b.kind, b.text) for b in r.blocks] == [
+                (d["block_idx"], d["kind"], d["text"]) for d in rows
+            ], (c, i)
+            starts = [d["span_start"] for d in rows]
+            assert starts == sorted(starts)
+            n_html += 1
+        assert n_html > 300
+
+    def test_planted_offsets(self):
+        """Comments/scripts pad to equal length so offsets survive; drop
+        regions contribute nothing; entity fragments keep raw extents."""
+        from ocr_ray.pipelines.extract_oracle import _html_spans_rows
+
+        doc = (
+            "<html><head><title>skip me</title></head><body>"
+            "<!-- a comment -->"
+            "<p>  hello &amp; goodbye  </p>"
+            "<script>var x = '<p>fake</p>';</script>"
+            "<nav><a href='/x'>link</a></nav>"
+            "<p>tail block that is long enough to stay content</p></body></html>"
+        )
+        rows = _html_spans_rows(doc)
+        texts = [r[4] for r in rows]
+        assert "hello & goodbye" in texts
+        assert "skip me" not in texts  # drop region
+        assert not any("fake" in s for s in texts)  # script padded away
+        r_hello = rows[texts.index("hello & goodbye")]
+        s, e = r_hello[2], r_hello[3]
+        assert doc[s:e] == "hello &amp; goodbye"  # raw extent, trimmed
+        r_link = rows[texts.index("link")]
+        assert r_link[1] == "boilerplate"
+        assert doc[r_link[2] : r_link[3]] == "link"
+        r_tail = rows[texts.index("tail block that is long enough to stay content")]
+        assert r_tail[1] == "content"
+        assert doc[r_tail[2] : r_tail[3]] == r_tail[4]
+
+
 class TestPdfSpans:
     def test_fixture_parity_and_invariants(self, transcripts_sf0001):
         from ocr_ray.pipelines.extract_oracle import (
