@@ -49,6 +49,16 @@ def _extract_records(sf_dir: str):
     )
 
 
+def _extract_spans(sf_dir: str):
+    """Per-block source spans over the FULL corpus (north rule "extracted
+    text/spans"); self-checking against the kernel's block stream. Gated
+    siblings: extract_plain_spans / extract_pdf_spans (SQL-mirrored),
+    extract_html_spans (kernel-replay pinned)."""
+    from ocr_ray.stages.spans import extract_spans_from_path
+
+    return extract_spans_from_path(_transcripts_for(sf_dir))
+
+
 def _extract_blocks(sf_dir: str):
     """Exploded one-row-per-block view (sheet-sink explode analog,
     save-to-google-sheet.ts:199-215)."""
@@ -402,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_turns": extract_html_turns,
         "extract_html_blocks": extract_html_blocks,
         "extract_html_spans": extract_html_spans,
+        "extract_spans": _extract_spans,
         "extract_datauri_turns": extract_datauri_turns,
         "extract_pdf_turns": extract_pdf_turns,
         "extract_pdf_blocks": extract_pdf_blocks,

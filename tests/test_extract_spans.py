@@ -123,6 +123,58 @@ class TestPlainSpans:
         assert (got.conv_id == "p-5").sum() == 0
 
 
+class TestFullCorpusSpans:
+    """Production surface: every kernel block of every turn gets a span,
+    kinds zipped from the kernel with a self-checking alignment assert."""
+
+    def test_totality_vs_kernel(self, transcripts_sf0001):
+        from ocr_ray.core.extract import decode_data_uri
+        from ocr_ray.stages.spans import SPANS_SCHEMA, spans_table
+
+        t = pq.read_table(
+            transcripts_sf0001, columns=["conv_id", "turn_idx", "text"]
+        )
+        got = spans_table(t)
+        assert got.schema == SPANS_SCHEMA
+        raw = {
+            (c, i): x
+            for c, i, x in zip(
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+        }
+        per: dict = {}
+        for row in got.to_pylist():
+            doc, _ = decode_data_uri(raw[(row["conv_id"], row["turn_idx"])])
+            seg = doc[row["span_start"] : row["span_end"]]
+            assert seg == seg.strip()
+            if row["payload_kind"] == "plain":
+                assert _norm_text(seg) == row["text"]
+            per.setdefault((row["conv_id"], row["turn_idx"]), []).append(row)
+        # EVERY turn's kernel blocks are reproduced (totality incl. edge
+        # payloads: empty, giant-line, CJK, data-URI, broken markup)
+        for k, x in raw.items():
+            r = extract_turn(x)
+            rows = sorted(per.get(k, []), key=lambda d: d["block_idx"])
+            assert [(b.kind, b.text) for b in r.blocks] == [
+                (d["kind"], d["text"]) for d in rows
+            ], k
+
+    def test_drift_detection(self):
+        """The self-check raises on any scan/kernel divergence rather than
+        emitting silently misaligned spans."""
+        from ocr_ray.stages import spans as sp
+
+        orig = sp._plain_spans
+        sp._plain_spans = lambda doc: orig(doc)[:-1]  # drop one span
+        try:
+            with pytest.raises(AssertionError, match="span drift"):
+                sp.spans_for_turn("one block\n\ntwo block")
+        finally:
+            sp._plain_spans = orig
+
+
 class TestHtmlSpans:
     """No SQL mirror (positional regex not expressible in DuckDB): the gate
     is block-for-block kernel parity over EVERY html-classified row —
