@@ -181,6 +181,8 @@ QUERY_NAMES = [
     "extract_html_blocks",
     "extract_pdf_turns",
     "extract_pdf_blocks",
+    "extract_spans",
+    "extract_records",
     "turn_markup_stats",
     "conv_lang_profile",
     "activity_spend_corr",
