@@ -325,6 +325,20 @@ def run_bench() -> dict:
     warm_file = sorted(_glob.glob(os.path.join(inp, "*.parquet")))[0]
     _ = extract_from_path(warm_file).materialize()
 
+    # warm the WHOLE worker pool (the single-file warm-up above spawns only
+    # a few workers; without this the first timed run pays worker spawn +
+    # per-process imports for the remaining ~NCPU workers inside the timed
+    # section — process boot, which the north rule's criterion excludes)
+    def _warm(b):
+        import ocr_ray.core.extract  # noqa: F401  (per-process import cost)
+        return b
+
+    _ = (
+        rd.range(NCPU * 4, override_num_blocks=NCPU * 4)
+        .map_batches(_warm, batch_format="pyarrow", num_cpus=1)
+        .materialize()
+    )
+
     out_dir = f"/dev/shm/ocr_ray_bench/out_c{NCPU}"  # tmpfs: the bench measures compute+shuffle, not the sandbox's burst-throttled virtual disk (a real deployment writes to S3/NVMe that scales with nodes)
     shutil.rmtree(out_dir, ignore_errors=True)
     # partition count follows DATA SIZE, not cluster size: output files stay
