@@ -116,6 +116,11 @@ from ocr_ray.ops.simjoin import (
     dedup_cosine_exact_sql,
     dedup_jaccard_exact,
 )
+from ocr_ray.ops.wjaccard import (
+    DEDUP_WJACCARD_EXACT_SQL,
+    dedup_wjaccard_docs,
+    dedup_wjaccard_exact,
+)
 from ocr_ray.ops.dq import (
     DQ_ORPHANS_SQL,
     ORDERS_BENFORD_SQL,
@@ -183,6 +188,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_jaccard_docs": (dedup_jaccard_docs, None),
     "embedding_near_dups": (embedding_near_dups, None),
     "dedup_jaccard_exact": (dedup_jaccard_exact, DEDUP_JACCARD_EXACT_SQL),
+    "dedup_wjaccard_exact": (dedup_wjaccard_exact, DEDUP_WJACCARD_EXACT_SQL),
+    "dedup_wjaccard_docs": (dedup_wjaccard_docs, None),
     "dedup_cosine_exact": (dedup_cosine_exact, None),  # SQL built per-sf: dedup_cosine_exact_sql
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "embedding_knn_self": (embedding_knn_self, EMBEDDING_KNN_SELF_SQL),

@@ -1116,6 +1116,21 @@ def near_dup_survivors(
         ds, text_col=text_col, id_col=id_col, n_perms=n_perms,
         shingle_hasher=shingle_hasher,
     ).materialize()
+    return near_dup_from_signatures(
+        sigs, threshold_bp=threshold_bp, max_bucket=max_bucket
+    )
+
+
+def near_dup_from_signatures(
+    sigs: Dataset, *, threshold_bp: int = 7000, max_bucket: int = _MAX_BUCKET
+) -> Dataset:
+    """Shared survivors tail over ANY MinHash-family signature table
+    ``(doc_id, sig list<uint64>)`` whose per-element collision probability
+    estimates the target similarity (unweighted MinHash estimates set
+    Jaccard; ICWS — ``ops.wjaccard`` — estimates weighted Jaccard).
+    Banding -> capped collision pairs -> join-verified agreement ->
+    min-label components -> survivor ids, with the same local tier below
+    the size gate."""
     id_type = sigs.schema().base_schema.field("doc_id").type
     if sigs.count() <= _LOCAL_NEARDUP_MAX_ROWS:
         tbl = _collect_table(sigs)
