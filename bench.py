@@ -399,6 +399,15 @@ def run_bench() -> dict:
         ).count()
         qtimes["dedup_minhash_100k_p64"] = round(time.monotonic() - t0, 3)
         recalls["minhash_p64_survivor_delta"] = int(n_surv64 - n_surv)
+        # weighted-Jaccard (ICWS) sketch at the same volume — the heavier
+        # per-token signature (5 uniforms x 128 perms) measured honestly
+        from ocr_ray.ops.wjaccard import weighted_near_dup_survivors
+
+        t0 = time.monotonic()
+        _ = weighted_near_dup_survivors(
+            scaled_read_parquet(docs100k, columns=["doc_id", "text"])
+        ).count()
+        qtimes["dedup_wjaccard_100k"] = round(time.monotonic() - t0, 3)
         from ocr_ray.ops.dedup import dedup_incremental_over
 
         t0 = time.monotonic()
