@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -290,27 +289,43 @@ def _icws_doc(h: np.ndarray, w: np.ndarray, consts: np.ndarray, n_perm: int) -> 
 def _icws_batch(
     batch: pa.Table, text_col: str, id_col: str, n_perm: int
 ) -> pa.Table:
-    consts = _icws_consts(n_perm)
-    ids = batch.column(id_col)
-    sigs = np.full((batch.num_rows, n_perm), _P, dtype=np.uint64)  # sentinel
-    for i, x in enumerate(batch.column(text_col).to_pylist()):
-        from collections import Counter
+    """Vectorized tokenize+hash+tf (Arrow split kernel, fixed-key siphash,
+    lexsort run-length census — no per-token Python); the per-doc ICWS
+    reduction is one numpy call per doc."""
+    import pandas.util as pdu
 
-        tf = Counter(_tokens(x))
-        if not tf:
-            continue
-        h = np.array(
-            [zlib.crc32(tok.encode("utf-8")) for tok in tf], dtype=np.uint64
-        )
-        h = _mix_fin(h)  # spread crc32 into 64 bits for the xor lanes
-        w = np.array(list(tf.values()), dtype=np.float64)
-        sigs[i] = _icws_doc(h, w, consts, n_perm)
-    flat = pa.array(sigs.ravel(), pa.uint64())
+    from ocr_ray.ops.corpus import _token_lists
+
+    consts = _icws_consts(n_perm)
+    n_docs = batch.num_rows
+    sigs = np.full((n_docs, n_perm), _P, dtype=np.uint64)  # sentinel rows
+    lists = _token_lists(batch, text_col)
+    la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    flat = la.flatten()
+    if len(flat):
+        parents = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
+        h64 = pdu.hash_array(
+            flat.to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.uint64)
+        order = np.lexsort((h64, parents))
+        p_s, h_s = parents[order], h64[order]
+        new = np.empty(len(p_s), bool)
+        new[0] = True
+        new[1:] = (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(p_s))).astype(np.float64)
+        d_parent, d_hash = p_s[starts], h_s[starts]
+        bounds = np.searchsorted(d_parent, np.arange(n_docs + 1))
+        for i in range(n_docs):
+            s, e = bounds[i], bounds[i + 1]
+            if s < e:
+                sigs[i] = _icws_doc(d_hash[s:e], counts[s:e], consts, n_perm)
+    flat_sig = pa.array(sigs.ravel(), pa.uint64())
     offs = pa.array(
-        np.arange(0, (batch.num_rows + 1) * n_perm, n_perm, dtype=np.int32)
+        np.arange(0, (n_docs + 1) * n_perm, n_perm, dtype=np.int32)
     )
     return pa.table(
-        {"doc_id": ids, "sig": pa.ListArray.from_arrays(offs, flat)}
+        {"doc_id": batch.column(id_col), "sig": pa.ListArray.from_arrays(offs, flat_sig)}
     )
 
 

@@ -22,17 +22,22 @@ from ocr_ray.ops.wjaccard import (
     wjaccard_dup_pairs,
 )
 
+# near-dup pairs are planted at J_w >= 0.84 so the 16x8 LSH banding finds
+# them with near-certain recall (a J=0.78 pair has a ~10% deterministic
+# miss chance per hash draw — borderline pairs belong to the estimator
+# test, not the component pin)
 _DOCS = [
-    (0, "the cat sat on the mat the cat"),
-    (1, "the cat sat on the mat the cat"),  # exact dup of 0
-    (2, "the cat sat on the mat a cat"),  # near dup
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    # ^ 1 of 12 tokens changed: J_w = 11/13 ~ 0.846
     (3, "completely different words entirely here"),
     (4, ""),  # empty
     (5, "   "),  # empty
-    (6, "the the the the the the the the"),  # tf-heavy
-    (7, "the the the the the the the cat"),  # tf near dup of 6 (multiset
-    # similarity 0.78; SET Jaccard of their gram sets would see these as
-    # far more similar — the weighted metric is doing real work here)
+    (6, "the " * 15 + "the"),  # tf-heavy: 'the' x16
+    (7, "the " * 14 + "the cat"),  # 'the' x15 + cat: J_w = 15/17 ~ 0.882
+    # (multiset similarity; SET Jaccard of their token sets would be 0.5 —
+    # the weighted metric is doing real work here)
 ]
 
 
