@@ -1898,15 +1898,23 @@ def _html_spans_rows(doc: str):
 
     The kernel's comment/script pre-substitution is replaced by
     EQUAL-LENGTH space padding, which preserves every char offset while
-    producing identical blocks (the padding is whitespace, which the
+    producing identical block TEXT (padding is whitespace, which the
     per-fragment normalization collapses exactly like the kernel's single
-    space). Yields ``(block_idx, kind, span_start, span_end, text)`` with
-    offsets into the engine's input document (the decoded body for
-    data-URI payloads); spans run from the first contributing fragment's
-    first non-ws char to the last one's core end. No SQL mirror exists
-    (positional regex is not expressible in DuckDB) — parity vs the
-    kernel's blocks is pinned by pytest instead.
+    space). Block KIND depends on the link-density char counts, which the
+    kernel computes on fragments where each comment/script run is a
+    SINGLE space — so the padded intervals are recorded and each
+    fragment's count is taken on a kernel-equivalent copy with every
+    padded run collapsed back to one space (a padded run never spans a
+    fragment boundary: it contains no ``<``/``>``). Yields
+    ``(block_idx, kind, span_start, span_end, text)`` with offsets into
+    the engine's input document (the decoded body for data-URI payloads);
+    spans run from the first contributing fragment's first non-ws char to
+    the last one's core end. No SQL mirror exists (positional regex is
+    not expressible in DuckDB) — parity vs the kernel's blocks is pinned
+    by pytest instead.
     """
+    from bisect import bisect_left
+
     from ocr_ray.core.extract import (
         _BLOCK_ELEMS,
         _BOILER_ELEMS,
@@ -1920,8 +1928,53 @@ def _html_spans_rows(doc: str):
     )
     import html as _html
 
-    pad = lambda m: " " * (m.end() - m.start())
-    text = _SCRIPTLIKE_RE.sub(pad, _COMMENT_RE.sub(pad, doc))
+    marks: list[tuple[int, int]] = []  # padded [s, e) intervals, doc coords
+
+    def pad(m):
+        marks.append(m.span())
+        return " " * (m.end() - m.start())
+
+    # equal-length substitution preserves coordinates, so both passes
+    # record intervals in the same (document) coordinate system
+    text = _COMMENT_RE.sub(pad, doc)
+    n_comment = len(marks)
+    text = _SCRIPTLIKE_RE.sub(pad, text)
+    # kernel order: comments -> single space, then scriptlike -> single
+    # space on the result; a comment interval inside a scriptlike match is
+    # subsumed by the scriptlike's one space, so drop contained ones
+    script_marks = marks[n_comment:]
+    if script_marks:
+        merged = [
+            c
+            for c in marks[:n_comment]
+            if not any(s <= c[0] and c[1] <= e for s, e in script_marks)
+        ]
+        merged.extend(script_marks)
+        merged.sort()
+        marks = merged
+    mark_starts = [s for s, _ in marks]
+
+    def kernel_strip_len(frag: str, frag_off: int) -> int:
+        """len(plain.strip()) the kernel would see for this fragment:
+        each padded run inside collapses to exactly one space."""
+        end = frag_off + len(frag)
+        i = bisect_left(mark_starts, frag_off)
+        if i >= len(marks) or marks[i][0] >= end:
+            kfrag = frag
+        else:
+            parts = []
+            cur = frag_off
+            while i < len(marks) and marks[i][0] < end:
+                s, e = marks[i]
+                parts.append(frag[cur - frag_off : s - frag_off])
+                parts.append(" ")
+                cur = e
+                i += 1
+            parts.append(frag[cur - frag_off :])
+            kfrag = "".join(parts)
+        if "&" in kfrag:
+            kfrag = _html.unescape(kfrag)
+        return len(kfrag.strip())
 
     out = []
     buf: list[str] = []
@@ -1960,7 +2013,7 @@ def _html_spans_rows(doc: str):
         nonlocal link_chars, total_chars, span_lo, span_hi
         plain = _html.unescape(frag) if "&" in frag else frag
         buf.append(plain)
-        n = len(plain.strip())
+        n = kernel_strip_len(frag, frag_off)
         total_chars += n
         if a_depth > 0:
             link_chars += n
@@ -2094,7 +2147,7 @@ agg AS (
 )
 SELECT t.conv_id, t.turn_idx, t.payload_kind,
        coalesce(a.title, '') AS title,
-       coalesce(CAST(nullif(regexp_extract(coalesce(a.title, ''), '[0-9]+'), '')
+       coalesce(CAST(nullif(regexp_extract(coalesce(a.title, ''), '[0-9]{{1,18}}'), '')
                      AS BIGINT), 0) AS doc_no,
        CAST(coalesce(a.n_items, 0) AS INTEGER) AS n_items,
        CAST(coalesce(a.n_headings, 0) AS INTEGER) AS n_headings,

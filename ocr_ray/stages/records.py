@@ -34,7 +34,11 @@ import pyarrow.compute as pc
 
 _HEAD_KINDS = ("heading", "header")
 _ITEM_KINDS = ("content", "para")
-_DOC_NO_RE = r"(?P<d>[0-9]+)"
+# digit run bounded to 18 so the int64 cast can never throw on a
+# pathological >=19-digit title (leftmost-first on both RE2 engines, so
+# the SQL mirror's identical bound keeps parity: a 19-digit run yields
+# its first 18 digits on both sides)
+_DOC_NO_RE = r"(?P<d>[0-9]{1,18})"
 
 RECORD_SCHEMA = pa.schema(
     [

@@ -33,9 +33,11 @@ from ray.data import Dataset
 
 from ocr_ray.core.extract import (
     _PARA_SPLIT_RE,
+    _extract_html,
+    _extract_pdf,
+    _extract_plain,
     classify_payload,
     decode_data_uri,
-    extract_turn,
 )
 
 SPANS_SCHEMA = pa.schema(
@@ -98,16 +100,37 @@ def _pdf_spans(doc: str):
 
 def spans_for_turn(raw: str):
     """(payload_kind, [(kind, span_start, span_end, text), ...]) for one
-    turn; empty block list for error/empty payloads."""
-    r = extract_turn(raw)
-    if r.error or not r.blocks:
+    turn; empty block list for error/empty payloads.
+
+    Decodes the payload ONCE and dispatches to the engine directly
+    (``extract_turn`` would re-decode internally — a second base64 pass
+    per data-URI turn on the full-corpus production path); error paths
+    emit no rows, exactly like the kernel's total-output error records.
+    """
+    if not isinstance(raw, str) or not raw or raw.isspace():
+        return "plain", []
+    doc, err = decode_data_uri(raw)
+    if err or not doc or doc.isspace():
+        return "plain", []
+    kind = classify_payload(doc)
+    try:
+        if kind == "html":
+            r = _extract_html(doc)
+        elif kind == "pdf":
+            r = _extract_pdf(doc)
+        else:
+            r = _extract_plain(doc)
+    except Exception:  # kernel totality: an extract_error turn has no blocks
+        return kind, []
+    if not r.blocks:
         return r.payload_kind, []
-    doc, _ = decode_data_uri(raw)
     if r.payload_kind == "html":
         from ocr_ray.pipelines.extract_oracle import _html_spans_rows
 
         rows = _html_spans_rows(doc)
-        assert [x[4] for x in rows] == [b.text for b in r.blocks], "span drift"
+        # explicit raise (NOT a bare assert) so the self-check survives -O
+        if [x[4] for x in rows] != [b.text for b in r.blocks]:
+            raise AssertionError("span drift: html replay text mismatch")
         return r.payload_kind, [
             (b.kind, s, e, b.text) for (_, _, s, e, _), b in zip(rows, r.blocks)
         ]

@@ -250,6 +250,32 @@ class TestHtmlSpans:
         assert r_tail[1] == "content"
         assert doc[r_tail[2] : r_tail[3]] == r_tail[4]
 
+    def test_pad_interior_link_density(self):
+        """A comment padded INSIDE a link must not inflate link_chars /
+        total_chars: the kernel sees a single space there, so the replay's
+        density counts collapse each padded run to one space (regression:
+        padding once flipped this block's kind to boilerplate)."""
+        from ocr_ray.core.extract import _extract_html
+        from ocr_ray.pipelines.extract_oracle import _html_spans_rows
+
+        cases = [
+            "<p><a>click<!-- twenty-nine chars pad -->me</a>"
+            " plus surrounding words</p>",
+            # pad inside the link long enough that the padded count would
+            # cross the 5*link > 2*total boilerplate threshold
+            "<p><a>x<!-- aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa -->y</a>"
+            " and forty plain chars of body text here</p>",
+            # script pad inside a link
+            "<p><a>go<script>var x=1;</script>now</a> rest of the body"
+            " words here</p>",
+        ]
+        for doc in cases:
+            k = _extract_html(doc)
+            rows = _html_spans_rows(doc)
+            assert [(b.kind, b.text) for b in k.blocks] == [
+                (kind, txt) for (_, kind, _, _, txt) in rows
+            ], doc
+
 
 class TestPdfSpans:
     def test_fixture_parity_and_invariants(self, transcripts_sf0001):
