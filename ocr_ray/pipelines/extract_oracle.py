@@ -1110,7 +1110,10 @@ def _html_blocks_filter_sql() -> str:
     return "\n    AND ".join(parts)
 
 
-def _html_blocks_sql(path: str) -> str:
+def _html_blocks_chain_sql() -> str:
+    """The marker-rewrite block chain AFTER a ``t(conv_id, turn_idx, text)``
+    CTE — shared by the parquet-html gate and the data-URI gate (which
+    feeds the DECODED body in as ``text``)."""
     s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
     s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
     for c in _BOILER_SIMPLE:
@@ -1136,13 +1139,7 @@ def _html_blocks_sql(path: str) -> str:
     )
     collapse_frag = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
     win = "PARTITION BY conv_id, turn_idx ORDER BY fi"
-    return f"""
-WITH t AS (
-  SELECT conv_id, turn_idx, text
-  FROM read_parquet('{path}/*.parquet')
-  WHERE {_html_blocks_filter_sql()}
-),
-st AS (
+    return f"""st AS (
   SELECT conv_id, turn_idx, {s} AS stream FROM t
 ),
 f AS (
@@ -1180,6 +1177,16 @@ WHERE txt <> ''
 """
 
 
+def _html_blocks_sql(path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{path}/*.parquet')
+  WHERE {_html_blocks_filter_sql()}
+),
+{_html_blocks_chain_sql()}"""
+
+
 # ---------------------------------------------------------------------------
 # provably-mirrorable PDF subset (VERDICT r2 next-step #1b)
 #
@@ -1193,8 +1200,14 @@ WHERE txt <> ''
 #     on \n, ``str.split()`` == collapse of [ \t];
 #   * no non-ASCII decimal digits -> Python ``\d`` == RE2 ``[0-9]`` in the
 #     page-number regex;
-#   * any char that can start a hyphen-continuation line is ASCII printable
-#     -> Python ``str.islower()`` == RE2 ``[a-z]`` for the merge decision;
+#   * any char that can start a hyphen-continuation line lies in a range
+#     where Python ``str.islower()`` == RE2 ``\p{Ll}`` char-for-char
+#     (ASCII printable + Latin-1/Extended + combining marks + Greek +
+#     Cyrillic + kana + CJK, minus the Other_Lowercase oddballs 0345/037A
+#     — the agreement is swept by pytest over every char in the class);
+#     the check runs on NFC text on BOTH sides because the merge decision
+#     is made post-NFC (an NFD ``e`` + combining accent composes to ``é``
+#     before the kernel looks at it);
 #   * routing mirrored exactly: form feed present, OR (tag count < 3 AND the
 #     indent heuristic with its 200-line cap — same SQL as the green
 #     ``engine_dispatch_counts`` gate).
@@ -1211,7 +1224,15 @@ _PDF_EXOTIC_WS_RE = (
 )
 _NONBLANK_RE = r"[^ \t\n\x{000C}]"
 _NONASCII_DIGIT_RE = r"\p{Nd}"
-_HYPHEN_CONT_RE = r"-[ \t]*\n[ \t]*[^\x{0020}-\x{007E}\n\x{000C}]"
+# chars after a hyphen line-break where Python islower() == RE2 \p{Ll}
+# exactly (pytest-swept); a continuation starting with anything OUTSIDE
+# this class keeps the row out of the provable subset
+_HYPHEN_OK_CLASS = (
+    r"\x{0020}-\x{007E}\x{00C0}-\x{024F}\x{0300}-\x{0344}\x{0346}-\x{036F}"
+    r"\x{0370}-\x{0379}\x{037B}-\x{03FF}\x{0400}-\x{04FF}"
+    r"\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}"
+)
+_HYPHEN_CONT_RE = rf"-[ \t]*\n[ \t]*[^{_HYPHEN_OK_CLASS}\n\x{{000C}}]"
 _PAGENUM_SQL_RE = r"(?i)^(page )?[0-9]+( ?(/|of) ?[0-9]+)?$"
 
 
@@ -1225,7 +1246,10 @@ def _provably_simple_pdf_static_mask(text: pa.ChunkedArray):
     ok = pc.and_(ok, pc.match_substring_regex(text, _NONBLANK_RE))
     no_digits = pc.replace_substring_regex(text, "[0-9]", "")
     ok = pc.and_(ok, pc.invert(pc.match_substring_regex(no_digits, _NONASCII_DIGIT_RE)))
-    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(text, _HYPHEN_CONT_RE)))
+    # the merge decision is made on NFC text, so the continuation-char
+    # check runs on NFC here and in the SQL filter alike
+    nfc = pc.utf8_normalize(text, form="NFC")
+    ok = pc.and_(ok, pc.invert(pc.match_substring_regex(nfc, _HYPHEN_CONT_RE)))
     return ok
 
 
@@ -1311,7 +1335,7 @@ def _pdf_filter_sql() -> str:
     AND NOT regexp_matches(text, '{_PDF_EXOTIC_WS_RE}')
     AND regexp_matches(text, '{_NONBLANK_RE}')
     AND NOT regexp_matches(regexp_replace(text, '[0-9]', '', 'g'), '{_NONASCII_DIGIT_RE}')
-    AND NOT regexp_matches(text, '{_HYPHEN_CONT_RE}')
+    AND NOT regexp_matches(nfc_normalize(text), '{_HYPHEN_CONT_RE}')
     AND (contains(text, chr(12)) OR (
          len(regexp_extract_all(text, '{_TAGISH_SPLIT_RE}')) < 3
          AND {nonempty} >= 4
@@ -1355,7 +1379,7 @@ nb AS (SELECT * FROM gl WHERE norm <> ''),
 mf AS (
   SELECT *,
          CASE WHEN lag(norm) OVER w LIKE '%-'
-                   AND regexp_matches(norm, '^[a-z]')
+                   AND regexp_matches(norm, '^\\p{{Ll}}')
               THEN 1 ELSE 0 END AS mflag
   FROM nb
   WINDOW w AS (PARTITION BY conv_id, turn_idx, page_no, grp ORDER BY line_no)
@@ -1847,7 +1871,7 @@ nb AS (SELECT * FROM gl WHERE norm <> ''),
 mf AS (
   SELECT *,
          CASE WHEN lag(norm) OVER w LIKE '%-'
-                   AND regexp_matches(norm, '^[a-z]')
+                   AND regexp_matches(norm, '^\\p{{Ll}}')
               THEN 1 ELSE 0 END AS mflag
   FROM nb
   WINDOW w AS (PARTITION BY conv_id, turn_idx, page_no, grp ORDER BY line_no)
@@ -2172,6 +2196,185 @@ def _counts_sql(path: str) -> str:
     return f"SELECT CAST(COUNT(*) AS BIGINT) AS n_turns FROM read_parquet('{path}/*.parquet')"
 
 
+# ---------------------------------------------------------------------------
+# FULL-CORPUS flagship gates (VERDICT r3 next-step #1): the production ops
+# ``extract_turns`` / ``extract_blocks`` / ``extract_summaries`` /
+# ``dialogue_pairs`` gated BY NAME.  Technique: the four engine mirrors
+# (plain / html / pdf / data-URI) now cover EVERY payload class the
+# deterministic transcripts generator emits — their masks partition the
+# corpus (disjoint by construction: the plain mask excludes '<'/indent/
+# form-feed, the html mask requires >=3 simple tags and no form feed, the
+# pdf filter requires form feed or the indent heuristic with <3 tags, the
+# data-URI mask requires the 'data:' prefix all others exclude) — so the
+# full-corpus op is the UNION ALL of the engine mirrors, joined back to
+# the raw table for role/bytes_in and to the blocks union for n_blocks.
+# A payload outside every subset would show up as a ROW-COUNT mismatch at
+# the driver, so totality itself is part of the gate.
+# ---------------------------------------------------------------------------
+
+
+def _html_main_expr() -> str:
+    """The html main_text expression over a ``text`` column (NFC -> drop
+    doctype/head/boiler -> tag split -> unescape -> collapse -> join)."""
+    s = "replace(nfc_normalize(text), '<!DOCTYPE html>', '')"
+    s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
+    for c in _BOILER_SIMPLE:
+        s = f"regexp_replace({s}, '(?s)<{c}>.*?</{c}>', '<p>')"
+    unesc = (
+        "replace(replace(replace(replace(x,"
+        " '&lt;', '<'), '&gt;', '>'), '&#233;', " + "chr(233)), '&amp;', '&')"
+    )
+    collapse = f"trim(regexp_replace({unesc}, '[ \\t\\n]+', ' ', 'g'))"
+    return (
+        "array_to_string(list_filter(list_transform("
+        f"regexp_split_to_array({s}, '{_TAGISH_SPLIT_RE}'),"
+        f" x -> {collapse}), x -> x <> ''), chr(10) || chr(10))"
+    )
+
+
+def _datauri_t_cte_sql(path: str, blocks: bool = False) -> str:
+    """``raw`` + ``t`` CTE bodies exposing each strict-base64 data-URI row's
+    DECODED body as ``t.text`` (so the html chain SQL applies verbatim);
+    ``blocks=True`` applies the stricter html-blocks filter."""
+    payload = f"regexp_replace(text, '{_DATAURI_PREFIX_RE}', '')"
+    filt = (_html_blocks_filter_sql() if blocks else _html_filter_sql()).replace(
+        "text", "body"
+    )
+    assert "text" not in filt
+    return f"""raw AS (
+  SELECT conv_id, turn_idx,
+         decode(from_base64({payload})) AS body
+  FROM read_parquet('{path}/*.parquet')
+  WHERE text IS NOT NULL
+    AND regexp_matches(text, '{_DATAURI_STRICT_RE}')
+    AND length({payload}) % 4 = 0
+    AND length({payload}) > 0
+),
+t AS (
+  SELECT conv_id, turn_idx, body AS text FROM raw WHERE {filt}
+)"""
+
+
+def _datauri_blocks_sql(path: str) -> str:
+    return f"WITH {_datauri_t_cte_sql(path, blocks=True)},\n{_html_blocks_chain_sql()}"
+
+
+def _datauri_summaries_sql(path: str) -> str:
+    return f"""
+WITH {_datauri_t_cte_sql(path)},
+s AS (
+  SELECT conv_id, turn_idx, {_html_main_expr()} AS main_text FROM t
+),
+{_summaries_tail_sql()}
+"""
+
+
+def _turns_union_sql(path: str) -> str:
+    """(conv_id, turn_idx, payload_kind, main_text, error) for EVERY turn:
+    the four engine mirrors unioned (disjoint + total, see section note)."""
+    return f"""
+  SELECT * FROM ({_plain_sql(path)})
+  UNION ALL SELECT * FROM ({_html_sql(path)})
+  UNION ALL SELECT * FROM ({_pdf_sql(path)})
+  UNION ALL SELECT * FROM ({_datauri_sql(path)})
+"""
+
+
+def _blocks_union_sql(path: str) -> str:
+    """(conv_id, turn_idx, payload_kind, block_idx, kind, text) for every
+    REAL block of every turn (placeholders for blockless turns are added
+    by ``_blocks_full_sql``)."""
+    return f"""
+  SELECT conv_id, turn_idx, 'plain' AS payload_kind, block_idx, kind, text
+  FROM ({_plain_blocks_sql(path)})
+  UNION ALL
+  SELECT conv_id, turn_idx, 'html', block_idx, kind, text
+  FROM ({_html_blocks_sql(path)})
+  UNION ALL
+  SELECT conv_id, turn_idx, 'pdf', block_idx, kind, text
+  FROM ({_pdf_blocks_sql(path)})
+  UNION ALL
+  SELECT conv_id, turn_idx, 'html', block_idx, kind, text
+  FROM ({_datauri_blocks_sql(path)})
+"""
+
+
+def _turns_full_sql(path: str) -> str:
+    """Oracle for the flagship ``extract_turns`` (full corpus, by name)."""
+    return f"""
+WITH u AS ({_turns_union_sql(path)}),
+blk AS ({_blocks_union_sql(path)}),
+nb AS (
+  SELECT conv_id, turn_idx, COUNT(*) AS n FROM blk GROUP BY conv_id, turn_idx
+),
+raw AS (
+  SELECT conv_id, turn_idx, role, CAST(strlen(text) AS BIGINT) AS bytes_in
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT u.conv_id, u.turn_idx, r.role, u.payload_kind, u.main_text,
+       CAST(coalesce(nb.n, 0) AS INTEGER) AS n_blocks, u.error, r.bytes_in
+FROM u
+JOIN raw r ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx
+LEFT JOIN nb ON nb.conv_id = u.conv_id AND nb.turn_idx = u.turn_idx
+"""
+
+
+def _blocks_full_sql(path: str) -> str:
+    """Oracle for ``extract_blocks`` (full corpus): every real block plus
+    the ``block_idx=-1`` placeholder row for blockless turns (the
+    empty-présences placeholder, save-to-google-sheet.ts:208-215)."""
+    return f"""
+WITH b AS ({_blocks_union_sql(path)}),
+u AS ({_turns_union_sql(path)}),
+ph AS (
+  SELECT u.conv_id, u.turn_idx, u.payload_kind,
+         CAST(-1 AS INTEGER) AS block_idx, '' AS kind, '' AS text
+  FROM u
+  LEFT JOIN (SELECT DISTINCT conv_id, turn_idx FROM b) bb
+    ON bb.conv_id = u.conv_id AND bb.turn_idx = u.turn_idx
+  WHERE bb.conv_id IS NULL
+)
+SELECT * FROM b UNION ALL SELECT * FROM ph
+"""
+
+
+def _summaries_full_sql(path: str) -> str:
+    """Oracle for ``extract_summaries`` (full corpus): the A5 summarizer
+    mirror over each engine branch."""
+    return f"""
+  SELECT conv_id, turn_idx, 'plain' AS payload_kind, summary
+  FROM ({_plain_summaries_sql(path)})
+  UNION ALL
+  SELECT conv_id, turn_idx, 'html', summary
+  FROM ({_html_summaries_sql(path)})
+  UNION ALL
+  SELECT conv_id, turn_idx, 'pdf', summary
+  FROM ({_pdf_summaries_sql(path)})
+  UNION ALL
+  SELECT conv_id, turn_idx, 'html', summary
+  FROM ({_datauri_summaries_sql(path)})
+"""
+
+
+def _dialogue_pairs_full_sql(path: str) -> str:
+    """Oracle for ``dialogue_pairs`` (full corpus): lag() over ALL turns in
+    (conv_id, turn_idx) order, each turn's main_text from its engine
+    mirror (the union is total, so the lag adjacency equals the
+    production grouped-scan's)."""
+    return f"""
+WITH u AS ({_turns_union_sql(path)}),
+raw AS (
+  SELECT conv_id, turn_idx, role FROM read_parquet('{path}/*.parquet')
+)
+SELECT r.conv_id, r.turn_idx, r.role,
+       coalesce(lag(r.role) OVER w, '') AS prev_role,
+       coalesce(substring(lag(u.main_text) OVER w, 1, 80), '') AS prev_text_head
+FROM raw r
+JOIN u ON u.conv_id = r.conv_id AND u.turn_idx = r.turn_idx
+WINDOW w AS (PARTITION BY r.conv_id ORDER BY r.turn_idx)
+"""
+
+
 CONVERSATION_STATS_SQL_TMPL = """
 SELECT conv_id,
        COUNT(*) AS n_turns,
@@ -2240,6 +2443,10 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_plain_spans": _plain_spans_sql(path),
         "extract_pdf_spans": _pdf_spans_sql(path),
         "extract_turn_counts": _counts_sql(path),
+        "extract_turns": _turns_full_sql(path),
+        "extract_blocks": _blocks_full_sql(path),
+        "extract_summaries": _summaries_full_sql(path),
+        "dialogue_pairs": _dialogue_pairs_full_sql(path),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),
         "turn_context_stats": TURN_CONTEXT_STATS_SQL_TMPL.format(path=path),

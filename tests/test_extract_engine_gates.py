@@ -169,7 +169,8 @@ _PDF_PLANTS = [
     "\f\fREAL\n\ncontent line\n\nREAL2\f\f",
     # in-subset: lone hyphen lines (no merge: '-' is not lowercase)
     "  x\n\n-\n-\nother\n\nend\f  x2\n\npad",
-    # EXCLUDED: hyphen continuation starting with non-ASCII char
+    # in-subset since r4: hyphen continuation starting with a non-ASCII
+    # LOWERCASE letter merges on both sides (islower == \p{Ll} in-class)
     "  a\n\nword-\nétude suite\n\nend\f  b\n\npad",
     # EXCLUDED: non-ASCII decimal digit (Python \\d vs RE2 [0-9])
     "  a\n\n١٢٣\n\nend\f  b\n\npad",
@@ -228,7 +229,7 @@ class TestPlantedParity:
 
     def test_pdf_planted(self, pdf_dir):
         ray_df, ora_df = _pdf_side_by_side(pdf_dir, blocks=False)
-        assert len(ray_df) == 9, set(ray_df["conv_id"])
+        assert len(ray_df) == 10, set(ray_df["conv_id"])
         _assert_frames_equal(ray_df, ora_df)
 
     def test_pdf_planted_blocks(self, pdf_dir):
@@ -245,6 +246,7 @@ class TestPlantedParity:
         assert "example of a merge" in by["plant-0001"]  # dehyphenated
         assert "hyphen- Next" in by["plant-0002"]  # NOT merged
         assert "supercalifragilistic" in by["plant-0003"]  # chain merge
+        assert "wordétude suite" in by["plant-0008"]  # non-ASCII lower merge
 
 
 class TestHtmlBlocksGate:
@@ -553,3 +555,114 @@ class TestMetricsGated:
         assert set(g.payload_kind) == {"plain", "html", "pdf"}
         assert int(g[g.payload_kind == "plain"].n_errors.iloc[0]) > 0  # empty_input rule
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+class TestFullCorpusGates:
+    """The flagship ops gated BY NAME (VERDICT r3 #1/#7): the union of the
+    four engine mirrors must cover EVERY row and match the production
+    pipeline value-for-value."""
+
+    def test_hyphen_lowercase_class_agreement(self):
+        """Every char in the allowed hyphen-continuation class must agree
+        between Python str.islower() and RE2 \\p{Ll} in BOTH engines
+        (pyarrow and DuckDB) — the provability contract of the widened
+        pdf subset."""
+        import pyarrow.compute as pc
+
+        ranges = [
+            (0x20, 0x7E), (0xC0, 0x24F), (0x300, 0x344), (0x346, 0x36F),
+            (0x370, 0x379), (0x37B, 0x3FF), (0x400, 0x4FF),
+            (0x3040, 0x30FF), (0x4E00, 0x9FFF),
+        ]
+        chars = [chr(cp) for lo, hi in ranges for cp in range(lo, hi + 1)]
+        arr = pa.array(chars)
+        m = pc.match_substring_regex(arr, r"^\p{Ll}").to_pylist()
+        assert all(x == c.islower() for c, x in zip(chars, m))
+        con = duckdb.connect()
+        con.executemany(
+            "INSERT INTO t VALUES (?)",
+            [(c,) for c in chars],
+        ) if con.execute("CREATE TABLE t(c VARCHAR)") else None
+        rows = con.execute(r"SELECT c, regexp_matches(c, '^\p{Ll}')"
+                           " FROM t").fetchall()
+        assert all(bool(x) == c.islower() for c, x in rows)
+
+    def test_pdf_unicode_hyphen_merge(self, ray_session, transcripts_sf0001):
+        """Rows whose hyphen continuation starts with a non-ASCII lowercase
+        letter (the class the r3 mask excluded) now sit INSIDE the pdf
+        subset and mirror exactly — including NFD payloads that compose
+        to the letter only after NFC."""
+        from ocr_ray.pipelines.extract_oracle import (
+            _provably_simple_pdf_static_mask,
+        )
+
+        doc = (
+            "REPORT 0042\n\n    Quick claims about the coö-\n"
+            "    pérate token café work done here\n\n1 / 1"
+        )
+        nfd = (
+            "REPORT 0042\n\n    Quick claims about the co-\n"
+            "    öperate token done here again\n\n1 / 1"
+        )
+        upper = (
+            "REPORT 0042\n\n    Quick claims about the co-\n"
+            "    ÖPERATE token done here again\n\n1 / 1"
+        )
+        t = pa.table({"conv_id": ["a", "b", "c"],
+                      "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                      "text": ["\f" + doc, "\f" + nfd, "\f" + upper]})
+        assert _provably_simple_pdf_static_mask(t.column("text")).to_pylist() == [
+            True, True, True,
+        ]
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        pq.write_table(t, os.path.join(d, "part-0.parquet"))
+        got = (
+            _run_pdf_kernel(t, explode_blocks=False)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(_pdf_sql(d))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+        # the merge actually happened (lowercase continuation folds the '-')
+        assert "coöpérate" in got.main_text[0]
+        # uppercase continuation keeps the hyphen, space-joined
+        assert "co- ÖPERATE" in got.main_text[2]
+
+    def test_flagship_by_name_sf0001(self, ray_session, transcripts_sf0001):
+        """extract_turns / extract_blocks / extract_summaries /
+        dialogue_pairs full-corpus parity at sf0.001 — rows, columns and
+        values (the driver's comparison, minus the hash)."""
+        import __ray_entry__ as entry
+        from ocr_ray.pipelines.extract_oracle import (
+            _blocks_full_sql,
+            _dialogue_pairs_full_sql,
+            _summaries_full_sql,
+            _turns_full_sql,
+        )
+
+        qs = entry.queries()
+        for name, sql_fn in [
+            ("extract_turns", _turns_full_sql),
+            ("extract_blocks", _blocks_full_sql),
+            ("extract_summaries", _summaries_full_sql),
+            ("dialogue_pairs", _dialogue_pairs_full_sql),
+        ]:
+            got = qs[name]("/root/testdata/sf0.001")
+            if hasattr(got, "to_pandas"):
+                got = got.to_pandas()
+            want = duckdb.sql(sql_fn(transcripts_sf0001)).df()
+            cols = sorted(want.columns)
+            assert sorted(got.columns) == cols, name
+            g = got[cols].sort_values(cols).reset_index(drop=True)
+            w = want[cols].sort_values(cols).reset_index(drop=True)
+            assert len(g) == len(w), name
+            assert g.astype(str).values.tolist() == w.astype(str).values.tolist(), name
