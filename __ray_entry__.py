@@ -95,41 +95,41 @@ def _clean_corpus(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "payload_kind", "lang_pred", "n_tokens"])
 
 
+def _pipeline_out_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic committed-output dir for a composed pipeline at this
+    scale — the ORACLE reads the same parquet back with DuckDB and
+    recomputes the mixture report, so the corpus must outlive the query
+    call (the driver runs the Ray query before its SQL, like qcheck)."""
+    from ocr_ray.pipelines.training_data import pipeline_out_dir
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    return pipeline_out_dir(kind, n_convs_for_sf(sf_dir))
+
+
 def _training_data_full(sf_dir: str):
     """The COMPLETE composed pipeline incl. near-dup, split assignment and
-    the resumable sink; returns the per-(split, lang) mixture report."""
-    import tempfile
-
+    the resumable sink; returns the per-(split, lang) mixture report.
+    SQL-gated: the oracle recounts the committed corpus per (split, lang)
+    with DuckDB — report/corpus reconciliation as a driver-green row."""
     import ray.data as rd
 
     from ocr_ray.pipelines.training_data import training_data_full
 
-    out = tempfile.mkdtemp(prefix="ocr_ray_tdf_")
-    try:
-        return training_data_full(rd.read_parquet(_transcripts_for(sf_dir)), out)
-    finally:
-        import shutil
-
-        shutil.rmtree(out, ignore_errors=True)
+    out = _pipeline_out_dir("tdf", sf_dir)
+    return training_data_full(rd.read_parquet(_transcripts_for(sf_dir)), out)
 
 
 def _sft_dataset_full(sf_dir: str):
     """Composed SFT-dataset pipeline (conv dedup -> pair assembly -> gate ->
     split -> resumable sink); returns the per-split mixture report. Parts
-    individually gated (conv_dedup_exact, sft_examples)."""
-    import tempfile
-
+    individually gated (conv_dedup_exact, sft_examples); the composition is
+    SQL-gated via a DuckDB recount of the committed corpus."""
     import ray.data as rd
 
     from ocr_ray.pipelines.training_data import sft_dataset_full
 
-    out = tempfile.mkdtemp(prefix="ocr_ray_sft_")
-    try:
-        return sft_dataset_full(rd.read_parquet(_transcripts_for(sf_dir)), out)
-    finally:
-        import shutil
-
-        shutil.rmtree(out, ignore_errors=True)
+    out = _pipeline_out_dir("sft", sf_dir)
+    return sft_dataset_full(rd.read_parquet(_transcripts_for(sf_dir)), out)
 
 
 def _conversation_stats(sf_dir: str):

@@ -2356,6 +2356,162 @@ def _summaries_full_sql(path: str) -> str:
 """
 
 
+def _records_full_sql(path: str) -> str:
+    """Oracle for ``extract_records`` (full corpus): ``_records_gated_sql``
+    extended with the data-URI branch — the union is now total."""
+    words = r"CAST(len(regexp_extract_all(t.main_text, '[^ \n]+')) AS BIGINT)"
+    return f"""
+WITH turns AS ({_turns_union_sql(path)}),
+blk AS ({_blocks_union_sql(path)}),
+agg AS (
+  SELECT conv_id, turn_idx,
+         coalesce(arg_min(text, block_idx)
+                    FILTER (WHERE kind IN ('heading', 'header')), '') AS title,
+         COUNT(*) FILTER (WHERE kind IN ('content', 'para')) AS n_items,
+         COUNT(*) FILTER (WHERE kind IN ('heading', 'header')) AS n_headings
+  FROM blk GROUP BY conv_id, turn_idx
+)
+SELECT t.conv_id, t.turn_idx, t.payload_kind,
+       coalesce(a.title, '') AS title,
+       coalesce(CAST(nullif(regexp_extract(coalesce(a.title, ''), '[0-9]{{1,18}}'), '')
+                     AS BIGINT), 0) AS doc_no,
+       CAST(coalesce(a.n_items, 0) AS INTEGER) AS n_items,
+       CAST(coalesce(a.n_headings, 0) AS INTEGER) AS n_headings,
+       {words} AS n_words,
+       t.error
+FROM turns t
+LEFT JOIN agg a ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx
+"""
+
+
+def _metrics_full_sql(path: str) -> str:
+    """Oracle for ``extract_metrics`` (full corpus): the per-payload-kind
+    lineage rollup over every row — bytes_in is the RAW payload's byte
+    length (a data-URI row's bytes count under 'html', its routed kind)."""
+    return f"""
+WITH u AS ({_turns_union_sql(path)}),
+raw AS (
+  SELECT conv_id, turn_idx, CAST(strlen(text) AS BIGINT) AS b
+  FROM read_parquet('{path}/*.parquet')
+),
+bc AS (
+  SELECT payload_kind, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM ({_blocks_union_sql(path)}) GROUP BY payload_kind
+)
+SELECT u.payload_kind,
+       CAST(COUNT(*) AS BIGINT) AS rows,
+       CAST(coalesce(SUM(r.b), 0) AS BIGINT) AS bytes_in,
+       CAST(coalesce(MIN(bc.nb), 0) AS BIGINT) AS n_blocks,
+       CAST(coalesce(SUM(CASE WHEN u.error <> '' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_errors
+FROM u
+JOIN raw r ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx
+LEFT JOIN bc ON bc.payload_kind = u.payload_kind
+GROUP BY u.payload_kind
+"""
+
+
+def _spans_full_sql(sf_dir: str) -> str:
+    """Oracle for ``extract_spans`` (full corpus): reads back the committed
+    INDEPENDENT span oracle (``ocr_ray.oracle_spans`` — stdlib HTMLParser
+    walker + offset maps, no kernel code) — the golden-file read-back
+    pattern (VERDICT r3 #4). Generated at SQL-build time, pure Python."""
+    from ocr_ray.oracle_spans import ensure_golden_spans
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    g = ensure_golden_spans(n_convs_for_sf(sf_dir))
+    return f"""
+SELECT conv_id, turn_idx, payload_kind, block_idx, kind,
+       span_start, span_end, text
+FROM read_parquet('{g}/golden.parquet')
+"""
+
+
+def _html_spans_full_sql(sf_dir: str) -> str:
+    """Oracle for ``extract_html_spans``: the html slice (raw html rows AND
+    decoded data-URI bodies, which route html) of the independent oracle."""
+    from ocr_ray.oracle_spans import ensure_golden_spans
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    g = ensure_golden_spans(n_convs_for_sf(sf_dir))
+    return f"""
+SELECT conv_id, turn_idx, block_idx, kind, span_start, span_end, text
+FROM read_parquet('{g}/golden.parquet')
+WHERE payload_kind = 'html'
+"""
+
+
+def _clean_corpus_full_sql(path: str) -> str:
+    """Oracle for ``clean_corpus`` (full corpus): extraction union ->
+    quality gate (error-free, >=50 chars) -> exact dedup (min-uid winner
+    per identical main_text — same equivalence classes as the pipeline's
+    sha256 grouping) -> generated stopword lang-ID -> token count."""
+    from ocr_ray.ops.textstats import _lang_id_sql
+    from ocr_ray.pipelines.training_data import MIN_CHARS
+
+    scored = _lang_id_sql(
+        source="surv",
+        id_cols="conv_id, turn_idx, payload_kind, main_text",
+        text_col="main_text",
+    )
+    return f"""
+WITH u AS ({_turns_union_sql(path)}),
+gated AS (
+  SELECT conv_id, turn_idx, payload_kind, main_text,
+         conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 10, '0') AS uid
+  FROM u WHERE error = '' AND length(main_text) >= {MIN_CHARS}
+),
+win AS (
+  SELECT main_text, MIN(uid) AS wuid FROM gated GROUP BY main_text
+),
+surv AS (
+  SELECT g.conv_id, g.turn_idx, g.payload_kind, g.main_text
+  FROM gated g JOIN win ON win.main_text = g.main_text AND win.wuid = g.uid
+),
+scored AS ({scored})
+SELECT conv_id, turn_idx, payload_kind, lang_pred,
+       CAST(len(regexp_extract_all(main_text, '[^ \n]+')) AS BIGINT) AS n_tokens
+FROM scored
+"""
+
+
+def _tdf_report_sql(sf_dir: str) -> str:
+    """Oracle for ``training_data_full`` (VERDICT r3 #2): DuckDB recounts
+    the COMMITTED corpus per (split, lang_pred) — the driver runs the Ray
+    query (which writes the deterministic out dir) before this SQL, so the
+    read-back verifies the report reconciles with the corpus on disk. The
+    pipeline's stage semantics are covered by the gated decompositions
+    (clean_corpus_plain/html, conv_dedup_exact, extract_* by name)."""
+    from ocr_ray.pipelines.training_data import pipeline_out_dir
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    out = pipeline_out_dir("tdf", n_convs_for_sf(sf_dir))
+    return f"""
+SELECT split, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM read_parquet('{out}/part-*.parquet')
+GROUP BY split, lang_pred
+"""
+
+
+def _sft_report_sql(sf_dir: str) -> str:
+    """Oracle for ``sft_dataset_full``: per-split recount of the committed
+    SFT examples (see ``_tdf_report_sql`` for the read-back contract)."""
+    from ocr_ray.pipelines.training_data import pipeline_out_dir
+    from ocr_ray.sources.transcripts import n_convs_for_sf
+
+    out = pipeline_out_dir("sft", n_convs_for_sf(sf_dir))
+    return f"""
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(ctx_chars) AS BIGINT) AS ctx_chars,
+       CAST(SUM(resp_chars) AS BIGINT) AS resp_chars
+FROM read_parquet('{out}/part-*.parquet')
+GROUP BY split
+"""
+
+
 def _dialogue_pairs_full_sql(path: str) -> str:
     """Oracle for ``dialogue_pairs`` (full corpus): lag() over ALL turns in
     (conv_id, turn_idx) order, each turn's main_text from its engine
@@ -2447,6 +2603,13 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_blocks": _blocks_full_sql(path),
         "extract_summaries": _summaries_full_sql(path),
         "dialogue_pairs": _dialogue_pairs_full_sql(path),
+        "training_data_full": _tdf_report_sql(sf_dir),
+        "sft_dataset_full": _sft_report_sql(sf_dir),
+        "extract_records": _records_full_sql(path),
+        "extract_metrics": _metrics_full_sql(path),
+        "clean_corpus": _clean_corpus_full_sql(path),
+        "extract_spans": _spans_full_sql(sf_dir),
+        "extract_html_spans": _html_spans_full_sql(sf_dir),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
         "tool_usage_stats": TOOL_USAGE_SQL_TMPL.format(path=path),
         "turn_context_stats": TURN_CONTEXT_STATS_SQL_TMPL.format(path=path),

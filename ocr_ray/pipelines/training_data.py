@@ -51,6 +51,15 @@ _BROADCAST_MAX_KEYS = 1_000_000
 _SINGLE_REDUCE_MAX_ROWS = int(os.environ.get("OCR_RAY_DEDUP_SINGLE_REDUCE_MAX_ROWS", "2000000"))
 
 
+def pipeline_out_dir(kind: str, n_convs: int) -> str:
+    """Deterministic committed-output dir for a composed pipeline at a
+    given fixture scale (shared by the query entry and its read-back
+    oracle, so DuckDB can recount the SAME committed parquet)."""
+    from ocr_ray.sources.transcripts import _default_fixture_root
+
+    return os.path.join(_default_fixture_root(), f"{kind}_c{n_convs}")
+
+
 def _uid_col(t: pa.Table) -> pa.Array:
     """uid = conv_id#turn_idx with the index zero-padded to 10 digits so
     the LEXICOGRAPHIC min equals the (conv_id, turn_idx) numeric min —

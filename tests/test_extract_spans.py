@@ -361,3 +361,65 @@ class TestPdfSpans:
         for row in g0.itertuples():
             seg = full[row.span_start : row.span_end]
             assert seg == seg.strip()
+
+
+class TestGoldenSpansOracle:
+    """The INDEPENDENT span oracle (ocr_ray.oracle_spans: HTMLParser walker
+    + offset maps, no kernel imports) must agree with the production span
+    scan row-for-row — the driver's extract_spans / extract_html_spans
+    gates read its committed parquet back via DuckDB."""
+
+    def test_no_kernel_imports(self):
+        import ast
+
+        src = open("ocr_ray/oracle_spans.py").read()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            mods = []
+            if isinstance(node, ast.Import):
+                mods = [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom):
+                mods = [node.module or ""]
+            for m in mods:
+                assert not m.startswith("ocr_ray.core"), m
+                assert not m.startswith("ocr_ray.stages"), m
+                assert not m.startswith("ocr_ray.pipelines"), m
+
+    def test_full_fixture_parity(self, transcripts_sf0001):
+        from ocr_ray.oracle_spans import golden_spans
+        from ocr_ray.stages.spans import spans_for_turn
+
+        t = pq.read_table(transcripts_sf0001, columns=["conv_id", "turn_idx", "text"])
+        n_rows = 0
+        for raw in t.column("text").to_pylist():
+            k1, r1 = spans_for_turn(raw if raw is not None else "")
+            k2, r2 = golden_spans(raw)
+            assert r1 == r2 and (not r1 or k1 == k2), (k1, k2, raw[:80])
+            n_rows += len(r1)
+        assert n_rows > 5000
+
+    def test_planted_edge_payloads(self):
+        """Entity refs without semicolons, comments inside links, scripts
+        with markup inside, data-URIs — both implementations agree and the
+        spans roundtrip to trimmed raw extents."""
+        import base64
+
+        from ocr_ray.oracle_spans import golden_spans
+        from ocr_ray.stages.spans import spans_for_turn
+
+        inner = "<html><body><p>decoded body with enough text here.</p></body></html>"
+        cases = [
+            "<p>a &amp; b</p><p>pad</p><p>pad2</p>",
+            "<p><a>x<!-- padpadpad -->y</a> and body words enough here</p>",
+            "<div>pre<script>var s='<p>no</p>';</script>post</div><p>x</p>",
+            "<p>tail &amp broken entity</p><p>p2</p><p>p3</p>",
+            "data:text/html;base64,"
+            + base64.b64encode(inner.encode()).decode(),
+            "plain text\n\n  with a second para",
+            "PAGE ONE\n\n    indented body line one\n    and two\n\n1 / 2\f"
+            "PAGE ONE\n\n    more body\n\n2 / 2",
+        ]
+        for raw in cases:
+            k1, r1 = spans_for_turn(raw)
+            k2, r2 = golden_spans(raw)
+            assert r1 == r2 and (not r1 or k1 == k2), raw[:60]
