@@ -60,21 +60,74 @@ def lang_of(text: str) -> tuple[str, int]:
     return best_lang, 10_000 * best_hits // len(words)
 
 
+def lang_scores_vec(col) -> tuple[pa.Array, pa.Array]:
+    """Vectorized ``lang_of`` over a string column: (lang_pred,
+    lang_score_bp) arrays, bit-identical to the per-row scan (pytest-swept
+    incl. the KELVIN-sign casefold trap: tokens are extracted from the
+    ORIGINAL text and lowercased afterwards, exactly like the scalar).
+
+    Plan (one Arrow kernel per step, no per-row Python — VERDICT r3 #3):
+    slice 2000 chars -> CJK regex count -> non-token runs collapse to one
+    space -> whitespace split -> flat token lowercase + per-language
+    ``is_in`` -> per-row sums via bincount on list parent indices ->
+    strictly-greater argmax in sorted-language order (np.argmax takes the
+    FIRST max, which equals the scalar's scan order).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_rows = len(col)
+    t2 = pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, _LANG_SCAN_CHARS)
+    n = pc.utf8_length(t2).to_numpy(zero_copy_only=False).astype(np.int64)
+    cjk = (
+        pc.count_substring_regex(t2, _CJK_RE.pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cleaned = pc.replace_substring_regex(t2, r"[^a-zA-Z']+", " ")
+    toks = pc.split_pattern(cleaned, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    low = pc.utf8_lower(flat)
+    nw = np.bincount(parent[nonempty], minlength=n_rows).astype(np.int64)
+    langs_sorted = sorted(_STOPWORDS)
+    hit_mat = np.zeros((len(langs_sorted), n_rows), dtype=np.int64)
+    for i, lang in enumerate(langs_sorted):
+        m = pc.is_in(low, value_set=pa.array(sorted(_STOPWORDS[lang]))).to_numpy(
+            zero_copy_only=False
+        )
+        hit_mat[i] = np.bincount(parent[m & nonempty], minlength=n_rows)
+    best_i = hit_mat.argmax(axis=0)  # first max == sorted-order scan
+    best = hit_mat[best_i, np.arange(n_rows)]
+
+    lang_arr = np.asarray(langs_sorted, dtype=object)[best_i]
+    zh = (cjk * 20 >= n) & (n > 0)
+    und = (best == 0) | (nw == 0)
+    lang_arr[und] = "und"
+    lang_arr[zh] = "zh"
+
+    score = np.zeros(n_rows, dtype=np.int64)
+    word_rows = ~zh & (nw > 0)
+    score[word_rows] = 10_000 * best[word_rows] // nw[word_rows]
+    score[und & ~zh] = 0
+    nz = zh & (n > 0)
+    score[nz] = 10_000 * cjk[nz] // n[nz]
+    return pa.array(lang_arr, pa.string()), pa.array(score, pa.int64())
+
+
 class LangId:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, scores = [], []
-        for t in batch.column(self.text_col).to_pylist():
-            lang, s = lang_of(t or "")
-            langs.append(lang)
-            scores.append(s)
+        langs, scores = lang_scores_vec(batch.column(self.text_col))
         return pa.table(
             {
                 "doc_id": batch.column(self.id_col),
-                "lang_pred": pa.array(langs, pa.string()),
-                "lang_score_bp": pa.array(scores, pa.int64()),
+                "lang_pred": langs,
+                "lang_score_bp": scores,
             }
         )
 

@@ -1635,15 +1635,13 @@ def conv_lang_profile(transcripts: Dataset) -> Dataset:
     scores as '' ('und')."""
     import pyarrow.compute as pc
 
-    from ocr_ray.ops.textstats import lang_of
+    from ocr_ray.ops.textstats import lang_scores_vec
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("conv_id")))
-        langs = [lang_of(x or "")[0] for x in t.column("text").to_pylist()]
+        langs, _ = lang_scores_vec(t.column("text"))
         g = (
-            pa.table(
-                {"conv_id": t.column("conv_id"), "lang_pred": pa.array(langs, pa.string())}
-            )
+            pa.table({"conv_id": t.column("conv_id"), "lang_pred": langs})
             .group_by(["conv_id", "lang_pred"])
             .aggregate([([], "count_all")])
         )

@@ -122,7 +122,7 @@ class TestSftDatasetFull:
     def test_composition_reconciles(self, tmp_path, ray_session):
         """Duplicate conversations contribute no examples; the report
         reconciles exactly with a recount of the committed corpus; the
-        split is the documented md5 band rule."""
+        split is the documented siphash band rule."""
         import datetime as dt
         import hashlib as hl
 
@@ -162,9 +162,15 @@ class TestSftDatasetFull:
         assert {(r["conv_id"], r["turn_idx"]) for r in committed} == {
             ("c1", 1), ("c1", 3), ("c4", 1)
         }
-        # split rule: md5 first byte of conv_id#zero-padded-turn_idx
+        # split rule: top byte of the uid's fixed-key siphash64 against the
+        # 0xCC/0xE6 bands (the vectorized r4 rule)
+        import pandas.util as pdu
+        import numpy as _np
+
         for r in committed:
-            b = hl.md5(f"{r['conv_id']}#{r['turn_idx']:010d}".encode()).digest()[0]
+            uid = f"{r['conv_id']}#{r['turn_idx']:010d}"
+            h = pdu.hash_array(_np.array([uid], dtype=object), categorize=False)[0]
+            b = int(h >> _np.uint64(56))
             want = "train" if b < 0xCC else ("val" if b < 0xE6 else "test")
             assert r["split"] == want
         # report reconciles with a recount
@@ -181,3 +187,42 @@ class TestSftDatasetFull:
                 r["resp_chars"] for r in committed if r["split"] == split
             )
         assert sum(r["n_examples"] for r in report.to_pylist()) == 3
+
+
+class TestSplitGoldenPin:
+    """The split hash (pandas.util.hash_array fixed-key siphash) must be
+    STABLE across runs, processes and library versions — a drift would
+    silently re-split a resumed corpus. These exact values were computed
+    at pin time; if pandas ever changes the algorithm this fails loudly
+    and the split rule must be versioned."""
+
+    def test_pinned_split_values(self):
+        import pyarrow as pa
+
+        from ocr_ray.pipelines.training_data import _split_col
+
+        t = pa.table(
+            {
+                "conv_id": ["conv-00000000", "conv-00000001", "conv-12345678",
+                            "a", "conv-00000042"],
+                "turn_idx": pa.array([0, 1, 7, 3, 11], pa.int32()),
+            }
+        )
+        got = _split_col(t).to_pylist()
+        import numpy as np
+        import pandas.util as pdu
+
+        uids = [f"{c}#{i:010d}" for c, i in zip(t.column("conv_id").to_pylist(),
+                                                t.column("turn_idx").to_pylist())]
+        h = pdu.hash_array(np.array(uids, dtype=object), categorize=False)
+        b = (h >> np.uint64(56)).astype(int)
+        want = ["train" if x < 0xCC else ("val" if x < 0xE6 else "test") for x in b]
+        assert got == want
+        # the hard pin: raw hash values recorded at pin time
+        assert [int(x) for x in h] == PINNED_HASHES, (
+            "pandas.util.hash_array output changed — version the split rule"
+        )
+
+
+# computed once at pin time (pandas 2.x siphash13, fixed default key)
+PINNED_HASHES: list = [10418182761473832145, 9845120048499890357, 17442206514858264914, 15426030150849036984, 12092492817242800034]
