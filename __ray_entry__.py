@@ -487,6 +487,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.multimodal import media_dedup_exact_sql
 
         out["media_dedup_exact"] = media_dedup_exact_sql(_DRIVER_SF)
+        from ocr_ray.ops.multimodal import media_image_stats_sql
+
+        out["media_image_stats"] = media_image_stats_sql(_DRIVER_SF)
         from ocr_ray.ops.simjoin import dedup_cosine_exact_sql
 
         out["dedup_cosine_exact"] = dedup_cosine_exact_sql(_DRIVER_SF)

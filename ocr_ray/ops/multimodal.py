@@ -2,11 +2,17 @@
 
 Image/audio/video are carried as Arrow ``binary`` columns with metadata
 columns; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The decode libraries are not in this container, so
-the decoders are STUBS behind ``fake=True`` (a deterministic bytes->features
-hash) or ``NotImplementedError`` — the Ray-side plumbing (schema, batch
-sizing for large binaries, actor signatures, output layout) is real and
-tested (per the round brief: stub the codec, keep the dataflow honest).
+``map_batches`` stages.
+
+Codec status (r4): REAL pure-Python decoders exist for binary PPM (P6)
+and uncompressed 24-bit BMP — no PIL needed — so image decode, image
+stats and nearest-neighbor resize are genuinely implemented and
+driver-gated against a GROUND-TRUTH sidecar written from the pixel
+arrays before encoding (``media_image_stats``). Only formats that truly
+need external libraries (JPEG/PNG entropy coding, video/audio codecs)
+remain behind ``NotImplementedError`` (FrameSampler's ffmpeg slot); the
+generic ``MediaDecoder(fake=True)`` hash stub is kept for mixed-kind
+pipelines whose payloads are opaque.
 """
 
 from __future__ import annotations
@@ -71,13 +77,23 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg (not in this container); "
-                "use fake=True for the deterministic stub"
-            )
-        feats = [
-            _fake_decode(p) for p in batch.column("payload").to_pylist()
-        ]
+            # REAL path (r4): decode PPM/BMP payloads with the pure-numpy
+            # codecs below; formats that genuinely need external libraries
+            # still raise (the documented ffmpeg/PIL boundary)
+            feats = []
+            for p in batch.column("payload").to_pylist():
+                _, px = decode_image(p)  # raises NotImplementedError on
+                # codec formats this container cannot decode
+                s = px.reshape(-1, 3).mean(axis=0) / 255.0
+                feats.append(
+                    np.array(
+                        [px.shape[0], px.shape[1], s[0], s[1], s[2], 0.0, 0.0, 0.0]
+                    )
+                )
+        else:
+            feats = [
+                _fake_decode(p) for p in batch.column("payload").to_pylist()
+            ]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -113,8 +129,6 @@ class ImageResizer:
         self.tw, self.th, self.fake = target_w, target_h, fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("real resize requires PIL (not in container)")
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
         ws = batch.column("width").to_pylist()
@@ -125,6 +139,14 @@ class ImageResizer:
                 out_p.append(p)
                 out_w.append(w)
                 out_h.append(h)
+                continue
+            if not self.fake:
+                # REAL resize (r4): decode -> nearest-neighbor -> re-encode
+                # PPM. Raises NotImplementedError on formats needing PIL.
+                _, px = decode_image(p)
+                out_p.append(encode_ppm(resize_nearest(px, self.tw, self.th)))
+                out_w.append(self.tw)
+                out_h.append(self.th)
                 continue
             # deterministic fake resample: stride the bytes to the target
             # pixel-count ratio (stands in for the decode->resize->encode)
@@ -556,3 +578,247 @@ def media_phash_near_dup(sf_dir: str) -> Dataset:
         )
 
     return phash_cluster_over(ds.map_batches(to_pixels, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# REAL image codecs (VERDICT r3 #6): binary PPM (P6) and uncompressed
+# 24-bit BMP, pure numpy — formats simple enough that no imaging library
+# is needed, which un-blocks a genuine decode path in this container.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Whitespace/comment-tolerant
+    header scan per the netpbm spec; raises ValueError on malformed input."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    vals: list[int] = []
+    n = len(payload)
+    while len(vals) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    pos += 1  # single whitespace after maxval
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    # pixel rows bottom-up, BGR, padded to 4-byte multiples
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB (top-down array).
+    Handles positive (bottom-up) and negative (top-down) heights."""
+    import struct
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    need = row_bytes * h
+    raster = payload[data_off : data_off + need]
+    if len(raster) != need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1]
+
+
+def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
+    """Sniff + decode a supported still-image payload -> (fmt, pixels)."""
+    if payload.startswith(b"P6"):
+        return "ppm", decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return "bmp", decode_bmp(payload)
+    raise NotImplementedError(
+        "real decode for this format needs an imaging library (not in "
+        "this container); supported here: PPM (P6), 24-bit BMP"
+    )
+
+
+def resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (floor mapping — the exact
+    convention pytest pins)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return pixels[ys][:, xs]
+
+
+def _synth_pixels(i: int, seed: int) -> np.ndarray:
+    """Deterministic pixel pattern for image i (pure integer formula — no
+    RNG-stream dependence): pixels[y, x, c] = (ax*x + by*y + cc*c + i*13
+    + seed) % 256 with small per-image coefficients."""
+    import random
+
+    rng = random.Random((seed << 24) ^ (i * 2654435761 % 2**31))
+    w = rng.randrange(8, 49)
+    h = rng.randrange(8, 41)
+    ax, by, cc = rng.randrange(1, 17), rng.randrange(1, 17), rng.randrange(1, 97)
+    yy, xx, ch = np.indices((h, w, 3), dtype=np.int64)
+    return ((ax * xx + by * yy + cc * ch + i * 13 + seed) % 256).astype(np.uint8)
+
+
+def synth_image_table(n: int, seed: int = 42):
+    """(images_table, truth_table): deterministic real PPM/BMP payloads
+    plus the GROUND-TRUTH per-image stats computed from the pixel arrays
+    BEFORE encoding — the oracle a decode gate needs (a broken decoder
+    cannot reproduce sums it never saw)."""
+    ids, fmts, payloads = [], [], []
+    t_w, t_h, t_sr, t_sg, t_sb = [], [], [], [], []
+    for i in range(n):
+        px = _synth_pixels(i, seed)
+        fmt = "ppm" if i % 2 == 0 else "bmp"
+        payload = encode_ppm(px) if fmt == "ppm" else encode_bmp(px)
+        ids.append(i)
+        fmts.append(fmt)
+        payloads.append(payload)
+        t_h.append(px.shape[0])
+        t_w.append(px.shape[1])
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        t_sr.append(int(sums[0]))
+        t_sg.append(int(sums[1]))
+        t_sb.append(int(sums[2]))
+    images = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "fmt": pa.array(fmts, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    truth = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "fmt": pa.array(fmts, pa.string()),
+            "width": pa.array(t_w, pa.int32()),
+            "height": pa.array(t_h, pa.int32()),
+            "sum_r": pa.array(t_sr, pa.int64()),
+            "sum_g": pa.array(t_sg, pa.int64()),
+            "sum_b": pa.array(t_sb, pa.int64()),
+        }
+    )
+    return images, truth
+
+
+def ensure_image_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures") -> str:
+    """Write (once, cached) real-image payloads + the ground-truth sidecar."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"images_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    images, truth = synth_image_table(n, seed)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(images, os.path.join(tmp, "images.parquet"))
+    pq.write_table(truth, os.path.join(tmp, "truth.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    open(marker, "w").close()
+    return out
+
+
+class ImageStats:
+    """Actor-pool stage: REAL decode -> exact integer per-channel sums +
+    dimensions. Small batches (payload-heavy rows); decode is numpy
+    frombuffer/reshape, no Python loop over pixels."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        fmts, ws, hs = [], [], []
+        sr, sg, sb = [], [], []
+        for p in batch.column("payload").to_pylist():
+            fmt, px = decode_image(p)
+            fmts.append(fmt)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            sr.append(int(s[0]))
+            sg.append(int(s[1]))
+            sb.append(int(s[2]))
+        return pa.table(
+            {
+                "media_id": ids,
+                "fmt": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+            }
+        )
+
+
+def media_image_stats(sf_dir: str) -> Dataset:
+    """queries() entry: REAL image decode over the committed PPM/BMP
+    fixture — (media_id, fmt, width, height, exact channel sums); the
+    oracle is the ground-truth sidecar written from the pixels before
+    encoding, so the gate verifies the decoders bit-exactly."""
+    path = ensure_image_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path + "/images.parquet")
+    return ds.map_batches(
+        ImageStats,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def media_image_stats_sql(sf_dir: str) -> str:
+    path = ensure_image_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT media_id, fmt, width, height, sum_r, sum_g, sum_b
+FROM read_parquet('{path}/truth.parquet')
+"""
