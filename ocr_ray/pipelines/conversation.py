@@ -201,7 +201,12 @@ def grouped_scan(
         if batch_format == "pandas":
 
             def wrapped(t: pa.Table) -> pa.Table:
-                return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
+                out = fn(t.to_pandas())
+                # pandas-format scans may legally return an Arrow table
+                # (map_groups accepts either); normalize here
+                if isinstance(out, pa.Table):
+                    return out
+                return pa.Table.from_pandas(out, preserve_index=False)
 
         else:
             wrapped = fn
@@ -648,7 +653,7 @@ def conv_response_latency(transcripts: Dataset) -> Dataset:
         )
 
     pre = transcripts.map_batches(prep, batch_format="pyarrow")
-    return grouped_scan(pre, "conv_id", scan)
+    return grouped_scan(pre, "conv_id", scan, exchange="fs")
 
 
 CONV_RESPONSE_LATENCY_SQL_TMPL = """
@@ -726,7 +731,7 @@ def conv_tool_transitions(transcripts: Dataset) -> Dataset:
         )
 
     pre = transcripts.map_batches(prep, batch_format="pyarrow")
-    partials = grouped_scan(pre, "conv_id", census)
+    partials = grouped_scan(pre, "conv_id", census, exchange="fs")
     return null_safe_groupby_agg(
         partials, ["prev_tool", "tool"], Sum("n", alias_name="n")
     )
@@ -803,7 +808,7 @@ def dq_role_alternation(transcripts: Dataset) -> Dataset:
         )
 
     pre = transcripts.map_batches(prep, batch_format="pyarrow")
-    return grouped_scan(pre, "conv_id", scan)
+    return grouped_scan(pre, "conv_id", scan, exchange="fs")
 
 
 DQ_ROLE_ALTERNATION_SQL_TMPL = """
@@ -1253,7 +1258,7 @@ def tool_latency_stats(transcripts: Dataset) -> Dataset:
         )
 
     pre = transcripts.map_batches(prep, batch_format="pyarrow")
-    partials = grouped_scan(pre, "conv_id", census)
+    partials = grouped_scan(pre, "conv_id", census, exchange="fs")
     out = null_safe_groupby_agg(
         partials,
         ["tool"],
@@ -1346,7 +1351,7 @@ def conv_assistant_echo(transcripts: Dataset) -> Dataset:
         return out.reset_index().astype({"n_assistant": "int64", "n_echo": "int64"})
 
     slim = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
-    return grouped_scan(slim.map_batches(prep, batch_format="pyarrow"), "conv_id", scan)
+    return grouped_scan(slim.map_batches(prep, batch_format="pyarrow"), "conv_id", scan, exchange="fs")
 
 
 CONV_ASSISTANT_ECHO_SQL_TMPL = """
