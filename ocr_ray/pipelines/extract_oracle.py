@@ -2608,6 +2608,13 @@ def oracle_sqls(sf_dir: str) -> dict[str, str]:
         "extract_records": _records_full_sql(path),
         "extract_metrics": _metrics_full_sql(path),
         "clean_corpus": _clean_corpus_full_sql(path),
+        # the deterministic fixture contains no sub-exact near-duplicates
+        # (random word-soup paragraphs sit far below the 0.7 Jaccard
+        # threshold), so the near-dup pass must be a NO-OP here beyond
+        # exact dedup and the same SQL gates it — i.e. the driver checks
+        # the MinHash stage never FALSELY removes a row; planted-dup
+        # recall is pinned by tests/test_ops_dedup.py instead
+        "clean_corpus_neardup": _clean_corpus_full_sql(path),
         "extract_spans": _spans_full_sql(sf_dir),
         "extract_html_spans": _html_spans_full_sql(sf_dir),
         "conversation_stats": CONVERSATION_STATS_SQL_TMPL.format(path=path),
