@@ -431,3 +431,39 @@ class TestRealImageCodecs:
         assert len(got) >= 30
         assert got[sorted(got.columns)].astype(str).values.tolist() == \
             want[sorted(want.columns)].astype(str).values.tolist()
+
+
+class TestVectorizedScorers:
+    """r4: the per-row lang_of / quality_of loops have vectorized Arrow
+    twins that must stay bit-identical (these sweeps pin them, including
+    the casefold/whitespace traps where RE2 and Python diverge)."""
+
+    def test_lang_scores_vec_parity(self):
+        import pyarrow as pa
+
+        from ocr_ray.ops.textstats import lang_of, lang_scores_vec
+
+        cases = [
+            "", " ", None, "the and of to a in is it", "le la les de des",
+            "中文内容测试这是中文内容测试", "mixed 中文 the and of",
+            "K the and of to", "é é é the", "l'le l'la", "x y z w",
+            "a" * 3000 + " the and of",
+        ]
+        langs, scores = lang_scores_vec(pa.array(cases, pa.string()))
+        for c, l, s in zip(cases, langs.to_pylist(), scores.to_pylist()):
+            assert (l, s) == lang_of(c or ""), repr(c)
+
+    def test_quality_vec_parity(self):
+        import pyarrow as pa
+
+        from ocr_ray.ops.textstats import quality_of, quality_vec
+
+        cases = [
+            "", " ", None, "...", "THE, and. OF!", "x" * 500,
+            "中文 the and", "a\xa0b the", "tab\there line",
+            "em space the and of", "the, the. the! other words",
+        ]
+        vec = quality_vec(pa.array(cases, pa.string()))
+        keys = ("n_chars", "n_tokens", "punct_bp", "stop_bp", "mean_tok_len_c")
+        for i, c in enumerate(cases):
+            assert {k: vec[k][i].as_py() for k in keys} == quality_of(c or ""), repr(c)
