@@ -224,6 +224,7 @@ QUERY_NAMES = [
     "docs_proportional_sample",
     "stump_train_events",
     "cust_abc_classes",
+    "media_image_stats",
 ]
 
 

@@ -37,6 +37,9 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.multimodal import media_dedup_exact_sql
 
     _SQLS["media_dedup_exact"] = media_dedup_exact_sql(SF)
+    from ocr_ray.ops.multimodal import media_image_stats_sql
+
+    _SQLS["media_image_stats"] = media_image_stats_sql(SF)
     _SQLS["dedup_cosine_exact"] = dedup_cosine_exact_sql(SF)
     from ocr_ray.ops.ann import embedding_cluster_assign_sql
 
