@@ -51,9 +51,11 @@ def _extract_records(sf_dir: str):
 
 def _extract_spans(sf_dir: str):
     """Per-block source spans over the FULL corpus (north rule "extracted
-    text/spans"); self-checking against the kernel's block stream. Gated
-    siblings: extract_plain_spans / extract_pdf_spans (SQL-mirrored),
-    extract_html_spans (kernel-replay pinned)."""
+    text/spans"); self-checking against the kernel's block stream and
+    driver-gated (r4) against the INDEPENDENT golden span oracle
+    (ocr_ray/oracle_spans.py, read back via DuckDB). Gated siblings:
+    extract_plain_spans / extract_pdf_spans (pure-SQL mirrors),
+    extract_html_spans (golden-oracle gated)."""
     from ocr_ray.stages.spans import extract_spans_from_path
 
     return extract_spans_from_path(_transcripts_for(sf_dir))

@@ -4,11 +4,12 @@ per turn").
 ``extract_spans`` emits one row per extracted block carrying
 ``[span_start, span_end)`` char offsets into the engine's input document
 (the decoded body for data-URI payloads) alongside the block's kind and
-text.  The gated/pytest verification siblings live in
-``pipelines/extract_oracle`` (``extract_plain_spans`` /
-``extract_pdf_spans`` — SQL-mirrored on the provably-mirrorable subsets —
-and ``extract_html_spans`` — kernel-replay pinned); this module is the
-production surface over EVERY row.
+text.  Verification (r4): the full-corpus op is driver-gated against the
+INDEPENDENT golden span oracle (``ocr_ray/oracle_spans.py`` — stdlib
+HTMLParser walker, zero kernel imports); per-engine SQL mirrors
+(``extract_plain_spans`` / ``extract_pdf_spans``) live in
+``pipelines/extract_oracle``. This module is the production surface over
+EVERY row.
 
 Span contract per engine:
 
