@@ -492,6 +492,10 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.multimodal import media_image_stats_sql
 
         out["media_image_stats"] = media_image_stats_sql(_DRIVER_SF)
+        from ocr_ray.ops.multimodal import media_audio_stats_sql, media_video_frames_sql
+
+        out["media_audio_stats"] = media_audio_stats_sql(_DRIVER_SF)
+        out["media_video_frames"] = media_video_frames_sql(_DRIVER_SF)
         from ocr_ray.ops.simjoin import dedup_cosine_exact_sql
 
         out["dedup_cosine_exact"] = dedup_cosine_exact_sql(_DRIVER_SF)

@@ -4,15 +4,17 @@ Image/audio/video are carried as Arrow ``binary`` columns with metadata
 columns; decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages.
 
-Codec status (r4): REAL pure-Python decoders exist for binary PPM (P6)
-and uncompressed 24-bit BMP — no PIL needed — so image decode, image
-stats and nearest-neighbor resize are genuinely implemented and
-driver-gated against a GROUND-TRUTH sidecar written from the pixel
-arrays before encoding (``media_image_stats``). Only formats that truly
-need external libraries (JPEG/PNG entropy coding, video/audio codecs)
-remain behind ``NotImplementedError`` (FrameSampler's ffmpeg slot); the
-generic ``MediaDecoder(fake=True)`` hash stub is kept for mixed-kind
-pipelines whose payloads are opaque.
+Codec status (r4): REAL pure-Python decoders exist for every
+uncompressed format family — binary PPM (P6) + 24-bit BMP images,
+PCM WAV audio, and YUV4MPEG2 (C444) video — so decode, image stats,
+nearest-neighbor resize, audio stats and frame sampling are genuinely
+implemented and driver-gated against GROUND-TRUTH sidecars written from
+the raw arrays before encoding (``media_image_stats`` /
+``media_audio_stats`` / ``media_video_frames``). Only entropy-coded
+formats (JPEG/PNG, MP3/AAC, H.264...) remain behind
+``NotImplementedError`` — the genuine external-library boundary; the
+``MediaDecoder(fake=True)`` hash stub is kept for mixed-kind pipelines
+whose payloads are opaque.
 """
 
 from __future__ import annotations
@@ -171,7 +173,43 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError("real frame sampling requires ffmpeg")
+            # REAL path (r4): uncompressed YUV4MPEG2 streams decode with
+            # the pure-numpy codec below; entropy-coded video genuinely
+            # needs ffmpeg and raises inside decode
+            ids = batch.column("media_id").to_pylist()
+            kinds = batch.column("kind").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            o_id, o_frame, o_ts, o_feat = [], [], [], []
+            for mid, kind, p in zip(ids, kinds, payloads):
+                if kind != "video":
+                    continue
+                if not p.startswith(b"YUV4MPEG2"):
+                    raise NotImplementedError(
+                        "real frame sampling for entropy-coded video needs "
+                        "ffmpeg; supported here: YUV4MPEG2 (C444)"
+                    )
+                clip, fps = decode_y4m(p)
+                nf = clip.shape[0]
+                if nf == 0:
+                    continue
+                for f in range(self.n_frames):
+                    src = (nf * f) // self.n_frames
+                    fr = clip[src]
+                    o_id.append(mid)
+                    o_frame.append(f)
+                    o_ts.append(1000 * src // fps)
+                    o_feat.append(
+                        (fr.reshape(-1, 3).mean(axis=0) / 255.0).tolist()
+                        + [float(fr.shape[0]), float(fr.shape[1]), 0.0, 0.0, 0.0]
+                    )
+            return pa.table(
+                {
+                    "media_id": pa.array(o_id, pa.int64()),
+                    "frame_idx": pa.array(o_frame, pa.int32()),
+                    "ts_ms": pa.array(o_ts, pa.int32()),
+                    "features": pa.array(o_feat, pa.list_(pa.float64())),
+                }
+            )
         ids, kinds = batch.column("media_id").to_pylist(), batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
         durs = batch.column("duration_ms").to_pylist()
@@ -821,4 +859,337 @@ def media_image_stats_sql(sf_dir: str) -> str:
     return f"""
 SELECT media_id, fmt, width, height, sum_r, sum_g, sum_b
 FROM read_parquet('{path}/truth.parquet')
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL audio / video codecs (r4, closing the last stub slots for formats
+# that need no external library): PCM WAV (RIFF, 16-bit LE) and
+# uncompressed YUV4MPEG2 (C444 planar) — entropy-coded formats (MP3/AAC/
+# H.264...) remain the genuine ffmpeg boundary.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """(n, channels) int16 -> PCM WAV (RIFF little-endian)."""
+    import struct
+
+    n, ch = samples.shape
+    assert samples.dtype == np.int16
+    data = samples.tobytes()  # interleaved row-major == frame-major
+    byte_rate = rate * ch * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, ch, rate, byte_rate, ch * 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> ((n, channels) int16, sample_rate). Walks RIFF chunks
+    (fmt may be followed by extension chunks before data)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    n = len(data) // (ch * 2)
+    arr = np.frombuffer(data[: n * ch * 2], dtype="<i2").reshape(n, ch)
+    return arr, rate
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n_frames, h, w, 3) uint8 -> YUV4MPEG2 C444 (planar per frame;
+    the three planes carry the array's three channels verbatim)."""
+    nf, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    parts = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for f in range(nf):
+        parts.append(b"FRAME\n")
+        # planar: all Y, then all U, then all V
+        parts.append(np.ascontiguousarray(frames[f].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 C444 -> ((n_frames, h, w, 3) uint8, fps)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    eol = payload.index(b"\n")
+    header = payload[:eol].decode("ascii", "replace").split(" ")
+    w = h = fps = None
+    c444 = False
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            c444 = tok[1:] == "444"
+    if not (w and h and c444):
+        raise ValueError("only C444 streams with W/H supported")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = eol + 1
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)
+        if not payload[pos:nl].startswith(b"FRAME"):
+            raise ValueError("malformed frame marker")
+        start = nl + 1
+        raw = payload[start : start + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("truncated frame")
+        frames.append(
+            np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w).transpose(1, 2, 0)
+        )
+        pos = start + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps or 25
+
+
+def _synth_wave(i: int, seed: int) -> tuple[np.ndarray, int]:
+    """Deterministic stereo int16 waveform (integer sawtooth mix)."""
+    import random
+
+    rng = random.Random((seed << 22) ^ (i * 40503 % 2**31))
+    n = rng.randrange(400, 4001)
+    rate = rng.choice([8000, 16000, 22050])
+    a1, a2 = rng.randrange(3, 97), rng.randrange(3, 97)
+    t = np.arange(n, dtype=np.int64)
+    left = ((a1 * t + i * 17) % 65536) - 32768
+    right = ((a2 * t + i * 29) % 65536) - 32768
+    return np.stack([left, right], axis=1).astype(np.int16), rate
+
+
+def _synth_clip(i: int, seed: int) -> tuple[np.ndarray, int]:
+    """Deterministic short video clip ((n, h, w, 3) uint8, fps): each
+    frame is the image-pattern formula shifted per frame index."""
+    import random
+
+    rng = random.Random((seed << 23) ^ (i * 69069 % 2**31))
+    w = rng.randrange(8, 33)
+    h = rng.randrange(8, 25)
+    nf = rng.randrange(6, 21)
+    fps = rng.choice([10, 25, 30])
+    ax, by, cc = rng.randrange(1, 13), rng.randrange(1, 13), rng.randrange(1, 71)
+    ff, yy, xx, ch = np.indices((nf, h, w, 3), dtype=np.int64)
+    px = (ax * xx + by * yy + cc * ch + 31 * ff + i * 7 + seed) % 256
+    return px.astype(np.uint8), fps
+
+
+def synth_av_tables(n: int, seed: int = 42):
+    """(payloads, audio_truth, video_truth): deterministic real WAV and
+    y4m payloads plus ground-truth stats computed from the raw arrays
+    BEFORE encoding (the decode gates' oracles)."""
+    ids, kinds, payloads = [], [], []
+    a_rows = {k: [] for k in ("media_id", "n_samples", "channels", "rate", "sum_abs", "max_abs")}
+    v_rows = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "sum_r", "sum_g", "sum_b")}
+    for i in range(n):
+        if i % 2 == 0:
+            wavef, rate = _synth_wave(i, seed)
+            payloads.append(encode_wav(wavef, rate))
+            kinds.append("audio")
+            a_rows["media_id"].append(i)
+            a_rows["n_samples"].append(wavef.shape[0])
+            a_rows["channels"].append(wavef.shape[1])
+            a_rows["rate"].append(rate)
+            a_rows["sum_abs"].append(int(np.abs(wavef.astype(np.int64)).sum()))
+            a_rows["max_abs"].append(int(np.abs(wavef.astype(np.int64)).max()))
+        else:
+            clip, fps = _synth_clip(i, seed)
+            payloads.append(encode_y4m(clip, fps))
+            kinds.append("video")
+            nf = clip.shape[0]
+            n_frames_sampled = 4
+            for f in range(n_frames_sampled):
+                src = (nf * f) // n_frames_sampled
+                fr = clip[src].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                v_rows["media_id"].append(i)
+                v_rows["frame_idx"].append(f)
+                v_rows["ts_ms"].append(1000 * src // fps)
+                v_rows["sum_r"].append(int(fr[0]))
+                v_rows["sum_g"].append(int(fr[1]))
+                v_rows["sum_b"].append(int(fr[2]))
+        ids.append(i)
+    payload_t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    audio_t = pa.table(
+        {
+            "media_id": pa.array(a_rows["media_id"], pa.int64()),
+            "n_samples": pa.array(a_rows["n_samples"], pa.int64()),
+            "channels": pa.array(a_rows["channels"], pa.int32()),
+            "rate": pa.array(a_rows["rate"], pa.int32()),
+            "sum_abs": pa.array(a_rows["sum_abs"], pa.int64()),
+            "max_abs": pa.array(a_rows["max_abs"], pa.int64()),
+        }
+    )
+    video_t = pa.table(
+        {
+            "media_id": pa.array(v_rows["media_id"], pa.int64()),
+            "frame_idx": pa.array(v_rows["frame_idx"], pa.int32()),
+            "ts_ms": pa.array(v_rows["ts_ms"], pa.int64()),
+            "sum_r": pa.array(v_rows["sum_r"], pa.int64()),
+            "sum_g": pa.array(v_rows["sum_g"], pa.int64()),
+            "sum_b": pa.array(v_rows["sum_b"], pa.int64()),
+        }
+    )
+    return payload_t, audio_t, video_t
+
+
+def ensure_av_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures") -> str:
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"av_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    payloads, audio_t, video_t = synth_av_tables(n, seed)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(payloads, os.path.join(tmp, "media.parquet"))
+    pq.write_table(audio_t, os.path.join(tmp, "audio_truth.parquet"))
+    pq.write_table(video_t, os.path.join(tmp, "video_truth.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    open(marker, "w").close()
+    return out
+
+
+class AudioStats:
+    """Actor-pool stage: REAL PCM WAV decode -> exact integer stats."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("media_id", "n_samples", "channels", "rate", "sum_abs", "max_abs")}
+        for mid, kind, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            arr, rate = decode_wav(p)
+            rows["media_id"].append(mid)
+            rows["n_samples"].append(arr.shape[0])
+            rows["channels"].append(arr.shape[1])
+            rows["rate"].append(rate)
+            a = np.abs(arr.astype(np.int64))
+            rows["sum_abs"].append(int(a.sum()))
+            rows["max_abs"].append(int(a.max()) if a.size else 0)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "n_samples": pa.array(rows["n_samples"], pa.int64()),
+                "channels": pa.array(rows["channels"], pa.int32()),
+                "rate": pa.array(rows["rate"], pa.int32()),
+                "sum_abs": pa.array(rows["sum_abs"], pa.int64()),
+                "max_abs": pa.array(rows["max_abs"], pa.int64()),
+            }
+        )
+
+
+class VideoFrameStats:
+    """Actor-pool stage: REAL y4m decode -> n_frames evenly-sampled frames
+    with exact channel sums (the FrameSampler contract, un-stubbed for
+    uncompressed streams). ts_ms = 1000 * source_frame // fps."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "sum_r", "sum_g", "sum_b")}
+        for mid, kind, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            clip, fps = decode_y4m(p)
+            nf = clip.shape[0]
+            if nf == 0:
+                continue
+            for f in range(self.n_frames):
+                src = (nf * f) // self.n_frames
+                fr = clip[src].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(f)
+                rows["ts_ms"].append(1000 * src // fps)
+                rows["sum_r"].append(int(fr[0]))
+                rows["sum_g"].append(int(fr[1]))
+                rows["sum_b"].append(int(fr[2]))
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(rows["ts_ms"], pa.int64()),
+                "sum_r": pa.array(rows["sum_r"], pa.int64()),
+                "sum_g": pa.array(rows["sum_g"], pa.int64()),
+                "sum_b": pa.array(rows["sum_b"], pa.int64()),
+            }
+        )
+
+
+def media_audio_stats(sf_dir: str) -> Dataset:
+    """queries() entry: REAL PCM WAV decode over the committed a/v
+    fixture; oracle = ground-truth sidecar from the raw waveforms."""
+    path = ensure_av_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path + "/media.parquet")
+    return ds.map_batches(
+        AudioStats, batch_format="pyarrow", batch_size=32, concurrency=(1, 8), num_cpus=1
+    )
+
+
+def media_audio_stats_sql(sf_dir: str) -> str:
+    path = ensure_av_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT media_id, n_samples, channels, rate, sum_abs, max_abs
+FROM read_parquet('{path}/audio_truth.parquet')
+"""
+
+
+def media_video_frames(sf_dir: str) -> Dataset:
+    """queries() entry: REAL y4m decode + even frame sampling over the
+    committed a/v fixture; oracle = per-sampled-frame ground truth."""
+    path = ensure_av_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path + "/media.parquet")
+    return ds.map_batches(
+        VideoFrameStats,
+        batch_format="pyarrow",
+        batch_size=8,  # video rows are the largest
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def media_video_frames_sql(sf_dir: str) -> str:
+    path = ensure_av_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT media_id, frame_idx, ts_ms, sum_r, sum_g, sum_b
+FROM read_parquet('{path}/video_truth.parquet')
 """

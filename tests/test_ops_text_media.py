@@ -467,3 +467,89 @@ class TestVectorizedScorers:
         keys = ("n_chars", "n_tokens", "punct_bp", "stop_bp", "mean_tok_len_c")
         for i, c in enumerate(cases):
             assert {k: vec[k][i].as_py() for k in keys} == quality_of(c or ""), repr(c)
+
+
+class TestRealAvCodecs:
+    """r4: PCM WAV and YUV4MPEG2 codecs complete the uncompressed media
+    families — decode gates run against ground-truth sidecars computed
+    BEFORE encoding."""
+
+    def test_wav_roundtrip_and_chunk_walk(self):
+        import numpy as np
+
+        from ocr_ray.ops.multimodal import decode_wav, encode_wav, _synth_wave
+
+        for i in range(20):
+            w, r = _synth_wave(i, 11)
+            w2, r2 = decode_wav(encode_wav(w, r))
+            assert (w2 == w).all() and r2 == r
+        # odd-sized extra chunk between fmt and data (word alignment walk)
+        w, r = _synth_wave(0, 11)
+        raw = encode_wav(w, r)
+        import struct
+
+        extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # padded
+        patched = raw[:36] + extra + raw[36:]
+        patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        w3, r3 = decode_wav(patched)
+        assert (w3 == w).all() and r3 == r
+
+    def test_y4m_roundtrip_and_malformed(self):
+        import pytest as _pt
+
+        from ocr_ray.ops.multimodal import decode_y4m, encode_y4m, _synth_clip
+
+        for i in range(12):
+            c, fps = _synth_clip(i, 13)
+            c2, fps2 = decode_y4m(encode_y4m(c, fps))
+            assert (c2 == c).all() and fps2 == fps
+        with _pt.raises(ValueError):
+            decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\nxx")  # truncated
+        with _pt.raises(ValueError):
+            decode_y4m(b"not a stream")
+
+    def test_real_frame_sampler(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_ray.ops.multimodal import FrameSampler, encode_y4m, _synth_clip
+
+        clip, fps = _synth_clip(3, 9)
+        batch = pa.table(
+            {
+                "media_id": pa.array([7, 8], pa.int64()),
+                "kind": ["video", "audio"],
+                "payload": pa.array([encode_y4m(clip, fps), b"RIFFxxxx"], pa.binary()),
+                "width": pa.array([clip.shape[2], 0], pa.int32()),
+                "height": pa.array([clip.shape[1], 0], pa.int32()),
+                "duration_ms": pa.array([1000, 500], pa.int32()),
+            }
+        )
+        out = FrameSampler(n_frames=4, fake=False)(batch).to_pylist()
+        assert [r["media_id"] for r in out] == [7, 7, 7, 7]
+        nf = clip.shape[0]
+        for r in out:
+            src = (nf * r["frame_idx"]) // 4
+            assert r["ts_ms"] == 1000 * src // fps
+            want_mean = clip[src].reshape(-1, 3).mean(axis=0) / 255.0
+            assert np.allclose(r["features"][:3], want_mean)
+
+    def test_av_stats_vs_ground_truth(self, ray_session):
+        import duckdb
+
+        from ocr_ray.ops.multimodal import (
+            media_audio_stats,
+            media_audio_stats_sql,
+            media_video_frames,
+            media_video_frames_sql,
+        )
+
+        for fn, sql_fn, keys in [
+            (media_audio_stats, media_audio_stats_sql, ["media_id"]),
+            (media_video_frames, media_video_frames_sql, ["media_id", "frame_idx"]),
+        ]:
+            got = fn("/root/testdata/sf0.001").to_pandas().sort_values(keys).reset_index(drop=True)
+            want = duckdb.sql(sql_fn("/root/testdata/sf0.001")).df().sort_values(keys).reset_index(drop=True)
+            assert len(got) == len(want) and len(got) > 10
+            assert got[sorted(got.columns)].astype(str).values.tolist() == \
+                want[sorted(want.columns)].astype(str).values.tolist()

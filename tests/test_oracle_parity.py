@@ -40,6 +40,10 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.multimodal import media_image_stats_sql
 
     _SQLS["media_image_stats"] = media_image_stats_sql(SF)
+    from ocr_ray.ops.multimodal import media_audio_stats_sql, media_video_frames_sql
+
+    _SQLS["media_audio_stats"] = media_audio_stats_sql(SF)
+    _SQLS["media_video_frames"] = media_video_frames_sql(SF)
     _SQLS["dedup_cosine_exact"] = dedup_cosine_exact_sql(SF)
     from ocr_ray.ops.ann import embedding_cluster_assign_sql
 
