@@ -102,6 +102,7 @@ from ocr_ray.ops.multimodal import (
     media_audio_stats_sql,
     media_image_stats,
     media_image_stats_sql,
+    media_phash_real,
     media_video_frames,
     media_video_frames_sql,
     media_inventory,
@@ -212,6 +213,7 @@ REGISTRY: dict[str, tuple] = {
     "media_image_stats": (media_image_stats, None),  # SQL built per-sf: media_image_stats_sql
     "media_audio_stats": (media_audio_stats, None),  # SQL built per-sf: media_audio_stats_sql
     "media_video_frames": (media_video_frames, None),  # SQL built per-sf: media_video_frames_sql
+    "media_phash_real": (media_phash_real, None),  # planted-pair recall pytest-pinned
     "media_inventory": (media_inventory, None),  # SQL built per-sf: media_inventory_sql
     "media_dedup_exact": (media_dedup_exact, None),  # SQL built per-sf: media_dedup_exact_sql
     "scrub_docs": (scrub_docs, None),  # SQL built per-sf: scrub_docs_sql

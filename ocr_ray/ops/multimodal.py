@@ -1193,3 +1193,111 @@ def media_video_frames_sql(sf_dir: str) -> str:
 SELECT media_id, frame_idx, ts_ms, sum_r, sum_g, sum_b
 FROM read_parquet('{path}/video_truth.parquet')
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL-pixel perceptual near-dup (r4): the phash band/verify/component
+# machinery fed by the REAL PPM/BMP decoders instead of the hash stub —
+# the genuine analog of an image-crawl near-dup pass.
+# ---------------------------------------------------------------------------
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> integer BT.601-style luma grid (uint8)."""
+    p = px.astype(np.int64)
+    return (
+        (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    ).astype(np.uint8)
+
+
+def _synth_noise_pixels(k: int, seed: int) -> np.ndarray:
+    """Deterministic full-rank 'photo-like' pixels (integer hash noise —
+    NOT the periodic pattern, whose many equal DCT coefficients make the
+    median threshold tie-unstable and phash meaningless)."""
+    import random
+
+    rng = random.Random((seed << 21) ^ (k * 48271 % 2**31))
+    w = rng.randrange(16, 49)
+    h = rng.randrange(16, 41)
+    yy, xx, cc = np.indices((h, w, 3), dtype=np.int64)
+    v = (xx * 2654435761 + yy * 40503 + cc * 69069 + k * 1013904223 + seed) & 0xFFFFFFFF
+    return ((v >> 7) % 256).astype(np.uint8)
+
+
+def synth_image_dup_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic image payloads where every ODD id is a NEAR-DUPLICATE
+    of the preceding even id (one interior pixel changed — a few phash
+    bits at most), alternating PPM/BMP encodings so cross-format
+    perceptual matching is exercised. The planted truth: {2k, 2k+1} are
+    dup pairs; distinct k are unrelated noise images."""
+    ids, payloads = [], []
+    for k in range(n // 2):
+        px = _synth_noise_pixels(k, seed ^ 0x5A5A)
+        variant = px.copy()
+        variant[1, 1] = (variant[1, 1].astype(np.int64) + 9) % 256
+        ids.append(2 * k)
+        payloads.append(encode_ppm(px))
+        ids.append(2 * k + 1)
+        payloads.append(encode_bmp(variant))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def ensure_image_dup_fixture(
+    n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures"
+) -> str:
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"imagedups_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(synth_image_dup_table(n, seed), os.path.join(tmp, "images.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    open(marker, "w").close()
+    return out
+
+
+def media_phash_real(sf_dir: str) -> Dataset:
+    """queries() entry (rows-only; planted-pair recall is pytest-pinned):
+    REAL decode -> integer luma -> 64-bit DCT phash -> banded LSH +
+    hamming verify + min-label components. One row per image with its
+    cluster label; a near-dup pair shares a label."""
+    path = ensure_image_dup_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path + "/images.parquet")
+
+    def to_pixels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column("payload")))
+        ids, pix, ws, hs = [], [], [], []
+        for mid, p in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            _, px = decode_image(p)
+            g = _luma(px)
+            ids.append(mid)
+            pix.append(g.tobytes())
+            hs.append(g.shape[0])
+            ws.append(g.shape[1])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "pixels": pa.array(pix, pa.binary()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+
+    return phash_cluster_over(ds.map_batches(to_pixels, batch_format="pyarrow"))

@@ -553,3 +553,21 @@ class TestRealAvCodecs:
             assert len(got) == len(want) and len(got) > 10
             assert got[sorted(got.columns)].astype(str).values.tolist() == \
                 want[sorted(want.columns)].astype(str).values.tolist()
+
+
+class TestRealPhashNearDup:
+    def test_planted_pairs_cluster(self, ray_session):
+        """REAL decode -> luma -> phash -> LSH cluster: every planted
+        near-dup pair {2k, 2k+1} shares a group label (cross-format:
+        even ids are PPM, odd are BMP) and unrelated noise images do
+        not merge (pair hamming <= 6 vs cross >= 20 on this fixture)."""
+        from ocr_ray.ops.multimodal import media_phash_real
+
+        df = media_phash_real("/root/testdata/sf0.001").to_pandas()
+        lab = dict(zip(df.media_id, df.group_id))
+        n_pairs = len(lab) // 2
+        assert n_pairs >= 15
+        for k in range(n_pairs):
+            assert lab[2 * k] == lab[2 * k + 1], k
+        # distinct base images never share a group
+        assert df.group_id.nunique() == n_pairs
