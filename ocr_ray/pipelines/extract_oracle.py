@@ -2475,17 +2475,40 @@ FROM scored
 """
 
 
+def _ensure_pipeline_committed(kind: str, sf_dir: str, out: str) -> None:
+    """If the committed corpus doesn't exist yet (an oracle evaluated
+    BEFORE its query in some runner), materialize it now — the pipelines
+    are deterministic, so the later query run rewrites identical content.
+    No-op when the dir exists or Ray isn't up."""
+    import os
+
+    import ray
+
+    if os.path.isdir(out) or not ray.is_initialized():
+        return
+    import ray.data as rd
+
+    from ocr_ray.pipelines.training_data import sft_dataset_full, training_data_full
+
+    src = rd.read_parquet(_transcripts(sf_dir))
+    if kind == "tdf":
+        training_data_full(src, out)
+    else:
+        sft_dataset_full(src, out)
+
+
 def _tdf_report_sql(sf_dir: str) -> str:
     """Oracle for ``training_data_full`` (VERDICT r3 #2): DuckDB recounts
-    the COMMITTED corpus per (split, lang_pred) — the driver runs the Ray
-    query (which writes the deterministic out dir) before this SQL, so the
-    read-back verifies the report reconciles with the corpus on disk. The
-    pipeline's stage semantics are covered by the gated decompositions
-    (clean_corpus_plain/html, conv_dedup_exact, extract_* by name)."""
+    the COMMITTED corpus per (split, lang_pred) — the read-back verifies
+    the report reconciles with the corpus on disk (materialized here if a
+    runner evaluates the SQL first). The pipeline's stage semantics are
+    covered by the gated decompositions (clean_corpus_plain/html,
+    conv_dedup_exact, extract_* by name)."""
     from ocr_ray.pipelines.training_data import pipeline_out_dir
     from ocr_ray.sources.transcripts import n_convs_for_sf
 
     out = pipeline_out_dir("tdf", n_convs_for_sf(sf_dir))
+    _ensure_pipeline_committed("tdf", sf_dir, out)
     return f"""
 SELECT split, lang_pred,
        CAST(COUNT(*) AS BIGINT) AS n_turns,
@@ -2502,6 +2525,7 @@ def _sft_report_sql(sf_dir: str) -> str:
     from ocr_ray.sources.transcripts import n_convs_for_sf
 
     out = pipeline_out_dir("sft", n_convs_for_sf(sf_dir))
+    _ensure_pipeline_committed("sft", sf_dir, out)
     return f"""
 SELECT split,
        CAST(COUNT(*) AS BIGINT) AS n_examples,
