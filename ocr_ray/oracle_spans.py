@@ -26,6 +26,17 @@ the DECODED body for data-URI payloads):
 ``ensure_golden_spans`` materializes the oracle as a parquet table next
 to the transcripts fixture so the driver's DuckDB oracle can read it back
 (the same read-back pattern as ``media_inventory_sql``).
+
+Domain bound (documented, fuzz-discovered): on an UNTERMINATED ``<!--``
+or an unterminated ``<script>``/``<style>``-style OPENER the two
+machineries genuinely diverge — the kernel's regex scanner leaves the
+unmatched token as literal text / a plain tag, while stdlib HTMLParser
+enters comment/CDATA mode and swallows the rest of the document. Stray
+CLOSERS and terminated regions (the only kinds any fixture or sane
+document contains) agree exactly; the production path additionally
+self-checks every html turn against the kernel's block stream, so a
+payload outside this oracle's domain still cannot emit silently wrong
+spans.
 """
 
 from __future__ import annotations

@@ -423,3 +423,39 @@ class TestGoldenSpansOracle:
             k1, r1 = spans_for_turn(raw)
             k2, r2 = golden_spans(raw)
             assert r1 == r2 and (not r1 or k1 == k2), raw[:60]
+
+    def test_randomized_cross_implementation_fuzz(self):
+        """3k random tag-soup documents (nesting, broken markup, comments
+        and scripts inside links, entities, padding traps): the stdlib-
+        parser golden oracle and the regex-scanner production replay must
+        agree on every (kind, span, text) row."""
+        import random
+
+        from ocr_ray.oracle_spans import golden_spans
+        from ocr_ray.stages.spans import spans_for_turn
+
+        random.seed(20260821)
+        # comment and script/style regions appear TERMINATED (plus stray
+        # closers): unterminated OPENERS are the documented domain bound
+        # where regex scanner and HTMLParser legitimately diverge (see
+        # ocr_ray/oracle_spans.py docstring)
+        toks = [
+            "<p>", "</p>", "<a>", "</a>", "<div>", "</div>", "<nav>",
+            "</nav>", "<h1>", "</h1>", "<h2>", "</h2>",
+            "<script>var x='<p>no</p>';</script>", "</script>",
+            "<style>.a{color:red}</style>", "</style>",
+            "<!-- a comment -->", "<!--x-->", "word", "link text", "x",
+            "&amp;", "&lt;", "&#233;", "  ", "\n",
+            "aa bb cc dd ee ff gg hh ii jj kk ll mm", "<br/>", "<li>",
+            "</li>", "<footer>", "</footer>", "é café",
+        ]
+        n_checked = 0
+        for _ in range(3000):
+            doc = "".join(
+                random.choice(toks) for _ in range(random.randint(3, 40))
+            )
+            k1, r1 = spans_for_turn(doc)
+            k2, r2 = golden_spans(doc)
+            assert r1 == r2 and (not r1 or k1 == k2), repr(doc)[:120]
+            n_checked += 1
+        assert n_checked == 3000
