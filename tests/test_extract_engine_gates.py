@@ -666,3 +666,195 @@ class TestFullCorpusGates:
             w = want[cols].sort_values(cols).reset_index(drop=True)
             assert len(g) == len(w), name
             assert g.astype(str).values.tolist() == w.astype(str).values.tolist(), name
+
+
+class TestRandomizedHostilePlants:
+    """Randomized adversarial payload sweep over the SUBSET gates: the
+    provability masks must agree with their SQL filters on INCLUSION and
+    every included row must match value-for-value. 400 random documents
+    mixing the known divergence surfaces — exotic unicode whitespace,
+    \\r\\n, non-ASCII digits, hyphen continuations in/out of the allowed
+    class, data-URIs (valid / broken base64 / non-base64), nested and
+    unterminated markup, entities, 19+-digit numbers, NULLs."""
+
+    @pytest.fixture(scope="class")
+    def hostile_dir(self, tmp_path_factory):
+        import base64
+        import random
+
+        rng = random.Random(20260822)
+        words = ["alpha", "beta", "café", "déjà", "étude", "naïve", "word",
+                 "the", "and", "of", "x", "123456789012345678901", "ÖPQ"]
+        ws = [" ", "\t", "\n", "\xa0", " ", " ", "\r\n", "\x0b",
+              "\f", "　"]
+        tags = ["<p>", "</p>", "<a>", "</a>", "<nav>", "</nav>", "<h1>",
+                "</h1>", "<div>", "</div>", "<!--c-->", "<!--",
+                "<script>s</script>", "&amp;", "&lt;", "&#233;"]
+
+        def payload() -> str | None:
+            r = rng.random()
+            if r < 0.04:
+                return None
+            if r < 0.08:
+                return rng.choice(["", " ", "\xa0 ", "\r\n", "\f\f"])
+            if r < 0.18:  # data-URI family: valid, broken b64, non-b64
+                inner = " ".join(rng.choice(words) for _ in range(rng.randint(2, 30)))
+                kind = rng.random()
+                if kind < 0.5:
+                    b = base64.b64encode(inner.encode()).decode()
+                    return f"data:text/plain;base64,{b}"
+                if kind < 0.75:
+                    return "data:text/plain;base64,!!notb64!!"
+                return f"data:text/plain,{inner}"
+            if r < 0.45:  # markup soup
+                n = rng.randint(3, 30)
+                return "".join(
+                    rng.choice(tags) if rng.random() < 0.5 else
+                    rng.choice(words) + rng.choice(ws)
+                    for _ in range(n)
+                )
+            if r < 0.75:  # pdf-ish: indented lines, hyphens, pagenums, \f
+                lines = []
+                for _ in range(rng.randint(3, 12)):
+                    indent = rng.choice(["", "  ", "    ", "\t\t"])
+                    body = " ".join(rng.choice(words) for _ in range(rng.randint(1, 6)))
+                    if rng.random() < 0.3:
+                        body += "-"
+                    lines.append(indent + body)
+                    if rng.random() < 0.3:
+                        lines.append("")
+                if rng.random() < 0.3:
+                    lines.append(f"{rng.randint(1, 9)} / {rng.randint(1, 9)}")
+                doc = "\n".join(lines)
+                if rng.random() < 0.5:
+                    doc += "\f" + doc
+                return doc
+            # plain with exotic separators
+            paras = [
+                " ".join(rng.choice(words) for _ in range(rng.randint(2, 12)))
+                for _ in range(rng.randint(1, 4))
+            ]
+            return rng.choice(["\n\n", "\n \n", "\n\xa0\n", "\n\t\n"]).join(paras)
+
+        rows = [payload() for _ in range(400)]
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"hz-{i:04d}" for i in range(len(rows))]),
+                "turn_idx": pa.array([0] * len(rows), pa.int32()),
+                "role": pa.array(["user"] * len(rows)),
+                "text": pa.array(rows, pa.string()),
+                "tool": pa.array([""] * len(rows)),
+                "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            }
+        )
+        d = tmp_path_factory.mktemp("hostile_transcripts")
+        pq.write_table(t, str(d / "part-0.parquet"))
+        return str(d)
+
+    def test_html_gate_parity(self, hostile_dir):
+        ray_df, ora_df = _html_side_by_side(hostile_dir)
+        _assert_frames_equal(ray_df, ora_df)
+
+    def test_pdf_gate_parity(self, hostile_dir):
+        for blocks in (False, True):
+            ray_df, ora_df = _pdf_side_by_side(hostile_dir, blocks)
+            _assert_frames_equal(ray_df, ora_df)
+
+    def test_plain_and_spans_parity(self, hostile_dir):
+        from ocr_ray.pipelines.extract_oracle import (
+            _plain_sql,
+            _plain_spans_sql,
+            _plain_spans_table,
+            _provably_plain_mask,
+        )
+
+        t = pq.read_table(hostile_dir, columns=["conv_id", "turn_idx", "text"])
+        sub = t.filter(_provably_plain_mask(t.column("text")))
+        res = [extract_turn(x) for x in sub.column("text").to_pylist()]
+        ray_df = (
+            pa.table(
+                {
+                    "conv_id": sub.column("conv_id"),
+                    "turn_idx": sub.column("turn_idx"),
+                    "payload_kind": pa.array([r.payload_kind for r in res], pa.string()),
+                    "main_text": pa.array([r.main_text for r in res], pa.string()),
+                    "error": pa.array([r.error for r in res], pa.string()),
+                }
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        ora_df = (
+            duckdb.sql(_plain_sql(hostile_dir))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        _assert_frames_equal(ray_df, ora_df)
+        keys = ["conv_id", "turn_idx", "block_idx"]
+        got = (
+            _plain_spans_table(t).to_pandas().sort_values(keys).reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(_plain_spans_sql(hostile_dir))
+            .df()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        _assert_frames_equal(got, want)
+
+    def test_datauri_gate_parity(self, hostile_dir):
+        from ocr_ray.pipelines.extract_oracle import (
+            _datauri_sql,
+            extract_datauri_turns,
+        )
+
+        # the query fn is fixture-bound; replicate its batch body here
+        import ray  # noqa: F401  (session provided by conftest when needed)
+
+        t = pq.read_table(hostile_dir, columns=["conv_id", "turn_idx", "text"])
+        from ocr_ray.pipelines.extract_oracle import (
+            _DATAURI_PREFIX_RE,
+            _DATAURI_STRICT_RE,
+            _provably_simple_html_mask,
+        )
+        import pyarrow.compute as pc
+
+        from ocr_ray.core.extract import decode_data_uri
+
+        txt = t.column("text")
+        cand = pc.is_valid(txt)
+        cand = pc.and_(cand, pc.match_substring_regex(txt, _DATAURI_STRICT_RE))
+        payload = pc.replace_substring_regex(txt, _DATAURI_PREFIX_RE, "")
+        plen = pc.utf8_length(payload)
+        cand = pc.and_(cand, pc.equal(pc.bit_wise_and(plen, 3), 0))
+        cand = pc.and_(cand, pc.greater(plen, 0))
+        sub = t.filter(cand)
+        decoded = pa.array(
+            [decode_data_uri(x)[0] for x in sub.column("text").to_pylist()],
+            pa.string(),
+        )
+        sub = sub.filter(_provably_simple_html_mask(pa.chunked_array([decoded])))
+        res = [extract_turn(x) for x in sub.column("text").to_pylist()]
+        ray_df = (
+            pa.table(
+                {
+                    "conv_id": sub.column("conv_id"),
+                    "turn_idx": sub.column("turn_idx"),
+                    "payload_kind": pa.array([r.payload_kind for r in res], pa.string()),
+                    "main_text": pa.array([r.main_text for r in res], pa.string()),
+                    "error": pa.array([r.error for r in res], pa.string()),
+                }
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        ora_df = (
+            duckdb.sql(_datauri_sql(hostile_dir))
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        _assert_frames_equal(ray_df, ora_df)
