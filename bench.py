@@ -385,6 +385,20 @@ def run_bench() -> dict:
         from ocr_ray.sources.bigdocs import ensure_bigdocs, ensure_bigvecs
         from ocr_ray.sources.readers import scaled_read_parquet
 
+        # media codec volume (r4): REAL decode throughput — 2k PPM/BMP
+        # images through the ImageStats actor pool (decode + exact sums)
+        from ocr_ray.ops.multimodal import ImageStats, ensure_image_fixture
+
+        img2k = ensure_image_fixture(2_000)
+        t0 = time.monotonic()
+        import ray.data as _rd
+
+        _ = _rd.read_parquet(img2k + "/images.parquet").map_batches(
+            ImageStats, batch_format="pyarrow", batch_size=64,
+            concurrency=(1, 16), num_cpus=1,
+        ).count()
+        qtimes["media_decode_2k"] = round(time.monotonic() - t0, 3)
+
         docs100k = ensure_bigdocs(100_000, seed=7)
         t0 = time.monotonic()
         n_surv = near_dup_survivors(
