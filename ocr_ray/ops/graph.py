@@ -228,21 +228,32 @@ def _collect_edges_gated(edges: Dataset, gate: int) -> tuple | None:
 
 def _pagerank_local(src: np.ndarray, dst: np.ndarray, *, iters: int) -> Dataset:
     """Exact local solve over a deduped edge list (gate-bounded): identical
-    int64 fixed-point arithmetic as the distributed plan and the oracle."""
-    node_ids = np.unique(np.concatenate([src, dst]))
-    si = np.searchsorted(node_ids, src)
-    di = np.searchsorted(node_ids, dst)
+    int64 fixed-point arithmetic as the distributed plan and the oracle
+    (integer sums are reduction-order independent, so the edge reorder
+    below cannot change a single bit). r4 prelude slim-down mirroring the
+    triangle tier: one unique/return_inverse instead of two searchsorted
+    passes, a packed-uint64 sort instead of argsort, and the src indices
+    pre-ordered ONCE so each iteration gathers 1x, not 2x."""
+    m = len(src)
+    node_ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[:m], inv[m:]
     deg = np.bincount(si, minlength=len(node_ids)).astype(np.int64)
     ranks = np.full(len(node_ids), _INIT, np.int64)
-    order = np.argsort(di, kind="stable")
-    di_s = di[order]
-    starts = np.concatenate(([0], np.flatnonzero(np.diff(di_s)) + 1)) if len(di_s) else np.zeros(0, np.int64)
+    packed = (di.astype(np.uint64) << np.uint64(32)) | si.astype(np.uint64)
+    packed.sort()
+    di_s = (packed >> np.uint64(32)).astype(np.int64)
+    si_s = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    starts = (
+        np.concatenate(([0], np.flatnonzero(np.diff(di_s)) + 1))
+        if len(di_s)
+        else np.zeros(0, np.int64)
+    )
+    dst_heads = di_s[starts.astype(np.int64)] if len(di_s) else starts
     for _ in range(iters):
         shares = np.where(deg > 0, ranks // np.maximum(deg, 1), 0)
         inbound = np.zeros(len(node_ids), np.int64)
         if len(di_s):
-            s_s = shares[si][order]
-            inbound[di_s[starts.astype(np.int64)]] = np.add.reduceat(s_s, starts)
+            inbound[dst_heads] = np.add.reduceat(shares[si_s], starts)
         ranks = _BASE + (85 * inbound) // 100
     return rd.from_arrow(pa.table({"node": pa.array(node_ids), "pr": pa.array(ranks)}))
 
