@@ -1210,9 +1210,14 @@ def _kcore_local(a: np.ndarray, b: np.ndarray, *, k: int, rounds: int) -> Datase
     keys = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
     lo = (keys >> np.uint64(32)).astype(np.int64)
     hi = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    ids = np.unique(np.concatenate([lo, hi])) if len(lo) else np.zeros(0, np.int64)
-    ai = np.searchsorted(ids, lo)
-    bi = np.searchsorted(ids, hi)
+    if len(lo):
+        # one unique/inverse instead of unique + two searchsorted passes
+        # (the r4 prelude pattern; positions in sorted ids == id order)
+        ids, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+        ai, bi = inv[: len(lo)], inv[len(lo) :]
+    else:
+        ids = np.zeros(0, np.int64)
+        ai = bi = np.zeros(0, np.int64)
     ekeep = np.ones(len(ai), dtype=bool)
     for _ in range(rounds):
         deg = np.bincount(ai[ekeep], minlength=len(ids)) + np.bincount(
