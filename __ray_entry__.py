@@ -461,6 +461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lineage_census": _docs_lineage_census,
         "extract_context_turns": _extract_context_turns,
     }
+    from ocr_ray.pipelines.binpdf_gate import extract_binpdf_blocks, extract_binpdf_turns
+
+    out["extract_binpdf_turns"] = extract_binpdf_turns
+    out["extract_binpdf_blocks"] = extract_binpdf_blocks
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn
     try:
@@ -479,6 +483,9 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: sql for name, (fn, sql) in REGISTRY.items() if sql}
     out.update(oracle_sqls(_DRIVER_SF))
+    from ocr_ray.pipelines.binpdf_gate import binpdf_oracle_sqls
+
+    out.update(binpdf_oracle_sqls(_DRIVER_SF))
     try:
         from ocr_ray.ops import REGISTRY as OPS_REGISTRY
         from ocr_ray.ops.multimodal import media_inventory_sql

@@ -83,7 +83,7 @@ class Block:
 
 @dataclass(frozen=True)
 class ExtractResult:
-    payload_kind: str  # html | pdf | plain
+    payload_kind: str  # html | pdf | plain | binpdf
     main_text: str
     blocks: tuple  # tuple[Block, ...]
     error: str  # "" on success (total-output invariant)
@@ -130,13 +130,16 @@ def decode_data_uri(text: str):
 
 
 def classify_payload(text: str) -> str:
-    """Route a turn payload to an engine: ``html`` | ``pdf`` | ``plain``.
+    """Route a turn payload to an engine: ``html`` | ``pdf`` | ``plain``
+    | ``binpdf`` (raw ``%PDF-`` bytes that survived a text read).
 
     Generalizes the reference's engine enum dispatch
     (extract-data-from-pdf.ts:22-24, :96-154). Integer-only scoring.
     """
     if not text or text.isspace():
         return "plain"
+    if text.startswith("%PDF-"):
+        return "binpdf"
     if "\f" in text:
         return "pdf"
     # html: at least 3 tag-ish tokens
@@ -357,13 +360,38 @@ def extract_turn(text) -> ExtractResult:
         return ExtractResult("plain", "", (), "type_error")
     if not text or text.isspace():
         return _EMPTY
-    decoded, err = decode_data_uri(text)
-    if err:
-        return ExtractResult("plain", "", (), err)
+    # data-URI handling inlined (single decode, r4 invariant): base64
+    # payloads decoding to binary-PDF bytes route to the binary-PDF engine
+    # BEFORE the utf-8 text decode (the reference posts base64 PDF bytes
+    # straight to the OCR engine, extract-data-from-pdf.ts:114-139).
+    m = _DATA_URI_RE.match(text)
+    if m:
+        payload = text[m.end() :]
+        if m.group(2):  # ;base64
+            try:
+                raw = base64.b64decode(payload, validate=True)
+            except (binascii.Error, ValueError):
+                return ExtractResult("plain", "", (), "decode_error")
+            if raw.startswith(b"%PDF-"):
+                from ocr_ray.core.pdfbin import extract_binpdf
+
+                return extract_binpdf(raw)
+            try:
+                decoded = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                return ExtractResult("plain", "", (), "decode_error")
+        else:
+            decoded = payload
+    else:
+        decoded = text
     if not decoded or decoded.isspace():
         return _EMPTY
     kind = classify_payload(decoded)
     try:
+        if kind == "binpdf":
+            from ocr_ray.core.pdfbin import extract_binpdf
+
+            return extract_binpdf(decoded.encode("utf-8"))
         if kind == "html":
             return _extract_html(decoded)
         if kind == "pdf":

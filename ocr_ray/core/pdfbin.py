@@ -1,0 +1,456 @@
+"""Deterministic binary-PDF text extraction (the r5 "engine B" analog).
+
+The reference's PDF engine consumes ACTUAL binary PDFs — base64 PDF bytes
+posted to Cloud Vision ``DOCUMENT_TEXT_DETECTION``
+(``/root/reference/src/ai/flows/extract-data-from-pdf.ts:114-139``). This
+module is the from-scratch deterministic counterpart: a pure-Python PDF 1.4
+tokenizer for UNCOMPRESSED content streams that reconstructs per-page
+reading order from the ``BT``/``ET`` text objects and the
+``Tj``/``TJ``/``'``/``"`` show operators with ``Td``/``TD``/``T*``/``Tm``
+line positioning, then hands the reconstructed ``\\f``-separated page text
+to the existing PDF layout engine (``ocr_ray.core.extract._extract_pdf``)
+for paragraph grouping, dehyphenation and the running-header/footer census.
+
+Scope (documented library boundary, same policy as ``ops/multimodal.py``):
+streams behind ``/Filter`` (FlateDecode etc.) are entropy-coded and return
+a ``pdf_parse_error:filter`` error row instead of text — the kernel is
+TOTAL, it never raises. Everything in the uncompressed PDF 1.4 subset —
+object graph walk (trailer -> /Root -> /Pages -> nested /Kids -> /Contents),
+literal strings with the full escape table (octal, line continuations,
+nested parens), hex strings, and the text operators above — is genuinely
+parsed.
+
+Determinism rules match ``core/extract.py``: no wall clock, no randomness,
+integer thresholds, and PDFDocEncoding approximated as latin-1 (exact for
+the ASCII fixtures; a deterministic total mapping for everything else).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# object-level scan
+# ---------------------------------------------------------------------------
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START_RE = re.compile(rb"\bstream\r?\n")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
+_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+_FILTER_RE = re.compile(rb"/Filter\b")
+
+# word-space threshold for TJ kerning adjustments, in thousandths of a text
+# space unit: a negative displacement at or beyond this is rendered as an
+# inter-word gap (the common width of a space glyph is 250-600/1000; -180 is
+# the conventional boundary used by text extractors).
+_TJ_WORD_SPACE = -180
+
+
+class _Obj:
+    __slots__ = ("num", "body", "stream")
+
+    def __init__(self, num: int, body: bytes, stream: bytes | None):
+        self.num = num
+        self.body = body  # dict/body bytes with the stream data removed
+        self.stream = stream
+
+
+def _scan_objects(raw: bytes) -> dict[int, _Obj]:
+    """Sequential scan of ``N G obj ... endobj``. For stream objects the
+    data is sliced by the inline integer ``/Length`` BEFORE searching for
+    the closing keywords, so stream bytes containing ``endstream`` /
+    ``endobj`` (e.g. those words inside a shown string) cannot truncate
+    the object; without /Length the first ``endstream`` after the data
+    terminates it (best effort)."""
+    objs: dict[int, _Obj] = {}
+    pos, n = 0, len(raw)
+    while True:
+        m = _OBJ_HEAD_RE.search(raw, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        sm = _STREAM_START_RE.search(raw, body_start)
+        em = raw.find(b"endobj", body_start)
+        stream = None
+        if sm is not None and (em < 0 or sm.start() < em):
+            head = raw[body_start : sm.start()]
+            lm = re.search(rb"/Length\s+(\d+)\b(?!\s+0\s+R)", head)
+            if lm:
+                dstart = sm.end()
+                dend = dstart + int(lm.group(1))
+                stream = raw[dstart:dend]
+                es = raw.find(b"endstream", dend)
+                scan_from = es + len(b"endstream") if es >= 0 else dend
+            else:
+                es = raw.find(b"endstream", sm.end())
+                if es < 0:
+                    es = n
+                stream = raw[sm.end() : es]
+                # strip the EOL the writer puts before `endstream`
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith(b"\n") or stream.endswith(b"\r"):
+                    stream = stream[:-1]
+                scan_from = es + len(b"endstream")
+            em = raw.find(b"endobj", scan_from)
+            body = head
+        else:
+            if em < 0:
+                em = n
+            body = raw[body_start:em]
+        if num not in objs:  # first definition wins (no incremental updates)
+            objs[num] = _Obj(num, body, stream)
+        pos = em + len(b"endobj") if em >= 0 and em < n else n
+        if pos <= m.end():
+            pos = m.end()
+    return objs
+
+
+def _page_content_streams(raw: bytes, objs: dict[int, _Obj]) -> list[bytes] | None:
+    """Walk trailer -> /Root -> /Pages -> /Kids (recursive) -> /Contents.
+    Returns the per-page concatenated content streams in page-tree order,
+    or None when the graph is unparseable (caller falls back to file
+    order)."""
+    rm = None
+    for rm_ in _ROOT_RE.finditer(raw):
+        rm = rm_  # last trailer wins (incremental-update convention)
+    if rm is None:
+        return None
+    catalog = objs.get(int(rm.group(1)))
+    if catalog is None:
+        return None
+    pm = _PAGES_RE.search(catalog.body)
+    if pm is None:
+        return None
+
+    pages: list[_Obj] = []
+
+    def walk(num: int, depth: int = 0) -> bool:
+        if depth > 32:  # cycle/depth guard
+            return False
+        node = objs.get(num)
+        if node is None:
+            return False
+        km = _KIDS_RE.search(node.body)
+        if km is not None:
+            for ref in _REF_RE.finditer(km.group(1)):
+                if not walk(int(ref.group(1)), depth + 1):
+                    return False
+            return True
+        if _TYPE_PAGE_RE.search(node.body):
+            pages.append(node)
+            return True
+        return False
+
+    if not walk(int(pm.group(1))):
+        return None
+    out: list[bytes] = []
+    for pg in pages:
+        refs: list[int] = []
+        am = _CONTENTS_ARR_RE.search(pg.body)
+        if am is not None:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+        else:
+            cm = _CONTENTS_RE.search(pg.body)
+            if cm is not None:
+                refs = [int(cm.group(1))]
+        parts: list[bytes] = []
+        for r in refs:
+            o = objs.get(r)
+            if o is None or o.stream is None:
+                return None
+            if _FILTER_RE.search(o.body):
+                raise _FilteredStream()
+            parts.append(o.stream)
+        out.append(b"\n".join(parts))
+    return out
+
+
+class _FilteredStream(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_WS = b" \t\r\n\f\x00"
+
+_ESC = {
+    ord("n"): "\n",
+    ord("r"): "\r",
+    ord("t"): "\t",
+    ord("b"): "\b",
+    ord("f"): "\f",
+    ord("("): "(",
+    ord(")"): ")",
+    ord("\\"): "\\",
+}
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse ``(...)`` starting at the '(' — returns (decoded, index after
+    ')'). Full escape table: \\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit
+    octal, backslash-EOL line continuation; balanced unescaped parens nest;
+    an unescaped raw EOL decodes as \\n (PDF 32000 §7.3.4.2)."""
+    out: list[str] = []
+    depth = 0
+    n = len(data)
+    i += 1
+    depth = 1
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _ESC:
+                out.append(_ESC[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(chr(int(data[i:j], 8) & 0xFF))
+                i = j
+            elif e == 0x0D:  # \<CR>[LF] continuation
+                i += 2 if i + 1 < n and data[i + 1] == 0x0A else 1
+            elif e == 0x0A:  # \<LF> continuation
+                i += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(chr(e))
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+            i += 1
+        elif c == 0x0D:  # raw EOL -> \n (CR, CRLF both one \n)
+            out.append("\n")
+            i += 2 if i + 1 < n and data[i + 1] == 0x0A else 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i  # unterminated: best effort
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse ``<...>`` starting at '<' — whitespace allowed between digits;
+    odd digit count pads a trailing 0 (PDF 32000 §7.3.4.3)."""
+    j = data.find(b">", i + 1)
+    if j < 0:
+        j = len(data)
+    hexpart = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hexpart) % 2:
+        hexpart += b"0"
+    return bytes.fromhex(hexpart.decode("ascii")).decode("latin-1"), j + 1
+
+
+def _interp_stream(data: bytes) -> list[str]:
+    """Interpret one (concatenated) page content stream into text lines.
+
+    Returns lines; an empty-string line is a paragraph separator (emitted
+    between BT/ET text objects). Line-break rules:
+    ``Td``/``TD`` with ty != 0, ``T*``, ``'``, ``\"`` and a ``Tm`` that
+    changes the vertical position flush the current line; shows (``Tj`` /
+    ``TJ`` elements) append to it. TJ kerning <= -180/1000 em renders as a
+    word space.
+    """
+    lines: list[str] = []
+    cur: list[str] = []
+    stack: list = []
+    in_text = False
+    last_ty: float | None = None
+
+    def flush() -> None:
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def para_break() -> None:
+        flush()
+        if lines and lines[-1] != "":
+            lines.append("")
+
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:  # literal string
+            s, i = _parse_literal_string(data, i)
+            stack.append(s)
+            continue
+        if c == 0x3C:  # < : dict or hex string
+            if i + 1 < n and data[i + 1] == 0x3C:
+                stack.append("<<")
+                i += 2
+                continue
+            s, i = _parse_hex_string(data, i)
+            stack.append(s)
+            continue
+        if c == 0x3E:  # >>
+            i += 2 if i + 1 < n and data[i + 1] == 0x3E else 1
+            stack.clear()
+            continue
+        if c == 0x5B:  # [
+            stack.append("[")
+            i += 1
+            continue
+        if c == 0x5D:  # ] : collapse to an array value
+            j = len(stack) - 1
+            while j >= 0 and stack[j] != "[":
+                j -= 1
+            arr = stack[max(j + 1, 0) :]
+            del stack[max(j, 0) :]
+            stack.append(arr)
+            i += 1
+            continue
+        m = _NUM_RE.match(data, i)
+        if m and m.group(0) and not data[i : i + 1].isalpha():
+            stack.append(float(m.group(0)))
+            i = m.end()
+            continue
+        if c == 0x2F:  # /Name
+            m = _NAME_RE.match(data, i)
+            stack.append(m.group(0).decode("latin-1"))
+            i = m.end()
+            continue
+        m = _OP_RE.match(data, i)
+        if not m:
+            i += 1
+            continue
+        op = m.group(0)
+        i = m.end()
+        if op == b"BT":
+            para_break()
+            in_text = True
+            last_ty = None
+            stack.clear()
+        elif op == b"ET":
+            para_break()
+            in_text = False
+            stack.clear()
+        elif not in_text:
+            stack.clear()
+        elif op in (b"Td", b"TD"):
+            ty = stack[-1] if len(stack) >= 1 and isinstance(stack[-1], float) else 0.0
+            if ty != 0.0:
+                flush()
+            stack.clear()
+        elif op == b"Tm":
+            ty = stack[-1] if len(stack) >= 1 and isinstance(stack[-1], float) else 0.0
+            if last_ty is not None and ty != last_ty:
+                flush()
+            last_ty = ty
+            stack.clear()
+        elif op == b"T*":
+            flush()
+            stack.clear()
+        elif op == b"Tj":
+            if stack and isinstance(stack[-1], str):
+                cur.append(stack[-1])
+            stack.clear()
+        elif op == b"'":
+            flush()
+            if stack and isinstance(stack[-1], str):
+                cur.append(stack[-1])
+            stack.clear()
+        elif op == b'"':
+            flush()
+            if stack and isinstance(stack[-1], str):
+                cur.append(stack[-1])
+            stack.clear()
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, str):
+                        cur.append(el)
+                    elif isinstance(el, float) and el <= _TJ_WORD_SPACE:
+                        cur.append(" ")
+            stack.clear()
+        else:  # Tf/Tc/Tw/Tz/TL/Ts/Tr and anything else: operand sink
+            stack.clear()
+    flush()
+    while lines and lines[-1] == "":
+        lines.pop()
+    while lines and lines[0] == "":
+        lines.pop(0)
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+
+def parse_pdf_text(raw: bytes) -> tuple[str, str]:
+    """Binary PDF -> ``\\f``-separated page text, ``(text, error)``. Total.
+
+    Page text layout matches what the textual-PDF engine expects: lines
+    joined by ``\\n`` inside a text object, a blank line between text
+    objects (paragraph gap), pages joined by ``\\f``.
+    """
+    if not raw.lstrip()[:5] == b"%PDF-":
+        return "", "pdf_parse_error:not_pdf"
+    try:
+        objs = _scan_objects(raw)
+        if not objs:
+            return "", "pdf_parse_error:no_objects"
+        try:
+            streams = _page_content_streams(raw, objs)
+        except _FilteredStream:
+            return "", "pdf_parse_error:filter"
+        if streams is None:
+            # fallback: file order of text-bearing unfiltered streams
+            streams = []
+            for num in objs:
+                o = objs[num]
+                if o.stream is not None and b"BT" in o.stream:
+                    if _FILTER_RE.search(o.body):
+                        return "", "pdf_parse_error:filter"
+                    streams.append(o.stream)
+            if not streams:
+                return "", "pdf_parse_error:no_content"
+        pages = []
+        for s in streams:
+            pages.append("\n".join(_interp_stream(s)))
+        return "\f".join(pages), ""
+    except Exception as e:  # totality backstop
+        return "", f"pdf_parse_error:{type(e).__name__}"
+
+
+def extract_binpdf(raw: bytes):
+    """Full binary-PDF engine: tokenizer -> textual PDF layout engine
+    (paragraph islands, dehyphenation, header/footer census, pagenum) —
+    the deterministic counterpart of Vision's page/block/paragraph
+    hierarchy on base64 PDF bytes (extract-data-from-pdf.ts:114-139)."""
+    from ocr_ray.core.extract import ExtractResult, _extract_pdf
+
+    text, err = parse_pdf_text(raw)
+    if err:
+        return ExtractResult("binpdf", "", (), err)
+    if not text or text.isspace():
+        return ExtractResult("binpdf", "", (), "empty_input")
+    res = _extract_pdf(text)
+    return ExtractResult("binpdf", res.main_text, res.blocks, res.error)

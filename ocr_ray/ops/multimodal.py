@@ -277,14 +277,34 @@ def ensure_media_fixture(
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    tmp = out + ".tmp"
+    tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(synth_media_table(n, seed), os.path.join(tmp, "part-0.parquet"))
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
-    open(marker, "w").close()
+    _commit_fixture_dir(tmp, out, marker)
     return out
+
+
+
+def _commit_fixture_dir(tmp: str, out: str, marker: str) -> None:
+    """Atomically promote a pid-unique staged fixture dir (r5 ADVICE: a
+    shared ``out + '.tmp'`` path let two concurrent builders rmtree each
+    other's in-progress staging and commit a partial fixture). Each builder
+    stages under its own ``.tmp.<pid>``; the first complete replace wins —
+    a loser whose target already exists accepts the winner's marker-
+    complete fixture and discards its own staging."""
+    import os
+    import shutil
+
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+    open(marker, "w").close()
 
 
 def media_inventory(sf_dir: str) -> Dataset:
@@ -796,14 +816,12 @@ def ensure_image_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtu
     if os.path.exists(marker):
         return out
     images, truth = synth_image_table(n, seed)
-    tmp = out + ".tmp"
+    tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(images, os.path.join(tmp, "images.parquet"))
     pq.write_table(truth, os.path.join(tmp, "truth.parquet"))
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
-    open(marker, "w").close()
+    _commit_fixture_dir(tmp, out, marker)
     return out
 
 
@@ -1069,15 +1087,13 @@ def ensure_av_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures
     if os.path.exists(marker):
         return out
     payloads, audio_t, video_t = synth_av_tables(n, seed)
-    tmp = out + ".tmp"
+    tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(payloads, os.path.join(tmp, "media.parquet"))
     pq.write_table(audio_t, os.path.join(tmp, "audio_truth.parquet"))
     pq.write_table(video_t, os.path.join(tmp, "video_truth.parquet"))
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
-    open(marker, "w").close()
+    _commit_fixture_dir(tmp, out, marker)
     return out
 
 
@@ -1259,13 +1275,11 @@ def ensure_image_dup_fixture(
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    tmp = out + ".tmp"
+    tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(synth_image_dup_table(n, seed), os.path.join(tmp, "images.parquet"))
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
-    open(marker, "w").close()
+    _commit_fixture_dir(tmp, out, marker)
     return out
 
 

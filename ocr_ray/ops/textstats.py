@@ -190,10 +190,22 @@ def quality_vec(col) -> dict:
     tok_chars = np.bincount(
         parent[nonempty], weights=lens[nonempty], minlength=n_rows
     ).astype(np.int64)
-    stop_mask = pc.is_in(
-        pc.utf8_trim(pc.utf8_lower(flat), ".,!?;:"),
-        value_set=pa.array(sorted(_STOPWORDS["en"])),
-    ).to_numpy(zero_copy_only=False)
+    # Stop-token check is restricted to pure-ASCII tokens (byte length ==
+    # codepoint length): Arrow's utf8proc lower maps U+0130 'İ' -> 'i'
+    # while Python str.lower yields 'i̇', so 'İt' would falsely hit
+    # the stopword set. A non-ASCII token can only Python-lower to ASCII
+    # via U+212A KELVIN 'K' -> 'k', and no stopword in any language
+    # contains 'k' (pytest-asserted), so the ASCII mask is exact.
+    ascii_tok = pc.equal(pc.binary_length(flat), pc.utf8_length(flat)).to_numpy(
+        zero_copy_only=False
+    )
+    stop_mask = (
+        pc.is_in(
+            pc.utf8_trim(pc.utf8_lower(flat), ".,!?;:"),
+            value_set=pa.array(sorted(_STOPWORDS["en"])),
+        ).to_numpy(zero_copy_only=False)
+        & ascii_tok
+    )
     n_stop = np.bincount(parent[stop_mask & nonempty], minlength=n_rows).astype(
         np.int64
     )
@@ -247,7 +259,8 @@ FROM (
     len(regexp_extract_all(t, '\\S+')) AS n_tokens,
     len(regexp_extract_all(t, '[^\\p{{L}}\\p{{N}}_\\s]')) AS n_punct,
     len(list_filter(regexp_extract_all(t, '\\S+'),
-        w -> trim(lower(w), '.,!?;:') IN ({_sql_str_set(_STOPWORDS["en"])}))) AS n_stop,
+        w -> strlen(w) = length(w)
+         AND trim(lower(w), '.,!?;:') IN ({_sql_str_set(_STOPWORDS["en"])}))) AS n_stop,
     length(regexp_replace(t, '\\s', '', 'g')) AS tok_chars
   FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
 )

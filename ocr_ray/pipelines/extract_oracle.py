@@ -823,44 +823,48 @@ def extract_html_turns(sf_dir: str) -> Dataset:
     return ds.map_batches(run, batch_format="pyarrow")
 
 
-def _html_filter_sql() -> str:
+def _html_filter_sql(col: str = "text") -> str:
     """The provably-simple-html predicate as a SQL boolean (RE2, verbatim
-    mirror of ``_provably_simple_html_mask``)."""
+    mirror of ``_provably_simple_html_mask``). ``col`` names the column
+    the predicate reads (r5 ADVICE: the data-URI gate previously re-
+    targeted the filter with a blanket ``.replace('text', 'body')`` that
+    would silently corrupt any future pattern literal containing the
+    substring 'text')."""
     from itertools import combinations
 
     def cnt(lit: str) -> str:
-        return f"len(regexp_extract_all(text, '{lit}'))"
+        return f"len(regexp_extract_all({col}, '{lit}'))"
 
     parts = [
-        "text IS NOT NULL",
-        "NOT starts_with(text, 'data:')",
-        f"NOT regexp_matches(text, '{_EXOTIC_WS_RE}')",
-        f"len(regexp_extract_all(text, '{_TAGISH_SPLIT_RE}')) >= 3",
-        f"NOT contains(regexp_replace(text, '{_HTML_INV_RE}', '', 'g'), '<')",
-        f"NOT contains(regexp_replace(text, '{_HTML_INV_RE}', '', 'g'), '>')",
-        f"NOT contains(regexp_replace(text, '{_ENTITY_CLOSED_RE}', '', 'g'), '&')",
+        f"{col} IS NOT NULL",
+        f"NOT starts_with({col}, 'data:')",
+        f"NOT regexp_matches({col}, '{_EXOTIC_WS_RE}')",
+        f"len(regexp_extract_all({col}, '{_TAGISH_SPLIT_RE}')) >= 3",
+        f"NOT contains(regexp_replace({col}, '{_HTML_INV_RE}', '', 'g'), '<')",
+        f"NOT contains(regexp_replace({col}, '{_HTML_INV_RE}', '', 'g'), '>')",
+        f"NOT contains(regexp_replace({col}, '{_ENTITY_CLOSED_RE}', '', 'g'), '&')",
     ]
     head = (
         f"(({cnt('<head>')} = 0 AND {cnt('</head>')} = 0 AND {cnt('<title>')} = 0"
         f" AND {cnt('</title>')} = 0) OR ({cnt('<head>')} = 1 AND"
         f" {cnt('</head>')} = 1 AND {cnt('<title>')} = 1 AND {cnt('</title>')} = 1"
-        f" AND regexp_matches(text, '{_HEAD_REGION_RE}')))"
+        f" AND regexp_matches({col}, '{_HEAD_REGION_RE}')))"
     )
     parts.append(head)
     for c in _BOILER_SIMPLE:
         parts.append(
             f"(({cnt(f'<{c}>')} = 0 AND {cnt(f'</{c}>')} = 0) OR"
             f" ({cnt(f'<{c}>')} = 1 AND {cnt(f'</{c}>')} = 1"
-            f" AND regexp_matches(text, '(?s)<{c}>.*</{c}>')))"
+            f" AND regexp_matches({col}, '(?s)<{c}>.*</{c}>')))"
         )
     for a, b in combinations(_BOILER_SIMPLE, 2):
         parts.append(
-            f"NOT regexp_matches(text, '(?s)<{a}>.*<{b}>.*</{a}>.*</{b}>')"
+            f"NOT regexp_matches({col}, '(?s)<{a}>.*<{b}>.*</{a}>.*</{b}>')"
         )
         parts.append(
-            f"NOT regexp_matches(text, '(?s)<{b}>.*<{a}>.*</{b}>.*</{a}>')"
+            f"NOT regexp_matches({col}, '(?s)<{b}>.*<{a}>.*</{b}>.*</{a}>')"
         )
-    rem = f"regexp_replace(text, '{_HEAD_REGION_RE}', '<p>')"
+    rem = f"regexp_replace({col}, '{_HEAD_REGION_RE}', '<p>')"
     for c in _BOILER_SIMPLE:
         rem = f"regexp_replace({rem}, '(?s)<{c}>.*?</{c}>', '<p>')"
     parts.append(f"NOT contains({rem}, '<a href')")
@@ -963,8 +967,7 @@ def _datauri_sql(path: str) -> str:
     # the html filter re-targeted at the decoded column ("text" appears in
     # the filter SQL only as the column reference — no pattern literal
     # contains the substring; asserted to stay that way)
-    html_filter_on_body = _html_filter_sql().replace("text", "body")
-    assert "text" not in html_filter_on_body
+    html_filter_on_body = _html_filter_sql(col="body")
     s = "replace(nfc_normalize(body), '<!DOCTYPE html>', '')"
     s = f"regexp_replace({s}, '{_HEAD_REGION_RE}', '<p>')"
     for c in _BOILER_SIMPLE:
@@ -1097,16 +1100,16 @@ def extract_html_blocks(sf_dir: str) -> Dataset:
     return ds.map_batches(run, batch_format="pyarrow")
 
 
-def _html_blocks_filter_sql() -> str:
-    parts = [_html_filter_sql()]
-    parts.append(r"NOT regexp_matches(text, '[\x{0001}-\x{0004}]')")
+def _html_blocks_filter_sql(col: str = "text") -> str:
+    parts = [_html_filter_sql(col)]
+    parts.append(rf"NOT regexp_matches({col}, '[\x{{0001}}-\x{{0004}}]')")
     for o, c, bad_oo, bad_cf in _heading_alternation_clauses():
         parts.append(
-            f"len(regexp_extract_all(text, '{o}')) ="
-            f" len(regexp_extract_all(text, '{c}'))"
+            f"len(regexp_extract_all({col}, '{o}')) ="
+            f" len(regexp_extract_all({col}, '{c}'))"
         )
-        parts.append(f"NOT regexp_matches(text, '{bad_oo}')")
-        parts.append(f"NOT regexp_matches(text, '{bad_cf}')")
+        parts.append(f"NOT regexp_matches({col}, '{bad_oo}')")
+        parts.append(f"NOT regexp_matches({col}, '{bad_cf}')")
     return "\n    AND ".join(parts)
 
 
@@ -1352,7 +1355,18 @@ WITH t AS (
   FROM read_parquet('{path}/*.parquet')
   WHERE {_pdf_filter_sql()}
 ),
-pg AS (
+{_pdf_chain_after_t_sql()}"""
+
+
+def _pdf_chain_after_t_sql() -> str:
+    """The layout chain AFTER a ``t(conv_id, turn_idx, txt, np)`` CTE —
+    pages -> lines -> blank-line groups -> dehyphenation islands ->
+    header/footer census -> block kinds. Shared by the textual-pdf gate
+    (t = filtered transcript turns) and the binary-pdf gate (t = text
+    RECONSTRUCTED from uncompressed PDF content streams,
+    ``pipelines/binpdf_gate.py``), mirroring how the html chain is shared
+    with the data-URI gate."""
+    return f"""pg AS (
   SELECT conv_id, turn_idx, np,
          unnest(string_split(txt, chr(12))) AS page,
          unnest(generate_series(1, len(string_split(txt, chr(12))))) AS page_no
@@ -2237,10 +2251,7 @@ def _datauri_t_cte_sql(path: str, blocks: bool = False) -> str:
     DECODED body as ``t.text`` (so the html chain SQL applies verbatim);
     ``blocks=True`` applies the stricter html-blocks filter."""
     payload = f"regexp_replace(text, '{_DATAURI_PREFIX_RE}', '')"
-    filt = (_html_blocks_filter_sql() if blocks else _html_filter_sql()).replace(
-        "text", "body"
-    )
-    assert "text" not in filt
+    filt = _html_blocks_filter_sql(col="body") if blocks else _html_filter_sql(col="body")
     return f"""raw AS (
   SELECT conv_id, turn_idx,
          decode(from_base64({payload})) AS body

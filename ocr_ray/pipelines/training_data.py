@@ -367,7 +367,9 @@ def sft_dataset_full(
         conversation-level exact dedup (whole-dialogue digests)
         -> SFT pair assembly (capped context tail + response)
         -> example quality gate (non-empty response)
-        -> reproducible md5 train/val/test split per example
+        -> reproducible fixed-key siphash64 train/val/test split per
+           example (r4 changed the hash from md5 — split assignment is
+           NOT comparable to any r3-era committed corpus)
         -> resumable partitioned sink
         -> per-split mixture report (examples, context/response chars)
 
@@ -402,8 +404,9 @@ def sft_dataset_full(
         batch_format="pyarrow",
     )
 
-    # 4. reproducible split on the example key (same md5-band rule as
-    # training_data_full: < 0xcc train, < 0xe6 val, else test)
+    # 4. reproducible split on the example key (same siphash64-band rule
+    # as training_data_full: top byte < 0xcc train, < 0xe6 val, else test;
+    # r4 switched the hash from md5, reassigning splits vs r3-era corpora)
     def assign_split(t: pa.Table) -> pa.Table:
         return t.append_column("split", _split_col(t))
 

@@ -114,6 +114,12 @@ def spans_for_turn(raw: str):
     if err or not doc or doc.isspace():
         return "plain", []
     kind = classify_payload(doc)
+    if kind == "binpdf":
+        # character offsets into a binary PDF container are undefined —
+        # the binpdf engine's blocks live in RECONSTRUCTED text, not the
+        # payload string, so the span contract (offsets into the decoded
+        # payload) cannot hold; emit no rows (same shape as error turns)
+        return "binpdf", []
     try:
         if kind == "html":
             r = _extract_html(doc)

@@ -281,6 +281,20 @@ def write_partitioned(
     import ray.data as rd
 
     done = committed_partitions(out_dir) if resume else {}
+    if not resume:
+        # r5 ADVICE: a resume=False run overwrites the parts it writes but
+        # previously never removed stale ones — a partition that became
+        # empty (or a num_partitions change) left old part-*.parquet files
+        # that downstream readers (and the DuckDB recount oracles) silently
+        # included. Full-rebuild semantics: clear prior parts + manifests
+        # up front so the on-disk part set equals exactly this run's output.
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(out_dir, "part-*.parquet")) + _glob.glob(
+            os.path.join(out_dir, "part-*.parquet.tmp")
+        ):
+            os.remove(stale)
+        shutil.rmtree(os.path.join(out_dir, MANIFEST_DIR), ignore_errors=True)
     if done:
         # resuming with a different partition count remaps part_ids: rows
         # whose new pid collides with an old committed pid would be silently

@@ -462,11 +462,28 @@ class TestVectorizedScorers:
             "", " ", None, "...", "THE, and. OF!", "x" * 500,
             "中文 the and", "a\xa0b the", "tab\there line",
             "em space the and of", "the, the. the! other words",
+            # r5 ADVICE: Turkish dotted-capital U+0130 'İ' — Arrow utf8_lower
+            # maps it to plain 'i' (so 'İt'/'İn'/'İs' would falsely hit the
+            # ASCII stopword set) while Python str.lower yields 'i\u0307t'.
+            # The ASCII-token mask in quality_vec must keep these at parity.
+            "İt İn İs the and", "İ İT the", "\u212A the and",  # KELVIN K
         ]
         vec = quality_vec(pa.array(cases, pa.string()))
         keys = ("n_chars", "n_tokens", "punct_bp", "stop_bp", "mean_tok_len_c")
         for i, c in enumerate(cases):
             assert {k: vec[k][i].as_py() for k in keys} == quality_of(c or ""), repr(c)
+
+
+    def test_no_stopword_contains_k(self):
+        # The ASCII-token mask in quality_vec (and the strlen=length guard
+        # in DOC_QUALITY_SQL) is exact ONLY while no stopword contains 'k':
+        # U+212A KELVIN 'K' is the sole codepoint whose Python lower() is
+        # an ASCII char, so a non-ASCII token could otherwise Python-lower
+        # into the ASCII stopword set. Pin the invariant.
+        from ocr_ray.ops.textstats import _STOPWORDS
+
+        for lang, words in _STOPWORDS.items():
+            assert not any("k" in w for w in words), (lang, words)
 
 
 class TestRealAvCodecs:

@@ -97,6 +97,9 @@ def _rebind_extract_oracles():
 
     _SQLS["fuzzy_name_pairs"] = fuzzy_name_pairs_sql(SF)
     _SQLS["fuzzy_name_clusters"] = fuzzy_name_clusters_sql(SF)
+    from ocr_ray.pipelines.binpdf_gate import binpdf_oracle_sqls
+
+    _SQLS.update(binpdf_oracle_sqls(SF))
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))

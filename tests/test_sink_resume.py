@@ -102,6 +102,29 @@ def test_torn_partition_is_replaced(inputs, tmp_path):
     assert _file_bytes(torn) == _file_bytes(clean)
 
 
+def test_full_rebuild_clears_stale_parts(inputs, tmp_path):
+    """r5 ADVICE: resume=False is a full rebuild — part files and manifests
+    from a prior commit with a DIFFERENT num_partitions (or partitions that
+    became empty) must not linger, or downstream readers and the DuckDB
+    recount oracles silently include them."""
+    out = str(tmp_path / "rebuild")
+    ds = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
+    write_partitioned(ds, out, num_partitions=8, resume=False)
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 8
+    # plant an orphan that the old code path would have left behind too
+    with open(os.path.join(out, "part-00099.parquet"), "wb") as f:
+        f.write(b"stale")
+    ds2 = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
+    manifest = write_partitioned(ds2, out, num_partitions=3, resume=False)
+    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    expect = sorted(f"part-{pid:05d}.parquet" for pid in manifest.column("part_id").to_pylist())
+    assert on_disk == expect  # old pids 3..7 and the orphan are gone
+    committed = committed_partitions(out)
+    assert sorted(committed) == sorted(manifest.column("part_id").to_pylist())
+    total = sum(m["rows_out"] for m in committed.values())
+    assert total == pq.read_metadata(inputs).num_rows
+
+
 def test_resume_input_mismatch_refused(inputs, tmp_path):
     out = str(tmp_path / "out")
     ds = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
