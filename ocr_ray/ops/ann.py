@@ -395,29 +395,56 @@ def _per_query_topk_table(
     )
 
 
+
+def _multiprobe_table(qproj: np.ndarray, n_probes: int) -> list[np.ndarray]:
+    """bucket -> array of query indices probing it. Per query, the
+    ``n_probes`` buckets with the lowest flip cost (sum of |q . plane_j|
+    over the bits where the bucket differs from the query's signature) —
+    the query-directed multi-probe ordering. Pure (no Ray) so the recall
+    contract is pinned by an offline pytest at volume."""
+    n_q, p = qproj.shape
+    buckets = np.arange(1 << p, dtype=np.int64)
+    bucket_bits = ((buckets[:, None] >> np.arange(p)) & 1).astype(bool)
+    qb = qproj > 0  # (n_q, p)
+    diff = bucket_bits[:, None, :] != qb[None, :, :]  # (2^p, n_q, p)
+    cost = np.einsum("bqp,qp->bq", diff, np.abs(qproj))  # (2^p, n_q)
+    n_probes = min(n_probes, len(buckets))
+    cheap = np.argpartition(cost, n_probes - 1, axis=0)[:n_probes]  # (T, n_q)
+    probe = np.zeros((len(buckets), n_q), dtype=bool)
+    probe[cheap, np.broadcast_to(np.arange(n_q), cheap.shape)] = True
+    return [np.where(probe[b])[0] for b in buckets]
+
+
 class _LshScorer:
-    """Actor: score only vectors whose hyperplane signature is within
-    ``max_hamming`` bits of the query's signature.
+    """Actor: score only vectors whose hyperplane signature is in the
+    query's multi-probe bucket list.
+
+    Probing is QUERY-DIRECTED (classic multi-probe LSH, Lv et al., VLDB
+    2007): each query probes the ``n_probes`` buckets with the lowest flip
+    cost, where flipping bit j costs the query's projection magnitude
+    |q . plane_j| — a near-hyperplane bit is cheap to flip (the neighbor
+    plausibly lands on the other side), a confident bit is expensive.
+    Measured on the 200k-vec volume fixture vs the r4 uniform-Hamming
+    probe (h<=3 = 93 buckets, 36.7% candidates, recall 0.767): the SAME
+    93 cost-ordered probes give recall 0.852, and the default 120 probes
+    give recall 0.912 at 47% candidates — the r5 recall target with no
+    second table build.
 
     Bucket-major, GEMM-shaped (same restructure as ``_IvfScorer``): each
-    batch is bucket-sorted by its packed signature; every signature bucket's
-    sub-matrix is scored against all queries whose signature is within the
-    Hamming radius, in one matrix-matrix product per bucket. The query-by-
-    bucket probe table (2^n_planes x queries) is built once per actor."""
+    batch is bucket-sorted by its packed signature; every signature
+    bucket's sub-matrix is scored against all queries probing that bucket
+    in one matrix-matrix product per bucket. The query-by-bucket probe
+    table (2^n_planes x queries) is built once per actor."""
 
-    def __init__(self, ref, k: int, max_hamming: int):
-        q, qids, planes, qbits = ray.get(ref)
+    def __init__(self, ref, k: int, n_probes: int):
+        q, qids, planes, qproj = ray.get(ref)
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         self.qids = np.asarray(qids, dtype=np.int64)
         self.planes = planes
         self.k = k
         n_planes = planes.shape[1]
         self._pow2 = (1 << np.arange(n_planes)).astype(np.int64)
-        buckets = np.arange(1 << n_planes, dtype=np.int64)
-        bucket_bits = (buckets[:, None] >> np.arange(n_planes)) & 1  # (2^p, p)
-        qb = qbits.astype(np.int64)  # (n_q, p)
-        hamm = (bucket_bits[:, None, :] != qb[None, :, :]).sum(axis=2)  # (2^p, n_q)
-        self.q_by_bucket = [np.where(hamm[b] <= max_hamming)[0] for b in buckets]
+        self.q_by_bucket = _multiprobe_table(qproj, n_probes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _emb_matrix(batch.column("embedding"))
@@ -449,16 +476,16 @@ class _LshScorer:
         return _per_query_topk_table(self.qids, out_q, out_v, out_s, self.k)
 
 
-def _lsh_pipeline(ds, q, qids, *, k, n_planes, max_hamming):
+def _lsh_pipeline(ds, q, qids, *, k, n_planes, n_probes):
     import functools
 
     dim = q.shape[1]
     planes = np.random.RandomState(7).randn(dim, n_planes)
-    qbits = (q @ planes) > 0
-    ref = ray.put((q, qids, planes, qbits))
+    qproj = q @ planes  # signs = signature bits; magnitudes = probe costs
+    ref = ray.put((q, qids, planes, qproj))
     cand = ds.map_batches(
         _LshScorer,
-        fn_constructor_args=(ref, k, max_hamming),
+        fn_constructor_args=(ref, k, n_probes),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
@@ -469,14 +496,16 @@ def _lsh_pipeline(ds, q, qids, *, k, n_planes, max_hamming):
     )
 
 
-def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, max_hamming: int = 3):
-    """LSH-bucketed approximate top-k: score only vectors whose hyperplane
-    signature is within ``max_hamming`` bits of the query's signature.
+def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, n_probes: int = 120):
+    """LSH-bucketed approximate top-k with query-directed multi-probe:
+    each query scores only the vectors in its ``n_probes`` cheapest-flip
+    buckets (see ``_LshScorer``).
 
     On the synthetic near-random embeddings (top-1 neighbor cosine ~0.33)
-    hamming<=3/8 gives ~0.87 recall at ~3x candidate pruning; on real
-    clustered embeddings the same setting prunes far harder. Tighten
-    ``max_hamming`` / raise ``n_planes`` as cluster structure allows."""
+    the default (8 planes, 120/256 probes) measures recall@10 = 0.912 at
+    ~47% of brute-force candidates; on real clustered embeddings the same
+    setting prunes far harder. Lower ``n_probes`` / raise ``n_planes`` as
+    cluster structure allows."""
     q, qids = _load_queries(sf_dir)
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -486,7 +515,7 @@ def ann_lsh_topk(sf_dir: str, k: int = _K, n_planes: int = 8, max_hamming: int =
         ),
         batch_format="pyarrow",
     )
-    return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, max_hamming=max_hamming)
+    return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, n_probes=n_probes)
 
 
 # ---------------------------------------------------------------------------
@@ -501,12 +530,12 @@ def _queries_over(ds, n_queries: int) -> tuple[np.ndarray, list[int]]:
     return q, ids
 
 
-def ann_lsh_over(ds, *, n_queries: int = 64, k: int = 10, n_planes: int = 8, max_hamming: int = 3):
+def ann_lsh_over(ds, *, n_queries: int = 64, k: int = 10, n_planes: int = 8, n_probes: int = 120):
     """LSH top-k over an arbitrary (vec_id, embedding) Dataset — the
     volume-bench sibling of ``ann_topk_over``; recall vs the brute result
     is reported per bench run (``recall_at_k``)."""
     q, qids = _queries_over(ds, n_queries)
-    return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, max_hamming=max_hamming)
+    return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, n_probes=n_probes)
 
 
 def ann_ivf_over(ds, *, n_queries: int = 64, k: int = 10, n_centroids: int = 32, nprobe: int = 12):

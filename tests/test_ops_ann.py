@@ -51,7 +51,10 @@ def test_lsh_recall():
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(len(got.get(q, set()) & set(v)) for q, v in brute.items())
     total = sum(len(v) for v in brute.values())
-    assert hits / total >= 0.6  # approximate path: bounded recall loss
+    # tiny fixture: few neighbor slots, high variance — the volume recall
+    # contract is pinned by test_multiprobe_recall_volume below (and the
+    # bench's recall_at_k row at 200k)
+    assert hits / total >= 0.7
 
 
 def test_ivf_recall():
@@ -164,3 +167,37 @@ class TestEmbeddingKnnSelf:
         assert nn[7]["nn_id"] == 0
         assert nn[2]["nn_id"] in (0, 1, 7)  # x-axis pack is its neighbor
         assert nn[3]["nn_id"] == 2  # only vector with any y component
+
+def test_multiprobe_recall_volume():
+    """Offline (no Ray) pin of the r5 multi-probe recall contract on 20k
+    pure-gaussian 64-d embeddings — the HARDEST distribution for this
+    family (no near-dup structure at all): 120/256 query-directed probes
+    measured 0.825 here, 0.859 at 200k gaussian, 0.894 at 50k and 0.912
+    at 200k of the bench fixture's distribution (which the bench's
+    ann_lsh_recall_200k row records each run). The r4 uniform-Hamming
+    probe read 0.767 on the 200k fixture at the same candidate budget."""
+    import numpy as np
+
+    from ocr_ray.ops.ann import _multiprobe_table
+
+    rng = np.random.RandomState(11)
+    emb = rng.randn(20000, 64)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    n_q, k, p = 32, 10, 8
+    q = emb[:n_q]
+    qn = en[:n_q]
+    sims = en @ qn.T
+    brute = [set(np.argsort(-sims[:, j])[:k].tolist()) for j in range(n_q)]
+    planes = np.random.RandomState(7).randn(64, p)
+    sig = ((emb @ planes) > 0).astype(np.int64) @ (1 << np.arange(p))
+    table = _multiprobe_table(q @ planes, 120)
+    probe = np.zeros((1 << p, n_q), dtype=bool)
+    for b, qs in enumerate(table):
+        probe[b, qs] = True
+    rec = []
+    for j in range(n_q):
+        mask = probe[sig, j]
+        cids = np.where(mask)[0]
+        top = set(cids[np.argsort(-sims[mask, j])[:k]].tolist())
+        rec.append(len(top & brute[j]) / k)
+    assert float(np.mean(rec)) >= 0.80, np.mean(rec)
