@@ -464,6 +464,65 @@ def candidate_pairs(
     pair_schema = pa.schema([("a", id_type), ("b", id_type)])
     num_parts = 64
 
+    # r5 census tier: post-exact-dedup corpora have FEW collision buckets
+    # (3.3k pairs from 3.2M band rows at the sf0.1 composed pipeline), so
+    # shuffling the whole band table into partitions pays a full exchange
+    # for near-empty output — measured 7.8 s of the 8.2 s survivors tail.
+    # Census the band hashes via per-batch unique partials + the gated
+    # driver combine (same local-solve pattern as the dup-ngram census);
+    # below the gate, broadcast the hot-bucket set and shuffle ONLY its
+    # rows. Above the gate (the 100 TB path, where collision volume is
+    # unknowable driver-side) the one-shuffle plan below runs unchanged.
+    def _bucket_census(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    from ocr_ray.ops.corpus import _sum_partials_gated
+
+    local = _sum_partials_gated(
+        banded.map_batches(_bucket_census, batch_format="pyarrow"), "h"
+    )
+    if local is not None:
+        import ray as _ray
+
+        hot_df = local.loc[local["n"] >= 2]
+        if len(hot_df) == 0:
+            return rd.from_arrow(pair_schema.empty_table())
+        hot = hot_df["h"].to_numpy(np.int64)
+        hot_rows = int(hot_df["n"].sum())
+        hot_ref = _ray.put(pa.array(hot, pa.int64()))
+
+        def keep_hot(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            return t.filter(
+                pc.is_in(t.column("band_hash"), value_set=_ray.get(hot_ref))
+            )
+
+        filtered = banded.map_batches(keep_hot, batch_format="pyarrow")
+        if hot_rows <= _LOCAL_PAIR_MAX_ROWS:
+            # the census bounds the collision volume EXACTLY, so the whole
+            # hot-row set (tiny 16-byte rows) can be pulled and paired in
+            # one vectorized _partition_pairs call — replacing a
+            # groupby(__part).map_groups exchange whose fixed cost was
+            # 3.8 s for 437 hot buckets at the sf0.1 composed pipeline
+            tabs = [
+                b
+                for b in filtered.iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_rows
+            ]
+            if not tabs:
+                return rd.from_arrow(pair_schema.empty_table())
+            pt = _partition_pairs(pa.concat_tables(tabs), max_bucket)
+            distinct_t = pt.group_by(["a", "b"]).aggregate([])
+            return rd.from_arrow(
+                distinct_t.select(["a", "b"]).cast(pair_schema)
+                if distinct_t.num_rows
+                else pair_schema.empty_table()
+            )
+        banded = filtered
+
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
             "__part",
@@ -1011,6 +1070,12 @@ def survivors_dataset(
 # gate the fully distributed plan runs; both paths share the banding and
 # pairing KERNELS and produce identical survivors (equality pytest-gated,
 # see tests/test_ops_dedup.py::test_local_gate_parity).
+# Hot-row gate for LOCAL candidate pairing: when the band-hash census ran
+# (below its own gate), it bounds the collision-bucket row volume exactly;
+# at or under this many hot rows the pairing is one driver-side vectorized
+# _partition_pairs call instead of a groupby(__part).map_groups exchange.
+_LOCAL_PAIR_MAX_ROWS = int(os.environ.get("OCR_RAY_PAIR_LOCAL_MAX_ROWS", "2000000"))
+
 _LOCAL_NEARDUP_MAX_ROWS = int(os.environ.get("OCR_RAY_NEARDUP_LOCAL_MAX_ROWS", "10000"))
 
 

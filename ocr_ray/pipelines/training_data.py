@@ -233,6 +233,7 @@ def dedup_near_turns(
     checkpoint_dir: str | None = None,
     winner_join: str = "auto",
     n_perms: int = 128,
+    pin: bool = True,
 ) -> Dataset:
     """MinHash-LSH near-dup pass over ``main_text`` (run after exact dedup):
     signatures over ``uid = conv_id#turn_idx``, banded buckets, capped
@@ -245,9 +246,15 @@ def dedup_near_turns(
     def add_uid(t: pa.Table) -> pa.Table:
         return t.append_column("uid", _uid_col(t))
 
-    with_uid = _pin_corpus(
-        ds.map_batches(add_uid, batch_format="pyarrow"), checkpoint_dir
-    )
+    with_uid = ds.map_batches(add_uid, batch_format="pyarrow")
+    if pin or checkpoint_dir is not None:
+        with_uid = _pin_corpus(with_uid, checkpoint_dir)
+    # pin=False (r5): when the caller's input is itself a cheap streaming
+    # filter over an ALREADY-pinned corpus (clean_corpus chains this right
+    # after dedup_exact_turns, whose output is a broadcast filter over its
+    # own pin), a second full-corpus materialize here only copies the same
+    # rows through the object store again — both branches below re-derive
+    # from the upstream pin instead.
     survivors = near_dup_survivors(
         with_uid.select_columns(["uid", "main_text"]),
         text_col="main_text",
@@ -291,7 +298,13 @@ def clean_corpus(
     if near_dedup:
         near_ckpt = os.path.join(checkpoint_dir, "near") if checkpoint_dir else None
         out = dedup_near_turns(
-            out, checkpoint_dir=near_ckpt, winner_join=winner_join, n_perms=n_perms
+            out,
+            checkpoint_dir=near_ckpt,
+            winner_join=winner_join,
+            n_perms=n_perms,
+            # exact-dedup output is a broadcast filter over its own pin —
+            # re-pinning the same rows is a pure object-store copy
+            pin=False,
         )
     return out
 
@@ -302,6 +315,7 @@ def training_data_full(
     *,
     min_chars: int = MIN_CHARS,
     num_partitions: int = 16,
+    n_perms: int = 64,
 ) -> pa.Table:
     """The COMPLETE training-data pipeline in one call:
 
@@ -312,8 +326,18 @@ def training_data_full(
     Everything streams; the sink is the consumer (no driver materialization
     of the corpus). Returns the mixture report — one row per (split,
     lang_pred) with turn and token totals — which is what a data-mixing
-    run actually inspects before training."""
-    corpus = clean_corpus(transcripts, min_chars=min_chars, near_dedup=True)
+    run actually inspects before training.
+
+    ``n_perms`` defaults to 64 here (r5): the composed pipeline's wall is
+    MinHash signature flops, and 64 perms = 8 bands x 8 rows puts the LSH
+    banding knee at ~0.77 Jaccard — the measured half-flops lever
+    (``dedup_minhash_100k_p64`` bench row) with recall blunted only in the
+    [0.70, 0.77) near-threshold band, which the signature-agreement verify
+    stage still filters exactly. Pass ``n_perms=128`` to restore the 0.71
+    knee when that band matters more than wall."""
+    corpus = clean_corpus(
+        transcripts, min_chars=min_chars, near_dedup=True, n_perms=n_perms
+    )
 
     def assign_split(t: pa.Table) -> pa.Table:
         return t.append_column("split", _split_col(t))
@@ -343,14 +367,33 @@ def training_data_full(
         )
         return g.rename_columns(["split", "lang_pred", "n_turns", "n_tokens"])
 
-    report = (
-        back.map_batches(partial, batch_format="pyarrow")
-        .groupby(["split", "lang_pred"])
-        .aggregate(Sum("n_turns", alias_name="n_turns"), Sum("n_tokens", alias_name="n_tokens"))
+    # driver combine of the per-batch partials: each batch emits at most
+    # |splits| x |langs| rows (~12), so the full partial stream is tiny at
+    # ANY corpus size — a distributed groupby here was pure shuffle fixed
+    # cost (~2 s of the composed wall)
+    parts = [
+        b
+        for b in back.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.schema(
+            [
+                ("split", pa.string()),
+                ("lang_pred", pa.string()),
+                ("n_turns", pa.int64()),
+                ("n_tokens", pa.int64()),
+            ]
+        ).empty_table()
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(["split", "lang_pred"])
+        .aggregate([("n_turns", "sum"), ("n_tokens", "sum")])
+        .rename_columns(["split", "lang_pred", "n_turns", "n_tokens"])
     )
-    return pa.Table.from_pandas(report.to_pandas(), preserve_index=False).sort_by(
-        [("split", "ascending"), ("lang_pred", "ascending")]
-    )
+    return merged.sort_by([("split", "ascending"), ("lang_pred", "ascending")])
 
 
 def sft_dataset_full(
@@ -432,15 +475,28 @@ def sft_dataset_full(
         )
         return g.rename_columns(["split", "n_examples", "ctx_chars", "resp_chars"])
 
-    report = (
-        back.map_batches(partial, batch_format="pyarrow")
-        .groupby("split")
-        .aggregate(
-            Sum("n_examples", alias_name="n_examples"),
-            Sum("ctx_chars", alias_name="ctx_chars"),
-            Sum("resp_chars", alias_name="resp_chars"),
+    # driver combine of tiny per-batch partials (<= |splits| rows each) —
+    # same shuffle-fixed-cost elimination as training_data_full's report
+    parts = [
+        b
+        for b in back.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
         )
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.schema(
+            [
+                ("split", pa.string()),
+                ("n_examples", pa.int64()),
+                ("ctx_chars", pa.int64()),
+                ("resp_chars", pa.int64()),
+            ]
+        ).empty_table()
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(["split"])
+        .aggregate([("n_examples", "sum"), ("ctx_chars", "sum"), ("resp_chars", "sum")])
+        .rename_columns(["split", "n_examples", "ctx_chars", "resp_chars"])
     )
-    return pa.Table.from_pandas(report.to_pandas(), preserve_index=False).sort_by(
-        [("split", "ascending")]
-    )
+    return merged.sort_by([("split", "ascending")])
