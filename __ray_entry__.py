@@ -465,6 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["extract_binpdf_turns"] = extract_binpdf_turns
     out["extract_binpdf_blocks"] = extract_binpdf_blocks
+    from ocr_ray.pipelines.extract_oracle import extract_context_turns_echo
+
+    out["extract_context_turns_echo"] = extract_context_turns_echo
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn
     try:
@@ -486,6 +489,9 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.pipelines.binpdf_gate import binpdf_oracle_sqls
 
     out.update(binpdf_oracle_sqls(_DRIVER_SF))
+    from ocr_ray.pipelines.extract_oracle import ctx_oracle_sqls
+
+    out.update(ctx_oracle_sqls(_DRIVER_SF))
     try:
         from ocr_ray.ops import REGISTRY as OPS_REGISTRY
         from ocr_ray.ops.multimodal import media_inventory_sql

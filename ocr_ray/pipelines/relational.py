@@ -1058,8 +1058,40 @@ GROUP BY p.event_id
 
 
 def events_sample(sf_dir: str) -> Dataset:
+    """Seeded ~10% Bernoulli sample, deterministic PER ROW: keep iff the
+    first 4 hex chars of md5('s42:' || event_id) < '199a' (6554/65536 =
+    10.0006%). r5 replaced ``random_sample(0.1, seed=42)``: Ray's seeded
+    sampler draws per BLOCK, so the selected row set depends on block
+    boundaries/partitioning — unreproducible across engines, reruns, and
+    cluster sizes, which is exactly what a 10^12-row sampling step cannot
+    afford. The keyed-hash rule is the scale-correct sampler (same family
+    as ``events_hash_sample``, with the seed folded into the key) and is
+    mirrored exactly in SQL."""
+    import hashlib
+
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id"])
-    return ds.random_sample(0.1, seed=42)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [
+                i is not None
+                and int.from_bytes(
+                    hashlib.md5(f"s42:{i}".encode("ascii")).digest()[:2], "big"
+                )
+                < 0x199A
+                for i in t.column("event_id").to_pylist()
+            ],
+            pa.bool_(),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+EVENTS_SAMPLE_SQL = """
+SELECT event_id, user_id FROM events
+WHERE substr(md5('s42:' || CAST(event_id AS VARCHAR)), 1, 4) < '199a'
+"""
 
 
 def events_hash_sample(sf_dir: str) -> Dataset:
@@ -1371,7 +1403,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "nation_acct_stats": (nation_acct_stats, NATION_ACCT_STATS_SQL),
     "high_value_events": (high_value_events, HIGH_VALUE_EVENTS_SQL),
-    "events_sample": (events_sample, None),
+    "events_sample": (events_sample, EVENTS_SAMPLE_SQL),
     "events_hash_sample": (events_hash_sample, EVENTS_HASH_SAMPLE_SQL),
     "purchase_followups": (purchase_followups, PURCHASE_FOLLOWUPS_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),

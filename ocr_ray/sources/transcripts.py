@@ -272,3 +272,74 @@ def ensure_transcripts(n_convs: int, seed: int = 42, root: str | None = None) ->
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+def gen_echo_conv(i: int, seed: int = 23):
+    """Conversation generator with PLANTED reply-echo turns (r5): with
+    probability ~0.35 a turn opens by quoting the ENTIRE previous turn and
+    appends a fresh plain paragraph — the context-aware engine's strip
+    domain. The appended remainder is always a plain payload so the
+    stripped corpus stays inside the provable engine subsets (the
+    context-gate's union mirror needs full coverage)."""
+    rng = random.Random((seed << 34) ^ (i * 0x9E3779B1))
+    conv_id = f"ctx-{i:08d}"
+    n_turns = rng.randint(2, 10)
+    rows = []
+    prev_text = ""
+    for t in range(n_turns):
+        role = _ROLES[t % 2]
+        r = rng.random()
+        if t > 0 and prev_text and r < 0.35:
+            text = prev_text + rng.choice(["\n\n", "\n \n"]) + _para(rng, 1, 3)
+        elif r < 0.65:
+            text = _plain_payload(rng)
+        elif r < 0.85:
+            text = _html_payload(rng)
+        else:
+            text = _pdf_payload(rng)
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": "",
+                "ts": _BASE_TS_US + i * 3_600_000_000 + t * 47_000_000,
+            }
+        )
+        prev_text = text
+    return rows
+
+
+def ensure_echo_transcripts(n_convs: int, seed: int = 23, root: str | None = None) -> str:
+    """Cached parquet dir for the planted-echo corpus (driver-side
+    generation only — the fixture scales are small)."""
+    root = root or _default_fixture_root()
+    out = os.path.join(root, f"echoconv_s{seed}_c{n_convs}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    rows = [r for i in range(n_convs) for r in gen_echo_conv(i, seed)]
+    t = pa.table(
+        {name: [r[name] for r in rows] for name in TRANSCRIPT_SCHEMA.names},
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+

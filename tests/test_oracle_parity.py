@@ -100,6 +100,9 @@ def _rebind_extract_oracles():
     from ocr_ray.pipelines.binpdf_gate import binpdf_oracle_sqls
 
     _SQLS.update(binpdf_oracle_sqls(SF))
+    from ocr_ray.pipelines.extract_oracle import ctx_oracle_sqls
+
+    _SQLS.update(ctx_oracle_sqls(SF))
 
 
 @pytest.mark.parametrize("name", sorted(_SQLS))
