@@ -4,17 +4,19 @@ Image/audio/video are carried as Arrow ``binary`` columns with metadata
 columns; decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages.
 
-Codec status (r4): REAL pure-Python decoders exist for every
+Codec status (r5): REAL pure-Python decoders exist for every
 uncompressed format family — binary PPM (P6) + 24-bit BMP images,
-PCM WAV audio, and YUV4MPEG2 (C444) video — so decode, image stats,
-nearest-neighbor resize, audio stats and frame sampling are genuinely
-implemented and driver-gated against GROUND-TRUTH sidecars written from
-the raw arrays before encoding (``media_image_stats`` /
-``media_audio_stats`` / ``media_video_frames``). Only entropy-coded
-formats (JPEG/PNG, MP3/AAC, H.264...) remain behind
-``NotImplementedError`` — the genuine external-library boundary; the
-``MediaDecoder(fake=True)`` hash stub is kept for mixed-kind pipelines
-whose payloads are opaque.
+PCM WAV audio, and YUV4MPEG2 (C444) video — plus ENTROPY-CODED baseline
+JPEG (SOF0: markers, Huffman, dequant, IDCT, YCbCr; ``ocr_ray/ops/jpeg``).
+Decode, image stats, nearest-neighbor resize, audio stats and frame
+sampling are genuinely implemented and driver-gated against GROUND-TRUTH
+sidecars (``media_image_stats`` / ``media_jpeg_stats`` /
+``media_audio_stats`` / ``media_video_frames``); the JPEG sidecar is the
+ANALYTIC mosaic oracle since the codec is lossy. Remaining
+``NotImplementedError`` slots: progressive JPEG, PNG (Flate), and
+entropy-coded audio/video (MP3/AAC, H.264...) — the genuine
+external-library boundary; the ``MediaDecoder(fake=True)`` hash stub is
+kept for mixed-kind pipelines whose payloads are opaque.
 """
 
 from __future__ import annotations
@@ -729,14 +731,25 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """Sniff + decode a supported still-image payload -> (fmt, pixels)."""
+    """Sniff + decode a supported still-image payload -> (fmt, pixels).
+    Baseline JPEG (SOF0, r5) decodes for real via ``ocr_ray.ops.jpeg``;
+    grayscale JPEGs are replicated to 3 channels to keep the (h, w, 3)
+    contract."""
     if payload.startswith(b"P6"):
         return "ppm", decode_ppm(payload)
     if payload.startswith(b"BM"):
         return "bmp", decode_bmp(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from ocr_ray.ops.jpeg import decode_jpeg_baseline
+
+        px = decode_jpeg_baseline(payload)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return "jpeg", px
     raise NotImplementedError(
         "real decode for this format needs an imaging library (not in "
-        "this container); supported here: PPM (P6), 24-bit BMP"
+        "this container); supported here: PPM (P6), 24-bit BMP, baseline "
+        "JPEG (SOF0) — progressive JPEG / PNG remain the library boundary"
     )
 
 
@@ -1315,3 +1328,120 @@ def media_phash_real(sf_dir: str) -> Dataset:
         )
 
     return phash_cluster_over(ds.map_batches(to_pixels, batch_format="pyarrow"))
+
+# ---------------------------------------------------------------------------
+# baseline-JPEG gate (r5): REAL entropy-coded decode, driver-verified.
+# JPEG is lossy, so the PPM/BMP "truth from the pre-encode pixels" trick
+# cannot gate it. Technique: every fixture image is an 8x8 BLOCK-CONSTANT
+# mosaic — for constant blocks the codec collapses to DC-only scalar
+# integer arithmetic, and ``mosaic_expected_color`` (ocr_ray/ops/jpeg.py,
+# pure scalar math, no codec calls) predicts decode(encode(block))
+# EXACTLY. The sidecar stores the analytically-expected per-image stats;
+# the gated query must reproduce them through the real Huffman/DCT path.
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_mosaic(i: int, seed: int) -> tuple[np.ndarray, int]:
+    """Deterministic block-constant RGB mosaic + quality for image i."""
+    import random
+
+    rng = random.Random((seed << 22) ^ (i * 0x85EBCA6B % 2**31))
+    bw = rng.randrange(2, 7)   # blocks across
+    bh = rng.randrange(2, 6)   # blocks down
+    quality = rng.choice([60, 75, 90])
+    px = np.zeros((bh * 8, bw * 8, 3), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            c = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = c
+    return px, quality
+
+
+def synth_jpeg_table(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """(images table, analytic truth sidecar). The truth rows are computed
+    from the mosaic color grid via ``mosaic_expected_color`` only — the
+    encoder/decoder are never consulted for the sidecar."""
+    from ocr_ray.ops.jpeg import encode_jpeg_baseline, mosaic_expected_color
+
+    ids, payloads = [], []
+    t_w, t_h, t_sr, t_sg, t_sb = [], [], [], [], []
+    for i in range(n):
+        px, quality = synth_jpeg_mosaic(i, seed)
+        h, w = px.shape[:2]
+        ids.append(i)
+        payloads.append(encode_jpeg_baseline(px, quality))
+        sr = sg = sb = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                rgb = tuple(int(v) for v in px[by * 8, bx * 8])
+                er, eg, eb = mosaic_expected_color(rgb, quality)
+                sr += er * 64
+                sg += eg * 64
+                sb += eb * 64
+        t_w.append(w)
+        t_h.append(h)
+        t_sr.append(sr)
+        t_sg.append(sg)
+        t_sb.append(sb)
+    images = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    truth = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "fmt": pa.array(["jpeg"] * n, pa.string()),
+            "width": pa.array(t_w, pa.int32()),
+            "height": pa.array(t_h, pa.int32()),
+            "sum_r": pa.array(t_sr, pa.int64()),
+            "sum_g": pa.array(t_sg, pa.int64()),
+            "sum_b": pa.array(t_sb, pa.int64()),
+        }
+    )
+    return images, truth
+
+
+def ensure_jpeg_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures") -> str:
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"jpegs_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    images, truth = synth_jpeg_table(n, seed)
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(images, os.path.join(tmp, "images.parquet"))
+    pq.write_table(truth, os.path.join(tmp, "truth.parquet"))
+    _commit_fixture_dir(tmp, out, marker)
+    return out
+
+
+def media_jpeg_stats(sf_dir: str) -> Dataset:
+    """queries() entry: REAL baseline-JPEG decode (markers -> Huffman ->
+    dequant -> IDCT -> YCbCr->RGB) over the mosaic fixture; the oracle is
+    the ANALYTIC sidecar — decode must match it bit-exactly."""
+    path = ensure_jpeg_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path + "/images.parquet")
+    return ds.map_batches(
+        ImageStats,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def media_jpeg_stats_sql(sf_dir: str) -> str:
+    path = ensure_jpeg_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT media_id, fmt, width, height, sum_r, sum_g, sum_b
+FROM read_parquet('{path}/truth.parquet')
+"""
+
