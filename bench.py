@@ -225,6 +225,11 @@ QUERY_NAMES = [
     "stump_train_events",
     "cust_abc_classes",
     "media_image_stats",
+    "media_jpeg_stats",
+    "extract_binpdf_turns",
+    "extract_binpdf_blocks",
+    "extract_context_turns_echo",
+    "events_sample",
 ]
 
 
