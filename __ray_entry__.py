@@ -508,6 +508,9 @@ def oracle_sql() -> dict[str, str]:
         from ocr_ray.ops.multimodal import media_jpeg_stats_sql
 
         out["media_jpeg_stats"] = media_jpeg_stats_sql(_DRIVER_SF)
+        from ocr_ray.ops.multimodal import media_png_stats_sql
+
+        out["media_png_stats"] = media_png_stats_sql(_DRIVER_SF)
         from ocr_ray.ops.multimodal import media_audio_stats_sql, media_video_frames_sql
 
         out["media_audio_stats"] = media_audio_stats_sql(_DRIVER_SF)

@@ -11,10 +11,11 @@ line positioning, then hands the reconstructed ``\\f``-separated page text
 to the existing PDF layout engine (``ocr_ray.core.extract._extract_pdf``)
 for paragraph grouping, dehyphenation and the running-header/footer census.
 
-Scope (documented library boundary, same policy as ``ops/multimodal.py``):
-streams behind ``/Filter`` (FlateDecode etc.) are entropy-coded and return
-a ``pdf_parse_error:filter`` error row instead of text — the kernel is
-TOTAL, it never raises. Everything in the uncompressed PDF 1.4 subset —
+Scope (r5 update): ``/Filter /FlateDecode`` streams — the overwhelmingly
+common case in real PDFs — inflate via the stdlib ``zlib``; other filters
+(DCTDecode, LZW, ...) and non-identity predictors return a
+``pdf_parse_error:filter`` error row instead of text — the kernel is
+TOTAL, it never raises. Everything else in the PDF 1.4 subset —
 object graph walk (trailer -> /Root -> /Pages -> nested /Kids -> /Contents),
 literal strings with the full escape table (octal, line continuations,
 nested parens), hex strings, and the text operators above — is genuinely
@@ -43,6 +44,10 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
 _FILTER_RE = re.compile(rb"/Filter\b")
+_FLATE_ONLY_RE = re.compile(
+    rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
+)
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 
 # word-space threshold for TJ kerning adjustments, in thousandths of a text
 # space unit: a negative displacement at or beyond this is rendered as an
@@ -165,15 +170,35 @@ def _page_content_streams(raw: bytes, objs: dict[int, _Obj]) -> list[bytes] | No
             o = objs.get(r)
             if o is None or o.stream is None:
                 return None
-            if _FILTER_RE.search(o.body):
-                raise _FilteredStream()
-            parts.append(o.stream)
+            parts.append(_stream_data(o))
         out.append(b"\n".join(parts))
     return out
 
 
 class _FilteredStream(Exception):
     pass
+
+
+def _stream_data(o: _Obj) -> bytes:
+    """Stream bytes with the filter chain applied. FlateDecode (zlib —
+    the overwhelmingly common case in real PDFs) inflates via the stdlib;
+    any other filter, a predictor other than 1, or corrupt deflate data
+    raises ``_FilteredStream`` (surfaced as ``pdf_parse_error:filter``)."""
+    if o.stream is None:
+        raise _FilteredStream()
+    if not _FILTER_RE.search(o.body):
+        return o.stream
+    if not _FLATE_ONLY_RE.search(o.body):
+        raise _FilteredStream()
+    pm = _PREDICTOR_RE.search(o.body)
+    if pm is not None and int(pm.group(1)) != 1:
+        raise _FilteredStream()
+    import zlib
+
+    try:
+        return zlib.decompress(o.stream)
+    except zlib.error as e:
+        raise _FilteredStream() from e
 
 
 # ---------------------------------------------------------------------------
@@ -422,16 +447,20 @@ def parse_pdf_text(raw: bytes) -> tuple[str, str]:
         except _FilteredStream:
             return "", "pdf_parse_error:filter"
         if streams is None:
-            # fallback: file order of text-bearing unfiltered streams
-            streams = []
-            for num in objs:
-                o = objs[num]
-                if o.stream is not None and b"BT" in o.stream:
-                    if _FILTER_RE.search(o.body):
-                        return "", "pdf_parse_error:filter"
-                    streams.append(o.stream)
-            if not streams:
-                return "", "pdf_parse_error:no_content"
+            # fallback: file order of text-bearing streams (Flate inflated)
+            try:
+                streams = []
+                for num in objs:
+                    o = objs[num]
+                    if o.stream is None:
+                        continue
+                    data = _stream_data(o)
+                    if b"BT" in data:
+                        streams.append(data)
+                if not streams:
+                    return "", "pdf_parse_error:no_content"
+            except _FilteredStream:
+                return "", "pdf_parse_error:filter"
         pages = []
         for s in streams:
             pages.append("\n".join(_interp_stream(s)))

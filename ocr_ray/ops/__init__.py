@@ -104,6 +104,8 @@ from ocr_ray.ops.multimodal import (
     media_image_stats_sql,
     media_jpeg_stats,
     media_jpeg_stats_sql,
+    media_png_stats,
+    media_png_stats_sql,
     media_phash_real,
     media_video_frames,
     media_video_frames_sql,
@@ -214,6 +216,7 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (media_features, None),
     "media_image_stats": (media_image_stats, None),  # SQL built per-sf: media_image_stats_sql
     "media_jpeg_stats": (media_jpeg_stats, None),  # SQL built per-sf: media_jpeg_stats_sql
+    "media_png_stats": (media_png_stats, None),  # SQL built per-sf: media_png_stats_sql
     "media_audio_stats": (media_audio_stats, None),  # SQL built per-sf: media_audio_stats_sql
     "media_video_frames": (media_video_frames, None),  # SQL built per-sf: media_video_frames_sql
     "media_phash_real": (media_phash_real, None),  # planted-pair recall pytest-pinned

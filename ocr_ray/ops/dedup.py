@@ -1074,6 +1074,11 @@ def survivors_dataset(
 # (below its own gate), it bounds the collision-bucket row volume exactly;
 # at or under this many hot rows the pairing is one driver-side vectorized
 # _partition_pairs call instead of a groupby(__part).map_groups exchange.
+# Pin the banded table in the object store below this many SIGNATURE rows
+# (band fanout is 8-16x tiny rows): candidate_pairs' census tier reads it
+# twice, and re-deriving the bands costs a second crc32 pass per doc.
+_BAND_PIN_MAX_ROWS = int(os.environ.get("OCR_RAY_BAND_PIN_MAX_ROWS", "3000000"))
+
 _LOCAL_PAIR_MAX_ROWS = int(os.environ.get("OCR_RAY_PAIR_LOCAL_MAX_ROWS", "2000000"))
 
 _LOCAL_NEARDUP_MAX_ROWS = int(os.environ.get("OCR_RAY_NEARDUP_LOCAL_MAX_ROWS", "10000"))
@@ -1215,6 +1220,11 @@ def near_dup_from_signatures(
             )
         )
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    if sigs.count() <= _BAND_PIN_MAX_ROWS:
+        # candidate_pairs' census tier consumes the band table twice
+        # (census pass + hot-row filter); pinning the 16-byte band rows
+        # (bounded: rows x bands x 16 B) skips the second banding pass
+        banded = banded.materialize()
     pairs = candidate_pairs(banded, id_type=id_type, max_bucket=max_bucket).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
@@ -1315,6 +1325,8 @@ def dedup_jaccard_docs(sf_dir: str, threshold: float = 0.7) -> Dataset:
             )
         )
     banded = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    if sigs.count() <= _BAND_PIN_MAX_ROWS:
+        banded = banded.materialize()  # see near_dup_from_signatures
     pairs = candidate_pairs(banded).materialize()
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     n_pairs = pairs.count()

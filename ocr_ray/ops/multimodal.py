@@ -11,9 +11,11 @@ JPEG (SOF0: markers, Huffman, dequant, IDCT, YCbCr; ``ocr_ray/ops/jpeg``).
 Decode, image stats, nearest-neighbor resize, audio stats and frame
 sampling are genuinely implemented and driver-gated against GROUND-TRUTH
 sidecars (``media_image_stats`` / ``media_jpeg_stats`` /
-``media_audio_stats`` / ``media_video_frames``); the JPEG sidecar is the
-ANALYTIC mosaic oracle since the codec is lossy. Remaining
-``NotImplementedError`` slots: progressive JPEG, PNG (Flate), and
+``media_png_stats`` / ``media_audio_stats`` / ``media_video_frames``);
+the JPEG sidecar is the ANALYTIC mosaic oracle since that codec is
+lossy; PNG (stdlib-zlib inflate + all five scanline filters,
+``ops/png.py``) is lossless and byte-exact. Remaining
+``NotImplementedError`` slots: progressive JPEG, Adam7/16-bit PNG, and
 entropy-coded audio/video (MP3/AAC, H.264...) — the genuine
 external-library boundary; the ``MediaDecoder(fake=True)`` hash stub is
 kept for mixed-kind pipelines whose payloads are opaque.
@@ -746,10 +748,15 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         if px.ndim == 2:
             px = np.repeat(px[:, :, None], 3, axis=2)
         return "jpeg", px
+    if payload.startswith(b"\x89PNG"):
+        from ocr_ray.ops.png import decode_png
+
+        return "png", decode_png(payload)
     raise NotImplementedError(
         "real decode for this format needs an imaging library (not in "
         "this container); supported here: PPM (P6), 24-bit BMP, baseline "
-        "JPEG (SOF0) — progressive JPEG / PNG remain the library boundary"
+        "JPEG (SOF0), PNG (8-bit, non-interlaced) — progressive JPEG / "
+        "Adam7 / 16-bit PNG remain the library boundary"
     )
 
 
@@ -1440,6 +1447,97 @@ def media_jpeg_stats(sf_dir: str) -> Dataset:
 
 def media_jpeg_stats_sql(sf_dir: str) -> str:
     path = ensure_jpeg_fixture(media_rows_for_sf(sf_dir))
+    return f"""
+SELECT media_id, fmt, width, height, sum_r, sum_g, sum_b
+FROM read_parquet('{path}/truth.parquet')
+"""
+
+# ---------------------------------------------------------------------------
+# PNG gate (r5): lossless, so the pre-encode pixel sidecar technique of
+# media_image_stats applies directly — DEFLATE is stdlib zlib, nothing is
+# stubbed. The encoder cycles all five scanline filters by row, so the
+# fixture genuinely exercises every unfilter path through the gate.
+# ---------------------------------------------------------------------------
+
+
+def synth_png_table(n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    from ocr_ray.ops.png import encode_png
+
+    ids, payloads = [], []
+    t_w, t_h, t_sr, t_sg, t_sb = [], [], [], [], []
+    for i in range(n):
+        px = _synth_pixels(i, seed ^ 0x50C0FFEE)
+        if i % 7 == 3:  # some grey images (decode replicates channels)
+            g = px[:, :, 0]
+            payloads.append(encode_png(g))
+            s_ = int(g.sum(dtype=np.int64)) * 1  # per-channel sum after replication
+            sums = (s_, s_, s_)
+            h, w = g.shape
+        else:
+            payloads.append(encode_png(px))
+            sv = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            sums = (int(sv[0]), int(sv[1]), int(sv[2]))
+            h, w = px.shape[:2]
+        ids.append(i)
+        t_w.append(w)
+        t_h.append(h)
+        t_sr.append(sums[0])
+        t_sg.append(sums[1])
+        t_sb.append(sums[2])
+    images = pa.table(
+        {"media_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+    )
+    truth = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "width": pa.array(t_w, pa.int32()),
+            "height": pa.array(t_h, pa.int32()),
+            "sum_r": pa.array(t_sr, pa.int64()),
+            "sum_g": pa.array(t_sg, pa.int64()),
+            "sum_b": pa.array(t_sb, pa.int64()),
+        }
+    )
+    return images, truth
+
+
+def ensure_png_fixture(n: int, seed: int = 42, root: str = "/tmp/ocr_ray_fixtures") -> str:
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"pngs_s{seed}_n{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    images, truth = synth_png_table(n, seed)
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(images, os.path.join(tmp, "images.parquet"))
+    pq.write_table(truth, os.path.join(tmp, "truth.parquet"))
+    _commit_fixture_dir(tmp, out, marker)
+    return out
+
+
+def media_png_stats(sf_dir: str) -> Dataset:
+    """queries() entry: REAL PNG decode (chunk walk, CRC, inflate, all
+    five unfilters, palette/alpha handling) over the fixture; oracle =
+    pre-encode pixel sidecar (PNG is lossless, so equality is exact)."""
+    path = ensure_png_fixture(media_rows_for_sf(sf_dir))
+    ds = rd.read_parquet(path + "/images.parquet")
+    return ds.map_batches(
+        ImageStats,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def media_png_stats_sql(sf_dir: str) -> str:
+    path = ensure_png_fixture(media_rows_for_sf(sf_dir))
     return f"""
 SELECT media_id, fmt, width, height, sum_r, sum_g, sum_b
 FROM read_parquet('{path}/truth.parquet')

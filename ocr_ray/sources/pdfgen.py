@@ -58,12 +58,15 @@ def _page_stream(groups: list[list[str]]) -> str:
     return "\n".join(out)
 
 
-def build_pdf(pages: list[list[list[str]]]) -> bytes:
+def build_pdf(pages: list[list[list[str]]], compress: bool = False) -> bytes:
     """pages -> groups -> lines  =>  complete PDF 1.4 file bytes.
 
     Object layout: 1 Catalog, 2 Pages, then per page k: ``3+2k`` Page,
     ``4+2k`` Contents stream, and finally ``3+2*npages`` the shared Type1
     font. xref offsets are computed from the actual byte positions.
+    ``compress=True`` emits ``/Filter /FlateDecode`` content streams
+    (zlib level 6) — how real writers ship PDFs; the GATED fixtures stay
+    uncompressed (DuckDB has no inflate), the kernel handles both.
     """
     np_ = len(pages)
     font_num = 3 + 2 * np_
@@ -86,12 +89,24 @@ def build_pdf(pages: list[list[list[str]]]) -> bytes:
             )
         )
         data = _page_stream(pg).encode("ascii")
-        objs.append(
-            (
-                cont_num,
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(data), data),
+        if compress:
+            import zlib
+
+            data = zlib.compress(data, 6)
+            objs.append(
+                (
+                    cont_num,
+                    b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(data), data),
+                )
             )
-        )
+        else:
+            objs.append(
+                (
+                    cont_num,
+                    b"<< /Length %d >>\nstream\n%s\nendstream" % (len(data), data),
+                )
+            )
     objs.append((font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
 
     buf = bytearray(b"%PDF-1.4\n")

@@ -279,3 +279,51 @@ class TestDispatch:
 
         r = extract_turn("data:application/pdf;base64,!!!!")
         assert r.error == "decode_error"
+
+class TestFlateDecode:
+    """r5: /Filter /FlateDecode inflates via stdlib zlib — the common
+    real-world PDF shape; other filters stay at the documented boundary."""
+
+    def test_flate_roundtrip_matches_uncompressed(self):
+        pages = [
+            [["REPORT 0099"], ["alpha beta gamma", "delta epsilon"], ["1 / 2"]],
+            [["REPORT 0099"], ["second page words here"], ["2 / 2"]],
+        ]
+        plain = parse_pdf_text(build_pdf(pages))
+        flate = parse_pdf_text(build_pdf(pages, compress=True))
+        assert plain == flate and plain[1] == ""
+        raw = build_pdf(pages, compress=True)
+        assert b"/FlateDecode" in raw
+        r = extract_binpdf(raw)
+        assert r.error == "" and "alpha beta gamma delta epsilon" in r.main_text
+
+    def test_corrupt_flate_is_filter_error(self):
+        raw = build_pdf([[["x"]]], compress=True)
+        # damage the deflate payload (keep lengths: swap bytes inside)
+        i = raw.index(b"stream\n") + len(b"stream\n")
+        bad = raw[:i] + bytes([raw[i] ^ 0xFF]) + raw[i + 1 :]
+        assert parse_pdf_text(bad) == ("", "pdf_parse_error:filter")
+
+    def test_other_filters_stay_boundary(self):
+        raw = build_pdf([[["x"]]], compress=True)
+        lzw = raw.replace(b"/FlateDecode", b"/LZWDecode  ")
+        assert parse_pdf_text(lzw) == ("", "pdf_parse_error:filter")
+
+    def test_predictor_rejected(self):
+        raw = build_pdf([[["x"]]], compress=True)
+        pred = raw.replace(
+            b"/Filter /FlateDecode", b"/Predictor 12 /Filter /FlateDecode"
+        )
+        assert parse_pdf_text(pred) == ("", "pdf_parse_error:filter")
+
+    def test_datauri_flate_dispatch(self):
+        import base64 as _b64
+
+        from ocr_ray.core.extract import extract_turn
+
+        raw = build_pdf([[["compressed dispatch works fine"]]], compress=True)
+        uri = "data:application/pdf;base64," + _b64.b64encode(raw).decode()
+        r = extract_turn(uri)
+        assert r.payload_kind == "binpdf"
+        assert r.main_text == "compressed dispatch works fine"
+

@@ -43,6 +43,9 @@ def _rebind_extract_oracles():
     from ocr_ray.ops.multimodal import media_jpeg_stats_sql
 
     _SQLS["media_jpeg_stats"] = media_jpeg_stats_sql(SF)
+    from ocr_ray.ops.multimodal import media_png_stats_sql
+
+    _SQLS["media_png_stats"] = media_png_stats_sql(SF)
     from ocr_ray.ops.multimodal import media_audio_stats_sql, media_video_frames_sql
 
     _SQLS["media_audio_stats"] = media_audio_stats_sql(SF)
