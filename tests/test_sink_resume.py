@@ -117,10 +117,12 @@ def test_full_rebuild_clears_stale_parts(inputs, tmp_path):
     ds2 = extract_dataset(rd.read_parquet(inputs), concurrency=(1, 4))
     manifest = write_partitioned(ds2, out, num_partitions=3, resume=False)
     on_disk = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
-    expect = sorted(f"part-{pid:05d}.parquet" for pid in manifest.column("part_id").to_pylist())
+    expect = sorted(
+        f"part-{pid:05d}.parquet" for pid in manifest.column("partition_id").to_pylist()
+    )
     assert on_disk == expect  # old pids 3..7 and the orphan are gone
     committed = committed_partitions(out)
-    assert sorted(committed) == sorted(manifest.column("part_id").to_pylist())
+    assert sorted(committed) == sorted(manifest.column("partition_id").to_pylist())
     total = sum(m["rows_out"] for m in committed.values())
     assert total == pq.read_metadata(inputs).num_rows
 
