@@ -292,34 +292,59 @@ def _extend(bits: int, size: int) -> int:
 
 
 def encode_jpeg_baseline(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) uint8 grey -> baseline JFIF bytes
-    (4:4:4, standard tables scaled by ``quality``). ``restart_interval``
-    > 0 emits a DRI segment and RSTn markers every that many MCUs (the
-    error-resilience feature real encoders use; exercises the decoder's
-    restart resync path)."""
+    (standard tables scaled by ``quality``). ``subsampling``: "444"
+    (default; exact chroma) or "420" (2x2 box-averaged chroma, the
+    ubiquitous real-world shape — MCU = 4 Y blocks + Cb + Cr).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (the error-resilience feature real encoders use;
+    exercises the decoder's restart resync path)."""
     grey = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not grey
     qy = _scaled_q(_Q_LUMA, quality)
     qc = _scaled_q(_Q_CHROMA, quality)
 
     if grey:
-        comps = [pixels.astype(np.float64)]
+        planes = [pixels.astype(np.float64)]
         qtabs = [qy]
+        samps = [(1, 1)]
+    elif not sub420:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., i].astype(np.float64) for i in range(3)]
+        qtabs = [qy, qc, qc]
+        samps = [(1, 1), (1, 1), (1, 1)]
     else:
         ycc = _rgb_to_ycbcr(pixels)
-        comps = [ycc[..., i].astype(np.float64) for i in range(3)]
+        y = ycc[..., 0].astype(np.float64)
+        # chroma: pad to even dims (edge), 2x2 box mean, floor(x+0.5)
+        he, we = (h + 1) & ~1, (w + 1) & ~1
+        cbcr = []
+        for i in (1, 2):
+            p = np.pad(
+                ycc[..., i].astype(np.float64),
+                ((0, he - h), (0, we - w)),
+                mode="edge",
+            )
+            m = p.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cbcr.append(np.floor(m + 0.5))
+        planes = [y, cbcr[0], cbcr[1]]
         qtabs = [qy, qc, qc]
+        samps = [(2, 2), (1, 1), (1, 1)]
 
-    bh = (h + 7) // 8
-    bw = (w + 7) // 8
-
-    def blocks_of(plane: np.ndarray) -> np.ndarray:
-        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    hmax = max(sx for sx, _ in samps)
+    vmax = max(sy for _, sy in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     dc_y = _HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_y = _HuffTable(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -327,10 +352,17 @@ def encode_jpeg_baseline(
     ac_c = _HuffTable(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
     htabs = [(dc_y, ac_y)] + ([(dc_c, ac_c), (dc_c, ac_c)] if not grey else [])
 
-    # quantized zigzag coefficients per component (vectorized DCT)
+    # quantized zigzag coefficients per component (vectorized DCT); each
+    # component's plane pads to its own MCU-aligned block grid
     qz = []
-    for plane, qt in zip(comps, qtabs):
-        blk = blocks_of(plane) - 128.0
+    bdims = []
+    for (plane, qt), (sx, sy) in zip(zip(planes, qtabs), samps):
+        pbh, pbw = mcuy * sy, mcux * sx
+        ph, pw = plane.shape
+        padded = np.pad(
+            plane, ((0, pbh * 8 - ph), (0, pbw * 8 - pw)), mode="edge"
+        )
+        blk = padded.reshape(pbh, 8, pbw, 8).transpose(0, 2, 1, 3) - 128.0
         coef = np.einsum("ij,bcjk,lk->bcil", _DCT_M, blk, _DCT_M)
         # DC computed exactly (integer block sum / 8): the matrix product
         # carries ~1e-13 of irrational-basis rounding, enough to flip a
@@ -343,53 +375,58 @@ def encode_jpeg_baseline(
         dc = q[:, :, 0, 0].copy()
         q = np.clip(q, -1023, 1023)
         q[:, :, 0, 0] = dc
-        qz.append(q.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+        qz.append(q.reshape(pbh, pbw, 64)[:, :, _ZIGZAG])
+        bdims.append((pbh, pbw))
+
+    def emit_block(ci: int, by: int, bx: int) -> None:
+        dct, act = htabs[ci] if not grey else (dc_y, ac_y)
+        z = qz[ci][by, bx]
+        diff = int(z[0]) - pred[ci]
+        pred[ci] = int(z[0])
+        size, bits = _magnitude(diff)
+        code, ln = dct.enc[size]
+        bwr.write(code, ln)
+        if size:
+            bwr.write(bits, size)
+        run = 0
+        nz = np.nonzero(z[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        k = 1
+        while k <= last_nz:
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                if run == 16:
+                    code, ln = act.enc[0xF0]  # ZRL
+                    bwr.write(code, ln)
+                    run = 0
+            else:
+                size, bits = _magnitude(v)
+                code, ln = act.enc[(run << 4) | size]
+                bwr.write(code, ln)
+                bwr.write(bits, size)
+                run = 0
+            k += 1
+        if last_nz < 63:
+            code, ln = act.enc[0x00]  # EOB
+            bwr.write(code, ln)
 
     bwr = _BitWriter()
-    pred = [0] * len(comps)
+    pred = [0] * len(planes)
     mcu_i = 0
     rst_i = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 bwr.flush()
                 bwr.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
                 rst_i += 1
-                pred = [0] * len(comps)
+                pred = [0] * len(planes)
             mcu_i += 1
-            for ci in range(len(comps)):
-                dct, act = htabs[ci] if not grey else (dc_y, ac_y)
-                z = qz[ci][by, bx]
-                diff = int(z[0]) - pred[ci]
-                pred[ci] = int(z[0])
-                size, bits = _magnitude(diff)
-                code, ln = dct.enc[size]
-                bwr.write(code, ln)
-                if size:
-                    bwr.write(bits, size)
-                run = 0
-                last_nz = 0
-                nz = np.nonzero(z[1:])[0]
-                last_nz = nz[-1] + 1 if len(nz) else 0
-                k = 1
-                while k <= last_nz:
-                    v = int(z[k])
-                    if v == 0:
-                        run += 1
-                        if run == 16:
-                            code, ln = act.enc[0xF0]  # ZRL
-                            bwr.write(code, ln)
-                            run = 0
-                    else:
-                        size, bits = _magnitude(v)
-                        code, ln = act.enc[(run << 4) | size]
-                        bwr.write(code, ln)
-                        bwr.write(bits, size)
-                        run = 0
-                    k += 1
-                if last_nz < 63:
-                    code, ln = act.enc[0x00]  # EOB
-                    bwr.write(code, ln)
+            for ci, (sx, sy) in enumerate(samps):
+                for by in range(sy):
+                    for bx in range(sx):
+                        emit_block(ci, my * sy + by, mx * sx + bx)
     bwr.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -400,7 +437,8 @@ def encode_jpeg_baseline(
     ncomp = 1 if grey else 3
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sx, sy = samps[ci]
+        sof += bytes([ci + 1, (sx << 4) | sy, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + sof
     hts = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
     if not grey:

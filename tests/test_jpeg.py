@@ -150,3 +150,44 @@ class TestGateSurface:
         g = (np.add.outer(np.arange(16), np.arange(16)) * 4).astype(np.uint8)
         fmt, px = decode_image(encode_jpeg_baseline(g, 90))
         assert fmt == "jpeg" and px.shape == (16, 16, 3)  # grey replicated
+
+class Test420:
+    """r5: real 4:2:0 files (the ubiquitous wild shape) through the
+    decoder's generic multi-sampling MCU loop + replication upsampling."""
+
+    def test_roundtrip_bounded(self):
+        img = _gradient_rgb()
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(img, 90, subsampling="420"))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4.0
+
+    def test_constant_tile_matches_analytic(self):
+        # chroma 2x2 box-average of a constant is the same constant, so
+        # the 4:4:4 analytic oracle applies to constant-color 420 tiles
+        for rgb in [(200, 30, 90), (5, 250, 120), (128, 128, 128)]:
+            tile = np.zeros((16, 16, 3), np.uint8)
+            tile[:] = rgb
+            dec = decode_jpeg_baseline(
+                encode_jpeg_baseline(tile, 90, subsampling="420")
+            )
+            assert (dec == dec[0, 0]).all()
+            assert tuple(int(v) for v in dec[0, 0]) == mosaic_expected_color(rgb, 90)
+
+    def test_odd_dims(self):
+        img = _gradient_rgb(13, 19)
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(img, 90, subsampling="420"))
+        assert dec.shape == (13, 19, 3)
+
+    def test_sof_declares_22(self):
+        raw = encode_jpeg_baseline(_gradient_rgb(16, 16), 80, subsampling="420")
+        i = raw.find(b"\xff\xc0")
+        assert raw[i + 11] == 0x22  # Y sampling factors (2,2)
+
+    def test_restart_markers_in_420(self):
+        img = _gradient_rgb(48, 48)
+        plain = decode_jpeg_baseline(encode_jpeg_baseline(img, 90, subsampling="420"))
+        rst = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, 90, subsampling="420", restart_interval=2)
+        )
+        assert (plain == rst).all()
+
