@@ -670,12 +670,16 @@ c AS (
   SELECT n_tags,
          len(list_filter(l200, x -> trim(x, ' ' || chr(9)) <> '')) AS nonempty,
          len(list_filter(l200, x -> regexp_matches(x, '^[ \t]{{2,}}[^ \t]'))) AS indented,
-         trim(text, ' ' || chr(9) || chr(10)) = '' AS is_blank
+         trim(text, ' ' || chr(9) || chr(10)) = '' AS is_blank,
+         starts_with(text, '%PDF-') AS is_binpdf,
+         contains(text, chr(12)) AS has_ff
   FROM m
 ),
 k AS (
   SELECT CASE
            WHEN is_blank THEN 'plain'
+           WHEN is_binpdf THEN 'binpdf'
+           WHEN has_ff THEN 'pdf'
            WHEN n_tags >= 3 THEN 'html'
            WHEN nonempty >= 4 AND indented * 10 >= nonempty * 3 THEN 'pdf'
            ELSE 'plain'
