@@ -350,8 +350,12 @@ class TestRealImageCodecs:
             decode_ppm(b"P6\n4 4\n255\nshort")
         with _pt.raises(ValueError):
             decode_bmp(b"BMtooshort")
+        # r5: PNG decodes for REAL now — malformed PNG bytes are a
+        # ValueError, not a library-boundary stub
+        with _pt.raises(ValueError):
+            decode_image(b"\x89PNG\r\n\x1a\n....")
         with _pt.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n....")  # genuinely env-blocked
+            decode_image(b"GIF89a....")  # genuinely env-blocked format
 
     def test_nearest_resize_exact(self):
         import numpy as np
