@@ -538,12 +538,14 @@ def ann_lsh_over(ds, *, n_queries: int = 64, k: int = 10, n_planes: int = 8, n_p
     return _lsh_pipeline(ds, q, qids, k=k, n_planes=n_planes, n_probes=n_probes)
 
 
-def ann_ivf_over(ds, *, n_queries: int = 64, k: int = 10, n_centroids: int = 32, nprobe: int = 12):
+def ann_ivf_over(ds, *, n_queries: int = 64, k: int = 10, n_centroids: int = 64, nprobe: int = 32):
     """IVF top-k over an arbitrary (vec_id, embedding) Dataset (distributed
-    k-means fit over a 4096-row sample of the same Dataset). Defaults swept
-    at the 200k-vec volume fixture: (32, 12) gives recall@10 ≈ 0.83 at
-    ~37% of brute-force FLOPs (the GEMM-shaped scorer keeps wall-clock
-    below brute at every swept config)."""
+    k-means fit over a 4096-row sample of the same Dataset). Defaults
+    re-swept r5 at the 200k-vec volume fixture: (64, 32) gives recall@10 =
+    0.913 at 50% of brute-force candidates — the finer 64-cell partition
+    beats the old (32, 12) default at every operating point (0.852 recall
+    at the SAME 37% candidates via (64, 24); the r4 default read 0.825).
+    The GEMM-shaped scorer keeps wall-clock below brute throughout."""
     q, qids = _queries_over(ds, n_queries)
     sample = ds.select_columns(["embedding"]).limit(4096)
     return _ivf_pipeline(ds, sample, q, qids, k=k, n_centroids=n_centroids, nprobe=nprobe)
