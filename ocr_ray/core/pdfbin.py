@@ -114,7 +114,49 @@ def _scan_objects(raw: bytes) -> dict[int, _Obj]:
         pos = em + len(b"endobj") if em >= 0 and em < n else n
         if pos <= m.end():
             pos = m.end()
+    _expand_object_streams(objs)
     return objs
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+
+
+def _expand_object_streams(objs: dict[int, _Obj]) -> None:
+    """PDF 1.5+ compressed object streams: non-stream objects (page and
+    catalog dictionaries, typically) packed inside a ``/Type /ObjStm``
+    stream — N ``objnum offset`` integer pairs, then the concatenated
+    object bodies starting at ``/First``. Contained objects are added to
+    the map (existing top-level definitions win); an undecodable ObjStm
+    is skipped rather than failing the document — the graph walk then
+    falls back to file order."""
+    for holder in list(objs.values()):
+        if holder.stream is None or not _OBJSTM_RE.search(holder.body):
+            continue
+        nm = _N_RE.search(holder.body)
+        fm = _FIRST_RE.search(holder.body)
+        if nm is None or fm is None:
+            continue
+        try:
+            data = _stream_data(holder)
+        except _FilteredStream:
+            continue
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n_objs:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n_objs)
+            ]
+        except ValueError:
+            continue
+        for idx, (num, off) in enumerate(pairs):
+            end = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(data) - first
+            body = data[first + off : first + end]
+            if num not in objs:
+                objs[num] = _Obj(num, body, None)
 
 
 def _page_content_streams(raw: bytes, objs: dict[int, _Obj]) -> list[bytes] | None:
@@ -447,20 +489,29 @@ def parse_pdf_text(raw: bytes) -> tuple[str, str]:
         except _FilteredStream:
             return "", "pdf_parse_error:filter"
         if streams is None:
-            # fallback: file order of text-bearing streams (Flate inflated)
-            try:
-                streams = []
-                for num in objs:
-                    o = objs[num]
-                    if o.stream is None:
-                        continue
+            # fallback: file order of text-bearing streams (Flate
+            # inflated); an individual undecodable stream is skipped —
+            # it may be a damaged ObjStm, not page content — and only if
+            # NOTHING decodes does the filter failure surface
+            streams = []
+            saw_filtered = False
+            for num in objs:
+                o = objs[num]
+                if o.stream is None:
+                    continue
+                try:
                     data = _stream_data(o)
-                    if b"BT" in data:
-                        streams.append(data)
-                if not streams:
-                    return "", "pdf_parse_error:no_content"
-            except _FilteredStream:
-                return "", "pdf_parse_error:filter"
+                except _FilteredStream:
+                    saw_filtered = True
+                    continue
+                if b"BT" in data:
+                    streams.append(data)
+            if not streams:
+                return "", (
+                    "pdf_parse_error:filter"
+                    if saw_filtered
+                    else "pdf_parse_error:no_content"
+                )
         pages = []
         for s in streams:
             pages.append("\n".join(_interp_stream(s)))

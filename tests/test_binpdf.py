@@ -327,3 +327,61 @@ class TestFlateDecode:
         assert r.payload_kind == "binpdf"
         assert r.main_text == "compressed dispatch works fine"
 
+class TestObjectStreams:
+    """r5: PDF 1.5+ compressed object streams (/Type /ObjStm) — page and
+    catalog dictionaries packed inside a Flate stream, the modern writer
+    layout — resolve through the inflate path into the object map."""
+
+    @staticmethod
+    def _objstm_doc(first_extra=b""):
+        import zlib as _z
+
+        inner = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        ]
+        bodies = b""
+        pairs = []
+        for num, body in inner:
+            pairs.append((num, len(bodies)))
+            bodies += body + b"\n"
+        header = b" ".join(b"%d %d" % p for p in pairs) + b"\n"
+        comp = _z.compress(header + bodies)
+        content = b"BT\n72 720 Td\n(objstm works) Tj\nET"
+        objstm = (
+            b"5 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(header), len(comp), comp)
+        )
+        cont = b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+            len(content),
+            content,
+        )
+        return (
+            b"%PDF-1.5\n" + objstm + cont + b"trailer\n<< /Root 1 0 R >>\n" + b"%%EOF\n"
+        )
+
+    def test_page_tree_inside_objstm(self):
+        text, err = parse_pdf_text(self._objstm_doc())
+        assert (text, err) == ("objstm works", "")
+
+    def test_corrupt_objstm_falls_back_to_file_order(self):
+        doc = bytearray(self._objstm_doc())
+        # damage the compressed payload: ObjStm skipped, graph walk fails
+        # (no catalog), file-order fallback still finds the content stream
+        i = doc.index(b"stream\n") + len(b"stream\n")
+        doc[i] ^= 0xFF
+        text, err = parse_pdf_text(bytes(doc))
+        assert err == "" and text == "objstm works"
+
+    def test_toplevel_definition_wins(self):
+        # a top-level object 3 overrides the ObjStm copy (first wins)
+        doc = self._objstm_doc()
+        override = (
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        )
+        patched = doc.replace(b"%PDF-1.5\n", b"%PDF-1.5\n" + override, 1)
+        text, err = parse_pdf_text(patched)
+        assert (text, err) == ("objstm works", "")
+
